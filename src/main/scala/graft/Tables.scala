@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md).
+  *
+  * Parity notes (vs the DuckDB oracle):
+  *  - `events.ts` is parquet TIMESTAMP(NANOS). Spark 4 cannot read it natively,
+  *    so we read it as a raw nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`)
+  *    and expose `ts_us` (µs, integer) + `ts` (TimestampType, µs). DuckDB reads the
+  *    same column as a µs-truncated TIMESTAMP, so `ts_us == epoch_us(ts)` exactly.
+  *  - Money columns are 2-decimal doubles; aggregates go through DECIMAL so both
+  *    engines do exact integer-scaled arithmetic (see [[Num]]).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events with ts normalized: ts_ns (raw), ts_us (µs long, oracle-exact), ts (timestamp). */
+  def events(s: SparkSession, d: String): DataFrame =
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+}
+
+/** Deterministic numeric helpers: both engines do exact DECIMAL arithmetic, then a
+  * final cast to DOUBLE — identical bits on both sides, no float-sum-order issues. */
+object Num {
+  val D2  = DecimalType(12, 2)
+  val D4  = DecimalType(18, 4)
+  def dec2(c: Column): Column = c.cast(D2)
+  def d184(c: Column): Column = c.cast(D4)
+  def dbl(c: Column): Column  = c.cast(DoubleType)
+  /** revenue term `extprice * (1 - discount)` kept within decimal-38 on both engines. */
+  def revTerm(price: Column, disc: Column): Column =
+    d184(dec2(price) * (lit(1) - dec2(disc)))
+}
