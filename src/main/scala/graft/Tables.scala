@@ -16,7 +16,13 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Required at session build time (see GraftSession): flipping it lazily here
+    // would be a hidden session-wide side effect and would leave DataFrames
+    // planned before the first Tables call with an inconsistent schema.
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "Set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time " +
+        "(use graft.GraftSession.builder); events.parquet carries TIMESTAMP(NANOS).")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
