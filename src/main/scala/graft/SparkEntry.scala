@@ -9,9 +9,8 @@ object SparkEntry {
 
   /** All catalog entries, in stable order. */
   def catalog: Seq[QueryDef] =
-    queries_relational
-
-  private def queries_relational: Seq[QueryDef] = graft.queries.RelationalQueries.all
+    graft.queries.RelationalQueries.all ++
+      graft.queries.CdcQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,110 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-event envelope construction (operators O2-O5, O7).
+  *
+  * Input: a DataFrame of raw statement-level change events, the Spark mirror of
+  * go-mysql's `canal.RowsEvent` (`vendor/.../canal/rows.go:17-28`):
+  * {{{
+  *   database STRING, table STRING,
+  *   action   STRING,          -- insert | update | delete | alter
+  *   ts       LONG,            -- envelope `time` (unix seconds)
+  *   stmt_seq LONG,            -- source (binlog) order of the statement
+  *   rows ARRAY<ARRAY<STRUCT<k STRING, v STRING>>>  -- row images; v is a JSON
+  *                                                  -- fragment (see Json/Decode)
+  * }}}
+  *
+  * Output: one row PER ENVELOPE — a multi-row statement explodes into N
+  * envelopes (`handler.go:137-182`): update rows pair up (even=before,
+  * odd=after → one envelope per pair with `old_data`/`new_data`,
+  * `handler.go:137-165`), insert/delete emit one per row image, alter emits
+  * exactly one with NO event payload (`handler.go:101-110`).
+  *
+  * JSON key order is alphabetical, matching Go's `json.Marshal` of maps — the
+  * reference's observable wire format. Everything here is Spark built-ins
+  * (higher-order functions + posexplode) and stays partition-local: no shuffle
+  * is introduced until/unless the caller asks for a global event index.
+  */
+object EnvelopeBuilder {
+
+  private val entriesType = "array<struct<k:string,v:string>>"
+  private def nullEntries: Column = lit(null).cast(entriesType)
+
+  /** Pair up row images for one statement: update → (before, after) pairs;
+    * insert/delete → (row, null); alter → a single (null, null). */
+  private def pairs: Column = {
+    val rows = col("rows")
+    val nPairs = expr("size(rows) div 2")
+    when(col("action") === "alter",
+        array(struct(nullEntries.as("old"), nullEntries.as("new"))))
+      .when(col("action") === "update",
+        when(size(rows) >= 2,
+          transform(sequence(lit(0), nPairs - 1),
+            i => struct(
+              try_element_at(rows, (i * 2 + 1).cast("int")).as("old"),
+              try_element_at(rows, (i * 2 + 2).cast("int")).as("new"))))
+          .otherwise(array().cast(s"array<struct<old:$entriesType,new:$entriesType>>")))
+      .otherwise(transform(rows, r => struct(r.as("old"), nullEntries.as("new"))))
+  }
+
+  /** The `event` JSON fragment: `{"data":{...}}` for insert/delete,
+    * `{"data":{"new_data":{...},"old_data":{...}}}` for update (alphabetical,
+    * as `json.Marshal` orders the `data` map), SQL NULL for alter. */
+  private def eventJson(old: Column, nw: Column): Column =
+    when(col("event_type") === "alter", lit(null).cast("string"))
+      .when(col("event_type") === "update",
+        concat(lit("{\"data\":{\"new_data\":"), Json.obj(Json.sortEntries(nw)),
+               lit(",\"old_data\":"), Json.obj(Json.sortEntries(old)), lit("}}")))
+      .otherwise(concat(lit("{\"data\":"), Json.obj(Json.sortEntries(old)), lit("}")))
+
+  /** Explode raw statements into envelopes. Output columns:
+    * `database, table, event_type, time, topic, stmt_seq, pair_pos, event`.
+    * Partition-local: one `posexplode`, no shuffle. */
+  def envelopes(raw: DataFrame): DataFrame =
+    raw
+      .withColumn("event_type", col("action"))
+      .select(
+        col("database"), col("table"), col("event_type"),
+        col("ts").as("time"), col("stmt_seq"),
+        posexplode(pairs).as(Seq("pair_pos", "pair")))
+      .withColumn("event", eventJson(col("pair.old"), col("pair.new")))
+      // Routing key, `database + "." + table` (`handler.go:89`). The event topic
+      // is NOT lowercased — only subscriber patterns are (`node.go:45-46`).
+      .withColumn("topic", concat(col("database"), lit("."), col("table")))
+      .drop("pair")
+
+  /** Envelopes + dense `event_index` assigned in (stmt_seq, pair_pos) order
+    * starting after `startIndex` — the batch mirror of the reference's atomic
+    * counter restored from the position cache (`handler.go:264-282`). */
+  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame =
+    EventIndexer.dense(envelopes(raw), Seq(col("stmt_seq"), col("pair_pos")),
+      "event_index", startIndex)
+
+  /** Full envelope serialization (O7): ONE JSON object per envelope, keys in
+    * `json.Marshal` (alphabetical) order; alter carries no `event` key
+    * (`handler.go:101-110` builds the map without it). */
+  def envelopeJson(df: DataFrame): Column =
+    concat(
+      lit("{\"database\":"), Json.str(col("database")),
+      when(col("event").isNull, lit("")).otherwise(concat(lit(",\"event\":"), col("event"))),
+      lit(",\"event_index\":"), Json.num(col("event_index")),
+      lit(",\"event_type\":"), Json.str(col("event_type")),
+      lit(",\"table\":"), Json.str(col("table")),
+      lit(",\"time\":"), Json.num(col("time")),
+      lit("}"))
+
+  /** Positional raw form → the generic entries form, applying [[Decode]] and
+    * short-row NULL padding (`handler.go:146-148,173-176`). Input columns
+    * `cols ARRAY<STRUCT<name,rawType,unsigned,enumValues,setValues>>` and
+    * `rows ARRAY<ARRAY<STRING>>`; output replaces `rows` with decoded entries. */
+  def fromPositional(raw: DataFrame): DataFrame =
+    raw.withColumn("rows",
+        when(col("rows").isNull, lit(null).cast(s"array<$entriesType>"))
+          .otherwise(transform(col("rows"), r =>
+            transform(col("cols"), (c, i) =>
+              struct(c.getField("name").as("k"),
+                     Decode.toJsonFragment(try_element_at(r, (i + 1).cast("int")), c).as("v"))))))
+      .drop("cols")
+}

@@ -1,0 +1,53 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Dense, replay-stable event numbering (operator O6).
+  *
+  * The reference assigns `event_index` with a single-threaded atomic counter
+  * (`/root/reference/src/library/binlog/handler.go:139,168`). A distributed
+  * engine cannot funnel every row through one counter, and the naive
+  * `row_number() OVER (ORDER BY ...)` collapses the whole dataset into ONE
+  * partition — a scale-killer. Instead we do the classic two-job zipWithIndex:
+  *
+  *  1. range-repartition + sort on the total-order key (global order across
+  *     partitions, parallel within);
+  *  2. count rows per partition (tiny driver-side array), prefix-sum into
+  *     per-partition bases;
+  *  3. index = base(partition) + local position, where the local position is
+  *     recovered from `monotonically_increasing_id()` (dense within a
+  *     partition: id = pid << 33 | local).
+  *
+  * The sorted frame is persisted so jobs 1 and 2 see identical partitioning
+  * (range boundaries are sampled and would not replay identically otherwise).
+  * In the streaming path the base additionally includes the restored offset's
+  * index, giving continuity across restarts (ST2 semantics).
+  */
+object EventIndexer {
+
+  /** Add a dense 1-based (+ `start`) index column assigned in `order` order.
+    * `order` must be a total order (unique key) for a deterministic result. */
+  def dense(df: DataFrame, order: Seq[Column], outCol: String, start: Long = 0L): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__mid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val counts: Array[(Int, Long)] = sorted
+      .groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = counts.map(_._2).scanLeft(0L)(_ + _)
+    val baseMap: Column =
+      if (counts.isEmpty) map()
+      else map(counts.map(_._1).zip(bases).flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*)
+    sorted
+      .withColumn(outCol,
+        element_at(baseMap, col("__pid")) +
+          (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + lit(start + 1))
+      .drop("__pid", "__mid")
+  }
+}

@@ -1,0 +1,246 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.cdc.{EnvelopeBuilder, Json, TopicFilter}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CDC operator coverage (SURVEY.md §2.1) verified against the DuckDB oracle.
+  *
+  * The driver ships no raw binlog stream, so each query first derives a
+  * DETERMINISTIC raw change-statement stream from the TPC-H-ish tables (pure
+  * column arithmetic, partition-local, identical in both engines), then runs
+  * the real operator pipeline (graft.cdc.*) over it. The oracle reproduces the
+  * same bytes with plain SQL string construction.
+  *
+  * Derivation contract (shared by Spark + oracle):
+  *   action  = alter if okey%50=0, else insert/update/delete by okey%10 (<6/<9/else)
+  *   table   = 'orders_' || okey%3          database = 'shop'
+  *   n       = okey%3 + 1 row images (update: n before/after pairs)
+  *   image j = {id: okey*10+j, name: 'ord<okey>_<j>', status: o_orderstatus
+  *              (update after-image: 'U')}
+  *   time    = epoch seconds of o_orderdate
+  */
+object CdcQueries {
+
+  // ---------------------------------------------------------------- raw stream
+
+  /** Deterministic raw statement stream derived from `orders` (see contract). */
+  def rawFromOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val okey = col("o_orderkey")
+    val action =
+      when(okey % 50 === 0, "alter")
+        .when(okey % 10 < 6, "insert")
+        .when(okey % 10 < 9, "update")
+        .otherwise("delete")
+    val nRows = (okey % 3 + 1).cast("int")
+    def img(j: Column, after: Boolean): Column = array(
+      Json.entry(lit("id"), Json.num(okey * 10 + j)),
+      Json.entry(lit("name"), Json.str(concat(lit("ord"), okey, lit("_"), j))),
+      Json.entry(lit("status"), Json.str(if (after) lit("U") else col("o_orderstatus"))))
+    val rows =
+      when(action === "alter", lit(null).cast("array<array<struct<k:string,v:string>>>"))
+        .when(action === "update",
+          flatten(transform(sequence(lit(0), nRows - 1), j => array(img(j, after = false), img(j, after = true)))))
+        .otherwise(transform(sequence(lit(0), nRows - 1), j => img(j, after = false)))
+    o.select(
+      lit("shop").as("database"),
+      concat(lit("orders_"), okey % 3).as("table"),
+      action.as("action"),
+      // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC, so NTZ → TIMESTAMP → epoch
+      // seconds matches DuckDB's epoch() exactly.
+      col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+      okey.as("stmt_seq"),
+      rows.as("rows"))
+  }
+
+  /** Shared oracle prelude mirroring [[rawFromOrders]] + the envelope explode. */
+  private val oracleEnvs =
+    """WITH base AS (
+      |  SELECT o_orderkey AS okey, o_orderstatus AS status,
+      |         epoch(o_orderdate)::BIGINT AS ts,
+      |         CASE WHEN o_orderkey%50=0 THEN 'alter'
+      |              WHEN o_orderkey%10<6 THEN 'insert'
+      |              WHEN o_orderkey%10<9 THEN 'update'
+      |              ELSE 'delete' END AS action,
+      |         'orders_' || (o_orderkey%3) AS tbl,
+      |         (o_orderkey%3 + 1)::INT AS nrows
+      |  FROM orders),
+      |img AS (
+      |  SELECT b.*, j,
+      |    '{"id":' || (okey*10+j) || ',"name":"ord' || okey || '_' || j || '","status":"' || status || '"}' AS oldj,
+      |    '{"id":' || (okey*10+j) || ',"name":"ord' || okey || '_' || j || '","status":"U"}' AS newj
+      |  FROM base b, LATERAL unnest(range(b.nrows)) t(j)
+      |  WHERE b.action <> 'alter'),
+      |envs AS (
+      |  SELECT okey AS stmt_seq, j AS pair_pos, 'shop' AS db, tbl,
+      |         action AS event_type, ts,
+      |         CASE WHEN action='update' THEN '{"data":{"new_data":' || newj || ',"old_data":' || oldj || '}}'
+      |              ELSE '{"data":' || oldj || '}' END AS event
+      |  FROM img
+      |  UNION ALL
+      |  SELECT okey, 0, 'shop', tbl, 'alter', ts, NULL FROM base WHERE action='alter')
+      |""".stripMargin
+
+  // -------------------------------------------------- q17: the envelope pipeline
+
+  /** O2/O3/O5/O6/O7: full envelope pipeline — explode, alter-without-event,
+    * dense event_index, one-shot JSON serialization. */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val env = EnvelopeBuilder.withEventIndex(rawFromOrders(s, d))
+    env
+      .withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
+      .select(col("event_index"), col("database"), col("table"), col("event_type"),
+        col("time"), col("topic"), col("event"), col("envelope"))
+      .orderBy("event_index")
+  }
+
+  private val q17Sql = oracleEnvs +
+    """, idx AS (
+      |  SELECT row_number() OVER (ORDER BY stmt_seq, pair_pos) AS event_index, *
+      |  FROM envs)
+      |SELECT event_index, db AS "database", tbl AS "table", event_type,
+      |  ts AS "time", db || '.' || tbl AS topic, event,
+      |  '{"database":"' || db || '"'
+      |    || CASE WHEN event IS NULL THEN '' ELSE ',"event":' || event END
+      |    || ',"event_index":' || event_index
+      |    || ',"event_type":"' || event_type
+      |    || '","table":"' || tbl
+      |    || '","time":' || ts || '}' AS envelope
+      |FROM idx ORDER BY event_index""".stripMargin
+
+  // -------------------------------------------------- q18: update pairing
+
+  /** O3+O4 in isolation: before/after pairing with multi-pair statements.
+    * Fully partition-local (no index, no shuffle) — this is the raw
+    * envelope-throughput shape, so it stays in the bench set. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    EnvelopeBuilder.envelopes(rawFromOrders(s, d).filter(col("action") === "update"))
+      .select(col("stmt_seq"), col("pair_pos").cast("long").as("pair_pos"), col("topic"), col("event"))
+      .orderBy("stmt_seq", "pair_pos")
+
+  private val q18Sql = oracleEnvs +
+    """SELECT stmt_seq, pair_pos, db || '.' || tbl AS topic, event
+      |FROM envs WHERE event_type = 'update'
+      |ORDER BY stmt_seq, pair_pos""".stripMargin
+
+  // -------------------------------------------------- q19: row-image decode
+
+  /** O1: positional row-image decode — unsigned fix-up for every integer width
+    * (incl. the RawType mediumint-vs-int 2^24/2^32 rule), ENUM labels, SET
+    * bitmask join, short-row NULL padding. Derived from `lineitem`. */
+  private def q19(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val lk = col("l_orderkey"); val ln = col("l_linenumber")
+
+    def meta(name: String, rawType: String, unsigned: Boolean,
+             enumV: Seq[String] = Nil, setV: Seq[String] = Nil): Column =
+      struct(lit(name).as("name"), lit(rawType).as("rawType"), lit(unsigned).as("unsigned"),
+        (if (enumV.isEmpty) array().cast("array<string>") else array(enumV.map(lit): _*)).as("enumValues"),
+        (if (setV.isEmpty) array().cast("array<string>") else array(setV.map(lit): _*)).as("setValues"))
+
+    val cols = array(
+      meta("id", "int(11)", unsigned = false),
+      meta("tiny_u", "tinyint(3) unsigned", unsigned = true),
+      meta("small_u", "smallint(5) unsigned", unsigned = true),
+      meta("med_u", "mediumint(8) unsigned", unsigned = true),
+      meta("int_u", "int(10) unsigned", unsigned = true),
+      meta("big_u", "bigint(20) unsigned", unsigned = true),
+      meta("flag", "enum('ret_a','ret_n','ret_r')", unsigned = false,
+        enumV = Seq("ret_a", "ret_n", "ret_r")),
+      meta("tags", "set('red','green','blue')", unsigned = false,
+        setV = Seq("red", "green", "blue")),
+      meta("note", "varchar(32)", unsigned = false))
+
+    val fullRow = array(
+      (lk * 10 + ln).cast("string"),
+      ((lk % 256) - 128).cast("string"),
+      ((col("l_suppkey") % 65536) - 32768).cast("string"),
+      (-(lk % 100) - 1).cast("string"),
+      (-(lk % 1000) - 1).cast("string"),
+      (-(lk % 500) - 1).cast("string"),
+      when(col("l_returnflag") === "A", 1).when(col("l_returnflag") === "N", 2).otherwise(3).cast("string"),
+      (lk % 8).cast("string"),
+      concat(lit("n_"), ln))
+    // Every 7th order: short row (7 of 9 values) → trailing NULL padding.
+    val row = when(lk % 7 === 0, slice(fullRow, 1, 7)).otherwise(fullRow)
+
+    val raw = li.select(
+      lit("shop").as("database"), lit("items").as("table"),
+      lit("insert").as("action"), lit(0L).as("ts"),
+      (lk * 100 + ln).as("stmt_seq"),
+      cols.as("cols"), array(row).as("rows"))
+
+    EnvelopeBuilder.envelopes(EnvelopeBuilder.fromPositional(raw))
+      .select((col("stmt_seq") / 100).cast("long").as("okey"),
+        pmod(col("stmt_seq"), lit(100)).cast("long").as("line"),
+        col("event"))
+      .orderBy("okey", "line")
+  }
+
+  private val q19Sql =
+    """WITH f AS (
+      |  SELECT l_orderkey AS lk, l_linenumber AS ln,
+      |    (l_orderkey*10 + l_linenumber) AS idv,
+      |    CASE WHEN (l_orderkey%256)-128 < 0 THEN (l_orderkey%256)-128+256 ELSE (l_orderkey%256)-128 END AS tinyv,
+      |    CASE WHEN (l_suppkey%65536)-32768 < 0 THEN (l_suppkey%65536)-32768+65536 ELSE (l_suppkey%65536)-32768 END AS smallv,
+      |    (-(l_orderkey%100)-1) + (1<<24) AS medv,
+      |    (-(l_orderkey%1000)-1) + 4294967296 AS intv,
+      |    ((-(l_orderkey%500)-1)::HUGEINT + 18446744073709551616::HUGEINT)::VARCHAR AS bigv,
+      |    CASE l_returnflag WHEN 'A' THEN 'ret_a' WHEN 'N' THEN 'ret_n' ELSE 'ret_r' END AS flagv,
+      |    concat_ws(',',
+      |      CASE WHEN (l_orderkey%8) & 1 > 0 THEN 'red' END,
+      |      CASE WHEN (l_orderkey%8) & 2 > 0 THEN 'green' END,
+      |      CASE WHEN (l_orderkey%8) & 4 > 0 THEN 'blue' END) AS tagsv,
+      |    CASE WHEN l_orderkey%7=0 THEN 'null' ELSE '"' || 'n_' || l_linenumber || '"' END AS notef,
+      |    CASE WHEN l_orderkey%7=0 THEN 'null' ELSE NULL END AS tagsnull
+      |  FROM lineitem)
+      |SELECT lk AS okey, ln::BIGINT AS line,
+      |  '{"data":{'
+      |  || '"big_u":' || bigv
+      |  || ',"flag":"' || flagv || '"'
+      |  || ',"id":' || idv
+      |  || ',"int_u":' || intv
+      |  || ',"med_u":' || medv
+      |  || ',"note":' || notef
+      |  || ',"small_u":' || smallv
+      |  || ',"tags":' || COALESCE(tagsnull, '"' || tagsv || '"')
+      |  || ',"tiny_u":' || tinyv
+      |  || '}}' AS event
+      |FROM f ORDER BY okey, line""".stripMargin
+
+  // -------------------------------------------------- q20: topic filter
+
+  /** F1: regex topic filter with exact reference semantics — unanchored match,
+    * OR over the set, empty set ⇒ true, invalid pattern never matches. Runs
+    * through the native MatchAnyRegex expression (precompiled patterns,
+    * whole-stage codegen). */
+  private def q20(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val topic = concat(lit("db"), col("c_custkey") % 5, lit(".t"), col("c_custkey") % 7)
+    c.select(col("c_custkey"), topic.as("topic"))
+      .withColumn("m_set", TopicFilter.matchAny(col("topic"), Seq("db1\\.t[0-3]$", "t5")))
+      .withColumn("m_anchor", TopicFilter.matchAny(col("topic"), Seq("^db2\\.t6$")))
+      .withColumn("m_invalid", TopicFilter.matchAny(col("topic"), Seq("[", "db3\\.t1")))
+      .withColumn("m_empty", TopicFilter.matchAny(col("topic"), Nil))
+      .orderBy("c_custkey")
+  }
+
+  private val q20Sql =
+    """SELECT c_custkey,
+      |  'db' || (c_custkey%5) || '.t' || (c_custkey%7) AS topic,
+      |  regexp_matches('db' || (c_custkey%5) || '.t' || (c_custkey%7), 'db1\.t[0-3]$')
+      |    OR regexp_matches('db' || (c_custkey%5) || '.t' || (c_custkey%7), 't5') AS m_set,
+      |  regexp_matches('db' || (c_custkey%5) || '.t' || (c_custkey%7), '^db2\.t6$') AS m_anchor,
+      |  regexp_matches('db' || (c_custkey%5) || '.t' || (c_custkey%7), 'db3\.t1') AS m_invalid,
+      |  true AS m_empty
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q17_envelope", q17, Some(q17Sql)),
+    QueryDef("q18_update_pairs", q18, Some(q18Sql)),
+    QueryDef("q19_decode", q19, Some(q19Sql)),
+    QueryDef("q20_topic_filter", q20, Some(q20Sql)),
+  )
+}
