@@ -10,7 +10,8 @@ object SparkEntry {
   /** All catalog entries, in stable order. */
   def catalog: Seq[QueryDef] =
     graft.queries.RelationalQueries.all ++
-      graft.queries.CdcQueries.all
+      graft.queries.CdcQueries.all ++
+      graft.queries.ScalarQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
