@@ -11,7 +11,8 @@ object SparkEntry {
   def catalog: Seq[QueryDef] =
     graft.queries.RelationalQueries.all ++
       graft.queries.CdcQueries.all ++
-      graft.queries.ScalarQueries.all
+      graft.queries.ScalarQueries.all ++
+      graft.queries.LlmQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,65 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque BINARY + typed metadata.
+  *
+  * Contract (what a 100 TB training pipeline needs from the engine):
+  *  - the media payload is an opaque `content: BINARY` column that Spark moves
+  *    around without interpreting (Tungsten binary, parquet BYTE_ARRAY);
+  *  - typed metadata travels in a sibling STRUCT so filters/partition pruning
+  *    never touch the payload bytes;
+  *  - decode / feature-extract runs batched per partition (one decoder
+  *    instance per task, amortized over the iterator — the JVM analogue of a
+  *    `mapInPandas` batch UDF).
+  *
+  * The actual codec is STUBBED (this container has no image/audio libraries):
+  * [[StubDecoder]] derives deterministic fake features from the bytes. The
+  * Spark-side shape — schema, batching, partitioning — is real and tested; a
+  * production deployment swaps [[MediaDecoder]]'s implementation only.
+  */
+object Multimodal {
+
+  /** One decoded media row. */
+  final case class MediaFeatures(id: Long, width: Int, height: Int,
+                                 nBytes: Long, frames: Seq[Int])
+
+  /** The pluggable codec boundary: one instance per task/partition. */
+  trait MediaDecoder extends Serializable {
+    def decode(id: Long, content: Array[Byte]): MediaFeatures
+  }
+
+  /** Deterministic stand-in for a real image/audio codec: "dimensions" from
+    * the first two bytes, "frame samples" = every 10th byte (up to 5). A real
+    * deployment replaces this class body and nothing else. */
+  final class StubDecoder extends MediaDecoder {
+    override def decode(id: Long, content: Array[Byte]): MediaFeatures = {
+      val w = if (content.length > 0) content(0) & 0xFF else 0
+      val h = if (content.length > 1) content(1) & 0xFF else 0
+      val frames = (1 to math.min(5, content.length / 10)).map(i => content(i * 10 - 1) & 0xFF)
+      MediaFeatures(id, w, h, content.length.toLong, frames)
+    }
+  }
+
+  /** Batched decode over (id BIGINT, content BINARY): one decoder per
+    * partition, streamed over the iterator — no per-row construction cost,
+    * no driver-side work, arbitrary partition count. */
+  def decodeBatched(media: DataFrame, decoder: () => MediaDecoder): Dataset[MediaFeatures] = {
+    val enc = Encoders.product[MediaFeatures]
+    media.select(col("id").cast("long"), col("content").cast("binary"))
+      .mapPartitions { it =>
+        val d = decoder() // one instance per task, amortized over the batch
+        it.map(r => d.decode(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
+
+  /** Column-level mirror of [[StubDecoder]] for engine-portable verification:
+    * the same fake features expressed as pure SQL functions over the text
+    * rendition of the payload (ASCII bytes == chars for the fixture corpus). */
+  def fakeWidth(text: Column): Column = ascii(substring(text, 1, 1))
+  def fakeHeight(text: Column): Column = ascii(substring(text, 2, 1))
+  def frameSample(text: Column, maxFrames: Int = 5): Column =
+    transform(sequence(lit(1), least(lit(maxFrames), (length(text) / 10).cast("int"))),
+      i => ascii(substring(text, i * 10, lit(1))))
+}

@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast (it is
+  *    small by construction); candidates stream through a map-side cosine and a
+  *    per-query top-k window. This is the correctness baseline and is already
+  *    the right plan when |queries| is small: cost O(|Q|·N) with no shuffle of
+  *    the big side except the final per-query top-k.
+  *  - [[lshTopK]]: the 100 TB path — sign-random-projection (Charikar) buckets;
+  *    each vector lands in one bucket per table, candidates only meet within a
+  *    bucket, so the join is keyed and the quadratic term is gone. Recall < 1
+  *    by design; the planes are a deterministic ±1 matrix so any engine can
+  *    reproduce the bucketing bit-for-bit.
+  *
+  * All arithmetic is done in DOUBLE in array order (left fold), which the
+  * DuckDB oracle reproduces exactly.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries`/`candidates`: (id LONG, vec ARRAY<FLOAT>). Output:
+    * (q_id, rank, neighbor_id, although rank order is (cosine desc, id)). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val c = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
+  /** Deterministic ±1 projection weight for (global plane g, dimension i) — a
+    * fixed pseudo-random pattern both engines compute identically. */
+  private def weight(g: Int, i: Column): Column =
+    when(((lit(g) * 31 + i * 17) % 7) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  /** Sign-projection bucket id for hash table `table`: bit p is the sign of
+    * the projection onto plane `table*planes + p`. */
+  def signBucket(vec: Column, planes: Int, table: Int): Column = {
+    // One fold per plane (planes are few, vectors short).
+    val bits = (0 until planes).map { p =>
+      val g = table * planes + p
+      val d = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) => x.cast("double") * weight(g, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Multi-table bucketed ANN (the standard recall fix for sign-LSH: a single
+    * 6-bit table finds a 0.9-cosine neighbor only ~40% of the time; any-of-3
+    * tables ≈ 77%). Candidates meet a query iff they share ANY table's bucket;
+    * exact cosine re-rank over the deduped candidate set.
+    * Output (q_id, rank, neighbor_id). */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              planes: Int = 6, tables: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def withBuckets(df: DataFrame, idName: String, vecName: String): DataFrame = {
+      val base = df.select(col("id").as(idName), col("vec").as(vecName))
+      base.withColumn("buckets", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col(vecName), planes, t).as("bkt"))): _*)))
+        .select(col(idName), col(vecName), col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
+    }
+    val q = withBuckets(queries, "q_id", "qv")
+    val c = withBuckets(candidates, "c_id", "cv")
+    val cand = c.join(broadcast(q), Seq("t", "bkt"))
+      .filter(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
+      .dropDuplicates("q_id", "c_id")
+    val scored = cand.withColumn("cos",
+      cosine(col("qv"), col("cv"), l2norm(col("qv")), l2norm(col("cv"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+}

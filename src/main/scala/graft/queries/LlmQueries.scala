@@ -1,0 +1,310 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the `documents` / `embeddings`
+  * tables: dedup (exact, MinHash-LSH, SimHash), similarity search (exact +
+  * LSH-bucketed ANN), text analysis (language ID, quality, tokens,
+  * fingerprints), multimodal plumbing. Every query is verified against a
+  * DuckDB oracle computing the identical deterministic algorithm. */
+object LlmQueries {
+
+  // ---------------------------------------------------------------- q21 exact dedup
+
+  /** Exact dedup via hash-groupBy on normalized content (first 32 chars) —
+    * never a self-join; map-side partial agg applies. */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDupGroups(Tables.documents(s, d), "doc_id",
+        md5(substring(col("text"), 1, 32)))
+      .orderBy("keep_id")
+
+  private val q21Sql =
+    """SELECT md5(substr(text, 1, 32)) AS content_key,
+      |  min(doc_id) AS keep_id, count(*) AS n_dups,
+      |  string_agg(doc_id, ',' ORDER BY doc_id) AS members
+      |FROM documents GROUP BY content_key ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- q22 minhash LSH
+
+  /** Near-dup pairs: MinHash (12 hashes) → 4×3 LSH bands → bucket join →
+    * exact Jaccard ≥ 0.5 verify. No all-pairs comparison anywhere. */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  private val q22Sql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |sig AS (
+      |  SELECT doc_id, shingles,
+      |    [list_min([md5(h || ':' || s) for s in shingles]) for h in range(0, 12)] AS mh
+      |  FROM sh WHERE len(shingles) > 0),
+      |bands AS (
+      |  SELECT doc_id, b, md5(b || '|' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS bkey
+      |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      |ver AS (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) AS jac
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, jac FROM ver WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- q23 exact ANN
+
+  private def embeddingsAsIdVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** Exact cosine top-5 for a small broadcast query set (every 100th vector).
+    * Rank-only output: both engines order by (cosine DESC, id). */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val all = embeddingsAsIdVec(s, d)
+    Similarity.bruteForceTopK(all.filter(col("id") % 100 === 0), all, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q23Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm
+      |  FROM embeddings),
+      |q AS (SELECT id AS q_id, vec AS qv, nrm AS qn FROM v WHERE id % 100 = 0),
+      |scored AS (
+      |  SELECT q.q_id, c.id AS neighbor_id,
+      |    list_sum([qv[i]::DOUBLE * c.vec[i]::DOUBLE for i in range(1, len(qv)+1)]) / (qn * c.nrm) AS cos
+      |  FROM q, v c WHERE c.id <> q.q_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q23b LSH ANN
+
+  /** The 100 TB ANN path: multi-table sign-random-projection LSH (3 tables ×
+    * 6 deterministic ±1 hyperplanes) — candidates meet a query iff they share
+    * any table's bucket; exact cosine re-rank over the deduped candidates. */
+  private def q23b(s: SparkSession, d: String): DataFrame = {
+    val all = embeddingsAsIdVec(s, d)
+    Similarity.lshTopK(all.filter(col("id") % 100 === 0), all, k = 3, planes = 6, tables = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q23bSql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm,
+      |    [list_sum([CASE WHEN list_sum([vec[i]::DOUBLE *
+      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |        for i in range(1, len(vec)+1)]) >= 0 THEN 1 << p ELSE 0 END
+      |      for p in range(0, 6)])::BIGINT for t in range(0, 3)] AS bucks
+      |  FROM embeddings),
+      |q AS (SELECT id AS q_id, vec AS qv, nrm AS qn, bucks FROM v WHERE id % 100 = 0),
+      |cand AS (
+      |  SELECT DISTINCT q.q_id, c.id AS neighbor_id
+      |  FROM q, v c, LATERAL unnest(range(0, 3)) tt(t)
+      |  WHERE q.bucks[t+1] = c.bucks[t+1] AND c.id <> q.q_id),
+      |scored AS (
+      |  SELECT cd.q_id, cd.neighbor_id,
+      |    list_sum([q.qv[i]::DOUBLE * c.vec[i]::DOUBLE for i in range(1, len(q.qv)+1)]) / (q.qn * c.nrm) AS cos
+      |  FROM cand cd JOIN q ON q.q_id = cd.q_id JOIN v c ON c.id = cd.neighbor_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- q25 language id
+
+  private def q25(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.stopwordHits(t, "en").as("s_en"),
+        TextAnalysis.stopwordHits(t, "de").as("s_de"),
+        TextAnalysis.stopwordHits(t, "fr").as("s_fr"),
+        TextAnalysis.stopwordHits(t, "es").as("s_es"),
+        TextAnalysis.langId(t).as("pred"),
+        (TextAnalysis.langId(t) === col("lang")).as("hit"))
+      .orderBy("doc_id")
+  }
+
+  private val q25Sql = {
+    def hits(list: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), x -> x IN (${list.map("'" + _ + "'").mkString(",")})))::BIGINT"
+    val m = TextAnalysis.stopwords.toMap
+    s"""WITH sc AS (
+       |  SELECT doc_id, lang,
+       |    ${hits(m("en"))} AS s_en, ${hits(m("de"))} AS s_de,
+       |    ${hits(m("fr"))} AS s_fr, ${hits(m("es"))} AS s_es
+       |  FROM documents),
+       |p AS (
+       |  SELECT *, CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |    WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |    WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS pred
+       |  FROM sc)
+       |SELECT doc_id, s_en, s_de, s_fr, s_es, pred, pred = lang AS hit
+       |FROM p ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q26 quality
+
+  private def q26(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(lower(t), " ")).cast("long")
+    val sumWordLen = length(regexp_replace(t, " ", "")).cast("long")
+    val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("long")
+    val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
+    val stopPm = TextAnalysis.permille(TextAnalysis.stopwordHits(t, "en"), nWords)
+    val awlPm = TextAnalysis.permille(sumWordLen, nWords)
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars_calc"),
+        nWords.as("n_words"),
+        stopPm.as("stop_pm"),
+        TextAnalysis.permille(punct, length(t).cast("long")).as("punct_pm"),
+        TextAnalysis.permille(digits, length(t).cast("long")).as("digit_pm"),
+        awlPm.as("awl_pm"),
+        (stopPm + awlPm).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val q26Sql =
+    """WITH f AS (
+      |  SELECT doc_id, length(text)::BIGINT AS n_chars_calc,
+      |    len(string_split(lower(text), ' '))::BIGINT AS n_words,
+      |    length(replace(text, ' ', ''))::BIGINT AS swl,
+      |    (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::BIGINT AS punct,
+      |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS digits,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS stops
+      |  FROM documents)
+      |SELECT doc_id, n_chars_calc, n_words,
+      |  (1000 * stops) // n_words AS stop_pm,
+      |  (1000 * punct) // n_chars_calc AS punct_pm,
+      |  (1000 * digits) // n_chars_calc AS digit_pm,
+      |  (1000 * swl) // n_words AS awl_pm,
+      |  (1000 * stops) // n_words + (1000 * swl) // n_words AS quality_score
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q27 tokens
+
+  private def q27(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.wsTokens(t).as("ws_tokens"),
+        TextAnalysis.subwordTokens(t).as("subword_tokens"),
+        TextAnalysis.permille(length(t).cast("long"), TextAnalysis.subwordTokens(t))
+          .as("chars_per_tok_pm"))
+      .orderBy("doc_id")
+  }
+
+  private val q27Sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS subword_tokens,
+      |  (1000 * length(text)) // len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS chars_per_tok_pm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q28 fingerprint
+
+  private def q28(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        md5(lower(col("text"))).as("fp_full"))
+      .orderBy("doc_id")
+
+  private val q28Sql =
+    """WITH words AS (
+      |  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, text,
+      |    list_distinct(CASE WHEN len(w) >= 4
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] for i in range(1, len(w)-2)]
+      |      ELSE [] END) AS shingles
+      |  FROM words)
+      |SELECT doc_id,
+      |  CASE WHEN len(shingles) > 0 THEN list_min([md5(s) for s in shingles])
+      |       ELSE md5(lower(text)) END AS fp,
+      |  md5(lower(text)) AS fp_full
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q29 multimodal
+
+  /** Multimodal plumbing end-to-end: text bytes → opaque BINARY column →
+    * batched per-partition decode (StubDecoder over mapPartitions — the real
+    * batch shape; the codec alone is fake) → typed features. */
+  private def q29(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+    Multimodal.decodeBatched(media, () => new Multimodal.StubDecoder)
+      .toDF()
+      .select(col("id").as("doc_id"), col("width"), col("height"), col("nBytes").as("n_bytes"),
+        concat_ws(",", col("frames")).as("frames"))
+      .orderBy("doc_id")
+  }
+
+  private val q29Sql =
+    """SELECT doc_id,
+      |  ord(substr(text, 1, 1)) AS width,
+      |  ord(substr(text, 2, 1)) AS height,
+      |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+      |  array_to_string([ord(substr(text, i*10, 1)) for i in
+      |    range(1, least(5, length(text)//10) + 1)], ',') AS frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q30 simhash
+
+  /** SimHash near-dup pairs: 60-bit sign-of-sums hash over 3-gram shingles,
+    * 4×15-bit Hamming-LSH bands, Hamming ≤ 10 verify. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  private val q30Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    list_sum([CASE WHEN list_sum([
+      |        CASE WHEN (('0x' || substr(md5(w), 1, 15))::BIGINT >> j) & 1 = 1 THEN 1 ELSE -1 END
+      |        for w in words]) > 0 THEN (1::BIGINT << j) ELSE 0 END
+      |      for j in range(0, 60)])::BIGINT AS sh
+      |  FROM (SELECT doc_id,
+      |          list_distinct(CASE WHEN len(w) >= 3
+      |            THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |            ELSE [] END) AS words
+      |        FROM (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents))),
+      |bands AS (
+      |  SELECT doc_id, sh, b, (sh >> (b*15)) & 32767 AS bkey
+      |  FROM h, LATERAL unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      |    bit_count(xor(x.sh, y.sh))::BIGINT AS dist
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT doc_a, doc_b, dist FROM cand WHERE dist <= 10 ORDER BY doc_a, doc_b""".stripMargin
+
+  val all: Seq[QueryDef] = Seq(
+    QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
+    QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
+    QueryDef("q23_ann_cosine", q23, Some(q23Sql)),
+    QueryDef("q23b_ann_lsh", q23b, Some(q23bSql)),
+    QueryDef("q25_langid", q25, Some(q25Sql)),
+    QueryDef("q26_quality", q26, Some(q26Sql)),
+    QueryDef("q27_tokens", q27, Some(q27Sql)),
+    QueryDef("q28_fingerprint", q28, Some(q28Sql)),
+    QueryDef("q29_multimodal", q29, Some(q29Sql)),
+    QueryDef("q30_simhash", q30, Some(q30Sql)),
+  )
+}

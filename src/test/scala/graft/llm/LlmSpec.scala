@@ -1,0 +1,90 @@
+package graft.llm
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Behavioral tests over the driver-shipped sf0.001 tables: planted-pair
+  * recovery, determinism, and agreement between the batched (mapPartitions)
+  * multimodal decode path and its column-level mirror. */
+class LlmSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  test("minhash LSH finds planted near-dup pairs, all with high jaccard, no all-pairs") {
+    val pairs = Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length >= 20, s"expected ~25 planted pairs, got ${pairs.length}")
+    assert(pairs.forall(_._3 >= 0.5))
+    assert(pairs.forall(p => p._1 < p._2))
+  }
+
+  test("simhash pairs ⊇ high-jaccard minhash pairs (shingle-token simhash)") {
+    val mh = Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", threshold = 0.9)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = Dedup.simhashPairs(Tables.documents(spark, d), "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = mh -- sh
+    assert(missed.size <= mh.size / 4, s"simhash missed too many: $missed")
+  }
+
+  test("exact dedup groups: members sorted, keep_id is the minimum") {
+    val g = Dedup.exactDupGroups(Tables.documents(spark, d), "doc_id",
+      md5(substring(col("text"), 1, 32))).collect()
+    g.foreach { r =>
+      val members = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(members.sorted.toSeq === members.toSeq)
+      assert(members.min === r.getAs[Long]("keep_id"))
+      assert(members.length === r.getAs[Long]("n_dups"))
+    }
+  }
+
+  test("LSH ANN is deterministic and rank-consistent with exact cosine") {
+    // NOTE on recall: this synthetic embedding table is near-random (measured
+    // nearest-neighbor cosine ≈ 0.35, no label clustering), where ANY
+    // cosine-LSH has low rank-1 recall by the arccos law — so this test checks
+    // correctness properties (determinism; candidates ranked by true cosine;
+    // valid dense ranks), not recall against brute force.
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") % 100 === 0)
+    val run1 = Similarity.lshTopK(q, all, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val run2 = Similarity.lshTopK(q, all, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(run1.nonEmpty)
+    assert(run1.toSeq === run2.toSeq, "LSH must be deterministic across runs")
+    run1.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length).toSeq, s"dense ranks for $qid")
+    }
+    // Within each query, LSH's reported order agrees with exact cosine order.
+    val brute = Similarity.bruteForceTopK(q, all, 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap // (q, neighbor) -> exact rank
+    run1.groupBy(_._1).foreach { case (qid, rows) =>
+      val exactRanks = rows.sortBy(_._2).map(r => brute((qid, r._3)))
+      assert(exactRanks.toSeq === exactRanks.sorted.toSeq,
+        s"LSH order for $qid must follow exact cosine order")
+    }
+  }
+
+  test("batched multimodal decode equals its column-level mirror") {
+    val docs = Tables.documents(spark, d).limit(50)
+    val media = docs.select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+    val batched = Multimodal.decodeBatched(media, () => new Multimodal.StubDecoder)
+      .collect().map(f => f.id -> ((f.width, f.height, f.nBytes, f.frames.mkString(",")))).toMap
+    val mirror = docs.select(col("doc_id"),
+        Multimodal.fakeWidth(col("text")).as("w"), Multimodal.fakeHeight(col("text")).as("h"),
+        octet_length(col("text")).cast("long").as("nb"),
+        concat_ws(",", Multimodal.frameSample(col("text"))).as("fr"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getString(4)))).toMap
+    assert(batched === mirror)
+  }
+
+  test("langid + permille are deterministic and bounded") {
+    val t = Tables.documents(spark, d).select(
+      TextAnalysis.langId(col("text")).as("pred"),
+      TextAnalysis.permille(TextAnalysis.stopwordHits(col("text"), "en"),
+        TextAnalysis.wsTokens(col("text"))).as("pm"))
+    val rows = t.collect()
+    assert(rows.forall(r => Set("en", "de", "fr", "es").contains(r.getString(0))))
+    assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 1000))
+  }
+}
