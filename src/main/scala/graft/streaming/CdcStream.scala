@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.cdc.{EnvelopeBuilder, Offsets, TopicFilter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** The streaming half of the engine (operators S1-lite, ST1-ST3, R1/R2, K-sinks).
+  *
+  * Reference shape (`/root/reference/src/wing-binlog-go/main.go:105-152`):
+  * one binlog tail → decode to envelopes → serialize ONCE → offer every event
+  * to every sink, each sink applying its own regex topic filters; the binlog
+  * position + event index are checkpointed and restored on restart
+  * (`handler.go:240-282`).
+  *
+  * Spark shape: Structured Streaming file source over raw-event JSON lines →
+  * [[EnvelopeBuilder]] → `foreachBatch` fan-out. Spark's checkpoint handles
+  * WHAT data is replayed (at-least-once per micro-batch, mirroring ST3's
+  * "replay from last commit"); the reference-format pos cache
+  * ([[PosStore]], byte-compatible via [[Offsets]]) carries the monotone
+  * `event_index` base so that numbering is dense across batches AND
+  * replay-stable: a replayed batch re-assigns the SAME indices it got before
+  * the crash, exactly like the reference's restore-then-replay
+  * (`handler.go:264-282`).
+  */
+object CdcStream {
+
+  /** Raw statement-event schema for the JSON-lines fixture stream — the mirror
+    * of `canal.RowsEvent` used across the engine (see [[EnvelopeBuilder]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("action", StringType),
+    StructField("ts", LongType),
+    StructField("stmt_seq", LongType),
+    StructField("rows", ArrayType(ArrayType(StructType(Seq(
+      StructField("k", StringType), StructField("v", StringType))))))))
+
+  /** One sink of the fan-out: JSON lines per envelope; `kafkaShaped` prefixes
+    * each line with the partition key (`database.table` — the reference's
+    * Kafka key, `producer.go:66-73`) and a tab. Filters follow F1 semantics
+    * (empty ⇒ everything). */
+  final case class SinkConfig(name: String, dir: String,
+                              filters: Seq[String] = Nil,
+                              kafkaShaped: Boolean = false)
+
+  /** The reference-format position cache: (file, pos, eventIndex) where we
+    * store (batch tag, start index of that batch, next free index). Replay of
+    * the same batch id re-reads the same start → identical indices. */
+  object PosStore {
+    def read(path: String): (String, Long, Long) = {
+      val p = Paths.get(path)
+      if (!Files.exists(p)) ("", 0L, 0L) else Offsets.unpackPos(Files.readAllBytes(p))
+    }
+
+    def write(path: String, tag: String, startIdx: Long, nextIdx: Long): Unit = {
+      val p = Paths.get(path)
+      if (p.getParent != null) Files.createDirectories(p.getParent)
+      val tmp = Paths.get(path + ".tmp")
+      Files.write(tmp, Offsets.packPos(tag, startIdx, nextIdx))
+      Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Streaming read of a raw-event directory. */
+  def readRaw(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(rawSchema).json(inputDir)
+
+  /** Process one micro-batch: envelope + index + serialize once + fan-out.
+    * Exposed for testing; `start` wires it into `foreachBatch`. */
+  def processBatch(batch: DataFrame, batchId: Long, posFile: String,
+                   sinks: Seq[SinkConfig]): Unit = {
+    val (tag, replayStart, next) = PosStore.read(posFile)
+    // Replay of the committed batch re-uses its original start index
+    // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
+    val start = if (tag == s"batch-$batchId") replayStart else next
+    val env = EnvelopeBuilder.withEventIndex(batch, startIndex = start)
+    val out = env.withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
+      .select(col("topic"), col("envelope"), col("event_index"))
+      .persist()
+    try {
+      // Serialize once, offer to every sink — the reference's notify loop
+      // (`handler.go:81-98`), with per-sink F1 filters (`groups.go:41-51`).
+      sinks.foreach { s =>
+        val filtered = out.filter(TopicFilter.matchAny(col("topic"), s.filters))
+        val lines =
+          if (s.kafkaShaped) filtered.select(concat(col("topic"), lit("\t"), col("envelope")).as("value"))
+          else filtered.select(col("envelope").as("value"))
+        lines.write.mode("append").text(s.dir)
+      }
+      val n = out.count()
+      PosStore.write(posFile, s"batch-$batchId", start, start + n)
+    } finally out.unpersist()
+  }
+
+  /** Start the streaming fan-out. `AvailableNow` drains everything then stops
+    * (used by tests/backfills); pass a processing-time trigger for tailing. */
+  def start(spark: SparkSession, inputDir: String, checkpointDir: String,
+            posFile: String, sinks: Seq[SinkConfig],
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readRaw(spark, inputDir).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, posFile, sinks))
+      .start()
+}
