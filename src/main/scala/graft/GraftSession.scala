@@ -18,6 +18,7 @@ object GraftSession {
   def builder(cpus: String = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

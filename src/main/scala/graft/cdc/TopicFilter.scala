@@ -53,9 +53,11 @@ case class MatchAnyRegex(child: Expression, filters: Seq[String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (filters.isEmpty) {
-      ev.copy(code = code"""
-        boolean ${ev.isNull} = false;
-        boolean ${ev.value} = true;""")
+      // nullable=false here, so ev.isNull is the literal "false" — it must NOT
+      // be re-declared as a variable.
+      ev.copy(
+        code = code"boolean ${ev.value} = true;",
+        isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     } else {
       val pats = ctx.addReferenceObj("patterns", compiled, "java.util.regex.Pattern[]")
       nullSafeCodeGen(ctx, ev, c => s"""

@@ -50,10 +50,12 @@ object TextAnalysis {
   def subwordTokens(text: Column): Column =
     size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long")
 
-  /** MinHash-style document fingerprint: minimum md5 over word 4-gram shingles
-    * (a 1-hash winnowing fingerprint) — robust to local edits. */
+  /** MinHash-style document fingerprint: minimum 60-bit shingle hash over word
+    * 4-gram shingles (a 1-hash winnowing fingerprint) — robust to local edits,
+    * one md5 per shingle. */
   def fingerprint(text: Column): Column = {
     val sh = Dedup.shingles(text, 4)
-    when(size(sh) > 0, array_min(transform(sh, s => md5(s)))).otherwise(md5(lower(text)))
+    when(size(sh) > 0, array_min(transform(sh, s => Dedup.shingleHash(s))))
+      .otherwise(Dedup.shingleHash(lower(text)))
   }
 }

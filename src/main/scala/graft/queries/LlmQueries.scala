@@ -46,10 +46,12 @@ object LlmQueries {
       |  FROM words),
       |sig AS (
       |  SELECT doc_id, shingles,
-      |    [list_min([md5(h || ':' || s) for s in shingles]) for h in range(0, 12)] AS mh
+      |    [list_min([((h*1000003 + 12345) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
+      |                + (h*999983 + 7)) % 2147483647
+      |               for s in shingles]) for h in range(0, 12)] AS mh
       |  FROM sh WHERE len(shingles) > 0),
       |bands AS (
-      |  SELECT doc_id, b, md5(b || '|' || mh[3*b+1] || mh[3*b+2] || mh[3*b+3]) AS bkey
+      |  SELECT doc_id, b, mh[3*b+1] || '|' || mh[3*b+2] || '|' || mh[3*b+3] AS bkey
       |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -237,8 +239,9 @@ object LlmQueries {
       |      ELSE [] END) AS shingles
       |  FROM words)
       |SELECT doc_id,
-      |  CASE WHEN len(shingles) > 0 THEN list_min([md5(s) for s in shingles])
-      |       ELSE md5(lower(text)) END AS fp,
+      |  CASE WHEN len(shingles) > 0
+      |       THEN list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in shingles])
+      |       ELSE ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT END AS fp,
       |  md5(lower(text)) AS fp_full
       |FROM sh ORDER BY doc_id""".stripMargin
 
