@@ -46,8 +46,48 @@ object Decode {
         transform(setValues, (s, i) => when(shl(lit(1L), i).bitwiseAND(mask) > 0, s)),
         x => x.isNotNull))
 
+  /** Static column metadata, when the table schema is known at plan time. */
+  final case class ColMeta(name: String, rawType: String, unsigned: Boolean = false,
+                           enumValues: Seq[String] = Nil, setValues: Seq[String] = Nil)
+
+  /** Plan-time-resolved decode: the `rawType` dispatch happens in Scala while
+    * building the plan, so the emitted expression is exactly the one branch
+    * the column needs — no per-row type dispatch, fully codegen-friendly.
+    * This is the "typed projection once the schema is registered" path
+    * (SURVEY §1.5); [[toJsonFragment]] remains the schema-agnostic fallback. */
+  def toJsonFragmentStatic(value: Column, m: ColMeta): Column = {
+    val vLong = value.cast("long")
+    val decoded =
+      if (m.rawType.startsWith("enum"))
+        Json.str(enumLabel(vLong, array(m.enumValues.map(lit): _*)))
+      else if (m.rawType.startsWith("set"))
+        Json.str(setLabels(vLong, array(m.setValues.map(lit): _*)))
+      else if (m.rawType.startsWith("tinyint"))
+        Json.num(if (m.unsigned) when(vLong < 0, vLong + 256L).otherwise(vLong) else vLong)
+      else if (m.rawType.startsWith("smallint"))
+        Json.num(if (m.unsigned) when(vLong < 0, vLong + 65536L).otherwise(vLong) else vLong)
+      else if (m.rawType.startsWith("mediumint") || m.rawType.startsWith("int")) {
+        val add = if (m.rawType.startsWith("int")) 4294967296L else 1L << 24
+        Json.num(if (m.unsigned) when(vLong < 0, vLong + add).otherwise(vLong) else vLong)
+      } else if (m.rawType.startsWith("bigint"))
+        Json.num(
+          if (m.unsigned)
+            when(vLong < 0,
+              (vLong.cast("decimal(20,0)") + lit(new java.math.BigDecimal("18446744073709551616")))
+                .cast("decimal(20,0)"))
+              .otherwise(vLong.cast("decimal(20,0)"))
+          else vLong)
+      else if (m.rawType.startsWith("float") || m.rawType.startsWith("double") ||
+               m.rawType.startsWith("decimal"))
+        Json.num(value.cast("double"))
+      else Json.str(value)
+    when(value.isNull, lit("null")).otherwise(decoded)
+  }
+
   /** Full decode of one positional value to a JSON fragment (see [[Json]]).
-    * `value` is the raw string carrier; `meta` the column metadata struct. */
+    * `value` is the raw string carrier; `meta` the column metadata struct.
+    * Schema-agnostic (runtime dispatch on rawType) — use
+    * [[toJsonFragmentStatic]] when the schema is known at plan time. */
   def toJsonFragment(value: Column, meta: Column): Column = {
     val rawType = meta.getField("rawType")
     val uns     = meta.getField("unsigned")

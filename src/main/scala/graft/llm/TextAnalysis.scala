@@ -54,7 +54,9 @@ object TextAnalysis {
     * 4-gram shingles (a 1-hash winnowing fingerprint) — robust to local edits,
     * one md5 per shingle. */
   def fingerprint(text: Column): Column = {
-    val sh = Dedup.shingles(text, 4)
+    // Raw (non-distinct) shingles: min is duplicate-insensitive, and
+    // array_distinct over ~1e3-element arrays is pure overhead here.
+    val sh = Dedup.shinglesRaw(text, 4)
     when(size(sh) > 0, array_min(transform(sh, s => Dedup.shingleHash(s))))
       .otherwise(Dedup.shingleHash(lower(text)))
   }

@@ -130,28 +130,25 @@ object CdcQueries {
   /** O1: positional row-image decode — unsigned fix-up for every integer width
     * (incl. the RawType mediumint-vs-int 2^24/2^32 rule), ENUM labels, SET
     * bitmask join, short-row NULL padding. Derived from `lineitem`. */
+  /** The q19 fixture schema — statically known, so the decode is a plan-time
+    * typed projection ([[graft.cdc.Decode.toJsonFragmentStatic]]); the
+    * schema-agnostic runtime path stays covered by the golden test suite. */
+  private val q19Cols = Seq(
+    graft.cdc.Decode.ColMeta("id", "int(11)"),
+    graft.cdc.Decode.ColMeta("tiny_u", "tinyint(3) unsigned", unsigned = true),
+    graft.cdc.Decode.ColMeta("small_u", "smallint(5) unsigned", unsigned = true),
+    graft.cdc.Decode.ColMeta("med_u", "mediumint(8) unsigned", unsigned = true),
+    graft.cdc.Decode.ColMeta("int_u", "int(10) unsigned", unsigned = true),
+    graft.cdc.Decode.ColMeta("big_u", "bigint(20) unsigned", unsigned = true),
+    graft.cdc.Decode.ColMeta("flag", "enum('ret_a','ret_n','ret_r')",
+      enumValues = Seq("ret_a", "ret_n", "ret_r")),
+    graft.cdc.Decode.ColMeta("tags", "set('red','green','blue')",
+      setValues = Seq("red", "green", "blue")),
+    graft.cdc.Decode.ColMeta("note", "varchar(32)"))
+
   private def q19(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
     val lk = col("l_orderkey"); val ln = col("l_linenumber")
-
-    def meta(name: String, rawType: String, unsigned: Boolean,
-             enumV: Seq[String] = Nil, setV: Seq[String] = Nil): Column =
-      struct(lit(name).as("name"), lit(rawType).as("rawType"), lit(unsigned).as("unsigned"),
-        (if (enumV.isEmpty) array().cast("array<string>") else array(enumV.map(lit): _*)).as("enumValues"),
-        (if (setV.isEmpty) array().cast("array<string>") else array(setV.map(lit): _*)).as("setValues"))
-
-    val cols = array(
-      meta("id", "int(11)", unsigned = false),
-      meta("tiny_u", "tinyint(3) unsigned", unsigned = true),
-      meta("small_u", "smallint(5) unsigned", unsigned = true),
-      meta("med_u", "mediumint(8) unsigned", unsigned = true),
-      meta("int_u", "int(10) unsigned", unsigned = true),
-      meta("big_u", "bigint(20) unsigned", unsigned = true),
-      meta("flag", "enum('ret_a','ret_n','ret_r')", unsigned = false,
-        enumV = Seq("ret_a", "ret_n", "ret_r")),
-      meta("tags", "set('red','green','blue')", unsigned = false,
-        setV = Seq("red", "green", "blue")),
-      meta("note", "varchar(32)", unsigned = false))
 
     val fullRow = array(
       (lk * 10 + ln).cast("string"),
@@ -170,9 +167,9 @@ object CdcQueries {
       lit("shop").as("database"), lit("items").as("table"),
       lit("insert").as("action"), lit(0L).as("ts"),
       (lk * 100 + ln).as("stmt_seq"),
-      cols.as("cols"), array(row).as("rows"))
+      array(row).as("rows"))
 
-    EnvelopeBuilder.envelopes(EnvelopeBuilder.fromPositional(raw))
+    EnvelopeBuilder.envelopesStatic(raw, q19Cols)
       .select((col("stmt_seq") / 100).cast("long").as("okey"),
         pmod(col("stmt_seq"), lit(100)).cast("long").as("line"),
         col("event"))

@@ -83,6 +83,31 @@ class EnvelopeSpec extends SparkSpec {
     assert(out(0)._3.contains(""""event":{"data":{"city_name":"x","id":7,"provinces_id":null}}"""))
   }
 
+  test("static (plan-time schema) path emits byte-identical envelopes to the dynamic path") {
+    import spark.implicits._
+    val metas = Seq(
+      Meta("id", "int(11)", unsigned = false, Nil, Nil),
+      Meta("big_u", "bigint(20) unsigned", unsigned = true, Nil, Nil),
+      Meta("flag", "enum('a','b')", unsigned = false, Seq("a", "b"), Nil),
+      Meta("tags", "set('x','y')", unsigned = false, Nil, Seq("x", "y")),
+      Meta("note", "varchar(8)", unsigned = false, Nil, Nil))
+    val statics = metas.map(m => Decode.ColMeta(m.name, m.rawType, m.unsigned, m.enumValues, m.setValues))
+    val rawRows = Seq(
+      Raw("d", "t", "insert", 1L, 1, metas, Seq(Seq("7", "-1", "2", "3", "he\"y"))),
+      Raw("d", "t", "update", 2L, 2, metas,
+        Seq(Seq("7", "5", "1", "0", "a"), Seq("7", "5", "2", "1", "b"))),
+      Raw("d", "t", "insert", 3L, 3, metas, Seq(Seq("9", "1"))),   // short row
+      Raw("d", "t", "alter", 4L, 4, metas, null))
+    val df = rawRows.toDF()
+    val dyn = EnvelopeBuilder.envelopes(EnvelopeBuilder.fromPositional(df))
+      .orderBy("stmt_seq", "pair_pos").select("event_type", "event", "topic")
+      .collect().map(_.toSeq).toSeq
+    val sta = EnvelopeBuilder.envelopesStatic(df.drop("cols"), statics)
+      .orderBy("stmt_seq", "pair_pos").select("event_type", "event", "topic")
+      .collect().map(_.toSeq).toSeq
+    assert(sta === dyn)
+  }
+
   test("event_index continues from a restored start offset (ST2 semantics)") {
     import spark.implicits._
     val df = Seq(Raw("d", "t", "insert", 1L, 1, cityCols, Seq(Seq("1", "a", "1"), Seq("2", "b", "2")))).toDF()
