@@ -125,22 +125,26 @@ object EnvelopeBuilder {
 
   /** The fast-path equivalent of `fromPositional` + [[envelopes]] for a
     * statically-known schema: input has `rows ARRAY<ARRAY<STRING>>`; output is
-    * identical to [[envelopes]] (same columns, same JSON bytes). */
+    * identical to [[envelopes]] (same columns, same JSON bytes).
+    *
+    * Shape matters: the explode happens FIRST, carrying only row-array
+    * references (cheap lambdas); the per-column decode + JSON concat then runs
+    * on flat exploded columns — ordinary expressions inside whole-stage
+    * codegen, no interpreted higher-order functions on the hot path. */
   def envelopesStatic(raw: DataFrame, cols: Seq[Decode.ColMeta]): DataFrame = {
-    val jsons = when(col("rows").isNull, lit(null).cast("array<string>"))
-      .otherwise(transform(col("rows"), r => rowJsonStatic(r, cols)))
+    val rowsArrT = "array<array<string>>"
     val nPairs = expr("size(rows) div 2")
+    val nullRow = lit(null).cast("array<string>")
     val pairs =
-      when(col("action") === "alter",
-          array(struct(lit(null).cast("string").as("old"), lit(null).cast("string").as("new"))))
+      when(col("action") === "alter", array(struct(nullRow.as("old"), nullRow.as("new"))))
         .when(col("action") === "update",
           when(size(col("rows")) >= 2,
             transform(sequence(lit(0), nPairs - 1),
               i => struct(
-                try_element_at(jsons, (i * 2 + 1).cast("int")).as("old"),
-                try_element_at(jsons, (i * 2 + 2).cast("int")).as("new"))))
-            .otherwise(array().cast("array<struct<old:string,new:string>>")))
-        .otherwise(transform(jsons, j => struct(j.as("old"), lit(null).cast("string").as("new"))))
+                try_element_at(col("rows"), (i * 2 + 1).cast("int")).as("old"),
+                try_element_at(col("rows"), (i * 2 + 2).cast("int")).as("new"))))
+            .otherwise(array().cast(s"array<struct<old:array<string>,new:array<string>>>")))
+        .otherwise(transform(col("rows"), r => struct(r.as("old"), nullRow.as("new"))))
     raw
       .withColumn("event_type", col("action"))
       .select(col("database"), col("table"), col("event_type"),
@@ -149,9 +153,9 @@ object EnvelopeBuilder {
       .withColumn("event",
         when(col("event_type") === "alter", lit(null).cast("string"))
           .when(col("event_type") === "update",
-            concat(lit("{\"data\":{\"new_data\":"), col("pair.new"),
-                   lit(",\"old_data\":"), col("pair.old"), lit("}}")))
-          .otherwise(concat(lit("{\"data\":"), col("pair.old"), lit("}"))))
+            concat(lit("{\"data\":{\"new_data\":"), rowJsonStatic(col("pair.new"), cols),
+                   lit(",\"old_data\":"), rowJsonStatic(col("pair.old"), cols), lit("}}")))
+          .otherwise(concat(lit("{\"data\":"), rowJsonStatic(col("pair.old"), cols), lit("}"))))
       .withColumn("topic", concat(col("database"), lit("."), col("table")))
       .drop("pair")
   }

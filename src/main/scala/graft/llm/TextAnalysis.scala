@@ -53,11 +53,13 @@ object TextAnalysis {
   /** MinHash-style document fingerprint: minimum 60-bit shingle hash over word
     * 4-gram shingles (a 1-hash winnowing fingerprint) — robust to local edits,
     * one md5 per shingle. */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column =
     // Raw (non-distinct) shingles: min is duplicate-insensitive, and
     // array_distinct over ~1e3-element arrays is pure overhead here.
-    val sh = Dedup.shinglesRaw(text, 4)
-    when(size(sh) > 0, array_min(transform(sh, s => Dedup.shingleHash(s))))
-      .otherwise(Dedup.shingleHash(lower(text)))
-  }
+    // array_min of an empty array is NULL, so coalesce expresses the
+    // no-shingles fallback with a SINGLE reference to the shingle expression
+    // (a when(size(sh)>0, ...) guard evaluates the array twice).
+    coalesce(
+      array_min(transform(Dedup.shinglesRaw(text, 4), s => Dedup.shingleHash(s))),
+      Dedup.shingleHash(lower(text)))
 }
