@@ -73,17 +73,20 @@ object Similarity {
     * tables ≈ 77%). Candidates meet a query iff they share ANY table's bucket;
     * exact cosine re-rank over the deduped candidate set.
     * Output (q_id, rank, neighbor_id). */
+  /** (id, vec) → one row per (id, vec, table, bucket). */
+  private def withBuckets(df: DataFrame, idName: String, vecName: String,
+                          planes: Int, tables: Int): DataFrame = {
+    val base = df.select(col("id").as(idName), col("vec").as(vecName))
+    base.withColumn("buckets", explode(array((0 until tables).map(t =>
+      struct(lit(t).as("t"), signBucket(col(vecName), planes, t).as("bkt"))): _*)))
+      .select(col(idName), col(vecName), col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
+  }
+
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               planes: Int = 6, tables: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def withBuckets(df: DataFrame, idName: String, vecName: String): DataFrame = {
-      val base = df.select(col("id").as(idName), col("vec").as(vecName))
-      base.withColumn("buckets", explode(array((0 until tables).map(t =>
-        struct(lit(t).as("t"), signBucket(col(vecName), planes, t).as("bkt"))): _*)))
-        .select(col(idName), col(vecName), col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
-    }
-    val q = withBuckets(queries, "q_id", "qv")
-    val c = withBuckets(candidates, "c_id", "cv")
+    val q = withBuckets(queries, "q_id", "qv", planes, tables)
+    val c = withBuckets(candidates, "c_id", "cv", planes, tables)
     val cand = c.join(broadcast(q), Seq("t", "bkt"))
       .filter(col("q_id") =!= col("c_id"))
       .select(col("q_id"), col("c_id"), col("qv"), col("cv"))
@@ -94,5 +97,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: every (a, b) with a < b that
+    * shares ANY sign-LSH table bucket and has cosine ≥ `threshold` — the
+    * embedding-space flavor of near-dup detection, same no-all-pairs
+    * discipline (candidates meet only inside buckets). */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  planes: Int = 6, tables: Int = 3): DataFrame = {
+    val a = withBuckets(vectors, "id_a", "va", planes, tables)
+    val b = withBuckets(vectors, "id_b", "vb", planes, tables)
+    a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("va"), col("vb"), l2norm(col("va")), l2norm(col("vb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

@@ -298,6 +298,32 @@ object LlmQueries {
       |  FROM bands x JOIN bands y ON x.b = y.b AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
       |SELECT doc_a, doc_b, dist FROM cand WHERE dist <= 10 ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q31 embedding near-dup
+
+  /** Embedding-cosine near-dup pairs via shared sign-LSH buckets + threshold. */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    Similarity.cosinePairs(embeddingsAsIdVec(s, d), threshold = 0.3)
+      .orderBy("id_a", "id_b")
+
+  private val q31Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm,
+      |    [list_sum([CASE WHEN list_sum([vec[i]::DOUBLE *
+      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |        for i in range(1, len(vec)+1)]) >= 0 THEN 1 << p ELSE 0 END
+      |      for p in range(0, 6)])::BIGINT for t in range(0, 3)] AS bucks
+      |  FROM embeddings),
+      |cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM v a, v b, LATERAL unnest(range(0, 3)) tt(t)
+      |  WHERE a.bucks[t+1] = b.bucks[t+1] AND a.id < b.id),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b,
+      |    list_sum([a.vec[i]::DOUBLE * b.vec[i]::DOUBLE for i in range(1, len(a.vec)+1)]) / (a.nrm * b.nrm) AS cos
+      |  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b)
+      |SELECT id_a, id_b FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -309,5 +335,6 @@ object LlmQueries {
     QueryDef("q28_fingerprint", q28, Some(q28Sql)),
     QueryDef("q29_multimodal", q29, Some(q29Sql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
+    QueryDef("q31_embdup", q31, Some(q31Sql)),
   )
 }

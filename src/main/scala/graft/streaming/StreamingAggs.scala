@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming aggregations over the envelope/event stream — the
+  * Structured Streaming half of the §2.2 "streaming windows / sessionization /
+  * watermarks" category (the batch mirrors are q15/q16).
+  *
+  * These are plan fragments applied to an unbounded DataFrame: watermarked
+  * tumbling-window counts (late data dropped past the watermark), and
+  * arbitrary-state sessionization via `flatMapGroupsWithState` with
+  * event-time timeout — the engine-level building block the reference lacks
+  * entirely (its events carry processing time only, `handler.go:133`).
+  */
+object StreamingAggs {
+
+  /** Tumbling event-time window counts with a watermark: aggregation state for
+    * windows older than the watermark is dropped (bounded state at scale). */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+                     windowDur: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDur), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col(keyCol), col("n"))
+
+  final case class SessionIn(user_id: Long, ts: java.sql.Timestamp)
+  final case class SessionOut(user_id: Long, n_events: Long, dur_s: Long)
+  // Public: the state encoder's generated code instantiates it reflectively.
+  final case class SessionState(n: Long, startMs: Long, lastMs: Long)
+
+  /** Inactivity-gap sessionization with explicit state: a session closes when
+    * no event arrives for `gapSec` (event-time timeout keyed by watermark).
+    * This is the `flatMapGroupsWithState` form of q15's batch sessionization. */
+  def sessionize(events: Dataset[SessionIn], gapSec: Long): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stEnc = Encoders.product[SessionState]
+    events
+      .withWatermark("ts", s"$gapSec seconds")
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionIn], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.n, (s.lastMs - s.startMs) / 1000))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapSec * 1000 =>
+                  cur = Some(s.copy(n = s.n + 1, lastMs = t))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.n, (s.lastMs - s.startMs) / 1000)
+                  cur = Some(SessionState(1, t, t))
+                case None =>
+                  cur = Some(SessionState(1, t, t))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}
