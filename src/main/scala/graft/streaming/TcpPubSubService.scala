@@ -26,7 +26,7 @@ import graft.cdc.TopicFilter
   * engine — the 100 TB fan-out path is the Kafka-shaped sink; this service
   * exists for protocol/behavior parity and local consumers.
   */
-final class TcpPubSubService(port: Int = 0) {
+final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
 
   private val server = new ServerSocket()
   server.bind(new InetSocketAddress("127.0.0.1", port))
@@ -100,6 +100,16 @@ final class TcpPubSubService(port: Int = 0) {
     while (running.get) {
       try nodes.add(new Node(server.accept()))
       catch { case _: Throwable => () }
+    }
+  }
+
+  // Server→client keepalive tick (P3), reference ticks every 3 s
+  // (`subscribe/tcp.go:230-245`).
+  private val keepalive = thread("pubsub-keepalive") {
+    val frame = Frame.pack(Frame.CMD_TICK, "ok")
+    while (running.get) {
+      Thread.sleep(keepaliveMs)
+      nodes.asScala.foreach(_.asyncSend(frame))
     }
   }
 

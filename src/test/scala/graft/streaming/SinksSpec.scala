@@ -34,6 +34,19 @@ class SinksSpec extends SparkSpec {
     assert(got.map(g => new String(g._2, "UTF-8")) === Seq("ok", "x"))
   }
 
+  test("kafka sink frame: key = database.table bytes, value = envelope, fixed topic (K4)") {
+    val f = envBatch.transform(KafkaSink.frame("wing"))
+    assert(f.schema.map(s => (s.name, s.dataType.simpleString)) ===
+      Seq(("key", "binary"), ("value", "binary"), ("topic", "string")))
+    val rows = f.collect().map(r =>
+      (new String(r.getAs[Array[Byte]]("key"), "UTF-8"),
+        new String(r.getAs[Array[Byte]]("value"), "UTF-8"), r.getString(2)))
+    assert(rows.map(_._3).toSet === Set("wing"))
+    assert(rows.map(_._1).toSet === Set("test.city", "shop.orders", "test.user"))
+    val opts = KafkaSink.producerOptions("broker:9092")
+    assert(opts("kafka.compression.type") === "snappy" && opts("kafka.linger.ms") === "500")
+  }
+
   test("TCP pub/sub: SET_PRO registration, filtered delivery, tick (K1/R2/R3)") {
     val svc = new TcpPubSubService()
     try {
@@ -54,10 +67,15 @@ class SinksSpec extends SparkSpec {
         acc.toSeq
       }
       assert(readFrames(1) === Seq((Frame.CMD_SET_PRO, "ok")))   // registration ack
-      // Publish three envelopes; only test.* should arrive.
+      // Publish three envelopes; only test.* should arrive. Server keepalive
+      // ticks may interleave — read until two EVENT frames, ignoring ticks.
       Thread.sleep(100)
       envBatch.collect().foreach(r => svc.sendAll(r.getString(0), r.getString(1)))
-      val events = readFrames(2)
+      val events = {
+        val acc = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+        while (acc.size < 2) acc ++= readFrames(1).filter(_._1 == Frame.CMD_EVENT)
+        acc.toSeq
+      }
       assert(events.map(_._1).forall(_ == Frame.CMD_EVENT))
       assert(events.map(_._2).forall(_.contains("\"database\":\"test\"")))
       // keepalive
