@@ -60,27 +60,44 @@ object EnvelopeBuilder {
       .otherwise(concat(lit("{\"data\":"), Json.obj(Json.sortEntries(old)), lit("}")))
 
   /** Explode raw statements into envelopes. Output columns:
-    * `database, table, event_type, time, topic, stmt_seq, pair_pos, event`.
+    * `database, table, event_type, time, topic, stmt_seq, pair_pos, event`,
+    * plus any additional input columns (passed through, e.g. an index base).
     * Partition-local: one `posexplode`, no shuffle. */
   def envelopes(raw: DataFrame): DataFrame =
     raw
       .withColumn("event_type", col("action"))
-      .select(
-        col("database"), col("table"), col("event_type"),
-        col("ts").as("time"), col("stmt_seq"),
-        posexplode(pairs).as(Seq("pair_pos", "pair")))
+      .withColumnRenamed("ts", "time")
+      .withColumn("__pairs", pairs)
+      .drop("action", "rows")
+      .select(col("*"), posexplode(col("__pairs")).as(Seq("pair_pos", "pair")))
       .withColumn("event", eventJson(col("pair.old"), col("pair.new")))
       // Routing key, `database + "." + table` (`handler.go:89`). The event topic
       // is NOT lowercased — only subscriber patterns are (`node.go:45-46`).
       .withColumn("topic", concat(col("database"), lit("."), col("table")))
-      .drop("pair")
+      .drop("pair", "__pairs")
+
+  /** Envelopes emitted by one statement (before exploding): update → pair
+    * count, alter → exactly one, else one per row image. */
+  def envelopeCount: Column =
+    when(col("action") === "alter", lit(1L))
+      .when(col("action") === "update", greatest(expr("size(rows) div 2"), lit(0)).cast("long"))
+      .otherwise(greatest(size(col("rows")), lit(0)).cast("long"))
 
   /** Envelopes + dense `event_index` assigned in (stmt_seq, pair_pos) order
     * starting after `startIndex` — the batch mirror of the reference's atomic
-    * counter restored from the position cache (`handler.go:264-282`). */
-  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame =
-    EventIndexer.dense(envelopes(raw), Seq(col("stmt_seq"), col("pair_pos")),
-      "event_index", startIndex)
+    * counter restored from the position cache (`handler.go:264-282`).
+    *
+    * Index ranges are assigned to STATEMENTS via a scalable prefix sum of the
+    * per-statement envelope count, then the explode adds `pair_pos` — the
+    * sort/cache covers the statement set, not the 2-3× larger envelope set. */
+  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame = {
+    val based = EventIndexer.prefixSum(
+      raw.withColumn("__n", envelopeCount),
+      Seq(col("stmt_seq")), "__n", "__base", startIndex)
+    envelopes(based)
+      .withColumn("event_index", col("__base") + col("pair_pos") + 1)
+      .drop("__n", "__base")
+  }
 
   /** Full envelope serialization (O7): ONE JSON object per envelope, keys in
     * `json.Marshal` (alphabetical) order; alter carries no `event` key

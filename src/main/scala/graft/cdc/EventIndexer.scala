@@ -27,6 +27,38 @@ import org.apache.spark.storage.StorageLevel
   */
 object EventIndexer {
 
+  /** Exclusive prefix sum of `weightCol` in `order` order: `outCol` = sum of
+    * weights of all STRICTLY EARLIER rows (+ `start`). Used to assign dense
+    * envelope index ranges to statements BEFORE the multi-row explode — the
+    * sort and cache then cover only statements, not the 2-3× larger envelope
+    * set. Same two-job shape as [[dense]]: per-partition totals collected to
+    * the driver, within-partition running sums via a window PARTITIONED BY the
+    * physical partition (parallel — never a single-partition window). */
+  def prefixSum(df: DataFrame, order: Seq[Column], weightCol: String,
+                outCol: String, start: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals: Array[(Int, Long)] = sorted
+      .groupBy(col("__pid")).agg(sum(col(weightCol)).as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.map(_._2).scanLeft(0L)(_ + _)
+    val baseMap: Column =
+      if (totals.isEmpty) map()
+      else map(totals.map(_._1).zip(bases).flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*)
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sorted
+      .withColumn(outCol,
+        element_at(baseMap, col("__pid")) +
+          coalesce(sum(col(weightCol)).over(w), lit(0L)) + lit(start))
+      .drop("__pid")
+  }
+
   /** Add a dense 1-based (+ `start`) index column assigned in `order` order.
     * `order` must be a total order (unique key) for a deterministic result. */
   def dense(df: DataFrame, order: Seq[Column], outCol: String, start: Long = 0L): DataFrame = {
