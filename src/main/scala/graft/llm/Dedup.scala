@@ -42,8 +42,38 @@ object Dedup {
   def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** MinHash signature from PRE-HASHED shingle values (`xs` = shingleHash mod
-    * P): element h is `min over x of (A_h·x + B_h) mod P` — the standard
+  /** (doc_id, whs: ARRAY<BIGINT>) — per-word base hashes H(word) mod P in
+    * word order, each word md5'd exactly ONCE (~7× less md5 input than
+    * hashing shingle strings: words avg ~5 bytes, shingles ~35).
+    *
+    * Built as explode → hash per row → groupBy collect+sort. The aggregate is
+    * a HARD materialization boundary: a column-level `transform(words, md5…)`
+    * gets inlined by CollapseProject into every `element_at` of a consuming
+    * n-gram lambda, re-evaluating the whole md5 array per element — measured
+    * O(n²) blowup (12 s → 120 s). Do not "simplify" this back to a transform. */
+  def wordHashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
+      .select(col("doc_id"), col("__p"), (shingleHash(col("__w")) % MinhashP).as("__h"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__h")))),
+        s => s.getField("__h")).as("whs"))
+
+  /** Word n-gram hash values from pre-hashed words (`whs` MUST be a
+    * materialized attribute, e.g. [[wordHashFrame]] output): left polynomial
+    * combine `((h1·31 + h2)·31 + h3) mod P` — plain 64-bit integer
+    * arithmetic, so any engine reproduces it exactly. Duplicates retained
+    * (consumers are min- or set-insensitive). */
+  def ngramHashes(wh: Column, n: Int): Column =
+    when(size(wh) >= n,
+      transform(sequence(lit(0), size(wh) - n),
+        i => (0 until n).map(j => element_at(wh, i + j + 1))
+          .reduce((a, b) => a * 31L + b) % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** MinHash signature from PRE-HASHED shingle values (`xs` values in [0, P)):
+    * element h is `min over x of (A_h·x + B_h) mod P` — the standard
     * universal-hash permutation family. Per-row computation, no shuffle.
     *
     * IMPORTANT: `xs` must be a materialized column, not an inline expression —
@@ -74,15 +104,15 @@ object Dedup {
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
                    numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    // Persisted: the frame feeds BOTH sides of the band self-join and both
-    // sides of the verify join — without the cache the whole shingle+hash
-    // pipeline runs 4x (measured 124 s → 12 s at sf0.1).
-    val sig = docs
-      .select(col(idCol).as("doc_id"), shingles(col(textCol)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("xs", transform(col("sh"), s => shingleHash(s) % MinhashP))
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // Persisted: the frame feeds both sides of the band self-join — without
+    // the cache the whole hash pipeline runs per use (measured 124 s → 12 s
+    // at sf0.1 even before word-level hashing).
+    val sig = wordHashFrame(docs, idCol, textCol)
+      .withColumn("xs", ngramHashes(col("whs"), 3))
+      .filter(size(col("xs")) > 0)
       .withColumn("mh", minhashSignature(col("xs"), numHashes))
-      .select(col("doc_id"), col("sh"), col("mh"))
+      .select(col("doc_id"), col("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandDf = sig
@@ -95,10 +125,14 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
 
-    val sh = sig.select(col("doc_id"), col("sh"))
+    // Exact-Jaccard verify: the joins carry raw TEXT (cheap); shingle sets are
+    // built AFTER the join, so only candidate pairs — a tiny fraction of the
+    // corpus — pay the shingle construction.
     cand
-      .join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
-      .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .join(base.select(col("doc_id").as("doc_a"), col("__text").as("__ta")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("__text").as("__tb")), "doc_b")
+      .withColumn("sh_a", shingles(col("__ta")))
+      .withColumn("sh_b", shingles(col("__tb")))
       .withColumn("jac",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))

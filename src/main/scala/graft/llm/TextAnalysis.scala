@@ -53,13 +53,18 @@ object TextAnalysis {
   /** MinHash-style document fingerprint: minimum 60-bit shingle hash over word
     * 4-gram shingles (a 1-hash winnowing fingerprint) — robust to local edits,
     * one md5 per shingle. */
-  def fingerprint(text: Column): Column =
-    // Raw (non-distinct) shingles: min is duplicate-insensitive, and
-    // array_distinct over ~1e3-element arrays is pure overhead here.
-    // array_min of an empty array is NULL, so coalesce expresses the
-    // no-shingles fallback with a SINGLE reference to the shingle expression
-    // (a when(size(sh)>0, ...) guard evaluates the array twice).
-    coalesce(
-      array_min(transform(Dedup.shinglesRaw(text, 4), s => Dedup.shingleHash(s))),
-      Dedup.shingleHash(lower(text)))
+  /** Document fingerprints as a FRAME op (doc_id, fp): minimum 4-gram hash
+    * built from once-per-word md5s combined arithmetically over
+    * [[Dedup.wordHashFrame]] — min is duplicate-insensitive. Frame-level (not
+    * a Column) because the word-hash array needs the aggregate
+    * materialization barrier (see wordHashFrame's warning). */
+  def fingerprints(docs: org.apache.spark.sql.DataFrame,
+                   idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    Dedup.wordHashFrame(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("__text")), "doc_id")
+      .select(col("doc_id"),
+        coalesce(
+          array_min(Dedup.ngramHashes(col("whs"), 4)),
+          Dedup.shingleHash(lower(col("__text"))) % Dedup.MinhashP).as("fp"),
+        md5(lower(col("__text"))).as("fp_full"))
 }

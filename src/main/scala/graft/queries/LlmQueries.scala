@@ -44,12 +44,21 @@ object LlmQueries {
       |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
       |      ELSE [] END) AS shingles
       |  FROM words),
+      |wh AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in w] AS whs
+      |  FROM words),
+      |xs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(whs) >= 3
+      |      THEN [((whs[i]*31 + whs[i+1])*31 + whs[i+2]) % 2147483647 for i in range(1, len(whs)-1)]
+      |      ELSE [] END AS xsv
+      |  FROM wh),
       |sig AS (
-      |  SELECT doc_id, shingles,
-      |    [list_min([((h*1000003 + 12345) * (('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647)
-      |                + (h*999983 + 7)) % 2147483647
-      |               for s in shingles]) for h in range(0, 12)] AS mh
-      |  FROM sh WHERE len(shingles) > 0),
+      |  SELECT x.doc_id, s.shingles,
+      |    [list_min([((h*1000003 + 12345) * v + (h*999983 + 7)) % 2147483647
+      |               for v in xsv]) for h in range(0, 12)] AS mh
+      |  FROM xs x JOIN sh s ON s.doc_id = x.doc_id WHERE len(xsv) > 0),
       |bands AS (
       |  SELECT doc_id, b, mh[3*b+1] || '|' || mh[3*b+2] || '|' || mh[3*b+3] AS bkey
       |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
@@ -223,27 +232,27 @@ object LlmQueries {
   // ---------------------------------------------------------------- q28 fingerprint
 
   private def q28(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d).select(
-        col("doc_id"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        md5(lower(col("text"))).as("fp_full"))
+    TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
   private val q28Sql =
-    """WITH words AS (
-      |  SELECT doc_id, text, string_split(lower(text), ' ') AS w FROM documents),
-      |sh AS (
+    """WITH wh AS (
       |  SELECT doc_id, text,
-      |    list_distinct(CASE WHEN len(w) >= 4
-      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] for i in range(1, len(w)-2)]
-      |      ELSE [] END) AS shingles
-      |  FROM words)
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647
+      |     for x in string_split(lower(text), ' ')] AS whs
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN len(whs) >= 4
+      |      THEN [(((whs[i]*31 + whs[i+1])*31 + whs[i+2])*31 + whs[i+3]) % 2147483647
+      |            for i in range(1, len(whs)-2)]
+      |      ELSE [] END AS gh
+      |  FROM wh)
       |SELECT doc_id,
-      |  CASE WHEN len(shingles) > 0
-      |       THEN list_min([('0x' || substr(md5(s), 1, 15))::BIGINT for s in shingles])
-      |       ELSE ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT END AS fp,
+      |  CASE WHEN len(gh) > 0 THEN list_min(gh)
+      |       ELSE ('0x' || substr(md5(lower(text)), 1, 15))::BIGINT % 2147483647 END AS fp,
       |  md5(lower(text)) AS fp_full
-      |FROM sh ORDER BY doc_id""".stripMargin
+      |FROM g ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- q29 multimodal
 
