@@ -66,9 +66,13 @@ object CdcStream {
     }
   }
 
-  /** Streaming read of a raw-event directory. */
+  /** Streaming read of a raw-event directory. Malformed lines parse to
+    * all-null rows (PERMISSIVE mode) and are dropped here — the reference
+    * likewise logs and keeps tailing on a bad event
+    * (`vendor/.../canal/sync.go:80-92` error tolerance). */
   def readRaw(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.schema(rawSchema).json(inputDir)
+      .filter(col("database").isNotNull && col("table").isNotNull && col("action").isNotNull)
 
   /** Process one micro-batch: envelope + index + serialize once + fan-out.
     * Exposed for testing; `start` wires it into `foreachBatch`. */

@@ -62,6 +62,19 @@ class StreamingSpec extends SparkSpec {
     assert(idx === Seq(1L, 2L, 3L))
   }
 
+  test("malformed lines are dropped; the stream keeps tailing (sync.go error tolerance)") {
+    val (in, cp, pos, out) = (tmp(), tmp(), tmp().resolve("pos.bin"), tmp())
+    writeFile(in, "a.json", Seq(
+      rawLine("d", "t", "insert", 1, 1),
+      "this is not json at all {{{",
+      """{"unexpected":"shape"}""",
+      rawLine("d", "t", "insert", 2, 2)))
+    runOnce(in, cp, pos, Seq(SinkConfig("all", s"$out/all")))
+    val got = readSink(s"$out/all")
+    assert(got.size === 2, s"only the two valid statements flow: $got")
+    assert(got.forall(_.contains("\"database\":\"d\"")))
+  }
+
   test("kill-and-resume: restart from checkpoint keeps event_index dense and continuous (ST2/ST3)") {
     val (in, cp, pos, out) = (tmp(), tmp(), tmp().resolve("pos.bin"), tmp())
     val sinks = Seq(SinkConfig("all", s"$out/all"))
