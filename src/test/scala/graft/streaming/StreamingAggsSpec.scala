@@ -39,6 +39,48 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup with bounded state: dropDuplicatesWithinWatermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    // Dedup on content hash with a watermark bound: state for keys older than
+    // the watermark is dropped — the streaming form of q21's hash-groupBy, with
+    // bounded memory at 100 TB (duplicate docs arrive close in time).
+    val q = in.toDF().toDF("ts", "content")
+      .selectExpr("ts", "content", "md5(content) AS key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("key")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), "doc A"), (ts(1), "doc A"), (ts(2), "doc B"))
+      q.processAllAvailable()
+      in.addData((ts(3), "doc A"), (ts(4), "doc C"))
+      q.processAllAvailable()
+      val docs = spark.table("dedup").select("content").as[String].collect().sorted.toSeq
+      assert(docs === Seq("doc A", "doc B", "doc C"), s"duplicates within watermark removed: $docs")
+    } finally q.stop()
+  }
+
+  test("stream-static enrichment join: envelope stream x dimension table") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = Seq(("shop.orders", "commerce"), ("test.city", "geo")).toDF("topic", "domain")
+    val in = MemoryStream[String]
+    // Stream-static joins need no watermark; the static side is broadcast —
+    // the standard CDC enrichment shape (envelope topic -> reference data).
+    val q = in.toDF().toDF("topic")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("topic"), "left")
+      .writeStream.format("memory").queryName("enriched").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData("shop.orders", "test.city", "unknown.t")
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(rows === Set(
+        ("shop.orders", Some("commerce")), ("test.city", Some("geo")), ("unknown.t", None)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions on event-time gap") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
