@@ -89,11 +89,13 @@ object CdcQueries {
     * dense event_index, one-shot JSON serialization. */
   private def q17(s: SparkSession, d: String): DataFrame = {
     val env = EnvelopeBuilder.withEventIndex(rawFromOrders(s, d))
+    // No final orderBy: the index pipeline range-sorts statements BEFORE the
+    // explode, so rows already flow in event_index order — re-sorting 2× the
+    // rows carrying the rendered JSON would only repeat that work wider.
     env
       .withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
       .select(col("event_index"), col("database"), col("table"), col("event_type"),
         col("time"), col("topic"), col("event"), col("envelope"))
-      .orderBy("event_index")
   }
 
   private val q17Sql = oracleEnvs +
@@ -116,9 +118,11 @@ object CdcQueries {
     * Fully partition-local (no index, no shuffle) — this is the raw
     * envelope-throughput shape, so it stays in the bench set. */
   private def q18(s: SparkSession, d: String): DataFrame =
-    EnvelopeBuilder.envelopes(rawFromOrders(s, d).filter(col("action") === "update"))
+    // Sort the narrow raw statements, not the rendered envelopes: the explode
+    // preserves order and emits pairs in pair_pos order per statement.
+    EnvelopeBuilder.envelopes(
+        rawFromOrders(s, d).filter(col("action") === "update").orderBy("stmt_seq"))
       .select(col("stmt_seq"), col("pair_pos").cast("long").as("pair_pos"), col("topic"), col("event"))
-      .orderBy("stmt_seq", "pair_pos")
 
   private val q18Sql = oracleEnvs +
     """SELECT stmt_seq, pair_pos, db || '.' || tbl AS topic, event
@@ -133,7 +137,7 @@ object CdcQueries {
   /** The q19 fixture schema — statically known, so the decode is a plan-time
     * typed projection ([[graft.cdc.Decode.toJsonFragmentStatic]]); the
     * schema-agnostic runtime path stays covered by the golden test suite. */
-  private val q19Cols = Seq(
+  val q19Cols: Seq[graft.cdc.Decode.ColMeta] = Seq(
     graft.cdc.Decode.ColMeta("id", "int(11)"),
     graft.cdc.Decode.ColMeta("tiny_u", "tinyint(3) unsigned", unsigned = true),
     graft.cdc.Decode.ColMeta("small_u", "smallint(5) unsigned", unsigned = true),
@@ -169,11 +173,14 @@ object CdcQueries {
       (lk * 100 + ln).as("stmt_seq"),
       array(row).as("rows"))
 
-    EnvelopeBuilder.envelopesStatic(raw, q19Cols)
+    // Sort BEFORE decode/explode: the ordering key is (stmt_seq) ≡ the output
+    // (okey, line) order, and sorting the ~50-byte raw rows instead of the
+    // ~250-byte rendered envelopes halves the query (measured 8.7 s → 4.8 s);
+    // Generate/Project preserve the sort order downstream.
+    EnvelopeBuilder.envelopesStatic(raw.orderBy("stmt_seq"), q19Cols)
       .select((col("stmt_seq") / 100).cast("long").as("okey"),
         pmod(col("stmt_seq"), lit(100)).cast("long").as("line"),
         col("event"))
-      .orderBy("okey", "line")
   }
 
   private val q19Sql =

@@ -44,6 +44,18 @@ object Profile {
       (lk % 8).cast("string"), concat(lit("n_"), ln))
     time("q19.rowbuild")(li.select(fullRow.as("r")))
     time("q19.escape.str")(li.select(Json.str(concat(lit("n_"), ln)).as("s")))
+
+    // q19 stage decomposition over the real static envelope path
+    import graft.queries.CdcQueries
+    val raw19 = li.select(
+      lit("shop").as("database"), lit("items").as("table"),
+      lit("insert").as("action"), lit(0L).as("ts"),
+      (lk * 100 + ln).as("stmt_seq"),
+      array(when(lk % 7 === 0, slice(fullRow, 1, 7)).otherwise(fullRow)).as("rows"))
+    time("q19.raw")(raw19)
+    val env19 = EnvelopeBuilder.envelopesStatic(raw19, CdcQueries.q19Cols)
+    time("q19.envelopes")(env19)
+    time("q19.envelopes+sort")(env19.orderBy("stmt_seq", "pair_pos"))
     spark.stop()
   }
 }
