@@ -19,7 +19,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get()
 
-    val suite = SparkEntry.benchQueries
+    // Dev aid: SPARK_GRAFT_BENCH_ONLY=q22,q28 restricts the suite (comma-
+    // separated name prefixes). Unset = full driver harness.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+    val suite = only match {
+      case Some(ps) => SparkEntry.benchQueries.filter(q => ps.exists(q.name.startsWith))
+      case None => SparkEntry.benchQueries
+    }
     // Warm-up: run the first two queries untimed (parquet footers, codegen, JIT).
     suite.take(2).foreach(q => try exec(q.fn(spark, sfDir)) catch { case _: Throwable => () })
 

@@ -60,11 +60,20 @@ case class MatchAnyRegex(child: Expression, filters: Seq[String])
         isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
     } else {
       val pats = ctx.addReferenceObj("patterns", compiled, "java.util.regex.Pattern[]")
-      nullSafeCodeGen(ctx, ev, c => s"""
-        String s = $c.toString();
-        for (int i = 0; i < $pats.length; i++) {
-          if ($pats[i].matcher(s).find()) { ${ev.value} = true; break; }
-        }""")
+      // Locals MUST be freshName'd: with a non-nullable child, nullSafeCodeGen
+      // emits this fragment without an enclosing block, so two instances in one
+      // codegen scope (e.g. several filter columns in one projection) would
+      // redeclare fixed-named locals and fail Janino compilation — Spark then
+      // silently falls back to interpreted eval.
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        s"""
+        String $s = $c.toString();
+        for (int $i = 0; $i < $pats.length; $i++) {
+          if ($pats[$i].matcher($s).find()) { ${ev.value} = true; break; }
+        }"""
+      })
     }
 
   override protected def withNewChildInternal(newChild: Expression): MatchAnyRegex =

@@ -43,22 +43,32 @@ object Dedup {
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** (doc_id, whs: ARRAY<BIGINT>) — per-word base hashes H(word) mod P in
-    * word order, each word md5'd exactly ONCE (~7× less md5 input than
-    * hashing shingle strings: words avg ~5 bytes, shingles ~35).
+    * word order, each DISTINCT word md5'd exactly ONCE across the whole corpus
+    * (vocabulary ≪ corpus: Heaps' law puts vocab at ~K·N^0.5, so at 100 TB the
+    * dictionary is a few GB of (word, hash) pairs while occurrences are the
+    * corpus itself — md5 per occurrence is the wrong cost model at any scale).
     *
-    * Built as explode → hash per row → groupBy collect+sort. The aggregate is
-    * a HARD materialization boundary: a column-level `transform(words, md5…)`
-    * gets inlined by CollapseProject into every `element_at` of a consuming
-    * n-gram lambda, re-evaluating the whole md5 array per element — measured
-    * O(n²) blowup (12 s → 120 s). Do not "simplify" this back to a transform. */
-  def wordHashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
-      .select(col("doc_id"), col("__p"), (shingleHash(col("__w")) % MinhashP).as("__h"))
+    * Shape: explode → distinct-word dictionary (map-side partial agg collapses
+    * each partition to its local vocab before the shuffle) → hash the dict →
+    * broadcast-join back to occurrences → groupBy collect+sort. If the vocab
+    * outgrows the broadcast threshold the hint degrades to a shuffled hash
+    * join on the word key — still linear, never all-pairs.
+    *
+    * The final aggregate is also a HARD materialization boundary: a
+    * column-level `transform(words, md5…)` gets inlined by CollapseProject
+    * into every `element_at` of a consuming n-gram lambda, re-evaluating the
+    * whole md5 array per element — measured O(n²) blowup (12 s → 120 s).
+    * Do not "simplify" this back to a transform. */
+  def wordHashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
+    val dict = occ.select(col("__w")).distinct()
+      .select(col("__w"), (shingleHash(col("__w")) % MinhashP).as("__h"))
+    occ.join(broadcast(dict), "__w")
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("__p"), col("__h")))),
         s => s.getField("__h")).as("whs"))
+  }
 
   /** Word n-gram hash values from pre-hashed words (`whs` MUST be a
     * materialized attribute, e.g. [[wordHashFrame]] output): left polynomial
