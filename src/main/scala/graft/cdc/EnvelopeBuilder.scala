@@ -92,13 +92,21 @@ object EnvelopeBuilder {
     * Index ranges are assigned to STATEMENTS via a scalable prefix sum of the
     * per-statement envelope count, then the explode adds `pair_pos` — the
     * sort/cache covers the statement set, not the 2-3× larger envelope set. */
-  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame = {
-    val based = EventIndexer.prefixSum(
+  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame =
+    withEventIndexManaged(raw, startIndex)._1
+
+  /** [[withEventIndex]] plus a cleanup handle for the prefix-sum's persisted
+    * intermediate. Per-micro-batch callers MUST call it after the batch's
+    * consuming action (see [[EventIndexer.prefixSumManaged]]); one-shot query
+    * paths may ignore it. */
+  def withEventIndexManaged(raw: DataFrame, startIndex: Long = 0L): (DataFrame, () => Unit) = {
+    val (based, cleanup) = EventIndexer.prefixSumManaged(
       raw.withColumn("__n", envelopeCount),
       Seq(col("stmt_seq")), "__n", "__base", startIndex)
-    envelopes(based)
+    val out = envelopes(based)
       .withColumn("event_index", col("__base") + col("pair_pos") + 1)
       .drop("__n", "__base")
+    (out, cleanup)
   }
 
   /** Full envelope serialization (O7): ONE JSON object per envelope, keys in

@@ -35,7 +35,15 @@ object EventIndexer {
     * the driver, within-partition running sums via a window PARTITIONED BY the
     * physical partition (parallel — never a single-partition window). */
   def prefixSum(df: DataFrame, order: Seq[Column], weightCol: String,
-                outCol: String, start: Long = 0L): DataFrame = {
+                outCol: String, start: Long = 0L): DataFrame =
+    prefixSumManaged(df, order, weightCol, outCol, start)._1
+
+  /** [[prefixSum]] plus a cleanup handle that unpersists the internal sorted
+    * intermediate. Long-running callers (one call per micro-batch) MUST invoke
+    * it once the consuming action finishes, or the cache manager accumulates
+    * one pinned frame per trigger; one-shot query paths may ignore it. */
+  def prefixSumManaged(df: DataFrame, order: Seq[Column], weightCol: String,
+                       outCol: String, start: Long = 0L): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
@@ -52,16 +60,22 @@ object EventIndexer {
       else map(totals.map(_._1).zip(bases).flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*)
     val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
-    sorted
+    val out = sorted
       .withColumn(outCol,
         element_at(baseMap, col("__pid")) +
           coalesce(sum(col(weightCol)).over(w), lit(0L)) + lit(start))
       .drop("__pid")
+    (out, () => { sorted.unpersist(); () })
   }
 
   /** Add a dense 1-based (+ `start`) index column assigned in `order` order.
     * `order` must be a total order (unique key) for a deterministic result. */
-  def dense(df: DataFrame, order: Seq[Column], outCol: String, start: Long = 0L): DataFrame = {
+  def dense(df: DataFrame, order: Seq[Column], outCol: String, start: Long = 0L): DataFrame =
+    denseManaged(df, order, outCol, start)._1
+
+  /** [[dense]] with the same cleanup contract as [[prefixSumManaged]]. */
+  def denseManaged(df: DataFrame, order: Seq[Column], outCol: String,
+                   start: Long = 0L): (DataFrame, () => Unit) = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
     val sorted = df
       .repartitionByRange(n, order: _*)
@@ -76,10 +90,11 @@ object EventIndexer {
     val baseMap: Column =
       if (counts.isEmpty) map()
       else map(counts.map(_._1).zip(bases).flatMap { case (p, b) => Seq(lit(p), lit(b)) }: _*)
-    sorted
+    val out = sorted
       .withColumn(outCol,
         element_at(baseMap, col("__pid")) +
           (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + lit(start + 1))
       .drop("__pid", "__mid")
+    (out, () => { sorted.unpersist(); () })
   }
 }

@@ -112,7 +112,16 @@ object Dedup {
     * cross-join anywhere; at 1000 executors every stage partitions on either
     * the band key or the doc id. */
   def nearDupPairs(docs: DataFrame, idCol: String, textCol: String,
-                   numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+                   numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame =
+    nearDupPairsManaged(docs, idCol, textCol, numHashes, bands, threshold)._1
+
+  /** [[nearDupPairs]] plus a cleanup handle that unpersists the cached
+    * signature frame. Callers that run this repeatedly in one long-lived
+    * session (e.g. per-batch dedup) MUST invoke it after the consuming action;
+    * one-shot query/bench paths may ignore it (process exit / clearCache). */
+  def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): (DataFrame, () => Unit) = {
     val rows = numHashes / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     // Persisted: the frame feeds both sides of the band self-join — without
@@ -138,7 +147,7 @@ object Dedup {
     // Exact-Jaccard verify: the joins carry raw TEXT (cheap); shingle sets are
     // built AFTER the join, so only candidate pairs — a tiny fraction of the
     // corpus — pay the shingle construction.
-    cand
+    val out = cand
       .join(base.select(col("doc_id").as("doc_a"), col("__text").as("__ta")), "doc_a")
       .join(base.select(col("doc_id").as("doc_b"), col("__text").as("__tb")), "doc_b")
       .withColumn("sh_a", shingles(col("__ta")))
@@ -148,6 +157,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
+    (out, () => { sig.unpersist(); () })
   }
 
   /** Exact-duplicate groups on a content key: hash-groupBy keeping the minimum

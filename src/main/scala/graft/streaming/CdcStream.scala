@@ -75,14 +75,20 @@ object CdcStream {
       .filter(col("database").isNotNull && col("table").isNotNull && col("action").isNotNull)
 
   /** Process one micro-batch: envelope + index + serialize once + fan-out.
-    * Exposed for testing; `start` wires it into `foreachBatch`. */
+    * Exposed for testing; `start` wires it into `foreachBatch`.
+    *
+    * `pushTo` is an optional (host, port) of a [[TcpPubSubService]] publish
+    * ingress: each partition opens ONE socket and streams its envelopes as
+    * CMD_PUBLISH frames — delivery runs on the executors, the driver never
+    * holds a batch of envelopes (the reference's push tier is likewise its own
+    * process fed by a queue, not the coordinator; `binlog/handler.go:81-98`). */
   def processBatch(batch: DataFrame, batchId: Long, posFile: String,
-                   sinks: Seq[SinkConfig]): Unit = {
+                   sinks: Seq[SinkConfig], pushTo: Option[(String, Int)] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     // Replay of the committed batch re-uses its original start index
     // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
     val start = if (tag == s"batch-$batchId") replayStart else next
-    val env = EnvelopeBuilder.withEventIndex(batch, startIndex = start)
+    val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(batch, startIndex = start)
     val out = env.withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
       .select(col("topic"), col("envelope"), col("event_index"))
       .persist()
@@ -96,9 +102,35 @@ object CdcStream {
           else filtered.select(col("envelope").as("value"))
         lines.write.mode("append").text(s.dir)
       }
+      pushTo.foreach { case (host, port) =>
+        // Sort, then coalesce(1): the single task concatenates the range-sorted
+        // partitions in order, so ONE executor task streams the batch to the
+        // push tier in event_index order through one socket, memory-bounded
+        // (iterator, never materialized). The push tier is single-node by
+        // nature (like the reference's notify loop); the 100 TB fan-out path
+        // remains the Kafka-shaped sink.
+        out.orderBy(col("event_index"))
+          .select(col("topic"), col("envelope"))
+          .coalesce(1)
+          .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+            if (it.hasNext) {
+              val sock = new java.net.Socket(host, port)
+              try {
+                val os = new java.io.BufferedOutputStream(sock.getOutputStream, 1 << 16)
+                it.foreach { r =>
+                  os.write(Frame.pack(Frame.CMD_PUBLISH, r.getString(0) + "\t" + r.getString(1)))
+                }
+                os.flush()
+              } finally sock.close()
+            }
+          }
+      }
       val n = out.count()
       PosStore.write(posFile, s"batch-$batchId", start, start + n)
-    } finally out.unpersist()
+    } finally {
+      out.unpersist()
+      envCleanup()
+    }
   }
 
   /** Start the streaming fan-out. `AvailableNow` drains everything then stops

@@ -18,6 +18,11 @@ object Frame {
   val CMD_ERROR = 2
   val CMD_TICK = 3
   val CMD_EVENT = 4
+  /** GRAFT extension (not in the reference protocol): executor-side publish
+    * ingress into the push tier — payload `<topic>\t<envelope-json>`. The
+    * reference's push tier is fed in-process by its queue; a distributed
+    * engine feeds it over a socket from whichever executor holds the rows. */
+  val CMD_PUBLISH = 100
 
   // Control-service commands (`src/library/control/config.go:11-17`).
   val CTRL_ERROR = 0

@@ -37,15 +37,27 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
 
   private final class Node(sock: Socket) {
     val topics = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    // Patterns compile ONCE, on SET_PRO — never per delivered event. The
+    // reference recompiles per event (`groups.go:41-51` via MatchFilters →
+    // regexp.MatchString); SURVEY §4 promised strictly better, so the compiled
+    // set is cached here and swapped atomically on registration.
+    @volatile private var compiled: Array[java.util.regex.Pattern] = Array.empty
+    // F1: NO registered filters ⇒ match-all, but an INVALID filter never
+    // matches — a node whose only patterns are invalid receives nothing, so
+    // "no filters" must be judged on the registered set, not the compiled one.
+    @volatile private var hasFilters: Boolean = false
     private val sendQueue = new LinkedBlockingQueue[Array[Byte]](10000)
     private val open = new AtomicBoolean(true)
 
-    def matches(topic: String): Boolean = {
+    def recompile(): Unit = {
       val fs = TopicFilter.normalizeTopics(topics.asScala.toSeq)
-      fs.isEmpty || fs.exists(f =>
-        scala.util.Try(java.util.regex.Pattern.compile(f)).toOption
-          .exists(_.matcher(topic).find()))
+      compiled = fs.flatMap(f =>
+        scala.util.Try(java.util.regex.Pattern.compile(f)).toOption).toArray
+      hasFilters = fs.nonEmpty
     }
+
+    def matches(topic: String): Boolean =
+      !hasFilters || compiled.exists(_.matcher(topic).find())
 
     /** Blocking enqueue: publisher waits when the queue is full
       * (`node.go:84-89` busy-waits; blocking put is the same contract). */
@@ -69,11 +81,18 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
               payload(0) match {
                 case Frame.FlagSetPro =>
                   val t = new String(payload.drop(1), "UTF-8").trim.toLowerCase
-                  if (t.nonEmpty && !topics.contains(t)) topics.add(t)
+                  if (t.nonEmpty && !topics.contains(t)) { topics.add(t); recompile() }
                   asyncSend(Frame.pack(Frame.CMD_SET_PRO, "ok"))
                 case _ => close()
               }
             case (Frame.CMD_TICK, _) => asyncSend(Frame.pack(Frame.CMD_TICK, "ok"))
+            case (Frame.CMD_PUBLISH, payload) =>
+              // Publish ingress (executor → push tier): "<topic>\t<json>".
+              // The connection is a data feed, not a subscriber — no ack, so
+              // a publisher can stream frames without round-trips.
+              val msg = new String(payload, "UTF-8")
+              val tab = msg.indexOf('\t')
+              if (tab > 0) sendAll(msg.substring(0, tab), msg.substring(tab + 1))
             case (cmd, _) =>
               asyncSend(Frame.pack(Frame.CMD_ERROR, s"tcp service does not support cmd: $cmd"))
           }
