@@ -1,5 +1,7 @@
 package graft.app
 
+import java.util.concurrent.atomic.AtomicReference
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -26,16 +28,25 @@ object Engine {
       sinks: Seq[CdcStream.SinkConfig] = Nil,
       useDsv2Source: Boolean = false,
       tableFilter: Option[String] = None,      // S3, only with the DSv2 source
-      maxStatementsPerTrigger: Option[Long] = None,
+      maxBytesPerTrigger: Option[Long] = None,  // admission control, DSv2 source
       controlPort: Option[Int] = None,         // P2; 0 = ephemeral
       tcpPubSubPort: Option[Int] = None,       // K1; 0 = ephemeral
-      trigger: Trigger = Trigger.AvailableNow())
+      trigger: Trigger = Trigger.AvailableNow(),
+      /** P2 hot reload: given the CTRL_RELOAD payload (the service name in the
+        * reference), re-read the config source and return the new sink set —
+        * the analogue of the daemon re-reading TOML and restarting the service
+        * (`main.go:169-187`, `subscribe/tcp.go:211-228`). Sinks are resolved
+        * per micro-batch, so the swap takes effect on the next batch without
+        * restarting the query. None ⇒ reload acks but changes nothing. */
+      reloadSinks: Option[String => Seq[CdcStream.SinkConfig]] = None)
 
   final class Handle(val query: StreamingQuery,
                      val control: Option[ControlService],
                      val pubsub: Option[TcpPubSubService],
-                     val registry: SubscriberRegistry) {
+                     val registry: SubscriberRegistry,
+                     sinksRef: AtomicReference[Seq[CdcStream.SinkConfig]]) {
     def awaitTermination(ms: Long): Boolean = query.awaitTermination(ms)
+    def currentSinks: Seq[CdcStream.SinkConfig] = sinksRef.get()
     def stop(): Unit = {
       scala.util.Try(query.stop())
       pubsub.foreach(_.stop())
@@ -48,12 +59,18 @@ object Engine {
   def start(spark: SparkSession, cfg: Config): Handle = {
     val registry = new SubscriberRegistry
     val pubsub = cfg.tcpPubSubPort.map(p => new TcpPubSubService(p))
+    // Executors stream each batch's envelopes straight into the pub/sub
+    // service's publish ingress — the driver never holds a batch of envelopes
+    // (the reference's push tier is likewise its own process fed by a queue,
+    // not the coordinator; `binlog/handler.go:81-98`).
+    val pushTo = pubsub.map(svc => ("127.0.0.1", svc.boundPort))
+    val sinksRef = new AtomicReference[Seq[CdcStream.SinkConfig]](cfg.sinks)
 
     val raw =
       if (cfg.useDsv2Source) {
         var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
         cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
-        cfg.maxStatementsPerTrigger.foreach(n => r = r.option("maxStatementsPerTrigger", n.toString))
+        cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
         r.load()
           .select(from_json(col("value"), CdcStream.rawSchema).as("r"))
           .select("r.*")
@@ -63,25 +80,15 @@ object Engine {
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        CdcStream.processBatch(batch, id, cfg.posFile, cfg.sinks)
-        // Push tier: re-read what this batch appended is not needed — the
-        // pub/sub service receives the same envelopes directly.
-        pubsub.foreach { svc =>
-          val env = graft.cdc.EnvelopeBuilder.withEventIndex(batch,
-            startIndex = CdcStream.PosStore.read(cfg.posFile)._2)
-          env.withColumn("envelope", graft.cdc.EnvelopeBuilder.envelopeJson(env))
-            .select("topic", "envelope")
-            .collect()  // the push tier is driver-side by design (like the reference)
-            .foreach(r => svc.sendAll(r.getString(0), r.getString(1)))
-        }
+        CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo)
       }
       .start()
 
     val control = cfg.controlPort.map(p => new ControlService(p,
       onStop = () => query.stop(),
-      onReload = _ => (), // config re-read hook; queries restart via stop/start
+      onReload = payload => cfg.reloadSinks.foreach(f => sinksRef.set(f(payload))),
       members = () => spark.streams.active.map(q => s"${q.name} ${q.id}").mkString("\n")))
 
-    new Handle(query, control, pubsub, registry)
+    new Handle(query, control, pubsub, registry, sinksRef)
   }
 }

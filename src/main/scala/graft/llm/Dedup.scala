@@ -50,9 +50,13 @@ object Dedup {
     *
     * Shape: explode → distinct-word dictionary (map-side partial agg collapses
     * each partition to its local vocab before the shuffle) → hash the dict →
-    * broadcast-join back to occurrences → groupBy collect+sort. If the vocab
-    * outgrows the broadcast threshold the hint degrades to a shuffled hash
-    * join on the word key — still linear, never all-pairs.
+    * join back to occurrences → groupBy collect+sort. The dict side carries NO
+    * broadcast hint on purpose: a hint is honored regardless of size, and a
+    * multi-GB vocabulary would OOM the driver / hit the 8 GB broadcast hard
+    * limit. AQE sees the dict's true size at runtime (it sits behind the
+    * distinct's shuffle) and converts to a broadcast join when it is small —
+    * the common case — while a genuinely huge vocab degrades to a shuffled
+    * join on the word key: still linear, never all-pairs.
     *
     * The final aggregate is also a HARD materialization boundary: a
     * column-level `transform(words, md5…)` gets inlined by CollapseProject
@@ -64,7 +68,7 @@ object Dedup {
       posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
     val dict = occ.select(col("__w")).distinct()
       .select(col("__w"), (shingleHash(col("__w")) % MinhashP).as("__h"))
-    occ.join(broadcast(dict), "__w")
+    occ.join(dict, "__w")
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("__p"), col("__h")))),
         s => s.getField("__h")).as("whs"))

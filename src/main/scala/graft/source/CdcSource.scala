@@ -1,5 +1,6 @@
 package graft.source
 
+import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
@@ -21,12 +22,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Models the reference's tail-the-binlog source
   * (`/root/reference/src/library/binlog/handler.go:20-71`, upstream loop
   * `vendor/.../canal/sync.go:44-140`) over a directory of JSON-lines files:
-  * the sorted file sequence is the binlog; a statement's (file, line) is its
-  * binlog position. The source emits RAW statement lines plus positions —
+  * the sorted file sequence is the binlog; a statement's position is its
+  * global BYTE offset in that sequence — the same unit as the reference's
+  * binlog position (`mysql.Position.Pos` is a byte offset,
+  * `handler.go:240-250`). The source emits RAW statement lines plus positions —
   * decoding to envelopes happens downstream (graft.cdc), exactly as the
   * reference separates the wire loop from `OnRow`.
   *
-  *  - S1: `MicroBatchStream` with offsets = global statement index; restart
+  *  - S1: `MicroBatchStream` with offsets = global byte position; restart
   *    resumes from the checkpointed offset (ST2's restore-and-clamp is the
   *    min(checkpoint, available) bound in [[CdcMicroBatchStream.latestOffset]]).
   *  - S2: the same table also supports BATCH_READ — a full snapshot read to
@@ -35,9 +38,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    in the reader BEFORE any decode, mirroring `checkTableMatch`
   *    (`vendor/.../canal/canal.go:243-280`); note the position still advances
   *    past filtered rows, like the reference.
-  *  - Admission control: `maxStatementsPerTrigger` bounds each micro-batch
+  *  - Admission control: `maxBytesPerTrigger` bounds each micro-batch
   *    (`SupportsAdmissionControl`), the backpressure analogue of the
   *    reference's bounded queues.
+  *
+  * Scale posture: planning touches ONLY file metadata (`Files.size`) — never
+  * file contents. An earlier revision counted lines per file on the driver
+  * (a full single-threaded pass over the corpus before the first micro-batch);
+  * byte-offset planning is O(#files) stat calls, and readers align themselves
+  * to line boundaries (Hadoop `LineRecordReader` semantics: a split owns the
+  * lines that START inside it; a split that begins mid-line skips forward to
+  * the first boundary). That also lets one large file split into many
+  * partitions (`splitBytes`, default 128 MiB) instead of one-partition-per-file.
   *
   * Usage: `spark.readStream.format("graft-cdc").option("path", dir).load()`.
   */
@@ -50,12 +62,14 @@ class CdcTableProvider extends TableProvider with DataSourceRegister {
 }
 
 object CdcSource {
-  /** Raw wire rows: the JSON line, its binlog position, and the pre-parsed
-    * routing key (extracted without a full JSON parse, for S3 filtering). */
+  /** Raw wire rows: the JSON line, its binlog position (file + byte offset of
+    * the line start, plus the global byte position across the sorted file
+    * sequence), and the pre-parsed routing key (extracted without a full JSON
+    * parse, for S3 filtering). */
   val schema: StructType = StructType(Seq(
     StructField("value", StringType),        // raw statement JSON line
     StructField("file", StringType),         // binlog file name
-    StructField("stmt_index", LongType),     // global statement position
+    StructField("pos", LongType),            // global byte position of line start
     StructField("db_table", StringType)))    // routing key, pre-decode
 
   private val dbRe = Pattern.compile("\"database\"\\s*:\\s*\"([^\"]*)\"")
@@ -68,14 +82,15 @@ object CdcSource {
     s"$db.$tb"
   }
 
-  /** Sorted (file, lineCount) listing — the "binlog" sequence. */
+  /** Sorted (file, sizeBytes) listing — the "binlog" sequence. Metadata only:
+    * this MUST NOT open file contents (the whole point of byte planning). */
   def listFiles(dir: String): Seq[(Path, Long)] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) return Seq.empty
     Files.list(d).iterator().asScala
       .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
       .toSeq.sortBy(_.getFileName.toString)
-      .map(p => p -> Files.lines(p, StandardCharsets.UTF_8).count())
+      .map(p => p -> Files.size(p))
   }
 }
 
@@ -92,6 +107,10 @@ class CdcTable(properties: Map[String, String]) extends Table with SupportsRead 
 class CdcScan(props: Map[String, String]) extends Scan {
   private val dir = props("path")
   private val filter = props.get("tablefilter").orElse(props.get("tableFilter"))
+  private def opt(name: String): Option[Long] =
+    props.get(name.toLowerCase).orElse(props.get(name)).map(_.toLong)
+  private val splitBytes = opt("splitBytes").getOrElse(CdcMicroBatchStream.DefaultSplitBytes)
+
   override def readSchema(): StructType = CdcSource.schema
   override def description(): String =
     s"graft-cdc dir=$dir filter=${filter.getOrElse("(none)")}"
@@ -99,53 +118,63 @@ class CdcScan(props: Map[String, String]) extends Scan {
   /** S2: snapshot — all statements currently in the directory, one batch. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      CdcMicroBatchStream.slice(CdcSource.listFiles(dir), 0L, Long.MaxValue, filter)
+      CdcMicroBatchStream.slice(CdcSource.listFiles(dir), 0L, Long.MaxValue, filter, splitBytes)
     override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(dir, filter,
-      props.get("maxstatementspertrigger").orElse(props.get("maxStatementsPerTrigger")).map(_.toLong))
+    new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes)
 }
 
-/** Offset = number of statements (lines) consumed from the start of the
-  * sorted file sequence. */
-case class CdcOffset(stmt: Long) extends Offset {
-  override def json(): String = s"""{"stmt":$stmt}"""
+/** Offset = bytes consumed from the start of the sorted file sequence. */
+case class CdcOffset(pos: Long) extends Offset {
+  override def json(): String = s"""{"pos":$pos}"""
 }
 
 object CdcMicroBatchStream {
-  /** Plan partitions for the global statement range [from, until): one
-    * partition per file slice. */
+  /** One reader task per at most this many bytes — a large binlog file fans
+    * out across the cluster instead of pinning one executor. */
+  val DefaultSplitBytes: Long = 128L * 1024 * 1024
+
+  /** Plan partitions for the global byte range [from, until): each file's
+    * overlap, chunked to `splitBytes`. Line-boundary alignment is the READER's
+    * job (LineRecordReader semantics), so splits may start/end mid-line. */
   def slice(files: Seq[(Path, Long)], from: Long, until: Long,
-            filter: Option[String]): Array[InputPartition] = {
+            filter: Option[String], splitBytes: Long = DefaultSplitBytes): Array[InputPartition] = {
     var base = 0L
     val parts = Seq.newBuilder[InputPartition]
-    files.foreach { case (p, n) =>
+    files.foreach { case (p, sz) =>
       val lo = math.max(from, base)
-      val hi = math.min(until, base + n)
-      if (lo < hi)
-        parts += CdcInputPartition(p.toString, lo - base, hi - base, base, filter)
-      base += n
+      val hi = math.min(until, base + sz)
+      var at = lo
+      while (at < hi) {
+        val end = math.min(at + splitBytes, hi)
+        parts += CdcInputPartition(p.toString, at - base, end - base, base, filter)
+        at = end
+      }
+      base += sz
     }
     parts.result().toArray
   }
 }
 
-class CdcMicroBatchStream(dir: String, filter: Option[String], maxPerTrigger: Option[Long])
+class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigger: Option[Long],
+                          splitBytes: Long = CdcMicroBatchStream.DefaultSplitBytes)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
-  // Line counts are cached per file: binlog files are append-only in the
-  // reference and immutable-once-written here; only NEW files get counted.
-  private val counts = scala.collection.mutable.LinkedHashMap[String, (Path, Long)]()
+  // Sizes are cached per file: binlog files are append-only in the reference
+  // and immutable-once-written here; only NEW files get stat'd. (Metadata
+  // only either way — the cache just keeps the sequence's base offsets
+  // stable if a file were ever truncated behind us.)
+  private val sizes = scala.collection.mutable.LinkedHashMap[String, (Path, Long)]()
   private var availableNowTarget: Option[Long] = None
 
   private def refresh(): Seq[(Path, Long)] = synchronized {
     CdcSource.listFiles(dir).foreach { case (p, n) =>
       val key = p.toString
-      if (!counts.contains(key)) counts(key) = (p, n)
+      if (!sizes.contains(key)) sizes(key) = (p, n)
     }
-    counts.values.toSeq
+    sizes.values.toSeq
   }
 
   private def totalAvailable(): Long = refresh().map(_._2).sum
@@ -153,24 +182,24 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxPerTrigger: Op
   override def initialOffset(): Offset = CdcOffset(0L)
 
   override def deserializeOffset(json: String): Offset =
-    CdcOffset("\"stmt\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+    CdcOffset("\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
       .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxPerTrigger.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[CdcOffset].stmt
+    val from = start.asInstanceOf[CdcOffset].pos
     // ST2 clamp: never promise beyond what the source actually has.
     val avail = availableNowTarget.getOrElse(totalAvailable())
-    val until = limit match {
-      case r: ReadMaxRows => math.min(avail, from + r.maxRows())
-      case _ => avail
-    }
+    // Admission control in the offset's own unit (bytes): a byte budget may
+    // land mid-line; the reader's start-in-range ownership rule keeps every
+    // line in exactly one batch regardless, and the offset always advances,
+    // so a budget smaller than one line cannot stall the stream.
+    val until = maxBytesPerTrigger.map(b => math.min(avail, from + b)).getOrElse(avail)
     CdcOffset(math.max(from, until))
   }
 
@@ -179,37 +208,99 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxPerTrigger: Op
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     CdcMicroBatchStream.slice(refresh(),
-      start.asInstanceOf[CdcOffset].stmt, end.asInstanceOf[CdcOffset].stmt, filter)
+      start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos, filter, splitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
   override def commit(end: Offset): Unit = () // files are immutable; nothing to ack
   override def stop(): Unit = ()
 }
 
-case class CdcInputPartition(file: String, fromLine: Long, untilLine: Long,
+case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
                              globalBase: Long, filter: Option[String]) extends InputPartition
 
-class CdcReaderFactory extends PartitionReaderFactory {
+/** The pluggable wire-reader seam: everything above this interface (planning,
+  * offsets, admission control) is protocol-agnostic; everything below it is
+  * "where do raw statement lines come from". [[FileBinlogReader]] tails the
+  * fixture files; a MySQL-protocol implementation (the reference's canal
+  * loop, `vendor/.../canal/sync.go:44-140`) slots in here without touching
+  * the DSv2 layer. */
+trait BinlogReader extends AutoCloseable {
+  /** Next (lineStartByteOffsetWithinFile, line), or null when exhausted. */
+  def nextLine(): (Long, String)
+}
+
+/** Reads the lines of `[fromByte, untilByte)` of one file with
+  * LineRecordReader alignment: a bounded pre-scan finds the first line
+  * boundary at-or-after `fromByte`, then the reader owns every line that
+  * STARTS before `untilByte` (reading past `untilByte` to finish the last
+  * owned line). Byte positions are tracked from line content (UTF-8 length
+  * + 1 for the '\n' terminator — fixture lines are newline-terminated). */
+final class FileBinlogReader(file: String, fromByte: Long, untilByte: Long) extends BinlogReader {
+  private val startAt = FileBinlogReader.alignToBoundary(file, fromByte)
+  private val ch = Files.newByteChannel(Paths.get(file))
+  ch.position(startAt)
+  private val reader = new BufferedReader(new InputStreamReader(
+    java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+  private var at: Long = startAt // byte offset of the next unread line
+
+  override def nextLine(): (Long, String) = {
+    if (at >= untilByte) return null
+    val line = reader.readLine()
+    if (line == null) return null
+    val start = at
+    at += line.getBytes(StandardCharsets.UTF_8).length + 1
+    (start, line)
+  }
+
+  override def close(): Unit = { reader.close(); ch.close() }
+}
+
+object FileBinlogReader {
+  /** Exact byte offset of the first line boundary at-or-after `fromByte`
+    * (0 if fromByte == 0): scans at most one line with an unbuffered-ish
+    * bounded read, so the subsequent BufferedReader starts at a known offset. */
+  def alignToBoundary(file: String, fromByte: Long): Long = {
+    if (fromByte == 0) return 0L
+    val ch = Files.newByteChannel(Paths.get(file))
+    try {
+      ch.position(fromByte - 1)
+      val in = java.nio.channels.Channels.newInputStream(ch)
+      var off = fromByte - 1
+      var b = in.read()
+      while (b >= 0 && b != '\n') { off += 1; b = in.read() }
+      if (b < 0) off // EOF before any newline ⇒ no lines start in this split
+      else off + 1   // first byte after the newline
+    } finally ch.close()
+  }
+}
+
+/** Builds the wire reader for a partition. `mkReader` is the [[BinlogReader]]
+  * seam: the default tails fixture files; a MySQL-protocol reader (speaking
+  * the replication protocol like the reference's canal loop) is a drop-in
+  * replacement — planning, offsets, filtering and row assembly above it do
+  * not change. */
+class CdcReaderFactory(
+    mkReader: CdcInputPartition => BinlogReader = p => new FileBinlogReader(p.file, p.fromByte, p.untilByte))
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
     new PartitionReader[InternalRow] {
-      private val reader = Files.newBufferedReader(Paths.get(p.file), StandardCharsets.UTF_8)
+      private val wire = mkReader(p)
       private val pattern = p.filter.map(Pattern.compile)
       private var line: String = _
-      private var lineNo: Long = 0L
-      private var emittedAt: Long = -1L
-      (0L until p.fromLine).foreach(_ => { reader.readLine(); lineNo += 1 })
+      private var emittedAt: Long = -1L // byte offset of `line` within the file
 
       override def next(): Boolean = {
-        while (lineNo < p.untilLine) {
-          line = reader.readLine()
-          if (line == null) return false
-          emittedAt = lineNo
-          lineNo += 1
-          // S3: filter BEFORE decode; the position still advances past
-          // filtered statements (canal.go:243-280 semantics).
-          val key = CdcSource.dbTableOf(line)
-          if (pattern.forall(_.matcher(key).find())) return true
+        // S3: filter BEFORE decode; the position still advances past
+        // filtered statements (canal.go:243-280 semantics).
+        var n = wire.nextLine()
+        while (n != null) {
+          val key = CdcSource.dbTableOf(n._2)
+          if (pattern.forall(_.matcher(key).find())) {
+            emittedAt = n._1; line = n._2
+            return true
+          }
+          n = wire.nextLine()
         }
         false
       }
@@ -221,7 +312,7 @@ class CdcReaderFactory extends PartitionReaderFactory {
           p.globalBase + emittedAt,
           UTF8String.fromString(CdcSource.dbTableOf(line)))
 
-      override def close(): Unit = reader.close()
+      override def close(): Unit = wire.close()
     }
   }
 }

@@ -103,6 +103,13 @@ object CdcStream {
         lines.write.mode("append").text(s.dir)
       }
       pushTo.foreach { case (host, port) =>
+        // Delivery is AT-LEAST-ONCE: the push runs before PosStore.write and
+        // inside a Spark action whose task restarts from the start on retry,
+        // so subscribers can see duplicate CMD_EVENT frames on task retry or
+        // batch replay. The envelope JSON carries `event_index` — replay-stable
+        // across retries AND batch replays (same batch ⇒ same start index) —
+        // which is the consumer-side dedup key, mirroring the reference's
+        // at-least-once offset contract (`handler.go:249`, XID-commit saves).
         // Sort, then coalesce(1): the single task concatenates the range-sorted
         // partitions in order, so ONE executor task streams the batch to the
         // push tier in event_index order through one socket, memory-bounded
@@ -137,10 +144,11 @@ object CdcStream {
     * (used by tests/backfills); pass a processing-time trigger for tailing. */
   def start(spark: SparkSession, inputDir: String, checkpointDir: String,
             posFile: String, sinks: Seq[SinkConfig],
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+            trigger: Trigger = Trigger.AvailableNow(),
+            pushTo: Option[(String, Int)] = None): StreamingQuery =
     readRaw(spark, inputDir).writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, posFile, sinks))
+      .foreachBatch((batch: DataFrame, id: Long) => processBatch(batch, id, posFile, sinks, pushTo))
       .start()
 }

@@ -46,6 +46,12 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     // matches — a node whose only patterns are invalid receives nothing, so
     // "no filters" must be judged on the registered set, not the compiled one.
     @volatile private var hasFilters: Boolean = false
+    // A connection that publishes is a data feed, not a subscriber: a
+    // filterless publisher would otherwise match every topic and have its own
+    // events echoed into its send queue — it never reads, so the queue fills,
+    // the blocking put wedges this node's reader thread, and the publish
+    // socket stops draining (deterministic deadlock past ~10k envelopes).
+    @volatile var isPublisher: Boolean = false
     private val sendQueue = new LinkedBlockingQueue[Array[Byte]](10000)
     private val open = new AtomicBoolean(true)
 
@@ -62,6 +68,11 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     /** Blocking enqueue: publisher waits when the queue is full
       * (`node.go:84-89` busy-waits; blocking put is the same contract). */
     def asyncSend(data: Array[Byte]): Unit = if (open.get) sendQueue.put(data)
+
+    /** Non-blocking enqueue for liveness frames: one slow subscriber must not
+      * stall the shared keepalive thread for every other node; a full queue
+      * already implies pending traffic, so dropping the tick loses nothing. */
+    def trySend(data: Array[Byte]): Unit = if (open.get) { sendQueue.offer(data); () }
 
     private val writer = thread(s"pubsub-writer") {
       while (open.get) {
@@ -90,6 +101,7 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
               // Publish ingress (executor → push tier): "<topic>\t<json>".
               // The connection is a data feed, not a subscriber — no ack, so
               // a publisher can stream frames without round-trips.
+              isPublisher = true
               val msg = new String(payload, "UTF-8")
               val tab = msg.indexOf('\t')
               if (tab > 0) sendAll(msg.substring(0, tab), msg.substring(tab + 1))
@@ -128,7 +140,7 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     val frame = Frame.pack(Frame.CMD_TICK, "ok")
     while (running.get) {
       Thread.sleep(keepaliveMs)
-      nodes.asScala.foreach(_.asyncSend(frame))
+      nodes.asScala.foreach(n => if (!n.isPublisher) n.trySend(frame))
     }
   }
 
@@ -136,7 +148,7 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     * set matches (`groups.go:41-51`); payload framed as CMD_EVENT. */
   def sendAll(topic: String, json: String): Unit = {
     val framed = Frame.pack(Frame.CMD_EVENT, json) // serialize/frame once
-    nodes.asScala.foreach(n => if (n.matches(topic)) n.asyncSend(framed))
+    nodes.asScala.foreach(n => if (!n.isPublisher && n.matches(topic)) n.asyncSend(framed))
   }
 
   def connectionCount: Int = nodes.size()

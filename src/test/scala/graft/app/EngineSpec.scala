@@ -49,4 +49,83 @@ class EngineSpec extends SparkSpec {
       assert(ControlClient.stop(ctl.boundPort) === "ok")
     } finally handle.stop()
   }
+
+  test("P2 hot reload: CTRL_RELOAD swaps the sink set; the next batch fans out to it") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    Files.write(in.resolve("bin.0001"), Seq(line("test", "city", 1)).asJava)
+
+    val sinkA = CdcStream.SinkConfig("a", s"$out/a")
+    val sinkB = CdcStream.SinkConfig("b", s"$out/b")
+    // The "config source" the reload re-reads (the reference re-reads TOML,
+    // `main.go:169-187`); here a mutable holder the test flips.
+    @volatile var configured: Seq[CdcStream.SinkConfig] = Seq(sinkA)
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = configured,
+      controlPort = Some(0),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200),
+      reloadSinks = Some(_ => configured)))
+    try {
+      def awaitSink(dir: String, n: Int): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (readSink(dir).size < n && System.currentTimeMillis() < deadline) Thread.sleep(200)
+      }
+      awaitSink(s"$out/a", 1)
+      assert(readSink(s"$out/a").size === 1 && readSink(s"$out/b").isEmpty)
+
+      configured = Seq(sinkA, sinkB)
+      assert(ControlClient.reload(handle.control.get.boundPort, "subscribe") === "ok")
+      assert(handle.currentSinks.map(_.name) === Seq("a", "b"))
+
+      Files.write(in.resolve("bin.0002"), Seq(line("test", "user", 2)).asJava)
+      awaitSink(s"$out/b", 1)
+      val b = readSink(s"$out/b")
+      assert(b.size === 1 && b.head.contains("\"table\":\"user\""),
+        "sink added via reload receives exactly the post-reload batch")
+      assert(readSink(s"$out/a").size === 2)
+    } finally handle.stop()
+  }
+
+  test("push tier: executors stream envelopes to the pub/sub service; no driver collect") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    Files.write(in.resolve("bin.0001"),
+      (1L to 5L).map(i => line("test", "city", i)).asJava)
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+      tcpPubSubPort = Some(0),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200)))
+    try {
+      val svc = handle.pubsub.get
+      // Live subscriber (no SET_PRO topics ⇒ receives everything).
+      val sock = new java.net.Socket("127.0.0.1", svc.boundPort)
+      val re = new graft.streaming.Frame.Reassembler
+      val buf = new Array[Byte](4096)
+      val events = scala.collection.mutable.ArrayBuffer[String]()
+      val deadline = System.currentTimeMillis() + 60000
+      sock.setSoTimeout(1000)
+      while (events.size < 5 && System.currentTimeMillis() < deadline) {
+        try {
+          val n = sock.getInputStream.read(buf)
+          if (n > 0) events ++= re.feed(buf, n).collect {
+            case (graft.streaming.Frame.CMD_EVENT, b) => new String(b, "UTF-8")
+          }
+        } catch { case _: java.net.SocketTimeoutException => () }
+      }
+      sock.close()
+      assert(events.size === 5, s"subscriber must receive all 5 envelopes, got ${events.size}")
+      assert(events.forall(_.contains("\"table\":\"city\"")))
+      // Replay-stable dedup key is in the payload (at-least-once contract).
+      assert(events.forall(_.contains("\"event_index\":")))
+      // In event_index order: the push path sorts then streams through one task.
+      val idx = events.map(e => "\"event_index\":(\\d+)".r.findFirstMatchIn(e).get.group(1).toLong)
+      assert(idx.toSeq === idx.sorted.toSeq)
+    } finally handle.stop()
+  }
 }

@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 /** DSv2 source tests: admission control batch sizing, checkpointed restart
   * from the committed offset, source-side table filtering (position still
-  * advances), snapshot batch read. */
+  * advances), snapshot batch read, metadata-only planning, split alignment. */
 class CdcSourceSpec extends SparkSpec {
 
   private def tmp(): Path = Files.createTempDirectory("graft_src")
@@ -31,44 +31,67 @@ class CdcSourceSpec extends SparkSpec {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batches += batch.count()
-        batch.select("stmt_index").write.mode("append").parquet(s"$out/rows")
+        batch.select("pos", "value").write.mode("append").parquet(s"$out/rows")
       }
       .start()
     q.awaitTermination(120000)
     batches.toSeq
   }
 
-  private def indices(out: Path): Seq[Long] =
+  private def positions(out: Path): Seq[Long] =
     spark.read.parquet(s"$out/rows").collect().map(_.getLong(0)).sorted.toSeq
 
-  test("admission control: maxStatementsPerTrigger bounds every micro-batch") {
+  /** Expected byte positions of each line start given newline-terminated lines. */
+  private def lineStarts(lines: Seq[String], base: Long = 0L): Seq[Long] =
+    lines.scanLeft(base)((at, l) => at + l.getBytes("UTF-8").length + 1).init
+
+  test("admission control: maxBytesPerTrigger bounds every micro-batch") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
-    write(in, "bin.0001", (0L until 7L).map(i => line("d", "t", i)))
-    val sizes = drain(in, cp, out, Map("maxStatementsPerTrigger" -> "3"))
+    val ls = (0L until 7L).map(i => line("d", "t", i))
+    write(in, "bin.0001", ls)
+    // ~3 lines per byte budget: every batch's row count is bounded and the
+    // stream still drains everything exactly once.
+    val budget = (ls.take(3).map(_.length + 1).sum).toString
+    val sizes = drain(in, cp, out, Map("maxBytesPerTrigger" -> budget))
     assert(sizes.filter(_ > 0).forall(_ <= 3), s"batch sizes: $sizes")
     assert(sizes.sum === 7)
-    assert(indices(out) === (0L until 7L))
+    assert(positions(out) === lineStarts(ls))
+  }
+
+  test("a byte budget smaller than one line still advances (0-row batches, no stall)") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    val ls = (0L until 3L).map(i => line("d", "t", i))
+    write(in, "bin.0001", ls)
+    val sizes = drain(in, cp, out, Map("maxBytesPerTrigger" -> "10"))
+    assert(sizes.sum === 3, s"all lines exactly once, got $sizes")
+    assert(positions(out) === lineStarts(ls))
   }
 
   test("restart resumes from the committed offset; new files continue the sequence") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
-    write(in, "bin.0001", (0L until 4L).map(i => line("d", "t", i)))
+    val first = (0L until 4L).map(i => line("d", "t", i))
+    write(in, "bin.0001", first)
     assert(drain(in, cp, out).sum === 4)
-    write(in, "bin.0002", (4L until 9L).map(i => line("d", "t", i)))
-    val second = drain(in, cp, out)
-    assert(second.sum === 5, s"restart must only read the new file, got $second")
-    assert(indices(out) === (0L until 9L), "global stmt_index dense across files and restarts")
+    val second = (4L until 9L).map(i => line("d", "t", i))
+    write(in, "bin.0002", second)
+    val sizes = drain(in, cp, out)
+    assert(sizes.sum === 5, s"restart must only read the new file, got $sizes")
+    val firstBytes = first.map(_.getBytes("UTF-8").length + 1L).sum
+    assert(positions(out) === lineStarts(first) ++ lineStarts(second, firstBytes),
+      "global byte positions dense across files and restarts")
   }
 
   test("S3 tableFilter drops before decode but positions still advance") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
-    write(in, "bin.0001", Seq(
+    val ls = Seq(
       line("test", "city", 0), line("shop", "orders", 1),
-      line("test", "user", 2), line("other", "x", 3)))
+      line("test", "user", 2), line("other", "x", 3))
+    write(in, "bin.0001", ls)
     val sizes = drain(in, cp, out, Map("tableFilter" -> "^test\\."))
     assert(sizes.sum === 2)
-    // Filtered statements keep their binlog positions: survivors are 0 and 2.
-    assert(indices(out) === Seq(0L, 2L))
+    // Filtered statements keep their binlog positions: survivors are lines 0 and 2.
+    val starts = lineStarts(ls)
+    assert(positions(out) === Seq(starts(0), starts(2)))
   }
 
   test("S2 snapshot: the same table batch-reads everything") {
@@ -77,6 +100,57 @@ class CdcSourceSpec extends SparkSpec {
     val snap = spark.read.format("graft-cdc").option("path", in.toString).load()
     assert(snap.count() === 6)
     assert(snap.select("db_table").distinct().collect().map(_.getString(0)).toSeq === Seq("d.t"))
+  }
+
+  test("planning is metadata-only: a 1 TB sparse file plans instantly, unread") {
+    val in = tmp()
+    val huge = in.resolve("bin.0001")
+    val raf = new java.io.RandomAccessFile(huge.toFile, "rw")
+    try raf.setLength(1L << 40) finally raf.close() // sparse: no blocks written
+    val t0 = System.nanoTime()
+    val files = CdcSource.listFiles(in.toString)
+    val parts = CdcMicroBatchStream.slice(files, 0L, 1L << 40, None, splitBytes = 1L << 30)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    assert(files.map(_._2).sum === (1L << 40))
+    assert(parts.length === 1024, "1 TiB at 1 GiB splits = 1024 partitions")
+    // Counting lines of 1 TB would take minutes; metadata planning is instant.
+    assert(elapsed < 5.0, s"planning must not open file contents (took ${elapsed}s)")
+  }
+
+  test("splits align to line boundaries: every line exactly once, any split size") {
+    val in = tmp()
+    val ls = (0L until 50L).map(i => line("db", "tbl", i))
+    write(in, "bin.0001", ls)
+    val files = CdcSource.listFiles(in.toString)
+    val starts = lineStarts(ls)
+    // Sweep split sizes incl. pathological ones (1 byte ⇒ one split per byte).
+    for (split <- Seq(1L, 7L, 64L, 1000L, 1L << 20)) {
+      val parts = CdcMicroBatchStream.slice(files, 0L, Long.MaxValue, None, split)
+      val got = parts.flatMap { ip =>
+        val r = new CdcReaderFactory().createReader(ip)
+        val buf = scala.collection.mutable.ArrayBuffer[Long]()
+        while (r.next()) buf += r.get().getLong(2)
+        r.close()
+        buf
+      }.sorted.toSeq
+      assert(got === starts, s"split=$split must own each line exactly once")
+    }
+  }
+
+  test("BinlogReader seam: a synthetic wire reader drops in without DSv2 changes") {
+    val scripted = Seq(0L -> """{"database":"d","table":"t","action":"insert","ts":1,"stmt_seq":0,"rows":[]}""",
+                       90L -> """{"database":"d","table":"t","action":"insert","ts":2,"stmt_seq":1,"rows":[]}""")
+    val factory = new CdcReaderFactory(mkReader = _ => new BinlogReader {
+      private val it = scripted.iterator
+      override def nextLine(): (Long, String) = if (it.hasNext) it.next() else null
+      override def close(): Unit = ()
+    })
+    val r = factory.createReader(CdcInputPartition("mem", 0L, Long.MaxValue, 1000L, None))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    while (r.next()) { val row = r.get(); out += ((row.getLong(2), row.getString(3))) }
+    r.close()
+    assert(out.toSeq === Seq((1000L, "d.t"), (1090L, "d.t")),
+      "positions = globalBase + wire offsets; routing key decoded from the line")
   }
 
   test("source composes with the envelope pipeline (from_json on value)") {
