@@ -241,10 +241,74 @@ object CdcQueries {
       |  true AS m_empty
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  // -------------------------------------------------- q32: schema drift
+
+  /** SURVEY §7.4: rows before and after an in-stream ALTER decode under
+    * different schema VERSIONS ([[graft.cdc.SchemaRegistry]]) — the case the
+    * reference's readme warns it gets wrong (`readme.md:54`). Data rows take
+    * even sequences (okey*2); the ALTER sits at the odd seq 30001, so the
+    * boundary is collision-free at every scale factor. The added `flag`
+    * column lands positionally BETWEEN qty and note (AFTER qty), so a
+    * stale-schema decode would misread every post-alter row image. */
+  private def q32(s: SparkSession, d: String): DataFrame = {
+    import graft.cdc.{Decode, SchemaRegistry}
+    val okey = col("o_orderkey")
+    val alterSeq = 30001L
+    val qty = (okey % 65536) - 32768
+    val pre = array(array(okey.cast("string"), qty.cast("string"), concat(lit("n"), okey)))
+    val post = array(array(okey.cast("string"), qty.cast("string"),
+      (okey % 3 + 1).cast("string"), concat(lit("n"), okey)))
+    val data = Tables.orders(s, d).select(
+      lit("shop").as("database"), lit("drift").as("table"),
+      lit("insert").as("action"), lit(0L).as("ts"),
+      (okey * 2).as("stmt_seq"),
+      when(okey * 2 < alterSeq, pre).otherwise(post).as("rows"),
+      lit(null).cast("string").as("query"))
+    val alter = s.range(1).select(
+      lit("shop").as("database"), lit("drift").as("table"),
+      lit("alter").as("action"), lit(0L).as("ts"),
+      lit(alterSeq).as("stmt_seq"),
+      lit(null).cast("array<array<string>>").as("rows"),
+      lit("ALTER TABLE shop.drift ADD COLUMN flag enum('a','b','c') AFTER qty").as("query"))
+
+    val reg = new SchemaRegistry
+    reg.register("shop", "drift", Seq(
+      Decode.ColMeta("id", "int(11)"),
+      Decode.ColMeta("qty", "smallint(5) unsigned", unsigned = true),
+      Decode.ColMeta("note", "varchar(20)")))
+    reg.decodeBatch(data.unionAll(alter))
+      .select(col("stmt_seq"), col("schema_version"), col("event_type"), col("event"))
+      .orderBy("stmt_seq")
+  }
+
+  private val q32Sql =
+    """WITH d AS (
+      |  SELECT o_orderkey AS okey, o_orderkey*2 AS stmt_seq,
+      |    CASE WHEN (o_orderkey%65536)-32768 < 0
+      |         THEN (o_orderkey%65536)-32768+65536
+      |         ELSE (o_orderkey%65536)-32768 END AS qtyv
+      |  FROM orders),
+      |ev AS (
+      |  SELECT stmt_seq,
+      |    CASE WHEN stmt_seq < 30001 THEN 1 ELSE 2 END AS schema_version,
+      |    'insert' AS event_type,
+      |    CASE WHEN stmt_seq < 30001 THEN
+      |      '{"data":{"id":' || okey || ',"note":"n' || okey || '","qty":' || qtyv || '}}'
+      |    ELSE
+      |      '{"data":{"flag":"' || CASE okey%3+1 WHEN 1 THEN 'a' WHEN 2 THEN 'b' ELSE 'c' END
+      |        || '","id":' || okey || ',"note":"n' || okey || '","qty":' || qtyv || '}}'
+      |    END AS event
+      |  FROM d
+      |  UNION ALL
+      |  SELECT 30001::BIGINT, 2, 'alter', NULL)
+      |SELECT stmt_seq, schema_version, event_type, event FROM ev
+      |ORDER BY stmt_seq""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q17_envelope", q17, Some(q17Sql)),
     QueryDef("q18_update_pairs", q18, Some(q18Sql)),
     QueryDef("q19_decode", q19, Some(q19Sql)),
     QueryDef("q20_topic_filter", q20, Some(q20Sql)),
+    QueryDef("q32_schema_drift", q32, Some(q32Sql)),
   )
 }

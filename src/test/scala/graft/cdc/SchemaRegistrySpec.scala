@@ -1,0 +1,121 @@
+package graft.cdc
+
+import graft.SparkSpec
+import graft.cdc.{Decode, SchemaRegistry}
+import org.apache.spark.sql.functions._
+
+/** Schema drift (SURVEY §7.4): versioned per-table schemas driven by in-stream
+  * ALTER DDL, decoding each row under the schema live at its position — the
+  * behavior the reference's readme warns it gets wrong (`readme.md:54`). */
+class SchemaRegistrySpec extends SparkSpec {
+  import SchemaRegistry._
+
+  private def names(cols: Seq[Decode.ColMeta]): Seq[String] = cols.map(_.name)
+
+  test("parseAlter: ADD/DROP/MODIFY/CHANGE with placement, enum/set, unsigned") {
+    assert(parseAlter("ALTER TABLE db.t ADD COLUMN c int(10) unsigned") ===
+      Seq(AddColumn(Decode.ColMeta("c", "int(10) unsigned", unsigned = true), None)))
+    assert(parseAlter("alter table `t` add c2 varchar(32) FIRST") ===
+      Seq(AddColumn(Decode.ColMeta("c2", "varchar(32)"), Some(None))))
+    assert(parseAlter("ALTER TABLE t ADD COLUMN c3 bigint AFTER `a`") ===
+      Seq(AddColumn(Decode.ColMeta("c3", "bigint"), Some(Some("a")))))
+    assert(parseAlter("ALTER TABLE t DROP COLUMN old") === Seq(DropColumn("old")))
+    assert(parseAlter("ALTER TABLE t MODIFY c smallint unsigned") ===
+      Seq(ModifyColumn(Decode.ColMeta("c", "smallint unsigned", unsigned = true))))
+    assert(parseAlter("ALTER TABLE t CHANGE COLUMN a b tinyint") ===
+      Seq(ChangeColumn("a", Decode.ColMeta("b", "tinyint"))))
+    // enum values with a comma inside quotes must not split the clause list
+    assert(parseAlter("ALTER TABLE t ADD flag enum('x','y'), DROP COLUMN z") ===
+      Seq(AddColumn(Decode.ColMeta("flag", "enum('x','y')",
+        enumValues = Seq("x", "y")), None), DropColumn("z")))
+    assert(colMetaOf("tags", "set('red','green')").setValues === Seq("red", "green"))
+    // non-column clauses (indexes etc.) don't change the row image
+    assert(parseAlter("ALTER TABLE t ADD INDEX idx (a), DROP COLUMN b") ===
+      Seq(DropColumn("b")))
+    assert(parseAlter("not ddl at all") === Nil)
+  }
+
+  test("applyOp keeps positional truth: FIRST/AFTER place the decode slot") {
+    val base = Seq(Decode.ColMeta("a", "int"), Decode.ColMeta("b", "int"))
+    assert(names(applyOp(base, AddColumn(Decode.ColMeta("c", "int"), None))) === Seq("a", "b", "c"))
+    assert(names(applyOp(base, AddColumn(Decode.ColMeta("c", "int"), Some(None)))) === Seq("c", "a", "b"))
+    assert(names(applyOp(base, AddColumn(Decode.ColMeta("c", "int"), Some(Some("a"))))) === Seq("a", "c", "b"))
+    assert(names(applyOp(base, DropColumn("a"))) === Seq("b"))
+    assert(names(applyOp(base, ChangeColumn("b", Decode.ColMeta("b2", "bigint")))) === Seq("a", "b2"))
+  }
+
+  test("versions are sequence-ranged and replay-idempotent") {
+    val reg = new SchemaRegistry
+    reg.register("db", "t", Seq(Decode.ColMeta("id", "int"), Decode.ColMeta("v", "varchar(8)")))
+    reg.applyAlter("db", "t", 100L, "ALTER TABLE db.t ADD COLUMN extra int")
+    assert(reg.schemaAt("db", "t", 99L).get.version === 1)
+    assert(reg.schemaAt("db", "t", 100L).get.version === 2)
+    assert(names(reg.schemaAt("db", "t", 500L).get.cols) === Seq("id", "v", "extra"))
+    // Replay of the batch that carried the ALTER re-applies it: same version,
+    // not a stacked v3.
+    reg.applyAlter("db", "t", 100L, "ALTER TABLE db.t ADD COLUMN extra int")
+    assert(reg.versionsOf("db", "t").size === 2)
+    // A later alter chains off the live schema.
+    reg.applyAlter("db", "t", 200L, "ALTER TABLE db.t DROP COLUMN v")
+    assert(names(reg.schemaAt("db", "t", 201L).get.cols) === Seq("id", "extra"))
+    assert(reg.schemaAt("db", "t", 150L).get.version === 2)
+    assert(reg.schemaAt("db", "unknown", 1L) === None)
+  }
+
+  test("drift decode: insert -> alter -> insert-with-new-column, both correct") {
+    import spark.implicits._
+    // The failure the reference warns about (readme.md:54): rows before and
+    // after an ALTER in the SAME stream must decode under different schemas.
+    val raw = Seq(
+      // v1 rows: (id, name)
+      ("shop", "user", "insert", 10L, 1L, Seq(Seq("1", "ann")), null: String),
+      ("shop", "user", "insert", 11L, 2L, Seq(Seq("2", "bob")), null: String),
+      // the ALTER itself (one envelope, no event payload)
+      ("shop", "user", "alter", 12L, 3L, null: Seq[Seq[String]],
+        "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id"),
+      // v2 rows: (id, age, name) - age sits in slot 2 per AFTER id
+      ("shop", "user", "insert", 13L, 4L, Seq(Seq("3", "-6", "cat")), null: String),
+      ("shop", "user", "update", 14L, 5L,
+        Seq(Seq("3", "-6", "cat"), Seq("3", "7", "cat")), null: String)
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+
+    val reg = new SchemaRegistry
+    reg.register("shop", "user",
+      Seq(Decode.ColMeta("id", "int"), Decode.ColMeta("name", "varchar(16)")))
+
+    val out = reg.decodeBatch(raw)
+      .select("stmt_seq", "schema_version", "event_type", "event")
+      .orderBy("stmt_seq").collect()
+
+    assert(out.map(_.getInt(1)).toSeq === Seq(1, 1, 2, 2, 2),
+      "the new version is effective FROM the alter's own sequence")
+    assert(out(0).getString(3) === """{"data":{"id":1,"name":"ann"}}""")
+    assert(out(2).getString(3) === null, "alter envelope has no event payload")
+    // unsigned tinyint fix-up applies to the NEW column: -6 -> 250
+    assert(out(3).getString(3) === """{"data":{"age":250,"id":3,"name":"cat"}}""")
+    assert(out(4).getString(3) ===
+      """{"data":{"new_data":{"age":7,"id":3,"name":"cat"},"old_data":{"age":250,"id":3,"name":"cat"}}}""")
+  }
+
+  test("a batch straddling two ALTERs yields three correct version slices") {
+    import spark.implicits._
+    val raw = Seq(
+      ("d", "t", "insert", 1L, 10L, Seq(Seq("1")), null: String),
+      ("d", "t", "alter", 1L, 20L, null: Seq[Seq[String]],
+        "ALTER TABLE d.t ADD COLUMN b varchar(4)"),
+      ("d", "t", "insert", 1L, 30L, Seq(Seq("2", "x")), null: String),
+      ("d", "t", "alter", 1L, 40L, null: Seq[Seq[String]],
+        "ALTER TABLE d.t DROP COLUMN a"),
+      ("d", "t", "insert", 1L, 50L, Seq(Seq("y")), null: String)
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+
+    val reg = new SchemaRegistry
+    reg.register("d", "t", Seq(Decode.ColMeta("a", "int")))
+    val out = reg.decodeBatch(raw)
+      .select("stmt_seq", "event").orderBy("stmt_seq").collect()
+    assert(out.map(r => Option(r.getString(1)).orNull).toSeq === Seq(
+      """{"data":{"a":1}}""", null,
+      """{"data":{"a":2,"b":"x"}}""", null,
+      """{"data":{"b":"y"}}"""))
+  }
+}

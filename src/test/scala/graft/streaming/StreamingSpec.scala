@@ -110,6 +110,24 @@ class StreamingSpec extends SparkSpec {
     assert(indices(out1) === indices(out2), "replayed batch must reuse its original indices")
   }
 
+  test("no cached-frame leak: getPersistentRDDs is empty after N batches") {
+    val (pos, out) = (tmp().resolve("pos.bin"), tmp())
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Relative to the session's pre-existing cache: other suites may hold
+    // legitimate one-shot persists on the shared SparkSession.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    (1L to 5L).foreach { id =>
+      val batch = Seq(("d", "t", "insert", 100L, id, Seq(Seq(("id", id.toString)))))
+        .toDF("database", "table", "action", "ts", "stmt_seq", "rows")
+        .withColumn("rows", expr("transform(rows, r -> transform(r, e -> named_struct('k', e._1, 'v', e._2)))"))
+      CdcStream.processBatch(batch, id, pos.toString, Seq(SinkConfig("s", s"$out/s")))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty,
+      "each micro-batch must unpersist its intermediates (long-running engine leak)")
+    assert(readSink(s"$out/s").size === 5)
+  }
+
   test("subscriber registry: normalization, empty-topics match-all, filtered delivery") {
     val reg = new SubscriberRegistry
     reg.connect("phpClient")
