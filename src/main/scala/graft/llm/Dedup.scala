@@ -164,6 +164,101 @@ object Dedup {
     (out, () => { sig.unpersist(); () })
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; published, widely
+    * reimplemented). Unlike [[nearDupPairs]] (MinHash — probabilistic recall),
+    * this returns EXACTLY the pairs with Jaccard(shingles_a, shingles_b) ≥ t:
+    *
+    *  1. global shingle document-frequency (one groupBy — map-side combined);
+    *  2. each doc sorts its shingle set by (df ASC, shingle) — rarest first —
+    *     and keeps only the PREFIX of length |S| − ⌈t·|S|⌉ + 1. Any pair with
+    *     J ≥ t must share at least one prefix shingle under a consistent
+    *     global order (the prefix-filter guarantee), so recall is lossless;
+    *  3. candidates = equi-join on prefix shingles (a < b), pre-pruned by the
+    *     size filter t·|Sa| ≤ |Sb| ∧ t·|Sb| ≤ |Sa|;
+    *  4. exact Jaccard verify on the full sets, candidates only.
+    *
+    * Scale posture: the join keys are by construction the RAREST shingles in
+    * the corpus (df-ascending prefixes), so bucket sizes are small and skew is
+    * structurally avoided — the opposite of joining on common tokens. Every
+    * stage is a keyed shuffle (shingle or doc_id); nothing is all-pairs. */
+  def jaccardJoin(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, threshold: Double = 0.5): DataFrame =
+    jaccardJoinManaged(docs, idCol, textCol, n, threshold)._1
+
+  /** [[jaccardJoin]] plus a cleanup handle (same contract as
+    * [[nearDupPairsManaged]]): the shingle-set frame feeds the df count, the
+    * prefix build AND both verify joins, and the prefix frame feeds both sides
+    * of the candidate self-join — without persists each reference recomputes
+    * the whole upstream (the measured round-2 trap: self-joins ×N the
+    * pipeline). */
+  def jaccardJoinManaged(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    // Shingle identity is a 64-bit hash, never a string: every downstream join
+    // keys on 8-byte values and the verify intersects long arrays. Jaccard on
+    // hashed sets equals Jaccard on string sets absent a 64-bit collision
+    // inside one candidate pair (~|S|²/2⁶⁴ — negligible); array_distinct
+    // guards the within-doc case.
+    //
+    // Built explode-first (word → xxhash64 per occurrence → collect in word
+    // order → n-gram = xxhash64 of n consecutive word hashes): the string
+    // shingle form `transform(shingles(text), …)` re-evaluates the captured
+    // `split(lower(text))` per lambda element — measured 13.5 s vs 1.4 s for
+    // this shape at sf0.1. xxhash64 over materialized longs is codegen'd and
+    // ANSI-safe (no overflow, unlike a 64-bit polynomial combine).
+    val wh = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
+      .select(col("doc_id"), col("__p"), xxhash64(col("__w")).as("__h"))
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("__p"), col("__h")))),
+        s => s.getField("__h")).as("whs"))
+    val ngrams = when(size(col("whs")) >= n,
+      transform(sequence(lit(0), size(col("whs")) - n),
+        i => xxhash64((0 until n).map(j => element_at(col("whs"), i + j + 1)): _*)))
+      .otherwise(array().cast("array<bigint>"))
+    val base = wh
+      .select(col("doc_id"), array_distinct(ngrams).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // Per-doc global order (df ASC, hash) → keep the prefix, WITH each
+    // token's position: position feeds the PPJoin positional filter below.
+    val prefixes = exploded.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("sz"),
+        posexplode(expr(s"slice(transform(gs, x -> x.g), 1, " +
+          s"size(gs) - cast(ceil(size(gs) * $threshold) as int) + 1)")).as(Seq("p", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Candidates: shared prefix token + size filter + POSITIONAL filter
+    // (PPJoin, Xiao et al.): a token at 0-based position p leaves at most
+    // sz − p overlapping elements, so max over shared tokens of
+    // min(sz_a−p_a, sz_b−p_b) must reach the overlap requirement
+    // α = ⌈t/(1+t)·(sz_a+sz_b)⌉ for J ≥ t to be possible.
+    val cand = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") * threshold <= col("a.sz") &&
+          col("a.sz") * threshold <= col("b.sz"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .agg(max(least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))).as("ub"))
+      .filter(col("ub") >=
+        ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b"))))
+      .select(col("doc_a"), col("doc_b"))
+    val out = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jac"))
+    (out, () => { prefixes.unpersist(); base.unpersist(); () })
+  }
+
   /** Exact-duplicate groups on a content key: hash-groupBy keeping the minimum
     * id as the canonical survivor. `keyExpr` is the normalized content (e.g.
     * `md5(text)` or a normalization thereof). */

@@ -333,6 +333,35 @@ object LlmQueries {
       |  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b)
       |SELECT id_a, id_b FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q33 exact jaccard join
+
+  /** EXACT n-gram Jaccard join via df-ascending prefix filtering
+    * ([[Dedup.jaccardJoin]]) — deterministic recall, unlike q22's MinHash.
+    * The oracle brute-forces all pairs (affordable at oracle scale); the
+    * engine must produce the IDENTICAL pair set without ever comparing all
+    * pairs — that equivalence is exactly the prefix-filter guarantee. */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    Dedup.jaccardJoin(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  private val q33Sql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |      / len(list_distinct(a.shingles || b.shingles)) AS jac
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -345,5 +374,6 @@ object LlmQueries {
     QueryDef("q29_multimodal", q29, Some(q29Sql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_embdup", q31, Some(q31Sql)),
+    QueryDef("q33_jaccard_join", q33, Some(q33Sql)),
   )
 }

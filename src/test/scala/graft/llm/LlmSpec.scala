@@ -17,6 +17,30 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("prefix-filtered jaccard join equals brute force (lossless recall)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val exact = Dedup.jaccardJoin(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    // Brute force on the full sf0.001 set (oracle-scale only).
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("jac",
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))))
+      .filter(col("jac") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), col("jac"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    assert(exact.nonEmpty, "planted pairs must be found")
+    assert(exact.toSeq === brute.toSeq,
+      "prefix filtering must be lossless: identical pair set to all-pairs")
+    // And it must subsume the probabilistic MinHash pairs.
+    val mh = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact.map(p => (p._1, p._2)).toSet))
+  }
+
   test("simhash pairs ⊇ high-jaccard minhash pairs (shingle-token simhash)") {
     val mh = Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", threshold = 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
