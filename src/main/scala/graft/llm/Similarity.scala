@@ -99,6 +99,58 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
 
+  /** IVF (inverted-file) ANN — the second classic scale path next to
+    * [[lshTopK]]: vectors are COARSE-QUANTIZED to their nearest centroid's
+    * cell (each vector lives in exactly ONE cell, unlike multi-bucket LSH);
+    * a query probes only its `nProbe` nearest cells and re-ranks exactly
+    * within them.
+    *
+    * Centroids are a deterministic sample of the corpus (every
+    * `centroidStride`-th id) rather than learned k-means: the partition/probe
+    * machinery — the part that matters at scale — is identical, and
+    * determinism keeps the cell structure oracle-reproducible. At 100 TB:
+    * centroids are metadata-scale and broadcast; cell assignment is map-side
+    * work per vector (no shuffle of the corpus beyond the final per-cell
+    * grouping); the probe join touches only the probed cells' partitions.
+    * Recall < 1 by design (a true neighbor may live in an unprobed cell).
+    *
+    * Output (q_id, rank, neighbor_id), rank order (cosine DESC, id). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              centroidStride: Long = 40, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = candidates.filter(col("id") % centroidStride === 0)
+      .select(col("id").as("cent_id"), col("vec").as("centv"))
+      .withColumn("centn", l2norm(col("centv")))
+    // Inverted file: nearest cell per candidate (ties → lowest cent_id).
+    val c = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val wAssign = Window.partitionBy("c_id").orderBy(col("ccos").desc, col("cent_id"))
+    val inv = c.join(broadcast(cents), lit(true))
+      .withColumn("ccos", cosine(col("cv"), col("centv"), col("cn"), col("centn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cent_id").as("cell"), col("c_id"), col("cv"), col("cn"))
+    // Probe list: nProbe nearest cells per query.
+    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val wProbe = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("cent_id"))
+    val probes = q.join(broadcast(cents), lit(true))
+      .withColumn("qcos", cosine(col("qv"), col("centv"), col("qn"), col("centn")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+    // Exact re-rank within probed cells only. No dedup needed: IVF is a
+    // partition (one cell per candidate), so a (query, candidate) pair can
+    // meet at most once — a structural advantage over multi-table LSH.
+    val scored = inv.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv"), col("qn"), col("cn")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: every (a, b) with a < b that
     * shares ANY sign-LSH table bucket and has cosine ≥ `threshold` — the
     * embedding-space flavor of near-dup detection, same no-all-pairs

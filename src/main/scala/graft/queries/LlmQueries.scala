@@ -333,6 +333,53 @@ object LlmQueries {
       |  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b)
       |SELECT id_a, id_b FROM scored WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q34 IVF ANN
+
+  /** The inverted-file ANN scale path ([[Similarity.ivfTopK]]): deterministic
+    * sampled centroids, one cell per vector, probe-3 search, exact re-rank
+    * inside probed cells. Complements q23b (multi-table LSH): IVF partitions
+    * the corpus (no candidate dedup needed), LSH over-covers it. */
+  private def q34(s: SparkSession, d: String): DataFrame = {
+    val all = embeddingsAsIdVec(s, d)
+    Similarity.ivfTopK(all.filter(col("id") % 100 === 0), all,
+        k = 3, centroidStride = 40, nProbe = 3)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q34Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT id AS cent_id, vec AS centv, nrm AS centn FROM v WHERE id % 40 = 0),
+      |assign AS (
+      |  SELECT id, cell FROM (
+      |    SELECT c.id, ct.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_sum([c.vec[i]::DOUBLE * ct.centv[i]::DOUBLE for i in range(1, len(c.vec)+1)])
+      |          / (c.nrm * ct.centn) DESC, ct.cent_id) AS rn
+      |    FROM v c, cents ct) WHERE rn = 1),
+      |probes AS (
+      |  SELECT q_id, cell FROM (
+      |    SELECT q.id AS q_id, ct.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY q.id ORDER BY
+      |        list_sum([q.vec[i]::DOUBLE * ct.centv[i]::DOUBLE for i in range(1, len(q.vec)+1)])
+      |          / (q.nrm * ct.centn) DESC, ct.cent_id) AS rn
+      |    FROM v q, cents ct WHERE q.id % 100 = 0) WHERE rn <= 3),
+      |scored AS (
+      |  SELECT p.q_id, a.id AS neighbor_id,
+      |    list_sum([qv.vec[i]::DOUBLE * cv.vec[i]::DOUBLE for i in range(1, len(qv.vec)+1)])
+      |      / (qv.nrm * cv.nrm) AS cos
+      |  FROM probes p JOIN assign a ON a.cell = p.cell
+      |  JOIN v qv ON qv.id = p.q_id JOIN v cv ON cv.id = a.id
+      |  WHERE a.id <> p.q_id),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 3
+      |ORDER BY q_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- q33 exact jaccard join
 
   /** EXACT n-gram Jaccard join via df-ascending prefix filtering
@@ -375,5 +422,6 @@ object LlmQueries {
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_embdup", q31, Some(q31Sql)),
     QueryDef("q33_jaccard_join", q33, Some(q33Sql)),
+    QueryDef("q34_ann_ivf", q34, Some(q34Sql)),
   )
 }

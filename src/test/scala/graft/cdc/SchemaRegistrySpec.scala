@@ -97,6 +97,26 @@ class SchemaRegistrySpec extends SparkSpec {
       """{"data":{"new_data":{"age":7,"id":3,"name":"cat"},"old_data":{"age":250,"id":3,"name":"cat"}}}""")
   }
 
+  test("drift persists ACROSS micro-batches: alter in batch 1 governs batch 2") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    reg.register("d", "t", Seq(Decode.ColMeta("a", "int")))
+    val b1 = Seq(
+      ("d", "t", "insert", 1L, 10L, Seq(Seq("1")), null: String),
+      ("d", "t", "alter", 1L, 20L, null: Seq[Seq[String]],
+        "ALTER TABLE d.t ADD COLUMN b smallint unsigned")
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+    assert(reg.decodeBatch(b1).count() === 2)
+    // Batch 2 carries no DDL; its rows must still decode under v2 (and the
+    // unsigned fix-up of the drifted-in column must apply).
+    val b2 = Seq(
+      ("d", "t", "insert", 1L, 30L, Seq(Seq("2", "-1")), null: String)
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+    val out = reg.decodeBatch(b2).select("schema_version", "event").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(2))
+    assert(out.head.getString(1) === """{"data":{"a":2,"b":65535}}""")
+  }
+
   test("a batch straddling two ALTERs yields three correct version slices") {
     import spark.implicits._
     val raw = Seq(

@@ -89,6 +89,34 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN: one cell per vector, deterministic, rank order = exact cosine") {
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") % 100 === 0)
+    val r1 = Similarity.ivfTopK(q, all, k = 3, centroidStride = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val r2 = Similarity.ivfTopK(q, all, k = 3, centroidStride = 10, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(r1.toSeq === r2.toSeq, "deterministic cells and ranks")
+    assert(r1.nonEmpty)
+    // Within each query, ranks are dense from 1 and neighbors are distinct
+    // (IVF partitions the corpus - a candidate can meet a query only once).
+    r1.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1L to rows.length))
+      assert(rows.map(_._3).distinct.length === rows.length)
+    }
+    // IVF's neighbor ordering agrees with exact cosine: every returned
+    // neighbor pair (rank i < rank j) must also be ordered that way by the
+    // brute-force scores.
+    val exact = Similarity.bruteForceTopK(q, all, k = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    r1.groupBy(_._1).foreach { case (qid, rows) =>
+      val exactRanks = rows.sortBy(_._2).map(r => exact((qid, r._3)))
+      assert(exactRanks.toSeq === exactRanks.sorted.toSeq,
+        s"query $qid: IVF rank order must follow exact-cosine order")
+    }
+  }
+
   test("batched multimodal decode equals its column-level mirror") {
     val docs = Tables.documents(spark, d).limit(50)
     val media = docs.select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
