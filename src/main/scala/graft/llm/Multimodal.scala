@@ -62,4 +62,40 @@ object Multimodal {
   def frameSample(text: Column, maxFrames: Int = 5): Column =
     transform(sequence(lit(1), least(lit(maxFrames), (length(text) / 10).cast("int"))),
       i => ascii(substring(text, i * 10, lit(1))))
+
+  /** One resized + feature-extracted media row: `pixels` is the
+    * nearest-neighbor RESIZE of the payload byte stream to a fixed 16-sample
+    * grid (what a real pipeline does to normalize decoded frames before
+    * embedding); `hist` is the FEATURE-EXTRACT step — an 8-bin byte histogram,
+    * the stub stand-in for a model-derived feature vector. */
+  final case class MediaTensor(id: Long, pixels: Seq[Int], hist: Seq[Long])
+
+  /** Pluggable resize/feature codec, one instance per task (same boundary
+    * contract as [[MediaDecoder]]). */
+  trait MediaTransformer extends Serializable {
+    def transform(id: Long, content: Array[Byte]): MediaTensor
+  }
+
+  /** Deterministic stub: pixel i of 16 = byte at ⌊i·n/16⌋; histogram bin =
+    * top-3 bits of each byte. A real deployment swaps this class only. */
+  final class StubTransformer extends MediaTransformer {
+    override def transform(id: Long, content: Array[Byte]): MediaTensor = {
+      val n = content.length
+      val px = (0 until 16).map(i => if (n == 0) 0 else content((i.toLong * n / 16).toInt) & 0xFF)
+      val h = Array.ofDim[Long](8)
+      content.foreach(b => h((b & 0xFF) >> 5) += 1)
+      MediaTensor(id, px, h.toSeq)
+    }
+  }
+
+  /** Batched resize + feature-extract, same shape as [[decodeBatched]]: one
+    * transformer per partition, streamed over the iterator. */
+  def transformBatched(media: DataFrame, mk: () => MediaTransformer): Dataset[MediaTensor] = {
+    val enc = Encoders.product[MediaTensor]
+    media.select(col("id").cast("long"), col("content").cast("binary"))
+      .mapPartitions { it =>
+        val t = mk()
+        it.map(r => t.transform(r.getLong(0), r.getAs[Array[Byte]](1)))
+      }(enc)
+  }
 }

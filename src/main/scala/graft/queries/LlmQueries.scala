@@ -278,6 +278,31 @@ object LlmQueries {
       |    range(1, least(5, length(text)//10) + 1)], ',') AS frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q29b resize + features
+
+  /** The other half of the multimodal surface: nearest-neighbor RESIZE to a
+    * fixed 16-sample grid + 8-bin byte-histogram FEATURE-EXTRACT, batched per
+    * partition behind the same pluggable codec boundary as q29. */
+  private def q29b(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("content"))
+    Multimodal.transformBatched(media, () => new Multimodal.StubTransformer)
+      .toDF()
+      .select(col("id").as("doc_id"),
+        concat_ws(",", col("pixels")).as("pixels"),
+        concat_ws(",", col("hist")).as("hist"))
+      .orderBy("doc_id")
+  }
+
+  private val q29bSql =
+    """SELECT doc_id,
+      |  array_to_string([ord(substr(text, (i*octet_length(text::BLOB))//16 + 1, 1))
+      |    for i in range(0, 16)], ',') AS pixels,
+      |  array_to_string([list_sum([CASE WHEN ord(substr(text, j, 1))//32 = b
+      |      THEN 1 ELSE 0 END for j in range(1, length(text)+1)])::BIGINT
+      |    for b in range(0, 8)], ',') AS hist
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- q30 simhash
 
   /** SimHash near-dup pairs: 60-bit sign-of-sums hash over 3-gram shingles,
@@ -419,6 +444,7 @@ object LlmQueries {
     QueryDef("q27_tokens", q27, Some(q27Sql)),
     QueryDef("q28_fingerprint", q28, Some(q28Sql)),
     QueryDef("q29_multimodal", q29, Some(q29Sql)),
+    QueryDef("q29b_media_tensor", q29b, Some(q29bSql)),
     QueryDef("q30_simhash", q30, Some(q30Sql)),
     QueryDef("q31_embdup", q31, Some(q31Sql)),
     QueryDef("q33_jaccard_join", q33, Some(q33Sql)),
