@@ -26,6 +26,26 @@ object StreamingAggs {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col(keyCol), col("n"))
 
+  /** Watermarked stream-stream INNER interval join: a left row matches right
+    * rows with the equal key whose event time lies in
+    * `[l.ts − beforeSec, l.ts + afterSec]`.
+    *
+    * Both sides carry watermarks AND the join predicate bounds the two event
+    * times against each other — together that lets Spark evict buffered rows
+    * once the other side's watermark passes their interval, so per-side state
+    * is bounded at scale. Without the time-range predicate the join would
+    * buffer both streams forever (the unbounded-state hazard; Spark rejects
+    * some of those plans outright). Column names must be disjoint across the
+    * two inputs (`lKey`/`rKey`, `lTs`/`rTs` name the respective sides). */
+  def intervalJoin(left: DataFrame, lKey: String, lTs: String,
+                   right: DataFrame, rKey: String, rTs: String,
+                   watermarkDelay: String, beforeSec: Long, afterSec: Long): DataFrame =
+    left.withWatermark(lTs, watermarkDelay)
+      .join(right.withWatermark(rTs, watermarkDelay),
+        col(lKey) === col(rKey) &&
+          col(rTs) >= col(lTs) - expr(s"INTERVAL $beforeSec seconds") &&
+          col(rTs) <= col(lTs) + expr(s"INTERVAL $afterSec seconds"))
+
   final case class SessionIn(user_id: Long, ts: java.sql.Timestamp)
   final case class SessionOut(user_id: Long, n_events: Long, dur_s: Long)
   // Public: the state encoder's generated code instantiates it reflectively.

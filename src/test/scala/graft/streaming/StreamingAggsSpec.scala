@@ -102,4 +102,36 @@ class StreamingAggsSpec extends SparkSpec {
       assert(u1.head.n_events === 2 && u1.head.dur_s === 120)
     } finally q.stop()
   }
+
+  test("stream-stream interval join: matches inside the window, bounded state") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val imps = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    // Clicks attribute to an impression of the same ad within [0, +10 min].
+    val joined = StreamingAggs.intervalJoin(
+      imps.toDF().toDF("imp_ad", "imp_ts"), "imp_ad", "imp_ts",
+      clicks.toDF().toDF("clk_ad", "clk_ts"), "clk_ad", "clk_ts",
+      watermarkDelay = "5 minutes", beforeSec = 0, afterSec = 600)
+    val q = joined.select("imp_ad", "imp_ts", "clk_ts")
+      .writeStream.format("memory").queryName("attrib").outputMode(OutputMode.Append()).start()
+    try {
+      imps.addData((1L, ts(0)), (2L, ts(1)))
+      clicks.addData((1L, ts(4)))          // inside [0, +10] of imp 1
+      q.processAllAvailable()
+      clicks.addData((2L, ts(30)))         // 29 min after imp 2 -> outside
+      clicks.addData((3L, ts(31)))         // no matching impression
+      q.processAllAvailable()
+      val rows = spark.table("attrib").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(2))).toSeq
+      assert(rows === Seq((1L, ts(4))),
+        s"only the in-window click joins: $rows")
+      // State boundedness is a PLAN property: both sides watermarked and the
+      // join condition bounds clk_ts against imp_ts, so the streaming planner
+      // accepts the join (it REJECTS an unbounded-state stream-stream join)
+      // and runs it as a symmetric hash join with per-side state eviction.
+      assert(q.lastProgress.stateOperators.nonEmpty,
+        "the join must run as a stateful symmetric hash join")
+    } finally q.stop()
+  }
 }
