@@ -307,6 +307,46 @@ object RelationalQueries {
       |  COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY hr, event_type ORDER BY hr, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q36 KMV sketch
+
+  /** Deterministic KMV distinct-count sketch ([[graft.functions.Sketch]]):
+    * per-partition bounded k-minimum sets → O(k·P) merge → (k−1)/h_k
+    * estimate. Portable md5-60-bit hashing, so the DuckDB oracle reproduces
+    * the ESTIMATE bit-for-bit — impossible with HLL-family sketches. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    graft.functions.Sketch.kmvDistinct(Tables.lineitem(s, d), col("l_partkey"), k = 256)
+
+  private val q36Sql =
+    """WITH h AS (
+      |  SELECT DISTINCT ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |km AS (SELECT h FROM h ORDER BY h LIMIT 256)
+      |SELECT count(*)::BIGINT AS k_used, max(h) AS h_k,
+      |  CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+      |       ELSE (count(*)-1)::DOUBLE / (max(h) / 1152921504606846976.0) END AS est_ndv
+      |FROM km""".stripMargin
+
+  // ---------------------------------------------------------------- q37 salted skew join
+
+  /** Salted equi-join ([[graft.functions.Skew.saltedJoin]]): the probe side
+    * scatters each key over 8 sub-keys, the build side replicates 8×, and the
+    * result is IDENTICAL to the plain join — which is exactly what the oracle
+    * checks (it runs the unsalted join). Aggregated afterward so the output
+    * is stable and small. */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    graft.functions.Skew.saltedJoin(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"), col("l_quantity")),
+        Tables.supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        key = "l_suppkey", probeUniquifier = "l_orderkey", salt = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(sum(col("l_quantity")).cast("double").as("qty"), count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey"))
+
+  private val q37Sql =
+    """SELECT s_nationkey, sum(l_quantity)::DOUBLE AS qty, count(*) AS n
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1, Some(q1Sql)),
     QueryDef("q2_join_bcast", q2, Some(q2Sql)),
@@ -326,5 +366,7 @@ object RelationalQueries {
     QueryDef("q14_running", q14, Some(q14Sql), bench = false),
     QueryDef("q15_session", q15, Some(q15Sql)),
     QueryDef("q16_hourly", q16, Some(q16Sql)),
+    QueryDef("q36_kmv_ndv", q36, Some(q36Sql)),
+    QueryDef("q37_salted_join", q37, Some(q37Sql)),
   )
 }
