@@ -38,7 +38,16 @@ object Engine {
         * (`main.go:169-187`, `subscribe/tcp.go:211-228`). Sinks are resolved
         * per micro-batch, so the swap takes effect on the next batch without
         * restarting the query. None ⇒ reload acks but changes nothing. */
-      reloadSinks: Option[String => Seq[CdcStream.SinkConfig]] = None)
+      reloadSinks: Option[String => Seq[CdcStream.SinkConfig]] = None,
+      /** Positional-wire mode with live schema drift: when set, the input is
+        * read in the POSITIONAL form (`CdcStream.rawPositionalSchema` — row
+        * images as string arrays + ALTER DDL text) and each batch decodes
+        * through this registry, row-by-row under the schema version live at
+        * its sequence. The registry outlives batches, so an ALTER seen in
+        * batch N governs batch N+1 — the drift behavior the reference warns
+        * it lacks (`readme.md:54`). Incompatible with `useDsv2Source`'s
+        * entries-form fixtures. */
+      schemaRegistry: Option[graft.cdc.SchemaRegistry] = None)
 
   final class Handle(val query: StreamingQuery,
                      val control: Option[ControlService],
@@ -74,13 +83,19 @@ object Engine {
         r.load()
           .select(from_json(col("value"), CdcStream.rawSchema).as("r"))
           .select("r.*")
-      } else CdcStream.readRaw(spark, cfg.inputDir)
+      } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
+      else CdcStream.readRaw(spark, cfg.inputDir)
 
     val query = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo)
+        cfg.schemaRegistry match {
+          case Some(reg) =>
+            CdcStream.processPositionalBatch(batch, id, cfg.posFile, sinksRef.get(), reg, pushTo)
+          case None =>
+            CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo)
+        }
       }
       .start()
 

@@ -66,12 +66,29 @@ object CdcStream {
     }
   }
 
+  /** Positional raw-statement schema: row images are string arrays in table
+    * column order (the binlog wire form) and alters carry their DDL text —
+    * the input contract of [[processPositionalBatch]]. */
+  val rawPositionalSchema: StructType = StructType(Seq(
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("action", StringType),
+    StructField("ts", LongType),
+    StructField("stmt_seq", LongType),
+    StructField("rows", ArrayType(ArrayType(StringType))),
+    StructField("query", StringType)))
+
   /** Streaming read of a raw-event directory. Malformed lines parse to
     * all-null rows (PERMISSIVE mode) and are dropped here — the reference
     * likewise logs and keeps tailing on a bad event
     * (`vendor/.../canal/sync.go:80-92` error tolerance). */
   def readRaw(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream.schema(rawSchema).json(inputDir)
+      .filter(col("database").isNotNull && col("table").isNotNull && col("action").isNotNull)
+
+  /** [[readRaw]] for the positional wire form. */
+  def readRawPositional(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream.schema(rawPositionalSchema).json(inputDir)
       .filter(col("database").isNotNull && col("table").isNotNull && col("action").isNotNull)
 
   /** Process one micro-batch: envelope + index + serialize once + fan-out.
@@ -89,6 +106,31 @@ object CdcStream {
     // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
     val start = if (tag == s"batch-$batchId") replayStart else next
     val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(batch, startIndex = start)
+    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start)
+  }
+
+  /** Positional-stream variant of [[processBatch]]: raw statements carry
+    * POSITIONAL row images plus ALTER DDL text, and the per-row decode is
+    * resolved by the drift registry ([[graft.cdc.SchemaRegistry.decodeBatch]] —
+    * version live at each row's sequence). The registry's sequence-keyed
+    * versions make this replay-idempotent exactly like the index numbering. */
+  def processPositionalBatch(batch: DataFrame, batchId: Long, posFile: String,
+                             sinks: Seq[SinkConfig], registry: graft.cdc.SchemaRegistry,
+                             pushTo: Option[(String, Int)] = None): Unit = {
+    val (tag, replayStart, next) = PosStore.read(posFile)
+    val start = if (tag == s"batch-$batchId") replayStart else next
+    val decoded = registry.decodeBatch(batch)
+    val (env, cleanup) = graft.cdc.EventIndexer.denseManaged(
+      decoded, Seq(col("stmt_seq"), col("pair_pos")), "event_index", start)
+    fanOutIndexed(env, cleanup, batchId, posFile, sinks, pushTo, start)
+  }
+
+  /** Shared tail of the two batch paths: serialize once, offer to every sink,
+    * optionally push, then commit the position. `env` must carry
+    * (database, table, event_type, time, topic, event, event_index). */
+  private def fanOutIndexed(env: DataFrame, envCleanup: () => Unit, batchId: Long,
+                            posFile: String, sinks: Seq[SinkConfig],
+                            pushTo: Option[(String, Int)], start: Long): Unit = {
     val out = env.withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
       .select(col("topic"), col("envelope"), col("event_index"))
       .persist()

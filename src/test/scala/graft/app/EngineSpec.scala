@@ -89,6 +89,49 @@ class EngineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("positional stream with live drift: alter in one batch governs the next") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    def pos(db: String, tbl: String, action: String, seq: Long, rows: String, query: String): String = {
+      val q = if (query == null) "null" else "\"" + query.replace("\"", "\\\"") + "\""
+      s"""{"database":"$db","table":"$tbl","action":"$action","ts":9,"stmt_seq":$seq,"rows":$rows,"query":$q}"""
+    }
+    Files.write(in.resolve("bin.0001"), Seq(
+      pos("shop", "user", "insert", 1L, """[["1","ann"]]""", null),
+      pos("shop", "user", "alter", 2L, "null",
+        "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id")).asJava)
+
+    val reg = new graft.cdc.SchemaRegistry
+    reg.register("shop", "user", Seq(
+      graft.cdc.Decode.ColMeta("id", "int(11)"),
+      graft.cdc.Decode.ColMeta("name", "varchar(16)")))
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(200),
+      schemaRegistry = Some(reg)))
+    try {
+      def await(n: Int): Seq[String] = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (readSink(s"$out/all").size < n && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        readSink(s"$out/all")
+      }
+      assert(await(2).size === 2)
+      // Batch 2 arrives AFTER the alter was consumed: 3-slot row images.
+      Files.write(in.resolve("bin.0002"), Seq(
+        pos("shop", "user", "insert", 3L, """[["2","-6","bob"]]""", null)).asJava)
+      val all = await(3)
+      val v1 = all.find(_.contains("\"event_index\":1")).get
+      val v2 = all.find(_.contains("\"event_index\":3")).get
+      assert(v1.contains("""{"data":{"id":1,"name":"ann"}}"""))
+      assert(v2.contains("""{"data":{"age":250,"id":2,"name":"bob"}}"""),
+        "post-alter row decodes with the drifted schema incl. unsigned fix-up")
+    } finally handle.stop()
+  }
+
   test("push tier: executors stream envelopes to the pub/sub service; no driver collect") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"),
