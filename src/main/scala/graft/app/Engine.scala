@@ -75,13 +75,18 @@ object Engine {
     val pushTo = pubsub.map(svc => ("127.0.0.1", svc.boundPort))
     val sinksRef = new AtomicReference[Seq[CdcStream.SinkConfig]](cfg.sinks)
 
+    // Wire form: positional (string-array row images + DDL) when a drift
+    // registry is configured, entries form otherwise — orthogonal to WHICH
+    // source tails the directory (DSv2 byte-planned source vs file stream).
+    val wireSchema =
+      if (cfg.schemaRegistry.isDefined) CdcStream.rawPositionalSchema else CdcStream.rawSchema
     val raw =
       if (cfg.useDsv2Source) {
         var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
         cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
         cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
         r.load()
-          .select(from_json(col("value"), CdcStream.rawSchema).as("r"))
+          .select(from_json(col("value"), wireSchema).as("r"))
           .select("r.*")
       } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
       else CdcStream.readRaw(spark, cfg.inputDir)
