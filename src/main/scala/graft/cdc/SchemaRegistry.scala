@@ -67,42 +67,82 @@ final class SchemaRegistry {
     * canal's `OnDDL` carrying the statement).
     *
     * Steps:
-    *  1. Collect the batch's ALTER statements (control-plane events — rare by
-    *     nature; this collect is O(#DDL), the same driver-side shape as the
-    *     reference's OnDDL callback) and fold them into the registry in
+    *  1. ONE control-plane pass over the batch collects, per (db, table), the
+    *     min/max `stmt_seq` plus any ALTER statements (rare by nature — the
+    *     collect is O(#tables + #DDL), the same driver-side shape as the
+    *     reference's OnDDL callback). ALTERs fold into the registry in
     *     sequence order.
-    *  2. For every registered table, plan one [[EnvelopeBuilder.envelopesStatic]]
-    *     slice per version interval overlapping the batch and union the
-    *     slices: each row decodes under the schema live at its position, every
-    *     slice is a codegen'd filtered projection, and the union introduces no
-    *     shuffle. Unregistered tables' rows are dropped (the caller either
-    *     registers schemas up front or routes those tables to the
-    *     schema-agnostic [[EnvelopeBuilder.fromPositional]] path).
+    *  2. The batch is PERSISTED once, then sliced: one
+    *     [[EnvelopeBuilder.envelopesStatic]] projection per (registered table
+    *     × version interval that actually intersects that table's sequence
+    *     range in THIS batch). Versions outside the batch's range — the
+    *     unbounded history a long-lived stream accumulates — plan nothing, so
+    *     per-batch plan size is bounded by the drift INSIDE the batch, not by
+    *     the stream's lifetime. Each slice is a codegen'd filtered projection
+    *     over the cached batch (input scanned once, not tables×versions
+    *     times) and the union introduces no shuffle. Unregistered tables'
+    *     rows are dropped (the caller either registers schemas up front or
+    *     routes those tables to the schema-agnostic
+    *     [[EnvelopeBuilder.fromPositional]] path).
+    *
+    * Per-micro-batch callers use [[decodeBatchManaged]] and call the cleanup
+    * after the batch's consuming action; one-shot query paths may use this
+    * overload and leave the cache to `spark.catalog.clearCache()`.
     */
-  def decodeBatch(batch: DataFrame): DataFrame = {
-    val alters = batch
-      .filter(col("action") === "alter" && col("query").isNotNull)
-      .select(col("database"), col("table"), col("stmt_seq"), col("query"))
-      .collect()
-      .sortBy(_.getLong(2))
-    alters.foreach(r => applyAlter(r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+  def decodeBatch(batch: DataFrame): DataFrame = decodeBatchManaged(batch)._1
 
-    val base = batch.drop("query")
-    val slices = for {
-      (db, tbl) <- registeredTables
-      vs = versionsOf(db, tbl)
-      (v, i) <- vs.zipWithIndex
-    } yield {
-      val untilSeq = if (i + 1 < vs.size) vs(i + 1).sinceSeq else Long.MaxValue
+  /** [[decodeBatch]] plus the unpersist handle for the batch cache. */
+  def decodeBatchManaged(batch: DataFrame): (DataFrame, () => Unit) = {
+    // Pass 1 (control plane): per-table sequence ranges for version pruning +
+    // the batch's DDL. collect_list skips the nulls the `when` leaves on
+    // non-alter rows, so the payload collected is O(#DDL).
+    val ctl = batch.groupBy("database", "table")
+      .agg(min("stmt_seq").as("lo"), max("stmt_seq").as("hi"),
+        collect_list(when(col("action") === "alter" && col("query").isNotNull,
+          struct(col("stmt_seq"), col("query")))).as("ddl"))
+      .collect()
+    val alters = ctl.flatMap { r =>
+      r.getSeq[org.apache.spark.sql.Row](4)
+        .map(d => (r.getString(0), r.getString(1), d.getLong(0), d.getString(1)))
+    }.sortBy(_._3)
+    alters.foreach { case (db, tbl, seq, ddl) => applyAlter(db, tbl, seq, ddl) }
+    val ranges: Map[(String, String), (Long, Long)] =
+      ctl.map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+
+    require(registeredTables.nonEmpty, "SchemaRegistry.decodeBatch: no registered tables")
+    val base = batch.drop("query").persist()
+    val planned = planSlices(ranges)
+    val slices = planned.map { case (db, tbl, v, untilSeq) =>
       val slice = base.filter(
         col("database") === db && col("table") === tbl &&
           col("stmt_seq") >= v.sinceSeq && col("stmt_seq") < untilSeq)
       EnvelopeBuilder.envelopesStatic(slice, v.cols)
         .withColumn("schema_version", lit(v.version))
     }
-    require(slices.nonEmpty, "SchemaRegistry.decodeBatch: no registered tables")
-    slices.reduceLeft(_.unionAll(_))
+    val out =
+      if (slices.nonEmpty) slices.reduceLeft(_.unionAll(_))
+      else { // batch holds no registered-table rows: empty frame, right schema
+        val (db, tbl) = registeredTables.head
+        val v = versionsOf(db, tbl).head
+        EnvelopeBuilder.envelopesStatic(base.filter(lit(false)), v.cols)
+          .withColumn("schema_version", lit(v.version))
+      }
+    (out, () => { base.unpersist(); () })
   }
+
+  /** The (table, version, untilSeq) slices whose `[sinceSeq, untilSeq)`
+    * interval intersects the table's observed `[lo, hi]` range — the pruning
+    * decision, kept pure for testability. */
+  private[cdc] def planSlices(ranges: Map[(String, String), (Long, Long)])
+      : Seq[(String, String, Version, Long)] =
+    for {
+      (db, tbl) <- registeredTables
+      (lo, hi) <- ranges.get((db, tbl)).toSeq
+      vs = versionsOf(db, tbl)
+      (v, i) <- vs.zipWithIndex
+      untilSeq = if (i + 1 < vs.size) vs(i + 1).sinceSeq else Long.MaxValue
+      if v.sinceSeq <= hi && untilSeq > lo
+    } yield (db, tbl, v, untilSeq)
 }
 
 object SchemaRegistry {
@@ -116,8 +156,10 @@ object SchemaRegistry {
     * Some(Some(c)) = AFTER c. */
   final case class AddColumn(meta: Decode.ColMeta, pos: Option[Option[String]]) extends AlterOp
   final case class DropColumn(name: String) extends AlterOp
-  final case class ModifyColumn(meta: Decode.ColMeta) extends AlterOp
-  final case class ChangeColumn(oldName: String, meta: Decode.ColMeta) extends AlterOp
+  final case class ModifyColumn(meta: Decode.ColMeta,
+                                pos: Option[Option[String]] = None) extends AlterOp
+  final case class ChangeColumn(oldName: String, meta: Decode.ColMeta,
+                                pos: Option[Option[String]] = None) extends AlterOp
 
   /** Column order is POSITIONAL TRUTH: binlog row images are arrays in table
     * column order, so FIRST/AFTER placement decides which array slot a column
@@ -135,8 +177,27 @@ object SchemaRegistry {
           else (without.take(i + 1) :+ m) ++ without.drop(i + 1)
       }
     case DropColumn(n)     => cols.filterNot(_.name == n)
-    case ModifyColumn(m)   => cols.map(c => if (c.name == m.name) m else c)
-    case ChangeColumn(o, m) => cols.map(c => if (c.name == o) m else c)
+    // MODIFY/CHANGE may ALSO carry FIRST/AFTER — MySQL moves the column, so
+    // every later slot shifts; dropping the placement silently mis-slots every
+    // subsequent positional decode (the "incorrect json" failure again).
+    case ModifyColumn(m, pos)    => place(cols.map(c => if (c.name == m.name) m else c), m.name, pos)
+    case ChangeColumn(o, m, pos) => place(cols.map(c => if (c.name == o) m else c), m.name, pos)
+  }
+
+  /** Reposition `name` per FIRST/AFTER (None = keep current slot). */
+  private def place(cols: Seq[Decode.ColMeta], name: String,
+                    pos: Option[Option[String]]): Seq[Decode.ColMeta] = pos match {
+    case None => cols
+    case Some(p) =>
+      val (self, others) = cols.partition(_.name == name)
+      if (self.isEmpty) cols
+      else p match {
+        case None => self ++ others // FIRST
+        case Some(after) =>
+          val i = others.indexWhere(_.name == after)
+          if (i < 0) cols // unknown anchor: canal-style tolerance, keep slot
+          else (others.take(i + 1) ++ self) ++ others.drop(i + 1)
+      }
   }
 
   private val alterRe = Pattern.compile(
@@ -145,9 +206,9 @@ object SchemaRegistry {
     """(?is)^ADD\s+(?:COLUMN\s+)?(?!(?:INDEX|KEY|CONSTRAINT|PRIMARY|UNIQUE|FULLTEXT|SPATIAL|FOREIGN|PARTITION)\b)`?([\w$]+)`?\s+(.+?)(?:\s+(FIRST)|\s+AFTER\s+`?([\w$]+)`?)?$""")
   private val dropRe = Pattern.compile("""(?is)^DROP\s+(?:COLUMN\s+)?`?([\w$]+)`?\s*$""")
   private val modifyRe = Pattern.compile(
-    """(?is)^MODIFY\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+(.+?)(?:\s+FIRST|\s+AFTER\s+`?[\w$]+`?)?$""")
+    """(?is)^MODIFY\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+(.+?)(?:\s+(FIRST)|\s+AFTER\s+`?([\w$]+)`?)?$""")
   private val changeRe = Pattern.compile(
-    """(?is)^CHANGE\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+`?([\w$]+)`?\s+(.+?)(?:\s+FIRST|\s+AFTER\s+`?[\w$]+`?)?$""")
+    """(?is)^CHANGE\s+(?:COLUMN\s+)?`?([\w$]+)`?\s+`?([\w$]+)`?\s+(.+?)(?:\s+(FIRST)|\s+AFTER\s+`?([\w$]+)`?)?$""")
 
   /** Parse the MySQL ALTER TABLE subset that affects row-image decode:
     * ADD/DROP/MODIFY/CHANGE COLUMN, comma-separated, with FIRST/AFTER
@@ -171,8 +232,20 @@ object SchemaRegistry {
         Some(AddColumn(colMetaOf(add.group(1), add.group(2)), pos))
       }
       else if (drop.matches()) Some(DropColumn(drop.group(1)))
-      else if (mod.matches()) Some(ModifyColumn(colMetaOf(mod.group(1), mod.group(2))))
-      else if (chg.matches()) Some(ChangeColumn(chg.group(1), colMetaOf(chg.group(2), chg.group(3))))
+      else if (mod.matches()) {
+        val pos =
+          if (mod.group(3) != null) Some(None)
+          else if (mod.group(4) != null) Some(Some(mod.group(4)))
+          else None
+        Some(ModifyColumn(colMetaOf(mod.group(1), mod.group(2)), pos))
+      }
+      else if (chg.matches()) {
+        val pos =
+          if (chg.group(4) != null) Some(None)
+          else if (chg.group(5) != null) Some(Some(chg.group(5)))
+          else None
+        Some(ChangeColumn(chg.group(1), colMetaOf(chg.group(2), chg.group(3)), pos))
+      }
       else None
     }
   }

@@ -119,10 +119,11 @@ object CdcStream {
                              pushTo: Option[(String, Int)] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     val start = if (tag == s"batch-$batchId") replayStart else next
-    val decoded = registry.decodeBatch(batch)
-    val (env, cleanup) = graft.cdc.EventIndexer.denseManaged(
+    val (decoded, decodeCleanup) = registry.decodeBatchManaged(batch)
+    val (env, indexCleanup) = graft.cdc.EventIndexer.denseManaged(
       decoded, Seq(col("stmt_seq"), col("pair_pos")), "event_index", start)
-    fanOutIndexed(env, cleanup, batchId, posFile, sinks, pushTo, start)
+    fanOutIndexed(env, () => { indexCleanup(); decodeCleanup() },
+      batchId, posFile, sinks, pushTo, start)
   }
 
   /** Shared tail of the two batch paths: serialize once, offer to every sink,

@@ -35,6 +35,53 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(parseAlter("not ddl at all") === Nil)
   }
 
+  test("parseAlter: MODIFY/CHANGE carry FIRST/AFTER placement") {
+    assert(parseAlter("ALTER TABLE t MODIFY c int AFTER a") ===
+      Seq(ModifyColumn(Decode.ColMeta("c", "int"), Some(Some("a")))))
+    assert(parseAlter("ALTER TABLE t MODIFY COLUMN c bigint FIRST") ===
+      Seq(ModifyColumn(Decode.ColMeta("c", "bigint"), Some(None))))
+    assert(parseAlter("ALTER TABLE t CHANGE a b tinyint unsigned AFTER `z`") ===
+      Seq(ChangeColumn("a", Decode.ColMeta("b", "tinyint unsigned", unsigned = true),
+        Some(Some("z")))))
+    assert(parseAlter("ALTER TABLE t CHANGE COLUMN a b int FIRST") ===
+      Seq(ChangeColumn("a", Decode.ColMeta("b", "int"), Some(None))))
+  }
+
+  test("applyOp: MODIFY/CHANGE with FIRST/AFTER reposition the decode slot") {
+    val base = Seq(Decode.ColMeta("a", "int"), Decode.ColMeta("b", "int"),
+      Decode.ColMeta("c", "int"))
+    // MODIFY ... AFTER moves the column: (a,b,c) -> MODIFY c AFTER a -> (a,c,b)
+    assert(names(applyOp(base, ModifyColumn(Decode.ColMeta("c", "bigint"), Some(Some("a"))))) ===
+      Seq("a", "c", "b"))
+    assert(names(applyOp(base, ModifyColumn(Decode.ColMeta("c", "int"), Some(None)))) ===
+      Seq("c", "a", "b"))
+    // CHANGE rename + move in one clause
+    assert(names(applyOp(base, ChangeColumn("a", Decode.ColMeta("a2", "int"), Some(Some("b"))))) ===
+      Seq("b", "a2", "c"))
+    // no placement: in-place retype, order untouched
+    assert(names(applyOp(base, ModifyColumn(Decode.ColMeta("b", "bigint")))) === Seq("a", "b", "c"))
+    // unknown AFTER anchor: tolerated, slot kept
+    assert(names(applyOp(base, ModifyColumn(Decode.ColMeta("b", "int"), Some(Some("nope"))))) ===
+      Seq("a", "b", "c"))
+  }
+
+  test("drift decode honors MODIFY ... AFTER: slots shift for later rows") {
+    import spark.implicits._
+    val raw = Seq(
+      ("d", "t", "insert", 1L, 10L, Seq(Seq("1", "9", "x")), null: String),
+      ("d", "t", "alter", 1L, 20L, null: Seq[Seq[String]],
+        "ALTER TABLE d.t MODIFY COLUMN c varchar(4) AFTER a"),
+      // post-move wire order is (a, c, b)
+      ("d", "t", "insert", 1L, 30L, Seq(Seq("2", "y", "8")), null: String)
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+    val reg = new SchemaRegistry
+    reg.register("d", "t", Seq(Decode.ColMeta("a", "int"), Decode.ColMeta("b", "int"),
+      Decode.ColMeta("c", "varchar(4)")))
+    val out = reg.decodeBatch(raw).select("stmt_seq", "event").orderBy("stmt_seq").collect()
+    assert(out(0).getString(1) === """{"data":{"a":1,"b":9,"c":"x"}}""")
+    assert(out(2).getString(1) === """{"data":{"a":2,"b":8,"c":"y"}}""")
+  }
+
   test("applyOp keeps positional truth: FIRST/AFTER place the decode slot") {
     val base = Seq(Decode.ColMeta("a", "int"), Decode.ColMeta("b", "int"))
     assert(names(applyOp(base, AddColumn(Decode.ColMeta("c", "int"), None))) === Seq("a", "b", "c"))
@@ -137,5 +184,51 @@ class SchemaRegistrySpec extends SparkSpec {
       """{"data":{"a":1}}""", null,
       """{"data":{"a":2,"b":"x"}}""", null,
       """{"data":{"b":"y"}}"""))
+  }
+
+  test("decodeBatch scans the input once, not tables x versions times") {
+    import spark.implicits._
+    // 10 tables x 3 versions each = 30 historical slices. The batch input is
+    // instrumented with an accumulator; an unpersisted plan would re-scan it
+    // per slice (~30x rows), the cached single-scan plan touches each row once
+    // per pass (control-plane pass + cache fill = 2 passes, small overhead
+    // from local-relation re-evaluation tolerated).
+    val reg = new SchemaRegistry
+    val tables = (0 until 10).map(i => s"t$i")
+    tables.foreach(t => reg.register("d", t,
+      Seq(Decode.ColMeta("a", "int"), Decode.ColMeta("b", "varchar(8)"))))
+    tables.foreach { t =>
+      reg.applyAlter("d", t, 100L, s"ALTER TABLE d.$t ADD COLUMN c int")
+      reg.applyAlter("d", t, 200L, s"ALTER TABLE d.$t DROP COLUMN b")
+    }
+    val rows = for (t <- tables; i <- 0 until 50)
+      yield ("d", t, "insert", 1L, 250L + i, Seq(Seq((i + 1).toString, "v")), null: String)
+    val df = rows.toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+    val acc = spark.sparkContext.longAccumulator("scanned")
+    val counted = df.mapPartitions { it => it.map { r => acc.add(1); r } }(
+      org.apache.spark.sql.Encoders.row(df.schema))
+    val (out, cleanup) = reg.decodeBatchManaged(counted)
+    try {
+      assert(out.count() === 500)
+      assert(acc.value <= 4L * 500,
+        s"input scanned ${acc.value / 500.0}x; expected ~2 passes, not per-slice rescans")
+    } finally cleanup()
+  }
+
+  test("planSlices prunes versions outside the batch's per-table range") {
+    val reg = new SchemaRegistry
+    reg.register("d", "t", Seq(Decode.ColMeta("a", "int")))
+    reg.applyAlter("d", "t", 100L, "ALTER TABLE d.t ADD COLUMN b int")
+    reg.applyAlter("d", "t", 200L, "ALTER TABLE d.t ADD COLUMN c int")
+    reg.register("d", "other", Seq(Decode.ColMeta("x", "int")))
+    // batch covers only seq 250..300 of d.t: v1 [min,100) and v2 [100,200)
+    // are history, d.other is absent entirely -> exactly one slice (v3).
+    val planned = reg.planSlices(Map(("d", "t") -> (250L, 300L)))
+    assert(planned.map(p => (p._1, p._2, p._3.version)) === Seq(("d", "t", 3)))
+    // a batch straddling the second ALTER plans v2+v3, still not v1
+    assert(reg.planSlices(Map(("d", "t") -> (150L, 250L)))
+      .map(_._3.version) === Seq(2, 3))
+    // nothing registered present -> no slices (decodeBatch returns empty frame)
+    assert(reg.planSlices(Map(("d", "absent") -> (0L, 10L))) === Nil)
   }
 }
