@@ -99,6 +99,14 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
 
+  /** Let-binding as a materialization barrier WITHOUT an exchange: binds
+    * `value` to a lambda variable (evaluated once per row) and hands it to
+    * `body`. A plain `withColumn` alias is NOT safe here — CollapseProject
+    * inlines it back into every consumer, re-evaluating a norm fold once per
+    * centroid; a lambda variable is a bound VALUE, immune to inlining. */
+  private def let(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** IVF (inverted-file) ANN — the second classic scale path next to
     * [[lshTopK]]: vectors are COARSE-QUANTIZED to their nearest centroid's
     * cell (each vector lives in exactly ONE cell, unlike multi-bucket LSH);
@@ -108,37 +116,62 @@ object Similarity {
     * Centroids are a deterministic sample of the corpus (every
     * `centroidStride`-th id) rather than learned k-means: the partition/probe
     * machinery — the part that matters at scale — is identical, and
-    * determinism keeps the cell structure oracle-reproducible. At 100 TB:
-    * centroids are metadata-scale and broadcast; cell assignment is map-side
-    * work per vector (no shuffle of the corpus beyond the final per-cell
-    * grouping); the probe join touches only the probed cells' partitions.
-    * Recall < 1 by design (a true neighbor may live in an unprobed cell).
+    * determinism keeps the cell structure oracle-reproducible.
+    *
+    * Scale shape: centroids are METADATA-scale by the IVF contract (a few
+    * thousand rows at 100 TB) — they are collected once and embedded as a
+    * literal array, so cell assignment is pure per-row expression work: an
+    * argmax fold over the centroid array inside the scan projection. The
+    * corpus is never expanded ×C and never shuffled for assignment (the r4
+    * plan expanded N×C through a row_number Exchange — at 100 TB × 4k
+    * centroids that shuffled 4,000× the corpus). The probe join touches only
+    * the probed cells. Recall < 1 by design (a true neighbor may live in an
+    * unprobed cell).
     *
     * Output (q_id, rank, neighbor_id), rank order (cosine DESC, id). */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               centroidStride: Long = 40, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = candidates.filter(col("id") % centroidStride === 0)
-      .select(col("id").as("cent_id"), col("vec").as("centv"))
-      .withColumn("centn", l2norm(col("centv")))
-    // Inverted file: nearest cell per candidate (ties → lowest cent_id).
-    val c = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
+    // Driver-side collect of CONTROL-PLANE data only (the centroid table),
+    // mirroring what any IVF index stores in its header. Norms are
+    // precomputed with the same left-fold double arithmetic as [[l2norm]].
+    val centroids: Seq[(Long, Seq[Float], Double)] = candidates
+      .filter(col("id") % centroidStride === 0)
+      .select(col("id"), col("vec"))
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Float](1)
+        (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
+      }.sortBy(_._1).toSeq
+    val centArr = typedlit(centroids) // array<struct<_1:id, _2:vec, _3:norm>>
+
+    // (cos, cell) per centroid; cos grouped EXACTLY as the oracle's
+    // dot/(nrm*centn) so assignment ties break identically.
+    def cellScores(vec: Column, nrm: Column): Column =
+      transform(centArr, ct =>
+        struct((dot(vec, ct.getField("_2")) / (nrm * ct.getField("_3"))).as("cos"),
+          ct.getField("_1").as("cell")))
+    // array_sort comparator: cosine DESC, then cell ASC — row_number order.
+    def byBest(l: Column, r: Column): Column =
+      when(l.getField("cos") > r.getField("cos"), -1)
+        .when(l.getField("cos") < r.getField("cos"), 1)
+        .when(l.getField("cell") < r.getField("cell"), -1)
+        .when(l.getField("cell") > r.getField("cell"), 1)
+        .otherwise(0)
+    def nearestCells(vec: Column, n: Int): Column =
+      let(l2norm(vec), nrm =>
+        transform(slice(array_sort(cellScores(vec, nrm), byBest), 1, n),
+          s => s.getField("cell")))
+
+    // Inverted file: nearest cell per candidate — map-side only, no Exchange.
+    val inv = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
+      .withColumn("cell", element_at(nearestCells(col("cv"), 1), 1))
       .withColumn("cn", l2norm(col("cv")))
-    val wAssign = Window.partitionBy("c_id").orderBy(col("ccos").desc, col("cent_id"))
-    val inv = c.join(broadcast(cents), lit(true))
-      .withColumn("ccos", cosine(col("cv"), col("centv"), col("cn"), col("centn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cent_id").as("cell"), col("c_id"), col("cv"), col("cn"))
-    // Probe list: nProbe nearest cells per query.
-    val q = queries.select(col("id").as("q_id"), col("vec").as("qv"))
+    // Probe list: nProbe nearest cells per query — same expression, exploded.
+    val probes = queries.select(col("id").as("q_id"), col("vec").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    val wProbe = Window.partitionBy("q_id").orderBy(col("qcos").desc, col("cent_id"))
-    val probes = q.join(broadcast(cents), lit(true))
-      .withColumn("qcos", cosine(col("qv"), col("centv"), col("qn"), col("centn")))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qv"), col("qn"), col("cent_id").as("cell"))
+      .select(col("q_id"), col("qv"), col("qn"),
+        explode(nearestCells(col("qv"), nProbe)).as("cell"))
     // Exact re-rank within probed cells only. No dedup needed: IVF is a
     // partition (one cell per candidate), so a (query, candidate) pair can
     // meet at most once — a structural advantage over multi-table LSH.
