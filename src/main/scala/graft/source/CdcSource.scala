@@ -1,6 +1,5 @@
 package graft.source
 
-import java.io.{BufferedReader, InputStreamReader}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Path, Paths}
 import java.util
@@ -184,7 +183,17 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
   override def deserializeOffset(json: String): Offset =
     CdcOffset("\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
       .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+      .getOrElse {
+        // The offset unit changed from statement index ({"stmt":N}) to byte
+        // position; a legacy value cannot be converted (different unit), so
+        // fail with an actionable message instead of a generic parse error.
+        if (json.contains("\"stmt\""))
+          throw new IllegalArgumentException(
+            s"legacy statement-index offset found in checkpoint: $json — the " +
+              "graft-cdc offset unit is now a byte position; reset the " +
+              "checkpoint directory (and pos file) to restart this stream")
+        throw new IllegalArgumentException(s"bad offset: $json")
+      })
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -233,26 +242,39 @@ trait BinlogReader extends AutoCloseable {
   * LineRecordReader alignment: a bounded pre-scan finds the first line
   * boundary at-or-after `fromByte`, then the reader owns every line that
   * STARTS before `untilByte` (reading past `untilByte` to finish the last
-  * owned line). Byte positions are tracked from line content (UTF-8 length
-  * + 1 for the '\n' terminator — fixture lines are newline-terminated). */
+  * owned line). Byte positions are tracked from bytes ACTUALLY CONSUMED by
+  * a byte-level scanner — not reconstructed from decoded line content — so
+  * CRLF terminators and an unterminated final line cannot make `at` drift
+  * from true file offsets (which would break split ownership and emit
+  * positions that no longer match real binlog offsets). Content excludes
+  * the terminator; a `\r` before the `\n` is stripped from content but
+  * counted in position, like Hadoop's LineReader. */
 final class FileBinlogReader(file: String, fromByte: Long, untilByte: Long) extends BinlogReader {
   private val startAt = FileBinlogReader.alignToBoundary(file, fromByte)
   private val ch = Files.newByteChannel(Paths.get(file))
   ch.position(startAt)
-  private val reader = new BufferedReader(new InputStreamReader(
-    java.nio.channels.Channels.newInputStream(ch), StandardCharsets.UTF_8))
+  private val in = new java.io.BufferedInputStream(
+    java.nio.channels.Channels.newInputStream(ch), 1 << 16)
   private var at: Long = startAt // byte offset of the next unread line
 
   override def nextLine(): (Long, String) = {
     if (at >= untilByte) return null
-    val line = reader.readLine()
-    if (line == null) return null
+    var b = in.read()
+    if (b < 0) return null
     val start = at
-    at += line.getBytes(StandardCharsets.UTF_8).length + 1
-    (start, line)
+    val buf = new java.io.ByteArrayOutputStream(256)
+    var consumed = 0L
+    while (b >= 0 && b != '\n') { buf.write(b); consumed += 1; b = in.read() }
+    if (b == '\n') consumed += 1 // terminator consumed, not part of content
+    at = start + consumed
+    val bytes = buf.toByteArray
+    val contentLen = // strip a CR that immediately preceded the LF
+      if (b == '\n' && bytes.nonEmpty && bytes(bytes.length - 1) == '\r') bytes.length - 1
+      else bytes.length
+    (start, new String(bytes, 0, contentLen, StandardCharsets.UTF_8))
   }
 
-  override def close(): Unit = { reader.close(); ch.close() }
+  override def close(): Unit = { in.close(); ch.close() }
 }
 
 object FileBinlogReader {

@@ -1,0 +1,334 @@
+package graft.source
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.CRC32
+
+import graft.SparkSpec
+import graft.cdc.{Decode, SchemaRegistry}
+import org.apache.spark.sql.functions._
+
+/** Crafts REAL binlog-format bytes (v4 headers, FORMAT_DESCRIPTION,
+  * TABLE_MAP, ROWS v2, QUERY, CRC32) independently of the parser, so the
+  * golden tests exercise [[BinaryBinlogReader]] against the wire format
+  * itself — mirroring `vendor/.../replication/row_event.go:385-500`
+  * semantics from the byte level up. */
+final class BinlogFixtureWriter(checksum: Boolean) {
+  import BinlogWire._
+  private val out = new ByteArrayOutputStream()
+  out.write(Magic)
+
+  private def le(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+  private def be(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte).toArray
+
+  /** Append one event; returns its start offset in the file. */
+  def event(ts: Long, etype: Int, body: Array[Byte], crcOverride: Option[Long] = None): Long = {
+    val start = out.size().toLong
+    val withCrc = checksum || etype == FORMAT_DESCRIPTION_EVENT
+    val size = 19 + body.length + (if (withCrc) 4 else 0)
+    val head = new ByteArrayOutputStream()
+    head.write(le(ts, 4)); head.write(etype); head.write(le(1L, 4)) // server_id
+    head.write(le(size, 4)); head.write(le(start + size, 4)); head.write(le(0, 2))
+    val h = head.toByteArray
+    out.write(h); out.write(body)
+    if (withCrc) {
+      val crc = new CRC32(); crc.update(h); crc.update(body)
+      out.write(le(crcOverride.getOrElse(crc.getValue), 4))
+    }
+    start
+  }
+
+  /** FORMAT_DESCRIPTION: version 4, header length 19, checksum alg in the
+    * standard tail position (last byte before the event's own CRC). */
+  def fde(ts: Long = 100L): Long = {
+    val b = new ByteArrayOutputStream()
+    b.write(le(4, 2))
+    val sv = "5.7.44-graft-fixture".getBytes(StandardCharsets.UTF_8)
+    b.write(java.util.Arrays.copyOf(sv, 50))
+    b.write(le(ts, 4)); b.write(19)
+    b.write(Array.fill(39)(0.toByte)) // post-header length table (unused here)
+    b.write(if (checksum) 1 else 0)   // checksum algorithm
+    event(ts, FORMAT_DESCRIPTION_EVENT, b.toByteArray)
+  }
+
+  def tableMap(ts: Long, tableId: Long, db: String, table: String,
+               cols: Seq[(Int, Array[Byte])]): Long = {
+    val b = new ByteArrayOutputStream()
+    b.write(le(tableId, 6)); b.write(le(0, 2))
+    val dbB = db.getBytes(StandardCharsets.UTF_8)
+    val tbB = table.getBytes(StandardCharsets.UTF_8)
+    b.write(dbB.length); b.write(dbB); b.write(0)
+    b.write(tbB.length); b.write(tbB); b.write(0)
+    b.write(cols.length) // lenenc (< 251)
+    cols.foreach { case (t, _) => b.write(t) }
+    val metaBytes = cols.flatMap(_._2).toArray
+    b.write(metaBytes.length) // lenenc
+    b.write(metaBytes)
+    b.write(Array.fill((cols.length + 7) / 8)(0.toByte)) // null-bits
+    event(ts, TABLE_MAP_EVENT, b.toByteArray)
+  }
+
+  /** One rows event (v2). Each image is a Seq of pre-encoded values
+    * (None = NULL). All columns present. */
+  def rows(ts: Long, etype: Int, tableId: Long, nCols: Int,
+           images: Seq[Seq[Option[Array[Byte]]]]): Long = {
+    val b = new ByteArrayOutputStream()
+    b.write(le(tableId, 6)); b.write(le(0, 2))
+    b.write(le(2, 2)) // v2 extra-data length (just the length field itself)
+    b.write(nCols)    // lenenc
+    val bmLen = (nCols + 7) / 8
+    val allPresent = Array.tabulate(bmLen)(i =>
+      (0 until 8).map(j => if (i * 8 + j < nCols) 1 << j else 0).sum.toByte)
+    b.write(allPresent)
+    if (etype == UPDATE_ROWS_V2) b.write(allPresent)
+    images.foreach { img =>
+      val nulls = new Array[Byte](bmLen)
+      img.zipWithIndex.foreach { case (v, i) => if (v.isEmpty) nulls(i >> 3) = (nulls(i >> 3) | (1 << (i & 7))).toByte }
+      b.write(nulls)
+      img.foreach(_.foreach(b.write))
+    }
+    event(ts, etype, b.toByteArray)
+  }
+
+  def query(ts: Long, db: String, sql: String): Long = {
+    val b = new ByteArrayOutputStream()
+    val dbB = db.getBytes(StandardCharsets.UTF_8)
+    b.write(le(7, 4)); b.write(le(0, 4)) // thread id, exec time
+    b.write(dbB.length); b.write(le(0, 2)); b.write(le(0, 2)) // err, status len
+    b.write(dbB); b.write(0)
+    b.write(sql.getBytes(StandardCharsets.UTF_8))
+    event(ts, QUERY_EVENT, b.toByteArray)
+  }
+
+  def bytes: Array[Byte] = out.toByteArray
+
+  // ------------------------------------------------- value encoders (inverse)
+  def vTiny(v: Int): Option[Array[Byte]] = Some(le(v & 0xff, 1))
+  def vShort(v: Int): Option[Array[Byte]] = Some(le(v & 0xffff, 2))
+  def vInt24(v: Int): Option[Array[Byte]] = Some(le(v & 0xffffff, 3))
+  def vLong(v: Int): Option[Array[Byte]] = Some(le(v & 0xffffffffL, 4))
+  def vLongLong(v: Long): Option[Array[Byte]] = Some(le(v, 8))
+  def vFloat(v: Float): Option[Array[Byte]] = Some(le(java.lang.Float.floatToIntBits(v) & 0xffffffffL, 4))
+  def vDouble(v: Double): Option[Array[Byte]] = Some(le(java.lang.Double.doubleToLongBits(v), 8))
+  def vYear(y: Int): Option[Array[Byte]] = Some(le(if (y == 0) 0 else y - 1900, 1))
+  def vVarchar(s: String, maxLen: Int): Option[Array[Byte]] = {
+    val d = s.getBytes(StandardCharsets.UTF_8)
+    Some((if (maxLen < 256) le(d.length, 1) else le(d.length, 2)) ++ d)
+  }
+  def vEnum(ordinal: Int, size: Int): Option[Array[Byte]] = Some(le(ordinal, size))
+  def vSet(mask: Long, size: Int): Option[Array[Byte]] = Some(le(mask, size))
+  def vBit(v: Long, nbits: Int): Option[Array[Byte]] = Some(be(v, (nbits + 7) / 8))
+  def vBlob(data: String, metaBytes: Int): Option[Array[Byte]] = {
+    val d = data.getBytes(StandardCharsets.UTF_8)
+    Some(le(d.length, metaBytes) ++ d)
+  }
+  def vDate(y: Int, m: Int, d: Int): Option[Array[Byte]] = Some(le(d | (m << 5) | (y << 9), 3))
+  def vDatetime2(y: Int, mo: Int, d: Int, h: Int, mi: Int, s: Int): Option[Array[Byte]] = {
+    val ym = y * 13 + mo
+    Some(be(0x8000000000L + ((ym.toLong << 22) | (d.toLong << 17) | (h.toLong << 12) | (mi.toLong << 6) | s), 5))
+  }
+  def vTimestamp2(secs: Long): Option[Array[Byte]] = Some(be(secs, 4))
+  def vTime2(h: Int, m: Int, s: Int): Option[Array[Byte]] = {
+    Some(be(0x800000L + ((h.toLong << 12) | (m.toLong << 6) | s), 3))
+  }
+  def vDecimal(text: String, precision: Int, scale: Int): Option[Array[Byte]] = {
+    val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+    val neg = text.startsWith("-")
+    val t = text.stripPrefix("-")
+    val (ip0, fp0) = t.span(_ != '.')
+    val ip = ip0.reverse.padTo(precision - scale, '0').reverse
+    val fp = fp0.stripPrefix(".").padTo(scale, '0')
+    val b = new ByteArrayOutputStream()
+    val intRem = (precision - scale) % 9
+    var idx = 0
+    if (intRem > 0) { b.write(be(ip.substring(0, intRem).toLong, dig2bytes(intRem))); idx = intRem }
+    while (idx < ip.length) { b.write(be(ip.substring(idx, idx + 9).toLong, 4)); idx += 9 }
+    idx = 0
+    while (idx + 9 <= fp.length) { b.write(be(fp.substring(idx, idx + 9).toLong, 4)); idx += 9 }
+    val fracRem = scale % 9
+    if (fracRem > 0) b.write(be(fp.substring(idx).toLong, dig2bytes(fracRem)))
+    val arr = b.toByteArray
+    if (neg) { var i = 0; while (i < arr.length) { arr(i) = (~arr(i)).toByte; i += 1 } }
+    arr(0) = (arr(0) ^ 0x80).toByte
+    Some(arr)
+  }
+
+  // TABLE_MAP metadata helpers
+  def mNone: Array[Byte] = Array.empty
+  def m1(v: Int): Array[Byte] = Array(v.toByte)
+  def mLe2(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+  /** STRING-multiplexed ENUM/SET/CHAR: (real_type, size) big-endian pair. */
+  def mBe2(realType: Int, size: Int): Array[Byte] = Array(realType.toByte, size.toByte)
+  def mBit(nbits: Int): Array[Byte] = Array((nbits % 8).toByte, (nbits / 8).toByte)
+}
+
+class BinlogWireSpec extends SparkSpec {
+  import BinlogWire._
+
+  private def readAll(file: Path): Seq[(Long, String)] = {
+    val r = new BinaryBinlogReader(file.toString, 0L, Long.MaxValue)
+    try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+    finally r.close()
+  }
+  private def writeTmp(bytes: Array[Byte]): Path = {
+    val p = Files.createTempFile("binlog", ".bin")
+    Files.write(p, bytes); p.toFile.deleteOnExit(); p
+  }
+  private def rowsOf(line: String): Seq[Seq[Option[String]]] = {
+    // parse through Spark's from_json for contract fidelity
+    import spark.implicits._
+    val df = Seq(line).toDF("value")
+      .select(from_json(col("value"), graft.streaming.CdcStream.rawPositionalSchema).as("r"))
+      .select("r.rows")
+    df.collect().head.getSeq[scala.collection.Seq[String]](0)
+      .map(img => img.map(Option(_)).toSeq).toSeq
+  }
+
+  test("§1.4 type matrix round-trips from wire bytes to positional carriers") {
+    val w = new BinlogFixtureWriter(checksum = false)
+    w.fde()
+    val cols = Seq(
+      TYPE_TINY -> w.mNone, TYPE_SHORT -> w.mNone, TYPE_INT24 -> w.mNone,
+      TYPE_LONG -> w.mNone, TYPE_LONGLONG -> w.mNone,
+      TYPE_FLOAT -> w.m1(4), TYPE_DOUBLE -> w.m1(8),
+      TYPE_NEWDECIMAL -> Array(12.toByte, 4.toByte), // precision 12, scale 4 (LE pair: meta&0xff=prec)
+      TYPE_VARCHAR -> w.mLe2(300),
+      TYPE_STRING -> w.mBe2(TYPE_ENUM, 1),
+      TYPE_STRING -> w.mBe2(TYPE_SET, 2),
+      TYPE_STRING -> w.mBe2(TYPE_STRING, 5), // CHAR(5)
+      TYPE_BIT -> w.mBit(12),
+      TYPE_BLOB -> w.m1(2),
+      TYPE_DATE -> w.mNone, TYPE_YEAR -> w.mNone,
+      TYPE_DATETIME2 -> w.m1(0), TYPE_TIMESTAMP2 -> w.m1(0), TYPE_TIME2 -> w.m1(0))
+    w.tableMap(10L, 7L, "shop", "typed", cols)
+    w.rows(11L, WRITE_ROWS_V2, 7L, cols.length, Seq(
+      Seq(w.vTiny(-6), w.vShort(-2), w.vInt24(-70000), w.vLong(-5), w.vLongLong(-1L),
+        w.vFloat(1.5f), w.vDouble(-2.25),
+        w.vDecimal("-12345678.9012", 12, 4),
+        w.vVarchar("héllo \"q\"", 300),
+        w.vEnum(2, 1), w.vSet(5L, 2),
+        w.vVarchar("chars", 5), // CHAR(5): same 1-byte length prefix at len<256
+        w.vBit(0xABC, 12), w.vBlob("blobby", 2),
+        w.vDate(2024, 2, 29), w.vYear(1999),
+        w.vDatetime2(2023, 12, 31, 23, 59, 58), w.vTimestamp2(1700000000L), w.vTime2(13, 14, 15)),
+      Seq(None, None, None, None, None, None, None, None, None, None, None, None,
+        None, None, None, None, None, None, None) // all-NULL image
+    ))
+    val lines = readAll(writeTmp(w.bytes))
+    assert(lines.size === 1)
+    val images = rowsOf(lines.head._2)
+    assert(images.size === 2)
+    assert(images(0) === Seq(
+      Some("-6"), Some("-2"), Some("-70000"), Some("-5"), Some("-1"),
+      Some("1.5"), Some("-2.25"),
+      Some("-12345678.9012"),
+      Some("héllo \"q\""),
+      Some("2"), Some("5"), Some("chars"),
+      Some((0xABC).toString), Some("blobby"),
+      Some("2024-02-29"), Some("1999"),
+      Some("2023-12-31 23:59:58"), Some("2023-11-14 22:13:20"), Some("13:14:15")).map(identity))
+    assert(images(1).forall(_.isEmpty), "all-NULL image decodes to nulls")
+  }
+
+  test("update images alternate before/after; delete emits delete") {
+    val w = new BinlogFixtureWriter(checksum = false)
+    w.fde()
+    val cols = Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40))
+    w.tableMap(10L, 3L, "d", "t", cols)
+    w.rows(11L, UPDATE_ROWS_V2, 3L, 2, Seq(
+      Seq(w.vLong(1), w.vVarchar("old", 40)), Seq(w.vLong(1), w.vVarchar("new", 40)),
+      Seq(w.vLong(2), w.vVarchar("a", 40)), Seq(w.vLong(2), w.vVarchar("b", 40))))
+    w.rows(12L, DELETE_ROWS_V2, 3L, 2, Seq(Seq(w.vLong(9), None)))
+    val lines = readAll(writeTmp(w.bytes))
+    assert(lines.size === 2)
+    assert(lines.head._2.contains("\"action\":\"update\""))
+    assert(rowsOf(lines.head._2) === Seq(
+      Seq(Some("1"), Some("old")), Seq(Some("1"), Some("new")),
+      Seq(Some("2"), Some("a")), Seq(Some("2"), Some("b"))))
+    assert(lines(1)._2.contains("\"action\":\"delete\""))
+    assert(rowsOf(lines(1)._2) === Seq(Seq(Some("9"), None)))
+  }
+
+  test("golden: binary wire produces the SAME envelopes as the JSON fixture") {
+    import spark.implicits._
+    // One logical history, twice: binary binlog bytes vs JSON fixture lines.
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    val cols = Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(60))
+    w.tableMap(10L, 5L, "shop", "user", cols)
+    w.rows(10L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("ann", 60))))
+    w.query(12L, "shop", "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id")
+    // post-ALTER wire order (id, age, name): new TABLE_MAP, 3 columns
+    val cols2 = Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone, TYPE_VARCHAR -> w.mLe2(60))
+    w.tableMap(13L, 6L, "shop", "user", cols2)
+    w.rows(13L, WRITE_ROWS_V2, 6L, 3, Seq(Seq(w.vLong(3), w.vTiny(-6), w.vVarchar("cat", 60))))
+    w.rows(14L, UPDATE_ROWS_V2, 6L, 3, Seq(
+      Seq(w.vLong(3), w.vTiny(-6), w.vVarchar("cat", 60)),
+      Seq(w.vLong(3), w.vTiny(7), w.vVarchar("cat", 60))))
+    val binLines = readAll(writeTmp(w.bytes))
+    assert(binLines.size === 4)
+
+    // The JSON fixture carrying the same history (the SchemaRegistrySpec style).
+    val jsonLines = Seq(
+      """{"database":"shop","table":"user","action":"insert","ts":10,"stmt_seq":1,"rows":[["1","ann"]]}""",
+      """{"database":"shop","table":"user","action":"alter","ts":12,"stmt_seq":2,"rows":null,"query":"ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id"}""",
+      """{"database":"shop","table":"user","action":"insert","ts":13,"stmt_seq":3,"rows":[["3","-6","cat"]]}""",
+      """{"database":"shop","table":"user","action":"update","ts":14,"stmt_seq":4,"rows":[["3","-6","cat"],["3","7","cat"]]}""")
+
+    def envelopesOf(lines: Seq[String]): Seq[(String, String, String, String)] = {
+      val raw = lines.toDF("value")
+        .select(from_json(col("value"), graft.streaming.CdcStream.rawPositionalSchema).as("r"))
+        .select("r.*")
+      val reg = new SchemaRegistry
+      reg.register("shop", "user",
+        Seq(Decode.ColMeta("id", "int"), Decode.ColMeta("name", "varchar(60)")))
+      reg.decodeBatch(raw)
+        .select(col("stmt_seq"), col("database"), col("table"), col("event_type"), col("event"))
+        .orderBy("stmt_seq", "event_type").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getString(4))).toSeq
+    }
+    val fromBinary = envelopesOf(binLines.map(_._2))
+    val fromJson = envelopesOf(jsonLines)
+    assert(fromBinary === fromJson,
+      "binary wire and JSON fixture must decode to identical envelopes")
+    // and the drifted-in unsigned tinyint fix-up applied on the binary path:
+    assert(fromBinary.map(_._4).contains("""{"data":{"age":250,"id":3,"name":"cat"}}"""))
+  }
+
+  test("CRC32 is verified: a corrupted event fails loudly") {
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    w.tableMap(10L, 5L, "d", "t", Seq(TYPE_LONG -> w.mNone))
+    w.rows(11L, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(42))))
+    val bytes = w.bytes
+    bytes(bytes.length - 10) = (bytes(bytes.length - 10) ^ 0x01).toByte // flip a payload bit
+    val p = writeTmp(bytes)
+    val ex = intercept[IllegalArgumentException](readAll(p))
+    assert(ex.getMessage.contains("CRC mismatch"))
+  }
+
+  test("drop-in: BinaryBinlogReader behind CdcReaderFactory, split ownership holds") {
+    val w = new BinlogFixtureWriter(checksum = false)
+    w.fde()
+    w.tableMap(10L, 5L, "d", "t", Seq(TYPE_LONG -> w.mNone))
+    val off1 = w.rows(11L, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(1))))
+    val off2 = w.rows(12L, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(2))))
+    val p = writeTmp(w.bytes)
+    val factory = new CdcReaderFactory(
+      mkReader = ip => new BinaryBinlogReader(ip.file, ip.fromByte, ip.untilByte))
+    // two splits cut between the two rows events: each event emitted exactly once
+    val cut = off2
+    val got = Seq((0L, cut), (cut, Long.MaxValue)).flatMap { case (lo, hi) =>
+      val r = factory.createReader(CdcInputPartition(p.toString, lo, hi, 1000L, None))
+      val buf = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      while (r.next()) { val row = r.get(); buf += ((row.getLong(2), row.getString(3))) }
+      r.close(); buf
+    }
+    assert(got.map(_._1) === Seq(1000L + off1, 1000L + off2),
+      "pos = globalBase + event offset; each event owned by exactly one split")
+    assert(got.map(_._2).distinct === Seq("d.t"))
+  }
+}

@@ -137,6 +137,41 @@ class CdcSourceSpec extends SparkSpec {
     }
   }
 
+  test("byte positions are exact under CRLF and an unterminated final line") {
+    val in = tmp()
+    // Mixed terminators: LF, CRLF, then a final line with NO terminator.
+    val raw = line("d", "t", 0) + "\n" + line("d", "t", 1) + "\r\n" + line("d", "t", 2)
+    Files.write(in.resolve("bin.0001"), raw.getBytes("UTF-8"))
+    val expectStarts = Seq(
+      0L,
+      line("d", "t", 0).getBytes("UTF-8").length + 1L,
+      line("d", "t", 0).getBytes("UTF-8").length + 1L +
+        line("d", "t", 1).getBytes("UTF-8").length + 2L)
+    // Full read: 3 lines, true offsets, CR stripped from content.
+    val r = new FileBinlogReader(in.resolve("bin.0001").toString, 0L, Long.MaxValue)
+    val got = Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+    r.close()
+    assert(got.map(_._1) === expectStarts)
+    assert(got.map(_._2) === Seq(line("d", "t", 0), line("d", "t", 1), line("d", "t", 2)),
+      "CR must be stripped from content but counted in position")
+    // Split ownership still exact: cut right at the CRLF line's start.
+    for (cut <- expectStarts ++ Seq(expectStarts(1) + 1, expectStarts(2) + 1)) {
+      val owned = Seq((0L, cut), (cut, Long.MaxValue)).flatMap { case (lo, hi) =>
+        val rr = new FileBinlogReader(in.resolve("bin.0001").toString, lo, hi)
+        val ls = Iterator.continually(rr.nextLine()).takeWhile(_ != null).map(_._1).toList
+        rr.close(); ls
+      }
+      assert(owned === expectStarts, s"cut=$cut must keep every line exactly once")
+    }
+  }
+
+  test("legacy statement-index checkpoint offsets fail with an actionable message") {
+    val s = new CdcMicroBatchStream("/nonexistent", None, None)
+    val ex = intercept[IllegalArgumentException](s.deserializeOffset("""{"stmt":42}"""))
+    assert(ex.getMessage.contains("reset the checkpoint"))
+    assert(s.deserializeOffset("""{"pos":42}""").asInstanceOf[CdcOffset].pos === 42L)
+  }
+
   test("BinlogReader seam: a synthetic wire reader drops in without DSv2 changes") {
     val scripted = Seq(0L -> """{"database":"d","table":"t","action":"insert","ts":1,"stmt_seq":0,"rows":[]}""",
                        90L -> """{"database":"d","table":"t","action":"insert","ts":2,"stmt_seq":1,"rows":[]}""")
