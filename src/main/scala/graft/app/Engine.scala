@@ -45,9 +45,14 @@ object Engine {
         * through this registry, row-by-row under the schema version live at
         * its sequence. The registry outlives batches, so an ALTER seen in
         * batch N governs batch N+1 — the drift behavior the reference warns
-        * it lacks (`readme.md:54`). Incompatible with `useDsv2Source`'s
-        * entries-form fixtures. */
-      schemaRegistry: Option[graft.cdc.SchemaRegistry] = None)
+        * it lacks (`readme.md:54`). Composes with `useDsv2Source`: the DSv2
+        * source's raw `value` lines are parsed with the positional wire
+        * schema when a registry is configured. */
+      schemaRegistry: Option[graft.cdc.SchemaRegistry] = None,
+      /** K4 scale tier: (host, port, kafkaTopic) produced to via the wire
+        * protocol ([[graft.streaming.KafkaWire]]) — keyed `database.table`,
+        * snappy record batches, acks=1, per-partition executor fan-out. */
+      kafkaPush: Option[CdcStream.KafkaPush] = None)
 
   final class Handle(val query: StreamingQuery,
                      val control: Option[ControlService],
@@ -97,9 +102,10 @@ object Engine {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
         cfg.schemaRegistry match {
           case Some(reg) =>
-            CdcStream.processPositionalBatch(batch, id, cfg.posFile, sinksRef.get(), reg, pushTo)
+            CdcStream.processPositionalBatch(batch, id, cfg.posFile, sinksRef.get(), reg,
+              pushTo, cfg.kafkaPush)
           case None =>
-            CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo)
+            CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo, cfg.kafkaPush)
         }
       }
       .start()

@@ -99,14 +99,21 @@ object CdcStream {
     * CMD_PUBLISH frames — delivery runs on the executors, the driver never
     * holds a batch of envelopes (the reference's push tier is likewise its own
     * process fed by a queue, not the coordinator; `binlog/handler.go:81-98`). */
+  /** Kafka push tier: (host, port, kafkaTopic) of a broker spoken to via
+    * [[KafkaWire]] (wire protocol, no connector jar). Unlike the single-
+    * socket TCP push, this fans out per PARTITION on the executors — the
+    * 100 TB delivery path, keyed `database.table` for per-table ordering. */
+  type KafkaPush = (String, Int, String)
+
   def processBatch(batch: DataFrame, batchId: Long, posFile: String,
-                   sinks: Seq[SinkConfig], pushTo: Option[(String, Int)] = None): Unit = {
+                   sinks: Seq[SinkConfig], pushTo: Option[(String, Int)] = None,
+                   kafkaPush: Option[KafkaPush] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     // Replay of the committed batch re-uses its original start index
     // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
     val start = if (tag == s"batch-$batchId") replayStart else next
     val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(batch, startIndex = start)
-    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start)
+    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start, kafkaPush)
   }
 
   /** Positional-stream variant of [[processBatch]]: raw statements carry
@@ -116,14 +123,15 @@ object CdcStream {
     * versions make this replay-idempotent exactly like the index numbering. */
   def processPositionalBatch(batch: DataFrame, batchId: Long, posFile: String,
                              sinks: Seq[SinkConfig], registry: graft.cdc.SchemaRegistry,
-                             pushTo: Option[(String, Int)] = None): Unit = {
+                             pushTo: Option[(String, Int)] = None,
+                             kafkaPush: Option[KafkaPush] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     val start = if (tag == s"batch-$batchId") replayStart else next
     val (decoded, decodeCleanup) = registry.decodeBatchManaged(batch)
     val (env, indexCleanup) = graft.cdc.EventIndexer.denseManaged(
       decoded, Seq(col("stmt_seq"), col("pair_pos")), "event_index", start)
     fanOutIndexed(env, () => { indexCleanup(); decodeCleanup() },
-      batchId, posFile, sinks, pushTo, start)
+      batchId, posFile, sinks, pushTo, start, kafkaPush)
   }
 
   /** Shared tail of the two batch paths: serialize once, offer to every sink,
@@ -131,7 +139,8 @@ object CdcStream {
     * (database, table, event_type, time, topic, event, event_index). */
   private def fanOutIndexed(env: DataFrame, envCleanup: () => Unit, batchId: Long,
                             posFile: String, sinks: Seq[SinkConfig],
-                            pushTo: Option[(String, Int)], start: Long): Unit = {
+                            pushTo: Option[(String, Int)], start: Long,
+                            kafkaPush: Option[KafkaPush] = None): Unit = {
     val out = env.withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
       .select(col("topic"), col("envelope"), col("event_index"))
       .persist()
@@ -174,6 +183,12 @@ object CdcStream {
               } finally sock.close()
             }
           }
+      }
+      kafkaPush.foreach { case (host, port, kafkaTopic) =>
+        // Same at-least-once contract as the TCP push (runs before
+        // PosStore.write; event_index in the envelope is the consumer-side
+        // dedup key), but delivery is per-partition on the executors.
+        KafkaWire.produce(out.select(col("topic"), col("envelope")), host, port, kafkaTopic)
       }
       val n = out.count()
       PosStore.write(posFile, s"batch-$batchId", start, start + n)

@@ -3,15 +3,19 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Kafka sink wiring (operator K4). This container ships no Kafka connector
-  * jar or broker, so what is testable here — and provided — is the exact
-  * frame and configuration contract; a deployment with
-  * `spark-sql-kafka-0-10` on the classpath plugs these straight into
-  * `envelopes.transform(KafkaSink.frame("wing")).writeStream.format("kafka")
-  * .options(KafkaSink.producerOptions(bootstrap)).start()`.
-  * The byte-for-byte behavior (key = `database.table`, value = the one-shot
-  * envelope JSON, per-table ordering via the key) is covered by the
-  * kafka-shaped file sink in [[CdcStream]].
+/** Kafka sink wiring (operator K4). Two produce paths:
+  *
+  *  1. `spark-sql-kafka-0-10` deployments plug [[frame]] + [[producerOptions]]
+  *     straight into `envelopes.transform(KafkaSink.frame("wing"))
+  *     .writeStream.format("kafka").options(...).start()`.
+  *  2. [[KafkaWire]] — a self-contained wire-protocol producer (ApiVersions +
+  *     Produce v3, message-format-v2 record batches, CRC32C, snappy) needing
+  *     no connector jar, exercised end-to-end against a stub broker in
+  *     `KafkaWireSpec`/`EngineSpec` and wired into the engine via
+  *     `Engine.Config.kafkaPush`.
+  *
+  * Both share the contract: key = `database.table`, value = the one-shot
+  * envelope JSON, per-table ordering via the key.
   */
 object KafkaSink {
 

@@ -132,6 +132,68 @@ class EngineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("drift + DSv2 compose: admission-controlled source feeds the registry") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    def pos(db: String, tbl: String, action: String, seq: Long, rows: String, query: String): String = {
+      val q = if (query == null) "null" else "\"" + query.replace("\"", "\\\"") + "\""
+      s"""{"database":"$db","table":"$tbl","action":"$action","ts":9,"stmt_seq":$seq,"rows":$rows,"query":$q}"""
+    }
+    val lines = Seq(
+      pos("shop", "user", "insert", 1L, """[["1","ann"]]""", null),
+      pos("shop", "user", "alter", 2L, "null",
+        "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id"),
+      pos("shop", "user", "insert", 3L, """[["2","-6","bob"]]""", null),
+      pos("other", "t", "insert", 4L, """[["x"]]""", null)) // dropped: table filter
+    Files.write(in.resolve("bin.0001"), lines.asJava)
+
+    val reg = new graft.cdc.SchemaRegistry
+    reg.register("shop", "user", Seq(
+      graft.cdc.Decode.ColMeta("id", "int(11)"),
+      graft.cdc.Decode.ColMeta("name", "varchar(16)")))
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+      useDsv2Source = true,
+      tableFilter = Some("^shop\\."),
+      // byte budget forces MULTIPLE micro-batches: the ALTER lands in an
+      // earlier batch than the row it governs, through the DSv2 source
+      maxBytesPerTrigger = Some(lines.head.length.toLong + 1),
+      schemaRegistry = Some(reg)))
+    try {
+      assert(handle.awaitTermination(120000))
+      val all = readSink(s"$out/all")
+      assert(all.size === 3, s"3 shop.user envelopes (other.t source-filtered): $all")
+      assert(all.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
+      assert(all.exists(_.contains("""{"data":{"age":250,"id":2,"name":"bob"}}""")),
+        "row admitted in a LATER micro-batch decodes under the drifted schema")
+    } finally handle.stop()
+  }
+
+  test("K4 kafka push tier: engine produces keyed wire-protocol batches to a broker") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    Files.write(in.resolve("bin.0001"),
+      (1L to 6L).map(i => line("test", if (i % 2 == 0) "city" else "user", i)).asJava)
+    val broker = new graft.streaming.KafkaStubBroker
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Nil,
+      kafkaPush = Some(("127.0.0.1", broker.port, "wing"))))
+    try {
+      assert(handle.awaitTermination(120000))
+      val recs = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      broker.received.forEach(b => { assert(b.crcOk && b.codec == 2); recs ++= b.records })
+      assert(recs.size === 6, s"all 6 envelopes produced, got ${recs.size}")
+      assert(recs.map(_._1).toSet === Set("test.city", "test.user"),
+        "kafka key = database.table (producer.go:66-73)")
+      assert(recs.forall(_._2.contains("\"event_index\":")))
+    } finally { handle.stop(); broker.stop() }
+  }
+
   test("push tier: executors stream envelopes to the pub/sub service; no driver collect") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"),
