@@ -35,6 +35,15 @@ object Bench {
         // reused across repeats via the cache manager's canonicalized-plan
         // lookup, flattering the min — every timed run starts cold.
         spark.catalog.clearCache()
+        // Suite-position isolation (VERDICT r4 #1): a long sweep accumulates
+        // broadcast blocks, shuffle state and old-gen garbage whose cleanup
+        // (ContextCleaner fires on GC of the driver-side references)
+        // otherwise lands INSIDE a later query's timed window — measured as
+        // q22/q30 running ~3x their isolated times in the 37-query sweep.
+        // Forcing a full GC between queries makes each timed run start from
+        // the same heap/cleaner state as an isolated run.
+        System.gc()
+        Thread.sleep(50) // let the cleaner drain the newly-unreferenced state
         val t0 = System.nanoTime()
         try { exec(q.fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }

@@ -15,8 +15,23 @@ object GraftSession {
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def builder(cpus: String = defaultCpus): SparkSession.Builder =
-    SparkSession.builder()
+  /** Shuffle/spill scratch space for THIS single-node session. Host disk on a
+    * shared box stalls unpredictably, and those stalls land inside whatever
+    * query is shuffling/spilling at that moment (measured: q22 1.9 s →
+    * 8-16 s in 2 of 5 full-sweep runs, both attempts slow, only ever on
+    * disk-backed local dirs). A RAM disk removes that failure mode; it is
+    * only a LOCAL-mode stand-in — on a real cluster the cluster manager
+    * provides per-node local SSDs and this builder is not used. Respects an
+    * explicit SPARK_LOCAL_DIRS from the environment. */
+  private def ramLocalDir: Option[String] =
+    if (sys.env.contains("SPARK_LOCAL_DIRS")) None
+    else {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft-spark-local") else None
+    }
+
+  def builder(cpus: String = defaultCpus): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,6 +41,8 @@ object GraftSession {
       // under this flag (Tables.events then derives µs + TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    ramLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
 
   def get(cpus: String = defaultCpus): SparkSession = {
     val s = builder(cpus).getOrCreate()
