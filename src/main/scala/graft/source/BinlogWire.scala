@@ -38,9 +38,12 @@ import java.util.zip.CRC32
   * (unsigned reinterpretation is Decode's job, by declared column type),
   * ENUM as 1-based ordinal, SET/BIT as the integer bitmask, exact decimal
   * string for NEWDECIMAL (not the lossy float64 default — SURVEY §1.5),
-  * `0000-00-00`-style zero dates, UTC-formatted DATETIME2/TIMESTAMP2.
-  * JSON (245) columns are not decoded (go-mysql ships a whole binary-JSON
-  * sub-parser); they fail fast with a clear message rather than corrupting.
+  * `0000-00-00`-style zero dates, UTC-formatted DATETIME2/TIMESTAMP2, and
+  * JSON (245) columns rendered to JSON text from MySQL's JSONB binary
+  * sub-format ([[decodeJsonb]] — objects/arrays with offset tables and
+  * small-scalar inlining, the format go-mysql parses in `json_binary.go`).
+  * Opaque JSONB payloads (decimal/datetime-in-JSON) fail fast rather than
+  * corrupting.
   */
 object BinlogWire {
 
@@ -276,12 +279,101 @@ object BinlogWire {
         f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
           f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d" + fracSuffix(micros, meta)
       case TYPE_JSON =>
-        throw new UnsupportedOperationException(
-          "graft-binlog: JSON (type 245) column decode is not implemented " +
-            "(binary-JSON sub-format); route JSON columns through a text fixture")
+        val len = meta match {
+          case 1 => c.u8().toLong; case 2 => c.u16().toLong
+          case 3 => c.u24().toLong; case _ => c.u32()
+        }
+        decodeJsonb(c.take(len.toInt))
       case other =>
         throw new UnsupportedOperationException(s"graft-binlog: unsupported column type $other")
     }
+  }
+
+  // ------------------------------------------------------------- binary JSON
+
+  // JSONB type bytes (MySQL's json_binary format, public).
+  private val JB_SMALL_OBJ = 0x00; private val JB_LARGE_OBJ = 0x01
+  private val JB_SMALL_ARR = 0x02; private val JB_LARGE_ARR = 0x03
+  private val JB_LITERAL = 0x04
+  private val JB_INT16 = 0x05; private val JB_UINT16 = 0x06
+  private val JB_INT32 = 0x07; private val JB_UINT32 = 0x08
+  private val JB_INT64 = 0x09; private val JB_UINT64 = 0x0a
+  private val JB_DOUBLE = 0x0b; private val JB_STRING = 0x0c
+
+  /** MySQL binary JSON (JSONB, the TYPE_JSON column payload) → JSON text —
+    * the sub-format go-mysql decodes in `replication/json_binary.go`.
+    * Containers store (count, total-size) headers plus offset tables; small
+    * scalars (literals, 16-bit ints) are INLINED in the 2-byte value slots.
+    * Opaque/decimal payloads are out of scope and fail fast. */
+  def decodeJsonb(data: Array[Byte]): String = {
+    if (data.isEmpty) return "null"
+    val sb = new StringBuilder(data.length * 2)
+    renderJsonb(data, data(0) & 0xff, 1, sb)
+    sb.result()
+  }
+
+  /** Little-endian uint of `n` bytes at `at`. */
+  private def leAt(data: Array[Byte], at: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v |= (data(at + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** High-bit-continuation varlen (JSONB string length). Returns (len, bytesUsed). */
+  private def jbVarlen(data: Array[Byte], at: Int): (Int, Int) = {
+    var v = 0; var i = 0; var b = 0
+    do { b = data(at + i) & 0xff; v |= (b & 0x7f) << (7 * i); i += 1 } while ((b & 0x80) != 0)
+    (v, i)
+  }
+
+  /** Render the value of JSONB type `t` whose payload starts at `at` (for
+    * containers/strings `at` is the payload base; scalars read LE ints). */
+  private def renderJsonb(data: Array[Byte], t: Int, at: Int, sb: StringBuilder): Unit = t match {
+    case JB_LITERAL => sb ++= ((data(at) & 0xff) match {
+      case 0 => "null"; case 1 => "true"; case 2 => "false"
+      case o => throw new UnsupportedOperationException(s"graft-binlog: JSONB literal $o")
+    })
+    case JB_INT16  => sb ++= leAt(data, at, 2).toShort.toString
+    case JB_UINT16 => sb ++= leAt(data, at, 2).toString
+    case JB_INT32  => sb ++= leAt(data, at, 4).toInt.toString
+    case JB_UINT32 => sb ++= leAt(data, at, 4).toString
+    case JB_INT64  => sb ++= leAt(data, at, 8).toString
+    case JB_UINT64 => sb ++= java.lang.Long.toUnsignedString(leAt(data, at, 8))
+    case JB_DOUBLE => sb ++= java.lang.Double.longBitsToDouble(leAt(data, at, 8)).toString
+    case JB_STRING =>
+      val (len, used) = jbVarlen(data, at)
+      sb += '"'
+      sb ++= jsonEscape(new String(data, at + used, len, StandardCharsets.UTF_8))
+      sb += '"'
+    case JB_SMALL_OBJ | JB_LARGE_OBJ | JB_SMALL_ARR | JB_LARGE_ARR =>
+      val large = t == JB_LARGE_OBJ || t == JB_LARGE_ARR
+      val isObj = t == JB_SMALL_OBJ || t == JB_LARGE_OBJ
+      val w = if (large) 4 else 2
+      val count = leAt(data, at, w).toInt
+      // offsets in entry tables are relative to the container's start (`at`)
+      val keyEntries = at + 2 * w // after count + size
+      val valEntries = keyEntries + (if (isObj) count * (w + 2) else 0)
+      sb += (if (isObj) '{' else '[')
+      var i = 0
+      while (i < count) {
+        if (i > 0) sb += ','
+        if (isObj) {
+          val kOff = leAt(data, keyEntries + i * (w + 2), w).toInt
+          val kLen = leAt(data, keyEntries + i * (w + 2) + w, 2).toInt
+          sb += '"'; sb ++= jsonEscape(new String(data, at + kOff, kLen, StandardCharsets.UTF_8))
+          sb ++= "\":"
+        }
+        val e = valEntries + i * (1 + w)
+        val vt = data(e) & 0xff
+        val inlined = vt == JB_LITERAL || vt == JB_INT16 || vt == JB_UINT16 ||
+          (large && (vt == JB_INT32 || vt == JB_UINT32))
+        if (inlined) renderJsonb(data, vt, e + 1, sb)
+        else renderJsonb(data, vt, at + leAt(data, e + 1, w).toInt, sb)
+        i += 1
+      }
+      sb += (if (isObj) '}' else ']')
+    case other =>
+      throw new UnsupportedOperationException(s"graft-binlog: JSONB type 0x${other.toHexString}")
   }
 
   /** SET needs its own arm (n-byte LE bitmask, n = packed size). Split out of

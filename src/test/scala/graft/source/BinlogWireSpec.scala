@@ -233,6 +233,58 @@ class BinlogWireSpec extends SparkSpec {
     assert(images(1).forall(_.isEmpty), "all-NULL image decodes to nulls")
   }
 
+  test("binary JSON (JSONB) decodes scalars, containers, inlining and nesting") {
+    import BinlogWire.decodeJsonb
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // scalar string "hi"
+    assert(decodeJsonb(b(0x0c, 0x02, 'h', 'i')) === "\"hi\"")
+    // uint64 max
+    assert(decodeJsonb(b(0x0a) ++ Array.fill(8)(0xff.toByte)) === "18446744073709551615")
+    // double
+    val dbits = java.lang.Double.doubleToLongBits(2.5)
+    assert(decodeJsonb(b(0x0b) ++ (0 until 8).map(i => ((dbits >> (8 * i)) & 0xff).toByte)) === "2.5")
+    // small object {"a":1,"b":"x"}: int16 inlined, string by offset
+    val obj = b(0x00,
+      0x02, 0x00, 0x16, 0x00,             // count=2, size=22
+      0x12, 0x00, 0x01, 0x00,             // key "a": off 18, len 1
+      0x13, 0x00, 0x01, 0x00,             // key "b": off 19, len 1
+      0x05, 0x01, 0x00,                   // val a: int16 inline = 1
+      0x0c, 0x14, 0x00,                   // val b: string at off 20
+      'a', 'b',
+      0x01, 'x')                          // varlen 1, "x"
+    assert(decodeJsonb(obj) === """{"a":1,"b":"x"}""")
+    // small array [null, -2, "hi"]
+    val arr = b(0x02,
+      0x03, 0x00, 0x10, 0x00,             // count=3, size=16
+      0x04, 0x00, 0x00,                   // null inline
+      0x05, 0xfe, 0xff,                   // int16 -2 inline
+      0x0c, 0x0d, 0x00,                   // string at off 13
+      0x02, 'h', 'i')
+    assert(decodeJsonb(arr) === """[null,-2,"hi"]""")
+    // nested: [ {"a":true} ]
+    val nested = b(0x02,
+      0x01, 0x00, 0x13, 0x00,             // outer count=1, size=19
+      0x00, 0x07, 0x00,                   // entry: small object at off 7
+      // inner object payload (offsets relative to ITS start):
+      0x01, 0x00, 0x0c, 0x00,             // count=1, size=12
+      0x0b, 0x00, 0x01, 0x00,             // key "a": off 11, len 1
+      0x04, 0x01, 0x00,                   // val: literal true inline
+      'a')
+    assert(decodeJsonb(nested) === """[{"a":true}]""")
+  }
+
+  test("a TYPE_JSON column round-trips through a rows event") {
+    val w = new BinlogFixtureWriter(checksum = false)
+    w.fde()
+    val cols = Seq(TYPE_LONG -> w.mNone, TYPE_JSON -> w.m1(2))
+    w.tableMap(10L, 4L, "d", "j", cols)
+    val jsonb = Array[Byte](0x0c, 0x03, 'y', 'e', 's')
+    val payload = Array[Byte]((jsonb.length & 0xff).toByte, 0) ++ jsonb // 2-byte LE length
+    w.rows(11L, WRITE_ROWS_V2, 4L, 2, Seq(Seq(w.vLong(7), Some(payload))))
+    val lines = readAll(writeTmp(w.bytes))
+    assert(rowsOf(lines.head._2) === Seq(Seq(Some("7"), Some("\"yes\""))))
+  }
+
   test("update images alternate before/after; delete emits delete") {
     val w = new BinlogFixtureWriter(checksum = false)
     w.fde()
