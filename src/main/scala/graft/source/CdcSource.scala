@@ -109,20 +109,32 @@ class CdcScan(props: Map[String, String]) extends Scan {
   private def opt(name: String): Option[Long] =
     props.get(name.toLowerCase).orElse(props.get(name)).map(_.toLong)
   private val splitBytes = opt("splitBytes").getOrElse(CdcMicroBatchStream.DefaultSplitBytes)
+  /** `wireFormat=binary` tails REAL binlog-format files through
+    * [[BinaryBinlogReader]]; the default tails JSON-lines fixtures. Same
+    * planning/offsets/filtering either way — only the reader seam differs. */
+  private val binary = props.get("wireformat").orElse(props.get("wireFormat"))
+    .exists(_.equalsIgnoreCase("binary"))
 
   override def readSchema(): StructType = CdcSource.schema
   override def description(): String =
-    s"graft-cdc dir=$dir filter=${filter.getOrElse("(none)")}"
+    s"graft-cdc dir=$dir filter=${filter.getOrElse("(none)")}" +
+      (if (binary) " wire=binary" else "")
+
+  private def factory: CdcReaderFactory =
+    if (binary) new CdcReaderFactory(p => new BinaryBinlogReader(p.file, p.fromByte, p.untilByte))
+    else new CdcReaderFactory
 
   /** S2: snapshot — all statements currently in the directory, one batch. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       CdcMicroBatchStream.slice(CdcSource.listFiles(dir), 0L, Long.MaxValue, filter, splitBytes)
-    override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+    override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes)
+    new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
+      mkReader = if (binary) Some(p => new BinaryBinlogReader(p.file, p.fromByte, p.untilByte))
+                 else None)
 }
 
 /** Offset = bytes consumed from the start of the sorted file sequence. */
@@ -158,7 +170,8 @@ object CdcMicroBatchStream {
 }
 
 class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigger: Option[Long],
-                          splitBytes: Long = CdcMicroBatchStream.DefaultSplitBytes)
+                          splitBytes: Long = CdcMicroBatchStream.DefaultSplitBytes,
+                          mkReader: Option[CdcInputPartition => BinlogReader] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Sizes are cached per file: binlog files are append-only in the reference
@@ -219,7 +232,8 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
     CdcMicroBatchStream.slice(refresh(),
       start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos, filter, splitBytes)
 
-  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    mkReader.fold(new CdcReaderFactory)(new CdcReaderFactory(_))
   override def commit(end: Offset): Unit = () // files are immutable; nothing to ack
   override def stop(): Unit = ()
 }
