@@ -29,6 +29,12 @@ object Engine {
       useDsv2Source: Boolean = false,
       tableFilter: Option[String] = None,      // S3, only with the DSv2 source
       maxBytesPerTrigger: Option[Long] = None,  // admission control, DSv2 source
+      /** DSv2 source wire format: `binary` tails REAL MySQL binlog files
+        * ([[graft.source.BinaryBinlogReader]]); default tails JSON lines.
+        * The binary reader emits the positional wire form, so it pairs with
+        * `schemaRegistry` for the full real-user pipeline: binlog bytes →
+        * drift-aware decode → envelopes → sinks. */
+      wireFormat: Option[String] = None,
       controlPort: Option[Int] = None,         // P2; 0 = ephemeral
       tcpPubSubPort: Option[Int] = None,       // K1; 0 = ephemeral
       trigger: Trigger = Trigger.AvailableNow(),
@@ -90,6 +96,7 @@ object Engine {
         var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
         cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
         cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
+        cfg.wireFormat.foreach(w => r = r.option("wireFormat", w))
         r.load()
           .select(from_json(col("value"), wireSchema).as("r"))
           .select("r.*")

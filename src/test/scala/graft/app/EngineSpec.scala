@@ -194,6 +194,54 @@ class EngineSpec extends SparkSpec {
     } finally { handle.stop(); broker.stop() }
   }
 
+  test("capstone: binlog BYTES -> binary DSv2 source -> drift decode -> kafka wire") {
+    // The full real-user pipeline the reference implements, end to end:
+    // crafted MySQL binlog bytes tailed by the binary wire reader through the
+    // DSv2 source, rows decoded under live schema drift, envelopes produced
+    // to a (stub) Kafka broker over the wire protocol.
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    val w = new graft.source.BinlogFixtureWriter(checksum = true)
+    w.fde()
+    import graft.source.BinlogWire._
+    w.tableMap(10L, 5L, "shop", "user",
+      Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+    w.rows(10L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("ann", 40))))
+    w.query(12L, "shop", "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id")
+    w.tableMap(13L, 6L, "shop", "user",
+      Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+    w.rows(13L, WRITE_ROWS_V2, 6L, 3, Seq(Seq(w.vLong(2), w.vTiny(-6), w.vVarchar("bob", 40))))
+    Files.write(in.resolve("binlog.000001"), w.bytes)
+
+    val reg = new graft.cdc.SchemaRegistry
+    reg.register("shop", "user", Seq(
+      graft.cdc.Decode.ColMeta("id", "int(11)"),
+      graft.cdc.Decode.ColMeta("name", "varchar(40)")))
+    val broker = new graft.streaming.KafkaStubBroker
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+      useDsv2Source = true,
+      wireFormat = Some("binary"),
+      schemaRegistry = Some(reg),
+      kafkaPush = Some(("127.0.0.1", broker.port, "wing"))))
+    try {
+      assert(handle.awaitTermination(120000))
+      val all = readSink(s"$out/all")
+      assert(all.size === 3, s"insert + alter + post-drift insert: $all")
+      assert(all.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
+      assert(all.exists(_.contains("""{"data":{"age":250,"id":2,"name":"bob"}}""")),
+        "binary row image decoded under the drifted schema with unsigned fix-up")
+      assert(all.exists(l => l.contains("\"event_type\":\"alter\"") && !l.contains("\"event\":")),
+        "alter envelope carries no event key")
+      val kafka = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      broker.received.forEach(b => { assert(b.crcOk && b.codec == 2); kafka ++= b.records })
+      assert(kafka.size === 3 && kafka.forall(_._1 == "shop.user"))
+    } finally { handle.stop(); broker.stop() }
+  }
+
   test("push tier: executors stream envelopes to the pub/sub service; no driver collect") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"),
