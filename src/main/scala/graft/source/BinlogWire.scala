@@ -258,6 +258,20 @@ object BinlogWire {
         val v = c.u24()
         if (v == 0) "0000-00-00"
         else f"${v >> 9}%04d-${(v >> 5) & 15}%02d-${v & 31}%02d"
+      // Legacy (pre-5.6.4) temporals — still on the wire from old masters.
+      case TYPE_TIMESTAMP => // 4-byte LE unix seconds
+        val secs = c.u32()
+        val dt = java.time.LocalDateTime.ofEpochSecond(secs, 0, java.time.ZoneOffset.UTC)
+        f"${dt.getYear}%04d-${dt.getMonthValue}%02d-${dt.getDayOfMonth}%02d " +
+          f"${dt.getHour}%02d:${dt.getMinute}%02d:${dt.getSecond}%02d"
+      case TYPE_DATETIME => // 8-byte LE packed decimal YYYYMMDDHHMMSS
+        val v = c.i64()
+        val d0 = v / 1000000L; val t0 = v % 1000000L
+        f"${d0 / 10000}%04d-${(d0 % 10000) / 100}%02d-${d0 % 100}%02d " +
+          f"${t0 / 10000}%02d:${(t0 % 10000) / 100}%02d:${t0 % 100}%02d"
+      case TYPE_TIME => // 3-byte LE packed decimal HHMMSS (signed range unused)
+        val v = c.u24()
+        f"${v / 10000}%02d:${(v % 10000) / 100}%02d:${v % 100}%02d"
       case TYPE_TIME2 =>
         val v = c.beUint(3) - 0x800000L
         val abs = math.abs(v)

@@ -233,6 +233,23 @@ class BinlogWireSpec extends SparkSpec {
     assert(images(1).forall(_.isEmpty), "all-NULL image decodes to nulls")
   }
 
+  test("legacy temporals (pre-5.6 TIMESTAMP/DATETIME/TIME) decode") {
+    val w = new BinlogFixtureWriter(checksum = false)
+    w.fde()
+    val cols = Seq(TYPE_TIMESTAMP -> w.mNone, TYPE_DATETIME -> w.mNone, TYPE_TIME -> w.mNone)
+    w.tableMap(10L, 2L, "d", "t", cols)
+    w.rows(11L, WRITE_ROWS_V2, 2L, 3, Seq(Seq(
+      Some(Array[Byte]( // 1700000000 LE
+        (1700000000L & 0xff).toByte, ((1700000000L >> 8) & 0xff).toByte,
+        ((1700000000L >> 16) & 0xff).toByte, ((1700000000L >> 24) & 0xff).toByte)),
+      Some((0 until 8).map(i => ((20231231235958L >> (8 * i)) & 0xff).toByte).toArray),
+      Some(Array[Byte]((132415 & 0xff).toByte, ((132415 >> 8) & 0xff).toByte,
+        ((132415 >> 16) & 0xff).toByte)))))
+    val lines = readAll(writeTmp(w.bytes))
+    assert(rowsOf(lines.head._2) === Seq(Seq(
+      Some("2023-11-14 22:13:20"), Some("2023-12-31 23:59:58"), Some("13:24:15"))))
+  }
+
   test("binary JSON (JSONB) decodes scalars, containers, inlining and nesting") {
     import BinlogWire.decodeJsonb
     def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
