@@ -484,8 +484,15 @@ object BinlogWire {
   * the DSv2 planner needs no special casing (a split re-reads the prefix's
   * metadata events but never re-emits their rows). For true binlogs one
   * split per file (`splitBytes` ≥ file size) is the natural configuration.
-  */
-final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long) extends BinlogReader {
+  *
+  * `seqBase` is added to each statement's `stmt_seq` (= its event's byte
+  * offset within this file): the DSv2 factory passes the file's GLOBAL base
+  * offset, making `stmt_seq` the global byte position — strictly monotone
+  * ACROSS the sorted file sequence, which drift versioning and event
+  * ordering depend on (a rotate to a new file must not reset sequences,
+  * exactly like `mysql.Position` pairs file+offset). */
+final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long,
+                               seqBase: Long = 0L) extends BinlogReader {
   import BinlogWire._
 
   private val in = new BufferedInputStream(Files.newInputStream(Paths.get(file)), 1 << 16)
@@ -569,7 +576,7 @@ final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long) ex
           if (m.matches() && eventStart >= fromByte) {
             val qdb = Option(m.group(1)).getOrElse(db)
             return (eventStart,
-              positionalLine(qdb, m.group(2), "alter", ts, eventStart, null, query))
+              positionalLine(qdb, m.group(2), "alter", ts, seqBase + eventStart, null, query))
           }
         case _ => () // ROTATE/XID/others: framing only
       }
@@ -601,7 +608,7 @@ final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long) ex
       case DELETE_ROWS_V1 | DELETE_ROWS_V2 => "delete"
       case _ => "update"
     }
-    positionalLine(tm.db, tm.table, action, ts, eventStart, images.result(), null)
+    positionalLine(tm.db, tm.table, action, ts, seqBase + eventStart, images.result(), null)
   }
 
   override def close(): Unit = in.close()

@@ -121,7 +121,8 @@ class CdcScan(props: Map[String, String]) extends Scan {
       (if (binary) " wire=binary" else "")
 
   private def factory: CdcReaderFactory =
-    if (binary) new CdcReaderFactory(p => new BinaryBinlogReader(p.file, p.fromByte, p.untilByte))
+    if (binary) new CdcReaderFactory(p =>
+      new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
     else new CdcReaderFactory
 
   /** S2: snapshot — all statements currently in the directory, one batch. */
@@ -133,8 +134,9 @@ class CdcScan(props: Map[String, String]) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
-      mkReader = if (binary) Some(p => new BinaryBinlogReader(p.file, p.fromByte, p.untilByte))
-                 else None)
+      mkReader = if (binary) Some(p =>
+        new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
+      else None)
 }
 
 /** Offset = bytes consumed from the start of the sorted file sequence. */

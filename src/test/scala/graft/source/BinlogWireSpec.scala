@@ -421,6 +421,29 @@ class BinlogWireSpec extends SparkSpec {
     assert(outRows.sum === 3, "all three statements stream through (no table filter)")
   }
 
+  test("rotation: stmt_seq stays strictly monotone across binlog files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_binrotate")
+    def oneFile(name: String, ids: Seq[Int]): Unit = {
+      val w = new BinlogFixtureWriter(checksum = false)
+      w.fde()
+      w.tableMap(10L, 5L, "d", "t", Seq(TYPE_LONG -> w.mNone))
+      ids.foreach(i => w.rows(10L + i, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(i)))))
+      Files.write(dir.resolve(name), w.bytes)
+    }
+    oneFile("binlog.000001", Seq(1, 2))
+    oneFile("binlog.000002", Seq(3, 4)) // post-rotate: same within-file offsets
+    val seqs = spark.read.format("graft-cdc")
+      .option("path", dir.toString).option("wireFormat", "binary").load()
+      .select(from_json(col("value"), graft.streaming.CdcStream.rawPositionalSchema).as("r"))
+      .select("r.stmt_seq").as[Long].collect().sorted.toSeq
+    assert(seqs.size === 4)
+    assert(seqs.distinct.size === 4,
+      s"stmt_seq must not repeat across rotated files: $seqs")
+    assert(seqs === seqs.sorted && seqs(1) < seqs(2),
+      s"file 2's sequences must continue after file 1's: $seqs")
+  }
+
   test("drop-in: BinaryBinlogReader behind CdcReaderFactory, split ownership holds") {
     val w = new BinlogFixtureWriter(checksum = false)
     w.fde()
