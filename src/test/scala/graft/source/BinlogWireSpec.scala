@@ -233,6 +233,63 @@ class BinlogWireSpec extends SparkSpec {
     assert(images(1).forall(_.isEmpty), "all-NULL image decodes to nulls")
   }
 
+  test("seeded sweep: random values round-trip the wire for every numeric/string type") {
+    // The fixture writer (encoder) and BinaryBinlogReader (decoder) are
+    // independent implementations of the same public byte format; a seeded
+    // random sweep over values is therefore a real property test, not the
+    // code agreeing with itself.
+    val rnd = new scala.util.Random(0xB1470)
+    (1 to 8).foreach { round =>
+      val w = new BinlogFixtureWriter(checksum = round % 2 == 0)
+      w.fde()
+      val varLen = 20 + rnd.nextInt(400)
+      val prec = 6 + rnd.nextInt(24); val scale = rnd.nextInt(math.min(prec, 9))
+      val cols = Seq(
+        TYPE_TINY -> w.mNone, TYPE_SHORT -> w.mNone, TYPE_INT24 -> w.mNone,
+        TYPE_LONG -> w.mNone, TYPE_LONGLONG -> w.mNone,
+        TYPE_DOUBLE -> w.m1(8),
+        TYPE_NEWDECIMAL -> Array(prec.toByte, scale.toByte),
+        TYPE_VARCHAR -> w.mLe2(varLen))
+      w.tableMap(10L, 9L, "d", "t", cols)
+      val expected = (1 to 20).map { _ =>
+        val tiny = rnd.nextInt(256) - 128
+        val short = rnd.nextInt(65536) - 32768
+        val i24 = rnd.nextInt(1 << 24) - (1 << 23)
+        val i32 = rnd.nextInt()
+        val i64 = rnd.nextLong()
+        val dbl = rnd.nextDouble() * math.pow(10, rnd.nextInt(6)) * (if (rnd.nextBoolean()) 1 else -1)
+        val intDigits = prec - scale
+        val ip = (1 to intDigits).map(_ => rnd.nextInt(10)).mkString.replaceFirst("^0+(?=.)", "")
+        val fp = (1 to scale).map(_ => rnd.nextInt(10)).mkString
+        val dec = (if (rnd.nextBoolean() && ip.exists(_ != '0')) "-" else "") +
+          BigDecimal(if (fp.isEmpty) ip else s"$ip.$fp").toString match {
+            case s if scale > 0 && !s.contains(".") => s + "." + "0" * scale
+            case s if scale > 0 => s + "0" * (scale - s.split("\\.")(1).length)
+            case s => s
+          }
+        val str = rnd.alphanumeric.take(rnd.nextInt(varLen - 10)).mkString
+        (tiny, short, i24, i32, i64, dbl, dec, str)
+      }
+      expected.foreach { case (t, s, m, i, l, d, dec, str) =>
+        w.rows(11L, WRITE_ROWS_V2, 9L, cols.length, Seq(Seq(
+          w.vTiny(t), w.vShort(s), w.vInt24(m), w.vLong(i), w.vLongLong(l),
+          w.vDouble(d), w.vDecimal(dec, prec, scale), w.vVarchar(str, varLen))))
+      }
+      val lines = readAll(writeTmp(w.bytes))
+      assert(lines.size === expected.size)
+      lines.zip(expected).foreach { case ((_, line), (t, s, m, i, l, d, dec, str)) =>
+        val img = rowsOf(line).head
+        assert(img(0) === Some(t.toString) && img(1) === Some(s.toString) &&
+          img(2) === Some(m.toString) && img(3) === Some(i.toString) &&
+          img(4) === Some(l.toString), s"int mismatch round=$round: $img")
+        assert(img(5) === Some(d.toString), s"double mismatch round=$round")
+        assert(img(6).map(BigDecimal(_)) === Some(BigDecimal(dec)),
+          s"decimal mismatch round=$round prec=$prec scale=$scale: ${img(6)} vs $dec")
+        assert(img(7) === Some(str), s"string mismatch round=$round")
+      }
+    }
+  }
+
   test("legacy temporals (pre-5.6 TIMESTAMP/DATETIME/TIME) decode") {
     val w = new BinlogFixtureWriter(checksum = false)
     w.fde()
