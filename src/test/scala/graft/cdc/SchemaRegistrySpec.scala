@@ -215,6 +215,23 @@ class SchemaRegistrySpec extends SparkSpec {
     } finally cleanup()
   }
 
+  test("a batch with only unregistered tables decodes to an empty, well-typed frame") {
+    import spark.implicits._
+    val reg = new SchemaRegistry
+    reg.register("d", "known", Seq(Decode.ColMeta("a", "int")))
+    val raw = Seq(
+      ("d", "mystery", "insert", 1L, 10L, Seq(Seq("1")), null: String)
+    ).toDF("database", "table", "action", "ts", "stmt_seq", "rows", "query")
+    val (out, cleanup) = reg.decodeBatchManaged(raw)
+    try {
+      assert(out.count() === 0)
+      // schema must still be the envelope schema so downstream union/index
+      // stages plan identically on an all-filtered batch
+      assert(out.columns.toSeq === Seq("database", "table", "event_type", "time",
+        "stmt_seq", "pair_pos", "event", "topic", "schema_version"))
+    } finally cleanup()
+  }
+
   test("planSlices prunes versions outside the batch's per-table range") {
     val reg = new SchemaRegistry
     reg.register("d", "t", Seq(Decode.ColMeta("a", "int")))
