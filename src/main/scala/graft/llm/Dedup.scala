@@ -93,7 +93,10 @@ object Dedup {
     * IMPORTANT: `xs` must be a materialized column, not an inline expression —
     * a nested lambda re-evaluates its argument per outer element, so inlining
     * the md5 here multiplies the hashing cost by numHashes (measured: 6 s →
-    * 57 s at sf0.1). [[nearDupPairs]] projects `xs` first for that reason. */
+    * 57 s at sf0.1). NOTE: [[nearDupPairs]] no longer uses this form at all —
+    * nested HOFs run interpreted and their JIT behavior is per-JVM fragile
+    * (see the note there); this stays as the array-form reference
+    * implementation for array-shaped callers. */
   def minhashSignature(xs: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(xs,
@@ -126,16 +129,44 @@ object Dedup {
   def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
                           numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
     val rows = numHashes / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // Signature stage in ROW form, fully codegen'd: word-order gram hashes
+    // via lead() windows, then numHashes min-aggregates — NOT the nested
+    // `transform(seq, h => array_min(transform(xs, …)))` HOF. The nested-HOF
+    // form runs in the interpreted expression path, and its per-JVM JIT
+    // profile is fragile: measured 1.5 s vs 13.8 s for IDENTICAL sweeps in
+    // different JVMs (both best-of-2 attempts slow — a sticky compilation
+    // mode, not GC/disk). Window+aggregate stays inside whole-stage codegen,
+    // which is immune to that and faster in the good case too.
+    // Arithmetic is value-identical to the oracle: gram = ((h1·31+h2)·31+h3)
+    // mod P over per-word hash-once md5 values; mh[h] = min((A_h·g + B_h)
+    // mod P). At scale: one keyed shuffle on doc_id (the window), the
+    // groupBy reuses that partitioning, per-row state is bounded (no
+    // collect_list arrays).
+    val occ = docs.select(col(idCol).as("doc_id"),
+      posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
+    val dict = occ.select(col("__w")).distinct()
+      .select(col("__w"), (shingleHash(col("__w")) % MinhashP).as("__h"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("__p")
+    val gram = occ.join(dict, "__w")
+      .select(col("doc_id"), col("__p"), col("__h"))
+      .withColumn("__h2", lead(col("__h"), 1).over(byDoc))
+      .withColumn("__h3", lead(col("__h"), 2).over(byDoc))
+      .filter(col("__h3").isNotNull)
+      .withColumn("__g", ((col("__h") * 31L + col("__h2")) * 31L + col("__h3")) % MinhashP)
     // Persisted: the frame feeds both sides of the band self-join — without
     // the cache the whole hash pipeline runs per use (measured 124 s → 12 s
     // at sf0.1 even before word-level hashing).
-    val sig = wordHashFrame(docs, idCol, textCol)
-      .withColumn("xs", ngramHashes(col("whs"), 3))
-      .filter(size(col("xs")) > 0)
-      .withColumn("mh", minhashSignature(col("xs"), numHashes))
-      .select(col("doc_id"), col("mh"))
+    val sig = gram.groupBy("doc_id")
+      .agg(
+        min((lit(12345L) * col("__g") + lit(7L)) % MinhashP).as("__m0"),
+        (1 until numHashes).map(h =>
+          min((lit(h * 1000003L + 12345L) * col("__g") + lit(h * 999983L + 7L)) % MinhashP)
+            .as(s"__m$h")): _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(h => col(s"__m$h")): _*).as("mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val bandDf = sig
