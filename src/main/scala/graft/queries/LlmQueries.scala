@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Dedup, Multimodal, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -434,6 +434,143 @@ object LlmQueries {
       |SELECT doc_a, doc_b, jac FROM pairs WHERE jac >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q38 dedup clusters
+
+  /** Connected-components dedup clustering ([[Clusters.assign]]): the exact
+    * Jaccard pair graph (q33's edges — lossless recall) collapsed to cluster
+    * labels, so "keep one doc per near-dup cluster" = `doc_id = cluster_id`.
+    * The oracle walks the same graph with a recursive CTE; the engine runs
+    * the published large-star/small-star rounds — both must reach the
+    * identical component minima. */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text").select("doc_a", "doc_b")
+    Clusters.assign(docs.select("doc_id"), pairs).orderBy("doc_id")
+  }
+
+  private val q38Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |      / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |lab AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q39 repetition
+
+  /** Gopher-style repetition quality signals ([[TextAnalysis.repetitionSignals]]):
+    * top-word share, duplicate-word share, top-bigram share — per-row column
+    * math (sort + fold), shuffle-free. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.*"))
+      .orderBy("doc_id")
+
+  private val q39Sql =
+    """WITH f AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, w,
+      |    CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |         ELSE [] END AS bg
+      |  FROM f),
+      |c AS (
+      |  SELECT doc_id,
+      |    len(w)::BIGINT AS n_words,
+      |    list_max([len(list_filter(w, x -> x = u)) for u in list_distinct(w)])::BIGINT AS topw,
+      |    (len(w) - len(list_distinct(w)))::BIGINT AS dupw,
+      |    CASE WHEN len(bg) > 0
+      |      THEN list_max([len(list_filter(bg, x -> x = u)) for u in list_distinct(bg)])::BIGINT
+      |      ELSE 0::BIGINT END AS topb,
+      |    len(bg)::BIGINT AS n_bg
+      |  FROM g)
+      |SELECT doc_id, n_words,
+      |  (1000 * topw) // n_words AS top_word_pm,
+      |  (1000 * dupw) // n_words AS dup_word_pm,
+      |  CASE WHEN n_bg = 0 THEN 0::BIGINT ELSE (1000 * topb) // n_bg END AS top_bigram_pm,
+      |  ((1000 * topw) // n_words > 300)
+      |    OR (CASE WHEN n_bg = 0 THEN 0::BIGINT ELSE (1000 * topb) // n_bg END > 200)
+      |    AS repetitive
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q40 token budget
+
+  /** Per-language token-budget selection ([[Selection.tokenBudget]]): best
+    * documents first (q26's quality score) until 2000 subword tokens per
+    * stratum. The oracle is the naive per-document running-total window; the
+    * engine must reproduce it from the two-phase level-offset plan that never
+    * sorts a whole stratum in one task. */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val nWords = size(split(lower(t), " ")).cast("long")
+    val sumWordLen = length(regexp_replace(t, " ", "")).cast("long")
+    val score = TextAnalysis.permille(TextAnalysis.stopwordHits(t, "en"), nWords) +
+      TextAnalysis.permille(sumWordLen, nWords)
+    Selection.tokenBudget(Tables.documents(s, d), "lang", "doc_id",
+        score, TextAnalysis.subwordTokens(t), budget = 2000L)
+      .toDF("lang", "doc_id", "score", "tok", "cum")
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q40Sql =
+    """WITH f AS (
+      |  SELECT doc_id, lang,
+      |    len(string_split(lower(text), ' '))::BIGINT AS n_words,
+      |    length(replace(text, ' ', ''))::BIGINT AS swl,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS stops,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tok
+      |  FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    (1000 * stops) // n_words + (1000 * swl) // n_words AS score, tok
+      |  FROM f),
+      |c AS (
+      |  SELECT *, sum(tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM sc)
+      |SELECT lang, doc_id, score, tok, cum FROM c WHERE cum <= 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q41 stratified sample
+
+  /** Deterministic stratified downsampling ([[Selection.stratifiedSample]]):
+    * en to 200‰, every other language to 500‰, via the portable md5 bucket —
+    * reproducible across engines and retries, nested under rate changes. */
+  private def q41(s: SparkSession, d: String): DataFrame =
+    Selection.stratifiedSample(Tables.documents(s, d), "lang", "doc_id",
+        when(col("lang") === "en", lit(200L)).otherwise(lit(500L)))
+      .select("doc_id", "lang", "bucket")
+      .orderBy("doc_id")
+
+  private val q41Sql =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    ('0x' || substr(md5(lang || ':' || doc_id), 1, 15))::BIGINT
+      |      % 2147483647 % 1000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, bucket FROM b
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -449,5 +586,9 @@ object LlmQueries {
     QueryDef("q31_embdup", q31, Some(q31Sql)),
     QueryDef("q33_jaccard_join", q33, Some(q33Sql)),
     QueryDef("q34_ann_ivf", q34, Some(q34Sql)),
+    QueryDef("q38_dedup_clusters", q38, Some(q38Sql)),
+    QueryDef("q39_repetition", q39, Some(q39Sql)),
+    QueryDef("q40_token_budget", q40, Some(q40Sql)),
+    QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
   )
 }

@@ -1,0 +1,91 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Selection operators: the two-phase token-budget plan must equal the naive
+  * per-document running-total oracle on seeded random inputs (including score
+  * ties and strata whose first document already busts the budget), and the
+  * stratified sample must be deterministic and nested under rate increases. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naiveBudget(rows: Seq[(String, Long, Long, Long)], budget: Long)
+      : Seq[(String, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).toSeq.flatMap { case (st, docs) =>
+      var cum = 0L
+      docs.sortBy(d => (-d._3, d._2)).flatMap { case (_, id, score, tok) =>
+        cum += tok
+        if (cum <= budget) Some((st, id, score, tok, cum)) else None
+      }
+    }.sortBy(r => (r._1, r._2))
+
+  test("token budget equals the naive running-total oracle on seeded inputs") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 4) {
+      // Few distinct scores → heavy ties, the case the level-offset plan
+      // must get right (within-level cumulation ordered by id).
+      val rows = (1L to 200L).map { id =>
+        (s"s${rnd.nextInt(4)}", id, rnd.nextInt(6).toLong, 1L + rnd.nextInt(50)) }
+      val budget = 200L + rnd.nextInt(400)
+      val got = Selection.tokenBudget(rows.toDF("stratum", "id", "score", "tok"),
+          "stratum", "id", col("score"), col("tok"), budget)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .sortBy(r => (r._1, r._2))
+      assert(got.toSeq === naiveBudget(rows, budget), s"trial $trial budget=$budget")
+    }
+  }
+
+  test("a stratum whose best level alone exceeds the budget keeps only fitting docs") {
+    val rows = Seq(("a", 1L, 9L, 70L), ("a", 2L, 9L, 40L), ("a", 3L, 5L, 1L)).toDF(
+      "stratum", "id", "score", "tok")
+    val got = Selection.tokenBudget(rows, "stratum", "id", col("score"), col("tok"), 100L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).sortBy(_._1)
+    // id=1 (cum 70) fits; id=2 (cum 110) busts; id=3 starts past budget? No:
+    // level 5 starts at prev_tok=110 >= 100 → pruned entirely.
+    assert(got.toSeq === Seq((1L, 70L)))
+  }
+
+  test("stratified sample is deterministic, rate-monotone (nested), and stratum-scoped") {
+    val docs = (1L to 500L).map(id => (id, if (id % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def sample(enPm: Long, dePm: Long): Set[Long] =
+      Selection.stratifiedSample(docs, "lang", "doc_id",
+          when(col("lang") === "en", lit(enPm)).otherwise(lit(dePm)))
+        .select("doc_id").as[Long].collect().toSet
+    val s1 = sample(200, 500)
+    assert(s1 === sample(200, 500), "identical rates → identical sample")
+    val s2 = sample(400, 700)
+    assert(s1.subsetOf(s2), "raising rates must strictly grow the sample (nested)")
+    // Rates land near their targets (hash uniformity, not exactness).
+    val en = docs.filter(col("lang") === "en").select("doc_id").as[Long].collect().toSet
+    val enKept = s1.intersect(en).size.toDouble / en.size
+    assert(enKept > 0.1 && enKept < 0.3, s"en keep-rate ~0.2, got $enKept")
+  }
+
+  test("repetition signals match a driver-side count oracle") {
+    val texts = Seq(
+      (1L, "spam spam spam spam eggs"),
+      (2L, "a b c d e f g"),
+      (3L, "x y x y x y x y"),
+      (4L, "solo"))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select("doc_id", "r.n_words", "r.top_word_pm", "r.dup_word_pm", "r.top_bigram_pm", "r.repetitive")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    def pm(a: Long, b: Long) = if (b == 0) 0L else 1000L * a / b
+    val exp = texts.map { case (id, t) =>
+      val ws = t.toLowerCase.split(" ").toSeq
+      val bgs = ws.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val topW = ws.groupBy(identity).values.map(_.size).max.toLong
+      val topB = if (bgs.isEmpty) 0L else bgs.groupBy(identity).values.map(_.size).max.toLong
+      val twp = pm(topW, ws.size); val tbp = pm(topB, bgs.size)
+      (id, ws.size.toLong, twp, pm(ws.size - ws.distinct.size, ws.size), tbp,
+        twp > 300 || tbp > 200)
+    }
+    assert(got.toSeq === exp)
+  }
+}
