@@ -58,6 +58,30 @@ class PlanAuditSpec extends SparkSpec {
       s"q1 should read ≤7 lineitem columns, scans read $scans of 16")
   }
 
+  test("q39/q41 are per-row: no join, no aggregate, only the output sort shuffles") {
+    Seq("q39_repetition", "q41_stratified_sample").foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("Join"), s"$name must be row-local, found a join:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name must not aggregate:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$name should shuffle only for the output ORDER BY, " +
+        s"found $exchanges exchanges:\n$plan")
+    }
+  }
+
+  test("q40 cumulates on score LEVELS: windows exist but never sort a raw stratum") {
+    // The naive form is one window partitioned by stratum over the document
+    // frame. The two-phase plan aggregates to (stratum, score) levels FIRST,
+    // windows the metadata-sized level frame, then windows only within
+    // (stratum, score). So: an aggregate must appear, and every window
+    // partition spec must include both stratum and score... except the level
+    // frame's offset window (stratum only), which sits ABOVE the aggregate.
+    val plan = planOf("q40_token_budget")
+    assert(plan.contains("HashAggregate"), s"level aggregation missing:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"q40 should have exactly the offset + within-level windows, found $windows:\n$plan")
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the
