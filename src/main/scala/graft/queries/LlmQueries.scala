@@ -571,6 +571,120 @@ object LlmQueries {
       |WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42 scrub
+
+  /** Text scrub ([[TextAnalysis.scrub]]). The test corpus is pre-cleaned, so
+    * both engines first append the same deterministic URL + email + ragged
+    * whitespace built from doc_id — the scrub then has real redaction work
+    * whose result the oracle hash-checks. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"), lit(" visit https://ex.com/d/"), col("doc_id"),
+      lit(" or mail a"), col("doc_id"), lit("@ex.com now   done"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.scrub(dirty).as("clean"))
+      .withColumn("clean_chars", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val q42Sql =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    text || ' visit https://ex.com/d/' || doc_id ||
+      |    ' or mail a' || doc_id || '@ex.com now   done' AS t
+      |  FROM documents),
+      |clean AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(t,
+      |      'https?://\S+', '<url>', 'g'),
+      |      '\S+@\S+\.\S+', '<email>', 'g'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM dirty)
+      |SELECT doc_id, clean, length(clean)::BIGINT AS clean_chars
+      |FROM clean ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q43 curation capstone
+
+  /** End-to-end curation pipeline — the library's flagship composition:
+    * exact near-dup clusters ([[Dedup.jaccardJoin]] → [[Clusters.assign]])
+    * keep only each cluster's canonical (minimum-id) document, drop
+    * repetitive documents ([[TextAnalysis.repetitionSignals]]), then spend a
+    * per-language token budget on the best survivors
+    * ([[Selection.tokenBudget]], q40's quality score). Every stage is one of
+    * the already-verified operators; this query pins their composition. */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text").select("doc_a", "doc_b")
+    val canon = Clusters.assign(docs.select("doc_id"), pairs)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    val t = col("text")
+    val nWords = size(split(lower(t), " ")).cast("long")
+    val sumWordLen = length(regexp_replace(t, " ", "")).cast("long")
+    val score = TextAnalysis.permille(TextAnalysis.stopwordHits(t, "en"), nWords) +
+      TextAnalysis.permille(sumWordLen, nWords)
+    val base = docs
+      .filter(!TextAnalysis.repetitionSignals(t).getField("repetitive"))
+      .join(canon, "doc_id")
+    Selection.tokenBudget(base, "lang", "doc_id",
+        score, TextAnalysis.subwordTokens(t), budget = 2000L)
+      .toDF("lang", "doc_id", "score", "tok", "cum")
+      .orderBy("lang", "doc_id")
+  }
+
+  private val q43Sql =
+    """WITH RECURSIVE words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      |prs AS (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      |  WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |      / len(list_distinct(a.shingles || b.shingles)) >= 0.5),
+      |edges AS (SELECT u, v FROM prs UNION ALL SELECT v AS u, u AS v FROM prs),
+      |reach(node, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |canon AS (
+      |  SELECT node AS doc_id FROM reach GROUP BY node HAVING node = min(root)),
+      |rep AS (
+      |  SELECT f.doc_id FROM (
+      |    SELECT doc_id, w,
+      |      CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |           ELSE [] END AS bg
+      |    FROM words) f
+      |  WHERE NOT (
+      |    (1000 * list_max([len(list_filter(w, x -> x = u)) for u in list_distinct(w)]))
+      |      // len(w) > 300
+      |    OR (CASE WHEN len(bg) = 0 THEN 0
+      |        ELSE (1000 * list_max([len(list_filter(bg, x -> x = u)) for u in list_distinct(bg)]))
+      |          // len(bg) END) > 200)),
+      |f AS (
+      |  SELECT d.doc_id, d.lang,
+      |    len(string_split(lower(d.text), ' '))::BIGINT AS n_words,
+      |    length(replace(d.text, ' ', ''))::BIGINT AS swl,
+      |    len(list_filter(string_split(lower(d.text), ' '),
+      |      x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::BIGINT AS stops,
+      |    len(regexp_extract_all(lower(d.text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tok
+      |  FROM documents d
+      |  JOIN canon c ON c.doc_id = d.doc_id
+      |  JOIN rep r ON r.doc_id = d.doc_id),
+      |sc AS (
+      |  SELECT doc_id, lang,
+      |    (1000 * stops) // n_words + (1000 * swl) // n_words AS score, tok
+      |  FROM f),
+      |c AS (
+      |  SELECT *, sum(tok) OVER (PARTITION BY lang ORDER BY score DESC, doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+      |  FROM sc)
+      |SELECT lang, doc_id, score, tok, cum FROM c WHERE cum <= 2000
+      |ORDER BY lang, doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -590,5 +704,7 @@ object LlmQueries {
     QueryDef("q39_repetition", q39, Some(q39Sql)),
     QueryDef("q40_token_budget", q40, Some(q40Sql)),
     QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
+    QueryDef("q42_scrub", q42, Some(q42Sql)),
+    QueryDef("q43_curation", q43, Some(q43Sql)),
   )
 }

@@ -65,6 +65,25 @@ class SelectionSpec extends SparkSpec {
     assert(enKept > 0.1 && enKept < 0.3, s"en keep-rate ~0.2, got $enKept")
   }
 
+  test("scrub redacts urls/emails, collapses whitespace, and is idempotent") {
+    val rows = Seq(
+      (1L, "see https://a.b/c?x=1 and http://d.e for info"),
+      (2L, "mail me at bob.smith@corp.example.com  today"),
+      (3L, "already clean text"),
+      (4L, "tabs\tand\r\nnewlines   everywhere "),
+      (5L, ""))
+    val got = rows.toDF("id", "t")
+      .select(col("id"), TextAnalysis.scrub(col("t")).as("c"),
+        TextAnalysis.scrub(TextAnalysis.scrub(col("t"))).as("cc"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got(0)._2 === "see <url> and <url> for info")
+    assert(got(1)._2 === "mail me at <email> today")
+    assert(got(2)._2 === "already clean text")
+    assert(got(3)._2 === "tabs and newlines everywhere")
+    assert(got(4)._2 === "")
+    got.foreach { case (id, c, cc) => assert(c === cc, s"scrub must be idempotent (id=$id)") }
+  }
+
   test("repetition signals match a driver-side count oracle") {
     val texts = Seq(
       (1L, "spam spam spam spam eggs"),
