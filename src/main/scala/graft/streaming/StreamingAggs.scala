@@ -16,6 +16,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingAggs {
 
+  /** Streaming NEAR-duplicate dedup: fingerprint each document row-locally
+    * ([[graft.llm.TextAnalysis.fingerprintCol]] — the same min-4-gram value
+    * as the batch fingerprint op, computed without the batch path's
+    * aggregation barrier) and keep the first arrival per fingerprint within
+    * the watermark. State is keyed by the 60-bit fingerprint and evicted past
+    * the watermark — bounded at any corpus rate, the streaming complement of
+    * the batch near-dup family (near-identical docs collapse to one
+    * fingerprint; the batch operators remain the recall-grade path). */
+  def fingerprintDedup(docs: DataFrame, tsCol: String, textCol: String,
+                       watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("fp", graft.llm.TextAnalysis.fingerprintCol(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Tumbling event-time window counts with a watermark: aggregation state for
     * windows older than the watermark is dropped (bounded state at scale). */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,

@@ -130,6 +130,40 @@ class LlmSpec extends SparkSpec {
     assert(batched === mirror)
   }
 
+  test("row-local fingerprint column equals the frame-level fingerprint op") {
+    val docs = Tables.documents(spark, d)
+    val frame = TextAnalysis.fingerprints(docs, "doc_id", "text")
+      .select("doc_id", "fp").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val colwise = docs.select(col("doc_id"),
+        TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(colwise === frame,
+      "per-occurrence hashing must produce the same values as the dictionary path")
+  }
+
+  test("quantized ANN: deterministic, rank order = exact cosine on its shortlist") {
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = all.filter(col("id") % 100 === 0)
+    def run() = Similarity.quantizedTopK(qs, all, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+    val a = run()
+    assert(a.toSeq === run().toSeq, "quantized ANN must be deterministic")
+    // Every query returns exactly k ranked neighbors, ranks dense from 1.
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._2).toSeq === (1L to 5L), s"query $q ranks: ${rows.toSeq}")
+    }
+    // Top-1 agreement with exact search is high even on near-random vectors:
+    // the int8 approx orders by true cosine up to quantization error, and the
+    // 4k shortlist re-ranks exactly. Require top-1 recall >= 80%.
+    val exact = Similarity.bruteForceTopK(qs, all, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val top1 = a.filter(_._2 == 1L).map(t => t._1 -> t._3).toMap
+    val hits = exact.count { case (q, n) => top1.get(q).contains(n) }
+    assert(hits.toDouble / exact.size >= 0.8,
+      s"top-1 recall ${hits}/${exact.size} below 0.8")
+  }
+
   test("langid + permille are deterministic and bounded") {
     val t = Tables.documents(spark, d).select(
       TextAnalysis.langId(col("text")).as("pred"),

@@ -61,6 +61,33 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: first arrival per fingerprint survives") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // tB differs from tA only in case: NOT byte-identical (exact md5 dedup
+    // would keep both) but fingerprint-identical by construction (the
+    // fingerprint normalizes case). tC is distinct.
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "Alpha Beta GAMMA delta epsilon zeta eta theta"
+    val tC = "one two three four five six seven"
+    val fps = Seq(tA, tB, tC).toDF("t")
+      .select(graft.llm.TextAnalysis.fingerprintCol(org.apache.spark.sql.functions.col("t")))
+      .as[Long].collect()
+    assert(fps(0) == fps(1), "case-only edit must not change the fingerprint")
+    assert(fps(0) != fps(2))
+    val in = MemoryStream[(Timestamp, String)]
+    val q = StreamingAggs.fingerprintDedup(in.toDF().toDF("ts", "text"), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("fpdedup").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), tA), (ts(1), tB), (ts(2), tC))
+      q.processAllAvailable()
+      in.addData((ts(3), tA))
+      q.processAllAvailable()
+      val docs = spark.table("fpdedup").select("text").as[String].collect().sorted.toSeq
+      assert(docs === Seq(tA, tC).sorted, s"near-dup tB and replay tA must be dropped: $docs")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: envelope stream x dimension table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
