@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSpec {
     * build side is bounded by DESIGN (not by SF): q12 joins a 6-row band
     * table on a range predicate; q23/q23b/q31-adjacent exact re-ranks
     * broadcast the small query set with a non-equi (!=) residual. */
-  private val bnljByDesign = Set("q12_rangejoin", "q23_ann_cosine")
+  private val bnljByDesign = Set("q12_rangejoin", "q23_ann_cosine",
+    "q44_ann_quantized") // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
