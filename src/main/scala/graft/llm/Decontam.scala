@@ -1,0 +1,68 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag corpus documents that share word n-grams
+  * with a held-out evaluation/benchmark set, so they can be dropped (or
+  * down-weighted) before training. This is the standard n-gram-overlap
+  * decontamination pass from the public LLM-corpus literature (exact n-gram
+  * collision against the eval set), expressed Spark-first.
+  *
+  * Scale posture (the 100 TB contract):
+  *  - The benchmark side is SMALL BY CONSTRUCTION — eval sets are megabytes
+  *    while the corpus is the 100 TB side. Its distinct n-gram set sits behind
+  *    a shuffle (distinct), so AQE observes its true size at runtime and
+  *    converts the probe join to a broadcast hash join; the corpus n-grams are
+  *    then matched map-side and NEVER shuffle. (No broadcast hint on purpose —
+  *    same reasoning as [[Dedup.wordHashFrame]]'s dictionary: a hint is
+  *    honored regardless of size; AQE is honored only when it fits.)
+  *  - N-grams travel as 8-byte integer hashes (stepwise-mod polynomial over
+  *    the once-per-distinct-word md5 dictionary from [[Dedup.wordHashFrame]]),
+  *    never as strings: the join key is a long, not a ~50-byte shingle.
+  *  - The aggregate is a hash-groupBy on doc_id with map-side partial
+  *    aggregation; nothing here is all-pairs.
+  */
+object Decontam {
+
+  import Dedup.MinhashP
+
+  /** Word n-gram hashes with the modulus applied at EVERY fold step:
+    * `h_{k+1} = (h_k · 31 + w_{k+1}) mod P`, so intermediates stay < 2^36 and
+    * the value is reproducible by any engine with 64-bit integer arithmetic
+    * (DuckDB raises on BIGINT overflow, so [[Dedup.ngramHashes]]'s
+    * mod-at-the-end form is only portable for n ≤ 7; this form works for any
+    * n). `wh` MUST be a materialized attribute ([[Dedup.wordHashFrame]]
+    * output) — see the re-evaluation trap documented there. */
+  def ngramHashesMod(wh: Column, n: Int): Column =
+    when(size(wh) >= n,
+      transform(sequence(lit(0), size(wh) - n),
+        i => (1 until n).foldLeft(element_at(wh, i + 1))(
+          (acc, j) => (acc * 31L + element_at(wh, i + j + 1)) % MinhashP)))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** Contamination report: one row per CORPUS document that shares at least
+    * one word `n`-gram with ANY benchmark document.
+    *
+    * Output: (doc_id, n_hits, n_ngrams, hit_permille) where `n_hits` counts
+    * the document's DISTINCT n-grams that appear in the benchmark set,
+    * `n_ngrams` its total distinct n-grams, and `hit_permille` the integer
+    * contamination ratio ‰ (integer `div` — deterministic across engines,
+    * unlike a double divide + truncate).
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val corpusNgrams = Dedup.wordHashFrame(corpus, idCol, textCol)
+      .select(col("doc_id"), array_distinct(ngramHashesMod(col("whs"), n)).as("ngs"))
+      .select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"),
+        explode(col("ngs")).as("ng"))
+    val benchNgrams = Dedup.wordHashFrame(benchmark, idCol, textCol)
+      .select(explode(ngramHashesMod(col("whs"), n)).as("ng"))
+      .distinct()
+    corpusNgrams.join(benchNgrams, "ng")
+      .groupBy("doc_id", "n_ngrams")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
+        expr("n_hits * 1000 div n_ngrams").as("hit_permille"))
+  }
+}

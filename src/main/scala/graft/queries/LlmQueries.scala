@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Clusters, Dedup, Multimodal, Selection, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Decontam, Dedup, Multimodal, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -726,6 +726,52 @@ object LlmQueries {
       |  FROM scored)
       |SELECT q_id, rank, neighbor_id FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q45 decontamination
+
+  /** Benchmark decontamination ([[Decontam.contaminationReport]]): flag corpus
+    * documents sharing any word 8-gram with a held-out benchmark split (a
+    * deterministic md5 bucket of doc_ids, ≈12.5% — standing in for the
+    * megabyte-scale eval sets a real pipeline holds out). The benchmark n-gram
+    * set is broadcast by AQE; corpus n-grams never shuffle. */
+  private def q45(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    Decontam.contaminationReport(
+        docs.filter(!isBench), docs.filter(isBench), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  private val q45Sql =
+    """WITH marked AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+      |    substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') AS is_bench
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, is_bench,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM marked),
+      |g AS (
+      |  SELECT doc_id, is_bench,
+      |    list_distinct(CASE WHEN len(whs) >= 8 THEN [
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 2147483647)
+      |        * 31 + whs[i+2]) % 2147483647)
+      |        * 31 + whs[i+3]) % 2147483647)
+      |        * 31 + whs[i+4]) % 2147483647)
+      |        * 31 + whs[i+5]) % 2147483647)
+      |        * 31 + whs[i+6]) % 2147483647)
+      |        * 31 + whs[i+7]) % 2147483647) for i in range(1, len(whs)-6)]
+      |    ELSE [] END) AS ngs
+      |  FROM wh),
+      |bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE is_bench),
+      |corpus AS (
+      |  SELECT doc_id, len(ngs) AS n_ngrams, unnest(ngs) AS ng
+      |  FROM g WHERE NOT is_bench)
+      |SELECT c.doc_id, count(*) AS n_hits, c.n_ngrams,
+      |  (count(*) * 1000) // c.n_ngrams AS hit_permille
+      |FROM corpus c JOIN bench b USING (ng)
+      |GROUP BY c.doc_id, c.n_ngrams ORDER BY c.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -748,5 +794,6 @@ object LlmQueries {
     QueryDef("q42_scrub", q42, Some(q42Sql)),
     QueryDef("q43_curation", q43, Some(q43Sql)),
     QueryDef("q44_ann_quantized", q44, Some(q44Sql)),
+    QueryDef("q45_decontam", q45, Some(q45Sql)),
   )
 }

@@ -1,0 +1,56 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(n: Int, prefix: String): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("flags exactly the corpus docs sharing a full n-gram with the benchmark") {
+    // bench doc: w0..w9. Corpus: doc 1 embeds w1..w8 (a full 8-gram of the
+    // bench doc), doc 2 shares only a 7-word run, doc 3 shares nothing.
+    val bench = Seq((100L, words(10, "w"))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x0 " + (1 to 8).map("w" + _).mkString(" ") + " x1"),
+      (2L, "x0 " + (1 to 7).map("w" + _).mkString(" ") + " x1 x2"),
+      (3L, words(12, "z"))).toDF("doc_id", "text")
+    val got = Decontam.contaminationReport(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = got.head
+    assert(r.getLong(1) == 1L)          // n_hits: the one embedded 8-gram
+    assert(r.getLong(2) == 3L)          // 10 words -> 3 distinct 8-grams
+    assert(r.getLong(3) == 333L)        // 1000 div 3
+  }
+
+  test("hit counting is distinct per n-gram even when the doc repeats it") {
+    val bench = Seq((9L, words(8, "b"))).toDF("doc_id", "text")
+    val rep = (words(8, "b") + " ") * 3 // the same 8-gram appears 3 times
+    val corpus = Seq((1L, rep.trim)).toDF("doc_id", "text")
+    val got = Decontam.contaminationReport(corpus, bench, "doc_id", "text").collect()
+    assert(got.length == 1)
+    // distinct n-grams of the repeated doc include the planted one once
+    assert(got.head.getLong(1) == 1L)
+  }
+
+  test("short docs (< n words) on either side produce no n-grams and no rows") {
+    val bench = Seq((9L, words(5, "b"))).toDF("doc_id", "text")
+    val corpus = Seq((1L, words(5, "b")), (2L, words(20, "b")))
+      .toDF("doc_id", "text")
+    assert(Decontam.contaminationReport(corpus, bench, "doc_id", "text")
+      .count() == 0L)
+  }
+
+  test("ngramHashesMod equals ngramHashes where both are defined (n <= 7)") {
+    val df = Seq((1L, words(30, "t"))).toDF("doc_id", "text")
+    val wh = Dedup.wordHashFrame(df, "doc_id", "text")
+    val both = wh.select(
+      Decontam.ngramHashesMod(col("whs"), 4).as("m"),
+      Dedup.ngramHashes(col("whs"), 4).as("e"))
+    val r = both.collect().head
+    assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+}
