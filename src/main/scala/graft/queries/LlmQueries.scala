@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Clusters, Decontam, Dedup, Multimodal, Selection, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Decontam, Dedup, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -772,6 +772,53 @@ object LlmQueries {
       |FROM corpus c JOIN bench b USING (ng)
       |GROUP BY c.doc_id, c.n_ngrams ORDER BY c.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q46 BM25 retrieval
+
+  /** BM25 top-5 retrieval ([[Retrieval.bm25TopK]]): every ≈16th document
+    * (deterministic md5 bucket) queries the full corpus doc-as-query style.
+    * Scores travel as integer micros (per-term rounding before the sum), so
+    * the oracle comparison is exact — see the determinism contract on
+    * [[Retrieval]]. */
+  private def q46(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val qs = docs
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+    Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 5)
+      .orderBy("q_id", "rank")
+  }
+
+  private val q46Sql =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |dl AS (SELECT doc_id, len(ws)::BIGINT AS dl FROM w),
+      |tf AS (
+      |  SELECT doc_id, term, count(*)::BIGINT AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY doc_id, term),
+      |q AS (
+      |  SELECT doc_id AS q_id, unnest(list_distinct(ws)) AS term
+      |  FROM w WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'),
+      |qt AS (SELECT DISTINCT term FROM q),
+      |m AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+      |dfq AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),
+      |st AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl FROM dl),
+      |sc AS (
+      |  SELECT q.q_id, m.doc_id,
+      |    sum(floor(
+      |      ln(1.0 + (st.n_docs::DOUBLE - dfq.df::DOUBLE + 0.5) / (dfq.df::DOUBLE + 0.5))
+      |      * (m.tf::DOUBLE * (1.2 + 1.0))
+      |      / (m.tf::DOUBLE + 1.2 * ((1.0 - 0.75)
+      |          + 0.75 * dl.dl::DOUBLE / (st.sum_dl::DOUBLE / st.n_docs::DOUBLE)))
+      |      * 1000000.0 + 0.5)::BIGINT)::BIGINT AS score_micro
+      |  FROM m JOIN dl USING (doc_id) JOIN dfq USING (term) JOIN q USING (term)
+      |  CROSS JOIN st
+      |  GROUP BY q.q_id, m.doc_id),
+      |r AS (
+      |  SELECT q_id, doc_id, score_micro,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id)::BIGINT AS rank
+      |  FROM sc)
+      |SELECT q_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -795,5 +842,6 @@ object LlmQueries {
     QueryDef("q43_curation", q43, Some(q43Sql)),
     QueryDef("q44_ann_quantized", q44, Some(q44Sql)),
     QueryDef("q45_decontam", q45, Some(q45Sql)),
+    QueryDef("q46_bm25", q46, Some(q46Sql)),
   )
 }
