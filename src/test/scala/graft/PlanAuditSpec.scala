@@ -24,7 +24,8 @@ class PlanAuditSpec extends SparkSpec {
     * table on a range predicate; q23/q23b/q31-adjacent exact re-ranks
     * broadcast the small query set with a non-equi (!=) residual. */
   private val bnljByDesign = Set("q12_rangejoin", "q23_ann_cosine",
-    "q44_ann_quantized") // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
+    "q44_ann_quantized", // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
+    "q46_bm25") // 1-row corpus-stats frame cross-joined via explicit broadcast()
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -81,6 +82,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"level aggregation missing:\n$plan")
     val windows = "Window \\[".r.findAllIn(plan).size
     assert(windows == 2, s"q40 should have exactly the offset + within-level windows, found $windows:\n$plan")
+  }
+
+  test("q45/q46 probe joins broadcast at runtime: AQE sees the small side") {
+    // Both operators deliberately carry NO broadcast hint (a hint is honored
+    // regardless of size); the contract is that AQE, seeing the true size of
+    // the benchmark n-gram / query-term side behind its distinct shuffle,
+    // converts the corpus-probe join to a broadcast hash join so the corpus
+    // side never shuffles for the probe. Assert on the POST-execution plan.
+    Seq("q45_decontam", "q46_bm25").foreach { name =>
+      val q = SparkEntry.catalog.find(_.name == name).get
+      val df = q.fn(spark, d)
+      df.collect() // drive AQE to its final plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name's probe join did not become a broadcast hash join:\n$plan")
+    }
   }
 
   test("q34 assigns IVF cells map-side: no join before the probe join") {
