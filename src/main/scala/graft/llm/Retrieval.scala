@@ -9,22 +9,40 @@ import org.apache.spark.sql.functions._
   * similarity, eval-set leakage triage, and quality-by-retrievability audits.
   *
   * Scale posture (the 100 TB contract):
-  *  - The ONLY corpus-scale work is the postings build: one explode + one
-  *    hash-groupBy on (doc_id, term) with map-side partial aggregation. No
-  *    corpus self-join, no per-query pass over the corpus.
-  *  - The query side is small by construction; its distinct term set sits
-  *    behind a shuffle, so AQE broadcasts the probe join and corpus postings
-  *    are filtered map-side to query terms BEFORE any further shuffle —
-  *    document frequencies, lengths, and scores are computed on the filtered
-  *    (queries × matched docs) frame only.
-  *  - Corpus-wide scalars (N, Σdl) come from one tiny aggregate that Spark
-  *    broadcast-joins (1 row).
+  *  - The corpus side NEVER shuffles at corpus scale. The exploded corpus is
+  *    filtered to query terms by a broadcast hash join BEFORE any aggregate,
+  *    so the tf groupBy — the only shuffle touching corpus-derived rows —
+  *    moves matched (doc, term) pairs only, not the vocabulary-expanded
+  *    corpus. Document length rides the explode projection (it is
+  *    functionally dependent on doc_id), so no corpus-scale dl join exists.
+  *  - `queries` must be SMALL BY CONSTRUCTION (bounded count, not a corpus
+  *    fraction) — that contract is what justifies the explicit `broadcast()`
+  *    on the term set, per-term document frequencies, and the (q_id, term)
+  *    frame. Unlike [[Decontam.contaminationReport]] (where the eval side's
+  *    smallness is an empirical fact AQE verifies at runtime), here smallness
+  *    is part of the operator's API contract, so a compile-time hint is the
+  *    honest plan: the corpus probe side carries no Exchange at all, not even
+  *    shuffle map writes that an AQE-converted join would still pay.
+  *  - Corpus-wide scalars (N, Σdl) come from one tiny single-row aggregate
+  *    that is explicitly broadcast (1 row).
+  *  - The final per-query top-k is a rank window, which Spark plans with a
+  *    partial [[org.apache.spark.sql.execution.window.WindowGroupLimitExec]]
+  *    BELOW the q_id exchange: every upstream partition forwards at most k
+  *    rows per query, so a stopword-heavy query matching a corpus-sized doc
+  *    set funnels at most (#partitions × k) rows — not the full match set —
+  *    into the per-query partition. `PlanAuditSpec` pins this shape.
   *
   * Determinism contract (shared with the DuckDB oracle): per-term scores are
   * rounded to integer MICROS before summation, so the cross-term sum is
-  * associative integer arithmetic — the float expression tree (one ln, IEEE
-  * mul/div) is evaluated identically per term by any engine, and summation
-  * order can never change the result.
+  * associative integer arithmetic and summation order can never change the
+  * result. Caveat, honestly stated: the per-term float expression itself
+  * contains one `ln`, and `ln` is only faithfully-rounded (≤1 ulp) — JVM
+  * `Math.log` and a platform libm may differ in the last bit, so a per-term
+  * product landing within ~1e-10 of a `floor(x·1e6 + 0.5)` boundary can
+  * round differently across engines. That is a ~1e-9-per-term event, not an
+  * impossibility; the contract is "integer-exact given identical per-term
+  * doubles, and boundary-collision-safe to ≈1e-9 per term", not bitwise
+  * cross-engine identity of `ln`.
   */
 object Retrieval {
 
@@ -35,29 +53,38 @@ object Retrieval {
       (df.cast("double") + lit(0.5)))
 
   /** Top-k BM25 matches per query. `queries` must be a small frame with
-    * columns (`q_id`, `q_text`); terms are the lowercased space-split words.
+    * columns (`q_id`, `q_text`) — bounded count by contract, see the class
+    * doc; terms are the lowercased space-split words.
     * Output: (q_id, rank, doc_id, score_micro) — the score in integer micros.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       split(lower(col(textCol)), " ").as("ws"))
-    val dl = words.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val tf = words.select(col("doc_id"), explode(col("ws")).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // one row: corpus size + total token count (exact integer aggregates);
+    // a second map-side corpus scan, never a shuffle
+    val stats = words.select(size(col("ws")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
     val qTerms = queries.select(col("q_id"),
         explode(array_distinct(split(lower(col("q_text")), " "))).as("term"))
-    // one row: corpus size + total token count (exact integer aggregates)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
 
-    // postings filtered to query terms FIRST (AQE broadcasts the small side),
-    // then df/dl/idf on the filtered frame only
-    val matched = tf.join(qTerms.select("term").distinct(), "term")
+    // Term filter BELOW the aggregate: explode → broadcast-join the query
+    // term set → THEN groupBy. The corpus-scale frame meets only a broadcast
+    // build; the first (and only) corpus-derived shuffle is the tf groupBy
+    // over matched pairs. dl is carried through the explode projection
+    // (functionally dependent on doc_id) instead of joined back at corpus
+    // scale.
+    val matched = words
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .join(broadcast(qTerms.select("term").distinct()), "term")
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+
+    // document frequency per matched term: ≤ |query vocabulary| rows
     val dfPerTerm = matched.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = matched
-      .join(dl, "doc_id")
-      .join(dfPerTerm, "term")
-      .join(qTerms, "term")
+      .join(broadcast(dfPerTerm), "term")
+      .join(broadcast(qTerms), "term")
       .crossJoin(broadcast(stats))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
     val termScore = bm25Idf(col("n_docs"), col("df")) *

@@ -774,16 +774,21 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q46 BM25 retrieval
 
-  /** BM25 top-5 retrieval ([[Retrieval.bm25TopK]]): every ≈16th document
-    * (deterministic md5 bucket) queries the full corpus doc-as-query style.
-    * Scores travel as integer micros (per-term rounding before the sum), so
-    * the oracle comparison is exact — see the determinism contract on
+  /** BM25 top-5 retrieval ([[Retrieval.bm25TopK]]): a FIXED-SIZE query set —
+    * the first 24 (by doc_id) of a deterministic md5 bucket — queries the
+    * full corpus doc-as-query style. The cap is the point: the operator's
+    * scale contract is "queries bounded by construction", so the catalog
+    * query must not grow the query set with the corpus (a corpus-fraction
+    * bucket would quietly break the broadcast posture at 100×). Scores
+    * travel as integer micros (per-term rounding before the sum), so the
+    * oracle comparison is exact — see the determinism contract on
     * [[Retrieval]]. */
   private def q46(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val qs = docs
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
       .select(col("doc_id").as("q_id"), col("text").as("q_text"))
+      .orderBy("q_id").limit(24)
     Retrieval.bm25TopK(docs, "doc_id", "text", qs, k = 5)
       .orderBy("q_id", "rank")
   }
@@ -796,7 +801,9 @@ object LlmQueries {
       |  FROM (SELECT doc_id, unnest(ws) AS term FROM w) GROUP BY doc_id, term),
       |q AS (
       |  SELECT doc_id AS q_id, unnest(list_distinct(ws)) AS term
-      |  FROM w WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'),
+      |  FROM (SELECT doc_id, ws FROM w
+      |        WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'
+      |        ORDER BY doc_id LIMIT 24)),
       |qt AS (SELECT DISTINCT term FROM q),
       |m AS (SELECT tf.* FROM tf JOIN qt USING (term)),
       |dfq AS (SELECT term, count(*)::BIGINT AS df FROM m GROUP BY term),

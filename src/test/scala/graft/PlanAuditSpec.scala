@@ -84,20 +84,84 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 2, s"q40 should have exactly the offset + within-level windows, found $windows:\n$plan")
   }
 
-  test("q45/q46 probe joins broadcast at runtime: AQE sees the small side") {
-    // Both operators deliberately carry NO broadcast hint (a hint is honored
-    // regardless of size); the contract is that AQE, seeing the true size of
-    // the benchmark n-gram / query-term side behind its distinct shuffle,
-    // converts the corpus-probe join to a broadcast hash join so the corpus
-    // side never shuffles for the probe. Assert on the POST-execution plan.
-    Seq("q45_decontam", "q46_bm25").foreach { name =>
-      val q = SparkEntry.catalog.find(_.name == name).get
-      val df = q.fn(spark, d)
-      df.collect() // drive AQE to its final plan
-      val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("BroadcastHashJoin"),
-        s"$name's probe join did not become a broadcast hash join:\n$plan")
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.{Exchange, ReusedExchangeExec}
+  import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+  import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+
+  /** Flatten a physical plan INCLUDING AQE query-stage and reused-exchange
+    * boundaries (plain `collect` stops at them). */
+  private def allNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => p.children
     }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def probeJoinsOn(root: SparkPlan, key: String): Seq[BroadcastHashJoinExec] =
+    allNodes(root).collect {
+      case j: BroadcastHashJoinExec
+        if (j.leftKeys ++ j.rightKeys).flatMap(_.references).exists(_.name == key) => j
+    }
+
+  test("q45's ng probe join broadcasts the BENCHMARK side (AQE, no hint)") {
+    // The operator carries NO broadcast hint (the eval side's smallness is an
+    // empirical fact, not an API contract — AQE verifies it at runtime). The
+    // assertion is on the SPECIFIC probe join: a BroadcastHashJoin keyed on
+    // `ng` must exist in the post-execution plan — not merely "some join
+    // broadcast somewhere".
+    val q = SparkEntry.catalog.find(_.name == "q45_decontam").get
+    val df = q.fn(spark, d)
+    df.collect() // drive AQE to its final plan
+    val joins = probeJoinsOn(df.queryExecution.executedPlan, "ng")
+    assert(joins.nonEmpty,
+      s"q45's ng probe join is not a broadcast hash join:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("q46's corpus side never shuffles before the term filter") {
+    // The scale contract from Retrieval's doc: the exploded corpus meets the
+    // broadcast query-term set BEFORE any aggregate, so the streamed side of
+    // the term probe join must contain a Generate (the explode) and ZERO
+    // exchanges / aggregates below it. This is the assertion the round-5
+    // verdict asked for — it fails on the old plan (tf groupBy below the
+    // join) by construction.
+    val q = SparkEntry.catalog.find(_.name == "q46_bm25").get
+    val df = q.fn(spark, d)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    val termJoins = probeJoinsOn(root, "term")
+    assert(termJoins.nonEmpty, s"no broadcast hash join on term:\n$root")
+    val probes = termJoins.filter { j =>
+      val streamed = if (j.buildSide == BuildLeft) j.right else j.left
+      val sub = allNodes(streamed)
+      sub.exists(_.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]) &&
+        !sub.exists(_.isInstanceOf[Exchange]) &&
+        !sub.exists(_.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+    }
+    assert(probes.nonEmpty,
+      s"q46's term probe join has a shuffle or aggregate on the corpus side " +
+        s"(term filter did not stay below the tf groupBy):\n$root")
+  }
+
+  test("q46's per-query top-k pre-truncates below the q_id exchange") {
+    // A stopword-heavy query can match a corpus-sized doc set; the rank
+    // window must not funnel it whole into one q_id partition. Spark plans
+    // the rank filter as WindowGroupLimit(Partial) below the exchange —
+    // every upstream partition forwards ≤k rows per query — plus the Final
+    // one above. Pin both.
+    val q = SparkEntry.catalog.find(_.name == "q46_bm25").get
+    val df = q.fn(spark, d)
+    df.collect()
+    val limits = allNodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w.mode.toString
+    }
+    assert(limits.count(_ == "Partial") >= 1 && limits.count(_ == "Final") >= 1,
+      s"expected Partial+Final WindowGroupLimit around the top-k exchange, got $limits:\n" +
+        df.queryExecution.executedPlan)
   }
 
   test("q34 assigns IVF cells map-side: no join before the probe join") {
