@@ -33,8 +33,15 @@ object Engine {
         * ([[graft.source.BinaryBinlogReader]]); default tails JSON lines.
         * The binary reader emits the positional wire form, so it pairs with
         * `schemaRegistry` for the full real-user pipeline: binlog bytes →
-        * drift-aware decode → envelopes → sinks. */
+        * drift-aware decode → envelopes → sinks. `replication` dials a LIVE
+        * MySQL server over the public replication protocol
+        * ([[graft.source.ReplicationBinlogReader]]) — supply host/port/user/
+        * password/serverId via `sourceOptions`; `inputDir` is ignored by the
+        * source in that mode. */
       wireFormat: Option[String] = None,
+      /** Extra DSv2 source options passed through verbatim (e.g. replication
+        * mode's connection coordinates). */
+      sourceOptions: Map[String, String] = Map.empty,
       controlPort: Option[Int] = None,         // P2; 0 = ephemeral
       tcpPubSubPort: Option[Int] = None,       // K1; 0 = ephemeral
       trigger: Trigger = Trigger.AvailableNow(),
@@ -97,6 +104,7 @@ object Engine {
         cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
         cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
         cfg.wireFormat.foreach(w => r = r.option("wireFormat", w))
+        cfg.sourceOptions.foreach { case (k, v) => r = r.option(k, v) }
         r.load()
           .select(from_json(col("value"), wireSchema).as("r"))
           .select("r.*")

@@ -476,112 +476,76 @@ object BinlogWire {
     """(?is)^\s*ALTER\s+TABLE\s+(?:`?([\w$]+)`?\s*\.\s*)?`?([\w$]+)`?\b.*""")
 }
 
-/** [[BinlogReader]] over a REAL binlog-format file. Event framing is
-  * sequential by nature (TABLE_MAP state, like the reference's single
-  * replication stream), so the reader always parses from the file's magic;
-  * it EMITS only statements whose event starts inside `[fromByte,
-  * untilByte)` — the same split-ownership rule as [[FileBinlogReader]], so
-  * the DSv2 planner needs no special casing (a split re-reads the prefix's
-  * metadata events but never re-emits their rows). For true binlogs one
-  * split per file (`splitBytes` ≥ file size) is the natural configuration.
-  *
-  * `seqBase` is added to each statement's `stmt_seq` (= its event's byte
-  * offset within this file): the DSv2 factory passes the file's GLOBAL base
-  * offset, making `stmt_seq` the global byte position — strictly monotone
-  * ACROSS the sorted file sequence, which drift versioning and event
-  * ordering depend on (a rotate to a new file must not reset sequences,
-  * exactly like `mysql.Position` pairs file+offset). */
-final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long,
-                               seqBase: Long = 0L) extends BinlogReader {
+/** Stateful per-stream event decoder: the shared core between the FILE
+  * framing ([[BinaryBinlogReader]]) and the replication-SOCKET framing
+  * ([[ReplicationBinlogReader]]). Holds the stream's TABLE_MAP registry and
+  * checksum mode (both are properties of ONE ordered event stream, which is
+  * why a reader never shares a decoder), verifies/strips CRC32 when the
+  * FORMAT_DESCRIPTION event declared it, and renders emitted statements as
+  * positional JSON lines. Framing (where the 19-byte header + body come
+  * from: file bytes vs OK-wrapped packets) stays in the readers. */
+final class BinlogEventDecoder(seqBase: Long, source: String) {
   import BinlogWire._
 
-  private val in = new BufferedInputStream(Files.newInputStream(Paths.get(file)), 1 << 16)
-  private var pos: Long = 0L
   private var checksummed = false
   private val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
-  locally {
-    val magic = readN(4)
-    require(magic != null && java.util.Arrays.equals(magic, Magic),
-      s"not a binlog file (bad magic): $file")
-  }
 
-  private def readN(n: Int): Array[Byte] = {
-    val buf = new Array[Byte](n)
-    var off = 0
-    while (off < n) {
-      val r = in.read(buf, off, n - off)
-      if (r < 0) { if (off == 0) return null else throw new EOFException(s"truncated event in $file") }
-      off += r
+  /** Decode one framed event. `head` is the raw 19 header bytes, `body0` the
+    * event body INCLUDING the trailing CRC when the stream is checksummed.
+    * Returns the emitted positional line, or null for framing-only events
+    * (FORMAT_DESCRIPTION, TABLE_MAP, ROTATE, XID, non-ALTER queries). */
+  def decode(head: Array[Byte], body0: Array[Byte], eventStart: Long): String = {
+    val hc = new Cursor(head, 0)
+    val ts = hc.u32()
+    val etype = hc.u8()
+    var body = body0
+
+    if (etype == FORMAT_DESCRIPTION_EVENT) {
+      // payload: version(2) + server_version(50) + created(4) + header_len(1)
+      // + post-header-len array; the final 1+4 bytes are (checksum_alg, crc)
+      // when the server writes checksums — alg byte position is
+      // size-dependent, so read it from the tail.
+      val alg = body(body.length - 5)
+      if (alg == 1) { checksummed = true }
+      return null
     }
-    pos += n
-    buf
-  }
-
-  /** Parse events until one yields an emitted line in-range, or EOF. */
-  override def nextLine(): (Long, String) = {
-    while (true) {
-      val eventStart = pos
-      if (eventStart >= untilByte) return null
-      val head = readN(19)
-      if (head == null) return null
-      val hc = new Cursor(head, 0)
-      val ts = hc.u32()
-      val etype = hc.u8()
-      hc.u32() // server_id
-      val eventSize = hc.u32().toInt
-      hc.u32(); hc.u16() // log_pos, flags
-      var body = readN(eventSize - 19)
-      if (body == null) throw new EOFException(s"truncated event body in $file")
-
-      if (etype == FORMAT_DESCRIPTION_EVENT) {
-        // payload: version(2) + server_version(50) + created(4) + header_len(1)
-        // + post-header-len array; the final 1+4 bytes are (checksum_alg, crc)
-        // when the server writes checksums — alg byte position is
-        // size-dependent, so read it from the tail.
-        val alg = body(body.length - 5)
-        if (alg == 1) { checksummed = true }
-      } else if (checksummed) {
-        // verify + strip CRC32 over header+body-minus-crc
-        val crc = new CRC32()
-        crc.update(head)
-        crc.update(body, 0, body.length - 4)
-        val stored = java.lang.Integer.toUnsignedLong(
-          (body(body.length - 4) & 0xff) | ((body(body.length - 3) & 0xff) << 8) |
-            ((body(body.length - 2) & 0xff) << 16) | ((body(body.length - 1) & 0xff) << 24))
-        require(crc.getValue == stored,
-          s"binlog CRC mismatch at offset $eventStart in $file")
-        body = java.util.Arrays.copyOf(body, body.length - 4)
-      }
-
-      val c = new Cursor(body, 0)
-      etype match {
-        case TABLE_MAP_EVENT =>
-          val (id, tm) = parseTableMap(c)
-          tableMaps(id) = tm
-        case WRITE_ROWS_V1 | WRITE_ROWS_V2 | DELETE_ROWS_V1 | DELETE_ROWS_V2 =>
-          val line = rowsLine(c, etype, ts, eventStart)
-          if (line != null && eventStart >= fromByte) return (eventStart, line)
-        case UPDATE_ROWS_V1 | UPDATE_ROWS_V2 =>
-          val line = rowsLine(c, etype, ts, eventStart)
-          if (line != null && eventStart >= fromByte) return (eventStart, line)
-        case QUERY_EVENT =>
-          c.skip(4 + 4) // thread_id, exec_time
-          val dbLen = c.u8()
-          c.skip(2) // error code
-          val statusLen = c.u16()
-          c.skip(statusLen)
-          val db = c.str(dbLen); c.skip(1)
-          val query = c.str(c.remaining)
-          val m = BinlogWire.alterRegex.matcher(query)
-          if (m.matches() && eventStart >= fromByte) {
-            val qdb = Option(m.group(1)).getOrElse(db)
-            return (eventStart,
-              positionalLine(qdb, m.group(2), "alter", ts, seqBase + eventStart, null, query))
-          }
-        case _ => () // ROTATE/XID/others: framing only
-      }
+    if (checksummed) {
+      // verify + strip CRC32 over header+body-minus-crc
+      val crc = new CRC32()
+      crc.update(head)
+      crc.update(body, 0, body.length - 4)
+      val stored = java.lang.Integer.toUnsignedLong(
+        (body(body.length - 4) & 0xff) | ((body(body.length - 3) & 0xff) << 8) |
+          ((body(body.length - 2) & 0xff) << 16) | ((body(body.length - 1) & 0xff) << 24))
+      require(crc.getValue == stored,
+        s"binlog CRC mismatch at offset $eventStart in $source")
+      body = java.util.Arrays.copyOf(body, body.length - 4)
     }
-    null // unreachable
+
+    val c = new Cursor(body, 0)
+    etype match {
+      case TABLE_MAP_EVENT =>
+        val (id, tm) = parseTableMap(c)
+        tableMaps(id) = tm
+        null
+      case WRITE_ROWS_V1 | WRITE_ROWS_V2 | DELETE_ROWS_V1 | DELETE_ROWS_V2 |
+           UPDATE_ROWS_V1 | UPDATE_ROWS_V2 =>
+        rowsLine(c, etype, ts, eventStart)
+      case QUERY_EVENT =>
+        c.skip(4 + 4) // thread_id, exec_time
+        val dbLen = c.u8()
+        c.skip(2) // error code
+        val statusLen = c.u16()
+        c.skip(statusLen)
+        val db = c.str(dbLen); c.skip(1)
+        val query = c.str(c.remaining)
+        val m = BinlogWire.alterRegex.matcher(query)
+        if (m.matches()) {
+          val qdb = Option(m.group(1)).getOrElse(db)
+          positionalLine(qdb, m.group(2), "alter", ts, seqBase + eventStart, null, query)
+        } else null
+      case _ => null // ROTATE/XID/others: framing only
+    }
   }
 
   private def rowsLine(c: Cursor, etype: Int, ts: Long, eventStart: Long): String = {
@@ -609,6 +573,64 @@ final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long,
       case _ => "update"
     }
     positionalLine(tm.db, tm.table, action, ts, seqBase + eventStart, images.result(), null)
+  }
+}
+
+/** [[BinlogReader]] over a REAL binlog-format file. Event framing is
+  * sequential by nature (TABLE_MAP state, like the reference's single
+  * replication stream), so the reader always parses from the file's magic;
+  * it EMITS only statements whose event starts inside `[fromByte,
+  * untilByte)` — the same split-ownership rule as [[FileBinlogReader]], so
+  * the DSv2 planner needs no special casing (a split re-reads the prefix's
+  * metadata events but never re-emits their rows). For true binlogs one
+  * split per file (`splitBytes` ≥ file size) is the natural configuration.
+  *
+  * `seqBase` is added to each statement's `stmt_seq` (= its event's byte
+  * offset within this file): the DSv2 factory passes the file's GLOBAL base
+  * offset, making `stmt_seq` the global byte position — strictly monotone
+  * ACROSS the sorted file sequence, which drift versioning and event
+  * ordering depend on (a rotate to a new file must not reset sequences,
+  * exactly like `mysql.Position` pairs file+offset). */
+final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long,
+                               seqBase: Long = 0L) extends BinlogReader {
+  import BinlogWire._
+
+  private val in = new BufferedInputStream(Files.newInputStream(Paths.get(file)), 1 << 16)
+  private var pos: Long = 0L
+  private val decoder = new BinlogEventDecoder(seqBase, file)
+  locally {
+    val magic = readN(4)
+    require(magic != null && java.util.Arrays.equals(magic, Magic),
+      s"not a binlog file (bad magic): $file")
+  }
+
+  private def readN(n: Int): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) { if (off == 0) return null else throw new EOFException(s"truncated event in $file") }
+      off += r
+    }
+    pos += n
+    buf
+  }
+
+  /** Parse events until one yields an emitted line in-range, or EOF. */
+  override def nextLine(): (Long, String) = {
+    while (true) {
+      val eventStart = pos
+      if (eventStart >= untilByte) return null
+      val head = readN(19)
+      if (head == null) return null
+      val eventSize = ((head(9) & 0xffL) | ((head(10) & 0xffL) << 8) |
+        ((head(11) & 0xffL) << 16) | ((head(12) & 0xffL) << 24)).toInt
+      val body = readN(eventSize - 19)
+      if (body == null) throw new EOFException(s"truncated event body in $file")
+      val line = decoder.decode(head, body, eventStart)
+      if (line != null && eventStart >= fromByte) return (eventStart, line)
+    }
+    null // unreachable
   }
 
   override def close(): Unit = in.close()

@@ -94,8 +94,10 @@ object CdcSource {
 }
 
 class CdcTable(properties: Map[String, String]) extends Table with SupportsRead {
-  require(properties.contains("path"), "graft-cdc source requires option 'path'")
-  override def name(): String = s"graft-cdc:${properties("path")}"
+  require(properties.contains("path") || properties.contains("host"),
+    "graft-cdc source requires option 'path' (file modes) or 'host' (replication)")
+  override def name(): String =
+    s"graft-cdc:${properties.getOrElse("path", properties.getOrElse("host", ""))}"
   override def schema(): StructType = CdcSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
@@ -104,39 +106,67 @@ class CdcTable(properties: Map[String, String]) extends Table with SupportsRead 
 }
 
 class CdcScan(props: Map[String, String]) extends Scan {
-  private val dir = props("path")
+  private def dir = props("path")
   private val filter = props.get("tablefilter").orElse(props.get("tableFilter"))
   private def opt(name: String): Option[Long] =
     props.get(name.toLowerCase).orElse(props.get(name)).map(_.toLong)
   private val splitBytes = opt("splitBytes").getOrElse(CdcMicroBatchStream.DefaultSplitBytes)
   /** `wireFormat=binary` tails REAL binlog-format files through
-    * [[BinaryBinlogReader]]; the default tails JSON-lines fixtures. Same
-    * planning/offsets/filtering either way — only the reader seam differs. */
-  private val binary = props.get("wireformat").orElse(props.get("wireFormat"))
-    .exists(_.equalsIgnoreCase("binary"))
+    * [[BinaryBinlogReader]]; `wireFormat=replication` dials a live MySQL
+    * server ([[ReplicationBinlogReader]] — options `host`, `port`, `user`,
+    * `password`, `serverId`); the default tails JSON-lines fixtures. Same
+    * planning/offsets/filtering in every mode — only the reader seam and
+    * the metadata listing differ. */
+  private val wireFormat = props.get("wireformat").orElse(props.get("wireFormat"))
+  private val binary = wireFormat.exists(_.equalsIgnoreCase("binary"))
+  private val replication: Option[ReplConfig] =
+    if (wireFormat.exists(_.equalsIgnoreCase("replication")))
+      Some(ReplConfig(
+        host = props.getOrElse("host",
+          throw new IllegalArgumentException("wireFormat=replication requires option 'host'")),
+        port = opt("port").getOrElse(3306L).toInt,
+        user = props.getOrElse("user", "root"),
+        password = props.getOrElse("password", ""),
+        serverId = opt("serverId").getOrElse(6402L)))
+    else None
 
   override def readSchema(): StructType = CdcSource.schema
   override def description(): String =
-    s"graft-cdc dir=$dir filter=${filter.getOrElse("(none)")}" +
-      (if (binary) " wire=binary" else "")
+    replication.fold(s"graft-cdc dir=$dir filter=${filter.getOrElse("(none)")}" +
+      (if (binary) " wire=binary" else "")) { r =>
+      s"graft-cdc replication=${r.host}:${r.port} filter=${filter.getOrElse("(none)")}"
+    }
 
-  private def factory: CdcReaderFactory =
-    if (binary) new CdcReaderFactory(p =>
+  private def factory: CdcReaderFactory = replication match {
+    case Some(r) => new CdcReaderFactory(p => r.mkReader(p))
+    case None if binary => new CdcReaderFactory(p =>
       new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
-    else new CdcReaderFactory
+    case None => new CdcReaderFactory
+  }
 
-  /** S2: snapshot — all statements currently in the directory, one batch. */
+  /** S2: snapshot — all statements currently in the directory (or on the
+    * master, in replication mode), one batch. */
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      CdcMicroBatchStream.slice(CdcSource.listFiles(dir), 0L, Long.MaxValue, filter, splitBytes)
+      if (replication.isDefined)
+        CdcMicroBatchStream.slice(replication.get.listLogs(), 0L, Long.MaxValue,
+          filter, Long.MaxValue)
+      else
+        CdcMicroBatchStream.slice(
+          CdcSource.listFiles(dir).map { case (p, s) => (p.toString, s) },
+          0L, Long.MaxValue, filter, splitBytes)
     override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
-      mkReader = if (binary) Some(p =>
-        new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
-      else None)
+    replication match {
+      case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"))
+      case None =>
+        new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
+          mkReader = if (binary) Some(p =>
+            new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
+          else None)
+    }
 }
 
 /** Offset = bytes consumed from the start of the sorted file sequence. */
@@ -151,18 +181,21 @@ object CdcMicroBatchStream {
 
   /** Plan partitions for the global byte range [from, until): each file's
     * overlap, chunked to `splitBytes`. Line-boundary alignment is the READER's
-    * job (LineRecordReader semantics), so splits may start/end mid-line. */
-  def slice(files: Seq[(Path, Long)], from: Long, until: Long,
+    * job (LineRecordReader semantics), so splits may start/end mid-line.
+    * `files` are (name, size) — local paths for the file readers, bare binlog
+    * names for the replication reader. */
+  def slice(files: Seq[(String, Long)], from: Long, until: Long,
             filter: Option[String], splitBytes: Long = DefaultSplitBytes): Array[InputPartition] = {
     var base = 0L
     val parts = Seq.newBuilder[InputPartition]
-    files.foreach { case (p, sz) =>
+    files.foreach { case (name, sz) =>
       val lo = math.max(from, base)
       val hi = math.min(until, base + sz)
       var at = lo
       while (at < hi) {
-        val end = math.min(at + splitBytes, hi)
-        parts += CdcInputPartition(p.toString, at - base, end - base, base, filter)
+        // overflow-safe: at + splitBytes can wrap for splitBytes=MaxValue
+        val end = at + math.min(splitBytes, hi - at)
+        parts += CdcInputPartition(name, at - base, end - base, base, filter)
         at = end
       }
       base += sz
@@ -231,7 +264,7 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
     availableNowTarget = Some(totalAvailable())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    CdcMicroBatchStream.slice(refresh(),
+    CdcMicroBatchStream.slice(refresh().map { case (p, s) => (p.toString, s) },
       start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos, filter, splitBytes)
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -242,6 +275,101 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
 
 case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
                              globalBase: Long, filter: Option[String]) extends InputPartition
+
+/** Connection coordinates for `wireFormat=replication`. Serializable: the
+  * reader factory ships it to executors, where each partition dials its own
+  * bounded dump. */
+case class ReplConfig(host: String, port: Int, user: String, password: String,
+                      serverId: Long) extends Serializable {
+  /** Metadata-only listing (SHOW BINARY LOGS) — the replication analogue of
+    * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes. */
+  def listLogs(): Seq[(String, Long)] = {
+    val c = new ReplicationClient(host, port, user, password, serverId)
+    try { c.connect(); c.binaryLogs() } finally c.close()
+  }
+  def mkReader(p: CdcInputPartition): BinlogReader =
+    new ReplicationBinlogReader(host, port, user, password, serverId,
+      p.file, p.fromByte, p.untilByte, seqBase = p.globalBase)
+}
+
+/** Micro-batch planner for the LIVE replication source. Same offset unit as
+  * the file planner (global byte position across the sorted binlog file
+  * sequence — `mysql.Position` flattened), but listing comes from
+  * `SHOW BINARY LOGS` and each batch's partitions drain bounded
+  * non-blocking dumps over their own connections.
+  *
+  * Two replication-specific planning rules:
+  *  - NO mid-file splitting (a dump starts only at an event boundary, and a
+  *    socket cannot re-parse from the magic the way the file reader aligns
+  *    a split): one partition per file-range per batch. The stream is
+  *    inherently a single ordered event sequence — parallelism belongs to
+  *    the stages above, exactly like the reference's single canal loop
+  *    feeding concurrent sinks.
+  *  - Admission (`maxBytesPerTrigger`) is a SOFT cap rounded UP to the next
+  *    file boundary (or the live tail), because every checkpointed offset
+  *    must be a position a future `COM_BINLOG_DUMP` can start from: file
+  *    ends and the server-reported tail are event boundaries by server
+  *    construction; an arbitrary `from + budget` byte is not. Rounding up
+  *    (never down) keeps the offset advancing, so an undersized budget
+  *    cannot stall the stream — same invariant as the file planner's
+  *    mid-line budgets. */
+class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
+                           maxBytesPerTrigger: Option[Long])
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  // Monotone size cache: closed files are immutable; only the ACTIVE (last)
+  // file grows between refreshes. max() guards against a listing read from
+  // a lagging replica ever shrinking the sequence's base offsets.
+  private val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
+  private var availableNowTarget: Option[Long] = None
+
+  private def refresh(): Seq[(String, Long)] = synchronized {
+    conf.listLogs().foreach { case (name, sz) =>
+      sizes(name) = math.max(sz, sizes.getOrElse(name, 0L))
+    }
+    sizes.toSeq
+  }
+
+  override def initialOffset(): Offset = CdcOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    CdcOffset("\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[CdcOffset].pos
+    val files = refresh()
+    val avail = availableNowTarget.getOrElse(files.map(_._2).sum)
+    val until = maxBytesPerTrigger match {
+      case None => avail
+      case Some(b) if from + b >= avail => avail
+      case Some(b) =>
+        var cum = 0L
+        files.map { case (_, s) => cum += s; cum }
+          .find(_ >= from + b).getOrElse(avail).min(avail)
+    }
+    CdcOffset(math.max(from, until))
+  }
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(refresh().map(_._2).sum)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    CdcMicroBatchStream.slice(refresh(),
+      start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos,
+      filter, splitBytes = Long.MaxValue)
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val c = conf // local pin: the lambda must capture the config, not `this`
+    new CdcReaderFactory(p => c.mkReader(p))
+  }
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 /** The pluggable wire-reader seam: everything above this interface (planning,
   * offsets, admission control) is protocol-agnostic; everything below it is

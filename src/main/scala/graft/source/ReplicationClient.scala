@@ -1,0 +1,342 @@
+package graft.source
+
+import java.io.{BufferedInputStream, BufferedOutputStream, EOFException, InputStream, OutputStream}
+import java.net.{InetSocketAddress, Socket}
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+/** MySQL client/server protocol — the CONNECTION layer of operator S1.
+  *
+  * [[BinlogWire]] decodes binlog event BYTES; this file supplies the last
+  * slice the reference gets from go-mysql's syncer
+  * (`/root/reference/src/library/binlog/handler.go:58-71` via
+  * `vendor/src/github.com/siddontang/go-mysql/replication/binlogsyncer.go`):
+  * dial a MySQL server, authenticate, register as a replica, and issue
+  * `COM_BINLOG_DUMP`, after which the server streams binlog events over the
+  * wire. Everything here is the PUBLIC MySQL client/server protocol:
+  *
+  *  - packets: 3-byte little-endian payload length + 1-byte sequence id;
+  *    a 0xffffff-length payload continues in the next packet;
+  *  - initial handshake v10: server version, 20-byte auth nonce split 8+12,
+  *    capability flags split low/high, auth plugin name;
+  *  - HandshakeResponse41 with `mysql_native_password`:
+  *    `SHA1(pw) XOR SHA1(nonce ++ SHA1(SHA1(pw)))`;
+  *  - text resultsets for `COM_QUERY` (column count, column definitions,
+  *    EOF, rows of length-encoded strings, EOF) — used for
+  *    `SHOW BINARY LOGS`, the metadata-only "what exists" call that mirrors
+  *    the file source's `Files.size` planning;
+  *  - `COM_REGISTER_SLAVE` (0x15) then `COM_BINLOG_DUMP` (0x12) with the
+  *    BINLOG_DUMP_NON_BLOCK flag: the server sends every event from the
+  *    requested (file, pos), then an EOF packet instead of blocking — the
+  *    protocol's own bounded-batch mode, which is exactly the micro-batch
+  *    contract ([[ReplMicroBatchStream]] plans offsets, each partition
+  *    drains one bounded dump).
+  *
+  * Event packets wrap each binlog event in one OK byte (0x00) followed by
+  * the 19-byte event header + body — the same bytes [[BinlogEventDecoder]]
+  * already parses from files.
+  */
+object MysqlWire {
+
+  // command codes (public protocol)
+  val COM_QUIT = 0x01
+  val COM_QUERY = 0x03
+  val COM_REGISTER_SLAVE = 0x15
+  val COM_BINLOG_DUMP = 0x12
+
+  // capability flags (the subset this client speaks)
+  val CLIENT_LONG_PASSWORD = 0x00000001L
+  val CLIENT_PROTOCOL_41 = 0x00000200L
+  val CLIENT_SECURE_CONNECTION = 0x00008000L
+  val CLIENT_PLUGIN_AUTH = 0x00080000L
+
+  val BINLOG_DUMP_NON_BLOCK = 0x01
+
+  def le(v: Long, n: Int): Array[Byte] =
+    Array.tabulate(n)(i => ((v >> (8 * i)) & 0xff).toByte)
+
+  def leAt(b: Array[Byte], at: Int, n: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < n) { v |= (b(at + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  /** Read one logical packet: (sequenceId, payload). Reassembles 16 MiB
+    * continuation packets. Returns null at clean EOF before any byte. */
+  def readPacket(in: InputStream): (Int, Array[Byte]) = {
+    def readN(n: Int, eofOk: Boolean): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) {
+          if (off == 0 && eofOk) return null
+          throw new EOFException("connection closed mid-packet")
+        }
+        off += r
+      }
+      buf
+    }
+    val head = readN(4, eofOk = true)
+    if (head == null) return null
+    var len = (leAt(head, 0, 3)).toInt
+    val seq = head(3) & 0xff
+    var payload = readN(len, eofOk = false)
+    while (len == 0xffffff) {
+      val h2 = readN(4, eofOk = false)
+      len = leAt(h2, 0, 3).toInt
+      payload = payload ++ readN(len, eofOk = false)
+    }
+    (seq, payload)
+  }
+
+  def writePacket(out: OutputStream, seq: Int, payload: Array[Byte]): Unit = {
+    // payloads here are tiny (commands); continuation split not needed,
+    // but guard loudly rather than corrupt framing
+    require(payload.length < 0xffffff, "oversized client packet")
+    out.write(le(payload.length, 3)); out.write(seq & 0xff)
+    out.write(payload)
+    out.flush()
+  }
+
+  /** mysql_native_password scramble: SHA1(pw) XOR SHA1(nonce ++ SHA1(SHA1(pw)));
+    * empty password → empty token. */
+  def nativePasswordScramble(password: String, nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha1 = MessageDigest.getInstance("SHA-1")
+    val h1 = sha1.digest(password.getBytes(StandardCharsets.UTF_8))
+    sha1.reset()
+    val h2 = sha1.digest(h1)
+    sha1.reset()
+    sha1.update(nonce)
+    sha1.update(h2)
+    val rhs = sha1.digest()
+    h1.indices.map(i => (h1(i) ^ rhs(i)).toByte).toArray
+  }
+
+  def isOk(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0x00
+  def isEof(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xfe && p.length < 9
+  def isErr(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xff
+
+  /** Render an ERR packet's (code, message); fails loudly on anything else. */
+  def errOf(p: Array[Byte]): String = {
+    val code = leAt(p, 1, 2)
+    var at = 3
+    if (p.length > 3 && p(3) == '#') at += 6 // sql-state marker + 5 bytes
+    val msg = new String(p, at, p.length - at, StandardCharsets.UTF_8)
+    s"MySQL error $code: $msg"
+  }
+}
+
+/** Minimal replication-protocol client. One instance = one connection = one
+  * ordered event stream (the same single-stream shape as the reference's
+  * canal loop). Not thread-safe; a DSv2 partition owns its client. */
+final class ReplicationClient(host: String, port: Int, user: String, password: String,
+                              serverId: Long) extends AutoCloseable {
+  import MysqlWire._
+
+  private var socket: Socket = _
+  private var in: InputStream = _
+  private var out: OutputStream = _
+  private var dumping = false
+
+  /** Dial + handshake + authenticate. */
+  def connect(timeoutMs: Int = 10000): Unit = {
+    socket = new Socket()
+    socket.connect(new InetSocketAddress(host, port), timeoutMs)
+    socket.setSoTimeout(timeoutMs)
+    socket.setTcpNoDelay(true)
+    in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+    out = new BufferedOutputStream(socket.getOutputStream, 1 << 14)
+
+    val (seq, hs) = readPacket(in) match {
+      case null => throw new EOFException(s"$host:$port closed before handshake")
+      case p => p
+    }
+    if (isErr(hs)) throw new java.io.IOException(errOf(hs))
+    require((hs(0) & 0xff) == 10, s"unsupported handshake protocol ${hs(0) & 0xff}")
+    // server_version: nul-terminated from offset 1
+    var at = 1
+    while (hs(at) != 0) at += 1
+    at += 1
+    at += 4 // thread id
+    val auth1 = java.util.Arrays.copyOfRange(hs, at, at + 8); at += 8
+    at += 1 // filler
+    at += 2 // capability flags (lower) — this client always speaks 4.1+SECURE
+    var nonce = auth1
+    if (at < hs.length) {
+      at += 1 + 2 + 2 // charset, status, capability flags (upper)
+      val authLen = hs(at) & 0xff; at += 1
+      at += 10 // reserved
+      // auth-data part 2: max(13, authLen - 8) bytes, last is a NUL
+      val part2Len = math.max(13, authLen - 8)
+      val auth2 = java.util.Arrays.copyOfRange(hs, at, at + part2Len - 1)
+      nonce = auth1 ++ auth2.take(12)
+    }
+
+    val caps = CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
+      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+    val token = nativePasswordScramble(password, nonce)
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(le(caps, 4)); b.write(le((1 << 24) - 1, 4)); b.write(33) // utf8
+    b.write(new Array[Byte](23))
+    b.write(user.getBytes(StandardCharsets.UTF_8)); b.write(0)
+    b.write(token.length); b.write(token)
+    b.write("mysql_native_password".getBytes(StandardCharsets.UTF_8)); b.write(0)
+    writePacket(out, seq + 1, b.toByteArray)
+
+    val (_, reply) = readPacket(in)
+    if (isErr(reply)) throw new java.io.IOException(s"auth failed: ${errOf(reply)}")
+    require(isOk(reply), "unexpected auth reply (auth-switch not supported)")
+  }
+
+  private def sendCommand(payload: Array[Byte]): Unit = {
+    require(!dumping, "connection is in binlog-dump mode")
+    writePacket(out, 0, payload) // each command restarts the sequence
+  }
+
+  private def expectOk(): Unit = {
+    val (_, p) = readPacket(in)
+    if (isErr(p)) throw new java.io.IOException(errOf(p))
+    require(isOk(p) || isEof(p), "expected OK")
+  }
+
+  /** COM_QUERY returning a text resultset as rows of nullable strings
+    * (None = SQL NULL); statements that return OK yield Nil. */
+  def query(sql: String): Seq[Seq[Option[String]]] = {
+    sendCommand(Array(COM_QUERY.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
+    val (_, first) = readPacket(in)
+    if (isErr(first)) throw new java.io.IOException(errOf(first))
+    if (isOk(first)) return Nil
+    val nCols = new BinlogWire.Cursor(first, 0).lenenc().toInt
+    var i = 0
+    while (i < nCols) { readPacket(in); i += 1 } // column definitions (opaque here)
+    require(isEof(readPacket(in)._2), "missing EOF after column defs")
+    val rows = Seq.newBuilder[Seq[Option[String]]]
+    var rp = readPacket(in)._2
+    while (!isEof(rp)) {
+      if (isErr(rp)) throw new java.io.IOException(errOf(rp))
+      val c = new BinlogWire.Cursor(rp, 0)
+      val row = Seq.newBuilder[Option[String]]
+      while (c.remaining > 0) {
+        if ((rp(c.at) & 0xff) == 0xfb) { c.skip(1); row += None }
+        else row += Some(c.str(c.lenenc().toInt))
+      }
+      rows += row.result()
+      rp = readPacket(in)._2
+    }
+    rows.result()
+  }
+
+  /** `SHOW BINARY LOGS` → sorted (file, sizeBytes): the replication
+    * analogue of [[CdcSource.listFiles]] — metadata only, never events. */
+  def binaryLogs(): Seq[(String, Long)] =
+    query("SHOW BINARY LOGS")
+      .map(r => (r(0).getOrElse(""), r(1).getOrElse("0").toLong))
+      .sortBy(_._1)
+
+  /** COM_REGISTER_SLAVE: announce this client in SHOW SLAVE HOSTS. */
+  def registerSlave(reportHost: String = "graft", reportPort: Int = 0): Unit = {
+    val hostB = reportHost.getBytes(StandardCharsets.UTF_8)
+    val userB = user.getBytes(StandardCharsets.UTF_8)
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(COM_REGISTER_SLAVE)
+    b.write(le(serverId, 4))
+    b.write(hostB.length); b.write(hostB)
+    b.write(userB.length); b.write(userB)
+    b.write(0) // password not reported
+    b.write(le(reportPort, 2))
+    b.write(le(0, 4)) // replication rank (unused)
+    b.write(le(0, 4)) // master id (0 = from server)
+    sendCommand(b.toByteArray)
+    expectOk()
+  }
+
+  /** Tell the server we accept its checksum format (real servers refuse to
+    * dump to a slave that has not set this; go-mysql does the same). */
+  def negotiateChecksum(): Unit = {
+    sendCommand(Array(COM_QUERY.toByte) ++
+      "SET @master_binlog_checksum = @@global.binlog_checksum"
+        .getBytes(StandardCharsets.UTF_8))
+    expectOk()
+  }
+
+  /** COM_BINLOG_DUMP from (file, pos). Non-blocking mode: the server sends
+    * everything it has, then EOF — one bounded micro-batch per dump. */
+  def dump(file: String, pos: Long, nonBlocking: Boolean = true): Unit = {
+    require(pos >= 4, s"binlog positions start at 4 (after magic), got $pos")
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(COM_BINLOG_DUMP)
+    b.write(le(pos, 4))
+    b.write(le(if (nonBlocking) BINLOG_DUMP_NON_BLOCK else 0, 2))
+    b.write(le(serverId, 4))
+    b.write(file.getBytes(StandardCharsets.UTF_8))
+    sendCommand(b.toByteArray)
+    dumping = true
+  }
+
+  /** Next event's raw bytes (19-byte header + body), or null at the
+    * non-blocking dump's EOF. */
+  def nextEvent(): Array[Byte] = {
+    val pkt = readPacket(in)
+    if (pkt == null) return null // server closed: treat as end of batch
+    val p = pkt._2
+    if (isEof(p)) { dumping = false; return null }
+    if (isErr(p)) throw new java.io.IOException(errOf(p))
+    require((p(0) & 0xff) == 0x00, "malformed event packet")
+    java.util.Arrays.copyOfRange(p, 1, p.length)
+  }
+
+  override def close(): Unit = {
+    try {
+      if (socket != null && !socket.isClosed && !dumping) {
+        try writePacket(out, 0, Array(COM_QUIT.toByte)) catch { case _: Exception => () }
+      }
+    } finally if (socket != null) socket.close()
+  }
+}
+
+/** [[BinlogReader]] over a LIVE replication connection: dial, authenticate,
+  * `COM_REGISTER_SLAVE`, then `COM_BINLOG_DUMP` from `(file, fromByte)` and
+  * decode the event stream with the same [[BinlogEventDecoder]] as the file
+  * reader. Event positions come from each header's `log_pos - event_size`
+  * (log_pos is the END of the event within its file — the unit of
+  * `mysql.Position.Pos`); artificial server events (the fake ROTATE and the
+  * re-sent FORMAT_DESCRIPTION carry log_pos 0) decode for their side effects
+  * but never emit.
+  *
+  * Positions must be EVENT BOUNDARIES: a dump cannot start mid-event (the
+  * file reader re-parses from the magic; a socket cannot). The planner
+  * guarantees this — [[ReplMicroBatchStream]] only checkpoints offsets at
+  * file ends or the server-reported live tail, both of which the server
+  * only ever advances by whole events. `fromByte` ≤ 4 means "start of
+  * file". */
+final class ReplicationBinlogReader(host: String, port: Int, user: String, password: String,
+                                    serverId: Long, file: String, fromByte: Long,
+                                    untilByte: Long, seqBase: Long = 0L) extends BinlogReader {
+  private val client = new ReplicationClient(host, port, user, password, serverId)
+  client.connect()
+  client.negotiateChecksum()
+  client.registerSlave()
+  client.dump(file, math.max(4L, fromByte))
+  private val decoder = new BinlogEventDecoder(seqBase, s"$host:$port/$file")
+  private var done = false
+
+  override def nextLine(): (Long, String) = {
+    while (!done) {
+      val ev = client.nextEvent()
+      if (ev == null) { done = true; return null }
+      val head = java.util.Arrays.copyOfRange(ev, 0, 19)
+      val body = java.util.Arrays.copyOfRange(ev, 19, ev.length)
+      val eventSize = MysqlWire.leAt(head, 9, 4)
+      val logPos = MysqlWire.leAt(head, 13, 4)
+      val eventStart = if (logPos >= eventSize && logPos > 0) logPos - eventSize else -1L
+      if (eventStart >= untilByte) { done = true; return null }
+      val line = decoder.decode(head, body, math.max(eventStart, 0L))
+      if (line != null && eventStart >= fromByte) return (eventStart, line)
+    }
+    null
+  }
+
+  override def close(): Unit = client.close()
+}

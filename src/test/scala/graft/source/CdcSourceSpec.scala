@@ -109,7 +109,7 @@ class CdcSourceSpec extends SparkSpec {
     try raf.setLength(1L << 40) finally raf.close() // sparse: no blocks written
     val t0 = System.nanoTime()
     val files = CdcSource.listFiles(in.toString)
-    val parts = CdcMicroBatchStream.slice(files, 0L, 1L << 40, None, splitBytes = 1L << 30)
+    val parts = CdcMicroBatchStream.slice(files.map { case (p, s) => (p.toString, s) }, 0L, 1L << 40, None, splitBytes = 1L << 30)
     val elapsed = (System.nanoTime() - t0) / 1e9
     assert(files.map(_._2).sum === (1L << 40))
     assert(parts.length === 1024, "1 TiB at 1 GiB splits = 1024 partitions")
@@ -125,7 +125,7 @@ class CdcSourceSpec extends SparkSpec {
     val starts = lineStarts(ls)
     // Sweep split sizes incl. pathological ones (1 byte ⇒ one split per byte).
     for (split <- Seq(1L, 7L, 64L, 1000L, 1L << 20)) {
-      val parts = CdcMicroBatchStream.slice(files, 0L, Long.MaxValue, None, split)
+      val parts = CdcMicroBatchStream.slice(files.map { case (p, s) => (p.toString, s) }, 0L, Long.MaxValue, None, split)
       val got = parts.flatMap { ip =>
         val r = new CdcReaderFactory().createReader(ip)
         val buf = scala.collection.mutable.ArrayBuffer[Long]()
