@@ -248,4 +248,140 @@ class SchemaRegistrySpec extends SparkSpec {
     // nothing registered present -> no slices (decodeBatch returns empty frame)
     assert(reg.planSlices(Map(("d", "absent") -> (0L, 10L))) === Nil)
   }
+
+  // --------------------------------------------------------------------------
+  // Property sweep: the ALTER grammar, pinned by generation. Round 5's
+  // FIRST/AFTER-on-MODIFY bug was found by review, not by tests — this closes
+  // that class. Structured ops are generated FIRST, rendered to DDL text with
+  // randomized surface syntax (keyword case, backticks, optional COLUMN
+  // keyword, whitespace, db prefix, suffix clauses with embedded commas and
+  // escaped quotes, comma-joined clause lists, interleaved non-column
+  // clauses), then parseAlter must recover exactly the generated ops, and
+  // folding applyOp must reproduce a column-order model evolved independently
+  // from the structured ops (MySQL placement semantics + the canal-style
+  // unknown-anchor tolerance).
+
+  test("parseAlter property sweep: render -> parse -> apply matches an order model") {
+    val rnd = new scala.util.Random(0xA17E5L) // seeded: failures reproduce
+    val typePool = Vector("int(11)", "bigint(20) unsigned", "varchar(40)",
+      "tinyint", "enum('a','b,c','d')", "set('x','y')", "decimal(10,2)",
+      "datetime(6)", "text")
+    val suffixPool = Vector("", " NOT NULL", " DEFAULT 'x,y'", " DEFAULT NULL",
+      " NOT NULL COMMENT 'has, commas and ''quotes'''", " COLLATE utf8mb4_bin")
+
+    def kw(s: String): String = rnd.nextInt(3) match {
+      case 0 => s.toUpperCase
+      case 1 => s.toLowerCase
+      case _ => s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    }
+    def id(s: String): String = if (rnd.nextBoolean()) s"`$s`" else s
+    def sp: String = " " * (1 + rnd.nextInt(2))
+    def colKw: String = if (rnd.nextBoolean()) kw("column") + sp else ""
+
+    // placement: None = append/keep, Some(None) = FIRST, Some(Some(a)) = AFTER a
+    def genPos(anchors: Seq[String]): Option[Option[String]] = rnd.nextInt(10) match {
+      case 0 | 1 => Some(None)
+      case 2 | 3 | 4 =>
+        if (anchors.nonEmpty && rnd.nextInt(5) > 0)
+          Some(Some(anchors(rnd.nextInt(anchors.size))))
+        else Some(Some("no_such_col")) // unknown anchor: the tolerance path
+      case _ => None
+    }
+    def renderPos(pos: Option[Option[String]]): String = pos match {
+      case None          => ""
+      case Some(None)    => sp + kw("first")
+      case Some(Some(a)) => sp + kw("after") + sp + id(a)
+    }
+
+    // Independent order model over column NAMES (not via applyOp/place).
+    def insertAt(ns: Vector[String], n: String, pos: Option[Option[String]]): Vector[String] =
+      pos match {
+        case None       => ns :+ n
+        case Some(None) => n +: ns
+        case Some(Some(a)) =>
+          val i = ns.indexOf(a)
+          if (i < 0) ns :+ n else (ns.take(i + 1) :+ n) ++ ns.drop(i + 1)
+      }
+    def moveTo(ns: Vector[String], n: String, pos: Option[Option[String]]): Vector[String] =
+      pos match {
+        case None => ns
+        case Some(p) =>
+          val rest = ns.filterNot(_ == n)
+          p match {
+            case None => n +: rest
+            case Some(a) =>
+              val i = rest.indexOf(a)
+              if (i < 0) ns // unknown anchor: keep slot
+              else (rest.take(i + 1) :+ n) ++ rest.drop(i + 1)
+          }
+      }
+
+    var checked = 0
+    for (_ <- 1 to 400) {
+      val startNames = rnd.shuffle(Vector("id", "name", "age", "city", "note",
+        "f$x", "created_at", "v2")).take(2 + rnd.nextInt(4))
+      var model = startNames
+      val fresh = scala.collection.mutable.Queue((1 to 6).map(i => s"new$i"): _*)
+
+      // 1..4 clauses generated against the EVOLVING model state, like a real
+      // multi-clause ALTER evaluated left to right.
+      val gen: Seq[(AlterOp, String)] = (1 to (1 + rnd.nextInt(4))).flatMap { _ =>
+        val typ = typePool(rnd.nextInt(typePool.size))
+        val suffix = suffixPool(rnd.nextInt(suffixPool.size))
+        rnd.nextInt(5) match {
+          case 0 if fresh.nonEmpty =>
+            val n = fresh.dequeue()
+            val pos = genPos(model)
+            model = insertAt(model, n, pos)
+            Some(AddColumn(colMetaOf(n, typ + suffix), pos) ->
+              s"${kw("add")}$sp$colKw${id(n)}$sp$typ$suffix${renderPos(pos)}")
+          case 1 if model.nonEmpty =>
+            val n = model(rnd.nextInt(model.size))
+            model = model.filterNot(_ == n)
+            Some(DropColumn(n) -> s"${kw("drop")}$sp$colKw${id(n)}")
+          case 2 if model.nonEmpty =>
+            val n = model(rnd.nextInt(model.size))
+            val pos = genPos(model.filterNot(_ == n))
+            model = moveTo(model, n, pos)
+            Some(ModifyColumn(colMetaOf(n, typ + suffix), pos) ->
+              s"${kw("modify")}$sp$colKw${id(n)}$sp$typ$suffix${renderPos(pos)}")
+          case 3 if model.nonEmpty && fresh.nonEmpty =>
+            val o = model(rnd.nextInt(model.size))
+            val n = fresh.dequeue()
+            val pos = genPos(model.filterNot(_ == o))
+            model = moveTo(model.map(x => if (x == o) n else x), n, pos)
+            Some(ChangeColumn(o, colMetaOf(n, typ + suffix), pos) ->
+              s"${kw("change")}$sp$colKw${id(o)}$sp${id(n)}$sp$typ$suffix${renderPos(pos)}")
+          case _ => None
+        }
+      }
+
+      if (gen.nonEmpty) {
+        checked += 1
+        // sometimes interleave a non-column clause: must parse to nothing
+        val clauses0 = gen.map(_._2)
+        val clauses =
+          if (rnd.nextBoolean()) {
+            val i = rnd.nextInt(clauses0.size + 1)
+            (clauses0.take(i) :+ s"${kw("add")}$sp${kw("index")} idx (id)") ++
+              clauses0.drop(i)
+          } else clauses0
+        val tbl = (if (rnd.nextBoolean()) id("shop") + "." else "") + id("user")
+        val ddl = s"${kw("alter")}$sp${kw("table")}$sp$tbl$sp${clauses.mkString("," + sp)}"
+
+        // 1) the parser recovers EXACTLY the generated structured ops: the
+        //    rendered spec between the column name and the FIRST/AFTER tail is
+        //    typ+suffix verbatim, so metas must be colMetaOf-identical too
+        val parsed = parseAlter(ddl)
+        assert(parsed === gen.map(_._1), s"ops for DDL: $ddl")
+
+        // 2) folding applyOp matches the independently-evolved order model
+        val start: Seq[Decode.ColMeta] = startNames.map(n => Decode.ColMeta(n, "int(11)"))
+        val applied = parsed.foldLeft(start)(applyOp)
+        assert(applied.map(_.name) === model,
+          s"column order for DDL: $ddl\nstart=$startNames")
+      }
+    }
+    assert(checked > 300, s"sweep generated too few cases: $checked")
+  }
 }
