@@ -16,11 +16,14 @@ import org.apache.spark.sql.DataFrame
   * Contract mirrored from the reference producer
   * (`/root/reference/src/services/kafka/producer.go:45-75`,
   * `config.go:43-45`): key = `database.table` (per-table ordering through
-  * partition hashing), value = the serialized envelope, snappy batching,
-  * acks=1 (WaitForLocal). [[KafkaSink.producerOptions]] still documents the
-  * connector-config form for deployments that ship `spark-sql-kafka-0-10`;
-  * this class is the self-contained fallback and the testable proof of the
-  * byte-level contract.
+  * partition hashing — the DEFAULT Kafka partitioner, murmur2 of the key
+  * bytes mod the topic's partition count discovered via a Metadata request,
+  * so records interleave with any standard client's), value = the serialized
+  * envelope, snappy batching, acks=1 (WaitForLocal).
+  * [[KafkaSink.producerOptions]] still documents the connector-config form
+  * for deployments that ship `spark-sql-kafka-0-10`; this class is the
+  * self-contained fallback and the testable proof of the byte-level
+  * contract.
   *
   * Scale shape: [[KafkaWire.produce]] runs one producer per PARTITION on the
   * executors (foreachPartition), so fan-out bandwidth scales with the
@@ -29,7 +32,38 @@ import org.apache.spark.sql.DataFrame
 object KafkaWire {
 
   val ApiProduce = 0
+  val ApiMetadata = 3
   val ApiVersionsKey = 18
+
+  // ----------------------------------------------------------- partitioning
+
+  /** Kafka's murmur2 (the default partitioner's hash — a public, stable
+    * algorithm every standard client implements, so our records land on the
+    * same partitions a Java/Go producer's would for the same keys). */
+  private[streaming] def murmur2(data: Array[Byte]): Int = {
+    val m = 0x5bd1e995
+    var h = 0x9747b28c ^ data.length
+    val len4 = data.length & ~3
+    var i = 0
+    while (i < len4) {
+      var k = (data(i) & 0xff) | ((data(i + 1) & 0xff) << 8) |
+        ((data(i + 2) & 0xff) << 16) | ((data(i + 3) & 0xff) << 24)
+      k *= m; k ^= k >>> 24; k *= m
+      h *= m; h ^= k
+      i += 4
+    }
+    val rem = data.length & 3
+    if (rem == 3) h ^= (data(len4 + 2) & 0xff) << 16
+    if (rem >= 2) h ^= (data(len4 + 1) & 0xff) << 8
+    if (rem >= 1) { h ^= data(len4) & 0xff; h *= m }
+    h ^= h >>> 13; h *= m; h ^= h >>> 15
+    h
+  }
+
+  /** Default-partitioner placement: all records of one `database.table` key
+    * land on ONE partition, which is what makes per-table ordering hold. */
+  def partitionFor(key: Array[Byte], numPartitions: Int): Int =
+    (murmur2(key) & 0x7fffffff) % numPartitions
 
   // ----------------------------------------------------------- wire helpers
 
@@ -141,43 +175,95 @@ object KafkaWire {
       produce
     }
 
-    /** Produce v3 to (topic, partition 0). Returns the assigned base offset.
-      * acks=1 mirrors the reference's WaitForLocal. */
+    /** Metadata v0: the topic's partition count — what the default
+      * partitioner hashes keys against. One call per producer lifetime. */
+    def partitionCount(topic: String): Int = {
+      val body = new ByteArrayOutputStream()
+      be32(body, 1); kString(body, topic)
+      val r = readResponse(send(ApiMetadata, 0, body.toByteArray))
+      val nBrokers = r.readInt()
+      (0 until nBrokers).foreach { _ =>
+        r.readInt() // nodeId
+        val hLen = r.readShort(); r.skipBytes(hLen)
+        r.readInt() // port
+      }
+      val nTopics = r.readInt()
+      var count = -1
+      (0 until nTopics).foreach { _ =>
+        val tErr = r.readShort()
+        val tLen = r.readShort(); val tB = new Array[Byte](tLen); r.readFully(tB)
+        val name = new String(tB, StandardCharsets.UTF_8)
+        val nParts = r.readInt()
+        (0 until nParts).foreach { _ =>
+          r.readShort(); r.readInt(); r.readInt() // err, partition, leader
+          r.skipBytes(4 * r.readInt()) // replicas
+          r.skipBytes(4 * r.readInt()) // isr
+        }
+        if (name == topic) {
+          require(tErr == 0, s"kafka metadata error $tErr for topic $topic")
+          count = nParts
+        }
+      }
+      require(count > 0, s"topic $topic absent from metadata response")
+      count
+    }
+
+    /** Produce v3 to (topic, partition 0) — the single-partition convenience
+      * form. Returns the assigned base offset. */
     def produce(topic: String, records: Seq[(Array[Byte], Array[Byte])],
                 acks: Int = 1, timeoutMs: Int = 30000, snappy: Boolean = true,
-                timestamp: Long = 0L): Long = {
-      require(records.nonEmpty, "empty produce")
-      val batch = recordBatch(records, timestamp, snappy)
+                timestamp: Long = 0L): Long =
+      produceTo(topic, Map(0 -> records), acks, timeoutMs, snappy, timestamp)
+        .getOrElse(0, -1L)
+
+    /** Produce v3, one record batch per partition in ONE request — the shape
+      * a keyed, default-partitioned producer sends. Returns the assigned base
+      * offset per partition. acks=1 mirrors the reference's WaitForLocal. */
+    def produceTo(topic: String, byPartition: Map[Int, Seq[(Array[Byte], Array[Byte])]],
+                  acks: Int = 1, timeoutMs: Int = 30000, snappy: Boolean = true,
+                  timestamp: Long = 0L): Map[Int, Long] = {
+      require(byPartition.nonEmpty && byPartition.values.forall(_.nonEmpty), "empty produce")
       val body = new ByteArrayOutputStream()
       be16(body, -1) // transactional_id = null
       be16(body, acks); be32(body, timeoutMs)
       be32(body, 1) // one topic
       kString(body, topic)
-      be32(body, 1) // one partition
-      be32(body, 0) // partition 0
-      be32(body, batch.length)
-      body.write(batch)
+      be32(body, byPartition.size)
+      byPartition.toSeq.sortBy(_._1).foreach { case (pid, records) =>
+        val batch = recordBatch(records, timestamp, snappy)
+        be32(body, pid)
+        be32(body, batch.length)
+        body.write(batch)
+      }
       val corr = send(ApiProduce, 3, body.toByteArray)
-      if (acks == 0) return -1L
+      if (acks == 0) return byPartition.view.mapValues(_ => -1L).toMap
       val r = readResponse(corr)
       val nTopics = r.readInt()
       require(nTopics == 1, s"unexpected topic count $nTopics")
       val tLen = r.readShort(); r.skipBytes(tLen)
       val nParts = r.readInt()
-      require(nParts == 1, s"unexpected partition count $nParts")
-      r.readInt() // partition index
-      val err = r.readShort()
-      require(err == 0, s"kafka produce error code $err")
-      val baseOffset = r.readLong()
-      baseOffset
+      require(nParts == byPartition.size, s"unexpected partition count $nParts")
+      (0 until nParts).map { _ =>
+        val pid = r.readInt()
+        val err = r.readShort()
+        require(err == 0, s"kafka produce error code $err (partition $pid)")
+        val baseOffset = r.readLong()
+        r.readLong() // log append time
+        pid -> baseOffset
+      }.toMap
     }
 
     override def close(): Unit = sock.close()
   }
 
-  /** Executor-side fan-out of a (topic, envelope) frame: one producer and one
-    * keyed, snappy-batched Produce request per partition — the wire-protocol
-    * realization of [[KafkaSink.frame]]'s contract. */
+  /** Executor-side fan-out of a (topic, envelope) frame: one producer per
+    * SPARK partition, each batching records and routing them through the
+    * default partitioner (murmur2 of the `database.table` key mod the
+    * topic's partition count) — the wire-protocol realization of
+    * [[KafkaSink.frame]]'s contract. Within a task, records of one key keep
+    * their iterator order and all land on one Kafka partition, so per-table
+    * ordering holds end-to-end when the frame co-locates each table's rows
+    * (the engine's frames do: one micro-batch, index-sorted). */
   def produce(frame: DataFrame, host: String, port: Int, kafkaTopic: String,
               batchRecords: Int = 1000): Unit = {
     frame.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -185,11 +271,14 @@ object KafkaWire {
         val p = new Producer(host, port)
         try {
           p.apiVersions()
+          val nParts = p.partitionCount(kafkaTopic)
           it.grouped(batchRecords).foreach { group =>
             val recs = group.map(r =>
               (r.getString(0).getBytes(StandardCharsets.UTF_8),
                 r.getString(1).getBytes(StandardCharsets.UTF_8)))
-            p.produce(kafkaTopic, recs)
+            // Seq.groupBy preserves encounter order within each group, so a
+            // key's records stay ordered inside its partition's batch.
+            p.produceTo(kafkaTopic, recs.groupBy(r => partitionFor(r._1, nParts)))
           }
         } finally p.close()
       }

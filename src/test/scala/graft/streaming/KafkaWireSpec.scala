@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
   * responses. The decoder is written independently of [[KafkaWire]]'s
   * encoder, so the spec proves the bytes, not the code agreeing with
   * itself. */
-final class KafkaStubBroker {
+final class KafkaStubBroker(numPartitions: Int = 1) {
   final case class Batch(topic: String, partition: Int, codec: Int, crcOk: Boolean,
                          records: Seq[(String, String)])
   val received = new ConcurrentLinkedQueue[Batch]()
@@ -52,6 +52,31 @@ final class KafkaStubBroker {
           val d = new DataOutputStream(resp)
           d.writeInt(correlation); d.writeShort(0)
           d.writeInt(1); d.writeShort(0); d.writeShort(0); d.writeShort(3)
+          d.flush()
+          out.writeInt(resp.size()); out.write(resp.toByteArray); out.flush()
+        case 3 => // Metadata v0: echo every requested topic with our layout
+          val nTopics = r.readInt()
+          val topics = (0 until nTopics).map { _ =>
+            val l = r.readShort(); val b = new Array[Byte](l); r.readFully(b)
+            new String(b, StandardCharsets.UTF_8)
+          }
+          val resp = new ByteArrayOutputStream()
+          val d = new DataOutputStream(resp)
+          d.writeInt(correlation)
+          d.writeInt(1) // one broker: ourselves
+          d.writeInt(0); d.writeShort(9); d.writeBytes("127.0.0.1"); d.writeInt(port)
+          d.writeInt(topics.size)
+          topics.foreach { t =>
+            d.writeShort(0) // topic error
+            d.writeShort(t.length); d.writeBytes(t)
+            d.writeInt(numPartitions)
+            (0 until numPartitions).foreach { pid =>
+              d.writeShort(0) // partition error
+              d.writeInt(pid); d.writeInt(0) // leader: broker 0
+              d.writeInt(1); d.writeInt(0)   // replicas [0]
+              d.writeInt(1); d.writeInt(0)   // isr [0]
+            }
+          }
           d.flush()
           out.writeInt(resp.size()); out.write(resp.toByteArray); out.flush()
         case 0 => // Produce
@@ -177,6 +202,53 @@ class KafkaWireSpec extends SparkSpec {
       assert(all.map(_._2).sorted === (1 to 40).map(i => s"""{"event_index":$i}""").sorted)
       // per-table ordering within a partition's batches rides the key
       assert(all.map(_._1).toSet === Set("d.t0", "d.t1", "d.t2", "d.t3"))
+    } finally broker.stop()
+  }
+
+  test("partition hashing spreads tables across >1 partition, preserving per-table order") {
+    import spark.implicits._
+    val nKafkaParts = 3
+    val broker = new KafkaStubBroker(numPartitions = nKafkaParts)
+    try {
+      val tables = (0 until 8).map(i => s"shop.t$i")
+      val layout = tables.map(t =>
+        t -> KafkaWire.partitionFor(t.getBytes(StandardCharsets.UTF_8), nKafkaParts)).toMap
+      assert(layout.values.toSet.size > 1, s"fixture keys must spread: $layout")
+
+      // 20 sequenced envelopes per table; repartition BY topic so each
+      // table's rows ride one task in seq order — the engine frame shape.
+      val frame = (1 to 160)
+        .map { i => val t = tables(i % 8); (t, s"""{"table":"$t","seq":$i}""", i) }
+        .toDF("topic", "envelope", "seq")
+        .repartition(4, col("topic"))
+        .sortWithinPartitions("seq")
+        .select("topic", "envelope")
+      KafkaWire.produce(frame, "127.0.0.1", broker.port, "wing", batchRecords = 6)
+
+      val batches = {
+        val b = scala.collection.mutable.ArrayBuffer[KafkaStubBroker#Batch]()
+        val it = broker.received.iterator()
+        while (it.hasNext) b += it.next().asInstanceOf[KafkaStubBroker#Batch]
+        b.toSeq
+      }
+      assert(batches.map(_.partition).toSet.size > 1, "load actually spread over partitions")
+      assert(batches.flatMap(_.records).size === 160, "every record produced exactly once")
+      // 1) every record sits on the partition murmur2 assigns its key
+      batches.foreach { b =>
+        b.records.foreach { case (k, _) =>
+          assert(b.partition === layout(k), s"key $k landed off its hash partition")
+        }
+      }
+      // 2) per-table order: concatenating one partition's batches in arrival
+      //    order, each table's seq numbers are strictly increasing
+      val seqRe = """"seq":(\d+)""".r
+      tables.foreach { t =>
+        val seqs = batches.filter(_.partition == layout(t))
+          .flatMap(_.records).filter(_._1 == t)
+          .map { case (_, v) => seqRe.findFirstMatchIn(v).get.group(1).toInt }
+        assert(seqs.size === 20 && seqs === seqs.sorted,
+          s"per-table ordering broken for $t: $seqs")
+      }
     } finally broker.stop()
   }
 
