@@ -65,4 +65,65 @@ object Decontam {
       .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
         expr("n_hits * 1000 div n_ngrams").as("hit_permille"))
   }
+
+  /** N-gram hashes computed DIRECTLY from a materialized words array — no
+    * word dictionary. Value-identical to [[ngramHashesMod]] over
+    * [[Dedup.wordHashFrame]] output (the dictionary never changes the hash, a
+    * word's value is content-deterministic md5 mod P; it only amortizes the
+    * md5 over occurrences). Cost: one md5 per (gram, position) pair — n× the
+    * dictionary path's hashing — which is the right trade exactly where this
+    * is used: a streaming micro-batch, where the dictionary's corpus-wide
+    * distinct aggregate is not expressible without adding a stateful stage.
+    * `words` MUST be a materialized attribute (see the re-evaluation trap in
+    * [[Dedup.wordHashFrame]]: an inline `split` would be re-evaluated per
+    * `element_at`, turning O(len·n) into O(len²·n)). */
+  def ngramHashesDirect(words: Column, n: Int): Column = {
+    def wh(w: Column): Column = Dedup.shingleHash(w) % MinhashP
+    when(size(words) >= n,
+      transform(sequence(lit(0), size(words) - n),
+        i => (1 until n).foldLeft(wh(element_at(words, i + 1)))(
+          (acc, j) => (acc * 31L + wh(element_at(words, i + j + 1))) % MinhashP)))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** Streaming decontamination: the stream-static form of
+    * [[contaminationReport]] — each micro-batch of incoming documents is
+    * probed against the STATIC benchmark n-gram set, the shape a live ingest
+    * pipeline uses (the batch operator remains the full-corpus audit).
+    * Column parity with the batch report: (doc_id, n_hits, n_ngrams,
+    * hit_permille), one row per contaminated document, emitted when the
+    * watermark passes the document's event time.
+    *
+    * Plan shape, stateless until the last step:
+    *  - per-row n-gram hashing via [[ngramHashesDirect]], with
+    *    `explode(array(…))` Generate barriers materializing the words and
+    *    gram arrays (CollapseProject does not merge across a Generate, so
+    *    neither array is re-evaluated per consuming element);
+    *  - the benchmark side is a bounded static frame: the stream-static
+    *    equi-join on the 8-byte gram hash keeps NO state and re-plans the
+    *    static side per micro-batch;
+    *  - the only stateful operator is the per-document count, keyed by the
+    *    watermarked event time + doc_id, so aggregate state is evicted as
+    *    the watermark advances — bounded at any ingest rate, the same
+    *    contract as [[graft.streaming.StreamingAggs.fingerprintDedup]]. */
+  def contaminationStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val benchNgrams = Dedup.wordHashFrame(benchmark, benchIdCol, benchTextCol)
+      .select(explode(ngramHashesMod(col("whs"), n)).as("ng"))
+      .distinct()
+    docs
+      .select(col(tsCol).as("__ts"), col(idCol).as("doc_id"),
+        explode(array(split(lower(col(textCol)), " "))).as("__ws"))
+      .select(col("__ts"), col("doc_id"),
+        explode(array(array_distinct(ngramHashesDirect(col("__ws"), n)))).as("__ngs"))
+      .select(col("__ts"), col("doc_id"),
+        size(col("__ngs")).cast("long").as("n_ngrams"), explode(col("__ngs")).as("ng"))
+      .withWatermark("__ts", watermarkDelay)
+      .join(benchNgrams, "ng")
+      .groupBy(col("__ts"), col("doc_id"), col("n_ngrams"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"), col("n_ngrams"),
+        expr("n_hits * 1000 div n_ngrams").as("hit_permille"))
+  }
 }

@@ -88,6 +88,50 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontamination: stream-static n-gram probe, parity with the batch report") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // benchmark: two held-out eval docs; n=3 word grams for compact fixtures
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    // corpus docs: d1 shares a 3-gram run with bench 100, d2 with bench 101,
+    // d3 is clean, d4 shares a gram with 100 amid clean text
+    val docs = Seq(
+      (1L, "here the quick brown fox appears again somewhere"),
+      (2L, "she said pack my box with care today"),
+      (3L, "completely unrelated clean words only here now"),
+      (4L, "noise noise jumps over the noise noise tail"))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.llm.Decontam.contaminationStream(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        benchmark, "doc_id", "text", n = 3, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("decontam").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), docs(0)._1, docs(0)._2), (ts(1), docs(1)._1, docs(1)._2))
+      q.processAllAvailable()
+      in.addData((ts(2), docs(2)._1, docs(2)._2), (ts(3), docs(3)._1, docs(3)._2))
+      q.processAllAvailable()
+      // two clean flush batches: the first advances max event time, the
+      // second applies the advanced watermark so all doc groups emit
+      in.addData((ts(120), 999L, "zz1 zz2 zz3"))
+      q.processAllAvailable()
+      in.addData((ts(121), 998L, "zz4 zz5 zz6"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("decontam")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // column parity with the batch operator over the same corpus
+      val batch = graft.llm.Decontam.contaminationReport(
+          docs.toDF("doc_id", "text"), benchmark, "doc_id", "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(batch.map(_._1) === Set(1L, 2L, 4L), s"batch fixture sanity: $batch")
+      assert(streamed === batch,
+        s"stream/batch parity broken:\nstream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: envelope stream x dimension table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
