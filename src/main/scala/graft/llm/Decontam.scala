@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    honored regardless of size; AQE is honored only when it fits.)
   *  - N-grams travel as 8-byte integer hashes (stepwise-mod polynomial over
   *    the once-per-distinct-word md5 dictionary from [[Dedup.wordHashFrame]]),
-  *    never as strings: the join key is a long, not a ~50-byte shingle.
+  *    never as strings: the join key is a long, not a ~50-byte shingle. The
+  *    modulus is a 58-bit prime ([[DecontamP]]), NOT minhash's 31-bit one —
+  *    a 31-bit gram space saturates at corpus scale and would flood the
+  *    report with hash-collision false positives (see [[DecontamP]]).
   *  - The aggregate is a hash-groupBy on doc_id with map-side partial
   *    aggregation; nothing here is all-pairs.
   */
@@ -27,18 +30,32 @@ object Decontam {
 
   import Dedup.MinhashP
 
+  /** N-gram hash modulus: the largest prime below 2^58. Minhash needs its
+    * 31-bit prime ([[Dedup.MinhashP]]) so the `a·x + b` permutation products
+    * fit a signed 64-bit long, but decontamination has no permutation family —
+    * and a 31-bit gram space SATURATES at scale: a 100 TB corpus holds ~10^10
+    * distinct n-grams, so under mod 2^31 essentially every hash value occurs
+    * and every benchmark n-gram "hits" spurious documents (≈10^9 false pairs
+    * for a 10^6-gram eval set). At 2^58 the same workload expects ~10^4 false
+    * pairs corpus-wide — negligible next to real overlap. The bound is exact
+    * arithmetic in BOTH engines: fold intermediates are at most
+    * `31·(P−1) + (2^31−1) < 2^63 − 1` (word-hash inputs stay mod-2^31), so
+    * JVM longs never wrap and DuckDB's overflow-checked BIGINT never raises. */
+  val DecontamP = 288230376151711717L
+
   /** Word n-gram hashes with the modulus applied at EVERY fold step:
-    * `h_{k+1} = (h_k · 31 + w_{k+1}) mod P`, so intermediates stay < 2^36 and
-    * the value is reproducible by any engine with 64-bit integer arithmetic
-    * (DuckDB raises on BIGINT overflow, so [[Dedup.ngramHashes]]'s
-    * mod-at-the-end form is only portable for n ≤ 7; this form works for any
-    * n). `wh` MUST be a materialized attribute ([[Dedup.wordHashFrame]]
+    * `h_{k+1} = (h_k · 31 + w_{k+1}) mod p`, so intermediates stay below
+    * `31·p + 2^31` and the value is reproducible by any engine with 64-bit
+    * integer arithmetic (DuckDB raises on BIGINT overflow, so
+    * [[Dedup.ngramHashes]]'s mod-at-the-end form is only portable for n ≤ 7;
+    * this form works for any n, for any `p` up to [[DecontamP]]'s 2^58
+    * bound). `wh` MUST be a materialized attribute ([[Dedup.wordHashFrame]]
     * output) — see the re-evaluation trap documented there. */
-  def ngramHashesMod(wh: Column, n: Int): Column =
+  def ngramHashesMod(wh: Column, n: Int, p: Long = DecontamP): Column =
     when(size(wh) >= n,
       transform(sequence(lit(0), size(wh) - n),
         i => (1 until n).foldLeft(element_at(wh, i + 1))(
-          (acc, j) => (acc * 31L + element_at(wh, i + j + 1)) % MinhashP)))
+          (acc, j) => (acc * 31L + element_at(wh, i + j + 1)) % p)))
       .otherwise(array().cast("array<bigint>"))
 
   /** Contamination report: one row per CORPUS document that shares at least
@@ -77,12 +94,12 @@ object Decontam {
     * `words` MUST be a materialized attribute (see the re-evaluation trap in
     * [[Dedup.wordHashFrame]]: an inline `split` would be re-evaluated per
     * `element_at`, turning O(len·n) into O(len²·n)). */
-  def ngramHashesDirect(words: Column, n: Int): Column = {
+  def ngramHashesDirect(words: Column, n: Int, p: Long = DecontamP): Column = {
     def wh(w: Column): Column = Dedup.shingleHash(w) % MinhashP
     when(size(words) >= n,
       transform(sequence(lit(0), size(words) - n),
         i => (1 until n).foldLeft(wh(element_at(words, i + 1)))(
-          (acc, j) => (acc * 31L + wh(element_at(words, i + j + 1))) % MinhashP)))
+          (acc, j) => (acc * 31L + wh(element_at(words, i + j + 1))) % p)))
       .otherwise(array().cast("array<bigint>"))
   }
 

@@ -754,13 +754,13 @@ object LlmQueries {
       |  SELECT doc_id, is_bench,
       |    list_distinct(CASE WHEN len(whs) >= 8 THEN [
       |      ((((((((((((((whs[i]
-      |        * 31 + whs[i+1]) % 2147483647)
-      |        * 31 + whs[i+2]) % 2147483647)
-      |        * 31 + whs[i+3]) % 2147483647)
-      |        * 31 + whs[i+4]) % 2147483647)
-      |        * 31 + whs[i+5]) % 2147483647)
-      |        * 31 + whs[i+6]) % 2147483647)
-      |        * 31 + whs[i+7]) % 2147483647) for i in range(1, len(whs)-6)]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717) for i in range(1, len(whs)-6)]
       |    ELSE [] END) AS ngs
       |  FROM wh),
       |bench AS (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE is_bench),

@@ -45,12 +45,27 @@ class DecontamSpec extends SparkSpec {
   }
 
   test("ngramHashesMod equals ngramHashes where both are defined (n <= 7)") {
+    // same-modulus algebraic identity: stepwise-mod == mod-at-the-end
     val df = Seq((1L, words(30, "t"))).toDF("doc_id", "text")
     val wh = Dedup.wordHashFrame(df, "doc_id", "text")
     val both = wh.select(
-      Decontam.ngramHashesMod(col("whs"), 4).as("m"),
+      Decontam.ngramHashesMod(col("whs"), 4, Dedup.MinhashP).as("m"),
       Dedup.ngramHashes(col("whs"), 4).as("e"))
     val r = both.collect().head
     assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+  }
+
+  test("ngramHashesDirect (no dictionary) equals ngramHashesMod over wordHashFrame") {
+    val df = Seq((1L, words(30, "t")), (2L, words(9, "u"))).toDF("doc_id", "text")
+    val viaDict = Dedup.wordHashFrame(df, "doc_id", "text")
+      .select(col("doc_id"), Decontam.ngramHashesMod(col("whs"), 8).as("ngs"))
+    val direct = df
+      .select(col("doc_id"), explode(array(split(lower(col("text")), " "))).as("ws"))
+      .select(col("doc_id"), Decontam.ngramHashesDirect(col("ws"), 8).as("ngs"))
+    val d = viaDict.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val e = direct.orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(d.toSeq == e.toSeq)
+    // 58-bit modulus actually in effect: values exceed the 31-bit space
+    assert(d.flatten.exists(_ > Dedup.MinhashP), s"expected 58-bit hashes: ${d.toSeq}")
   }
 }
