@@ -229,11 +229,20 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   }
 
   /** `SHOW BINARY LOGS` → sorted (file, sizeBytes): the replication
-    * analogue of [[CdcSource.listFiles]] — metadata only, never events. */
+    * analogue of [[CdcSource.listFiles]] — metadata only, never events.
+    * Sorted by the NUMERIC file suffix where present: plain lexicographic
+    * order breaks when the server's counter crosses a digit-length boundary
+    * (`binlog.999999` rotates to `binlog.1000000`, which sorts lexically
+    * BEFORE it — MySQL keeps widening the suffix). */
   def binaryLogs(): Seq[(String, Long)] =
     query("SHOW BINARY LOGS")
       .map(r => (r(0).getOrElse(""), r(1).getOrElse("0").toLong))
-      .sortBy(_._1)
+      .sortBy { case (name, _) =>
+        val dot = name.lastIndexOf('.')
+        val suffix = if (dot >= 0) name.substring(dot + 1) else ""
+        val num = if (suffix.nonEmpty && suffix.forall(_.isDigit)) suffix.toLong else -1L
+        (if (dot >= 0) name.substring(0, dot) else name, num, name)
+      }
 
   /** COM_REGISTER_SLAVE: announce this client in SHOW SLAVE HOSTS. */
   def registerSlave(reportHost: String = "graft", reportPort: Int = 0): Unit = {
@@ -328,8 +337,17 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
       if (ev == null) { done = true; return null }
       val head = java.util.Arrays.copyOfRange(ev, 0, 19)
       val body = java.util.Arrays.copyOfRange(ev, 19, ev.length)
+      val etype = head(4) & 0xff
       val eventSize = MysqlWire.leAt(head, 9, 4)
       val logPos = MysqlWire.leAt(head, 13, 4)
+      // A REAL rotate (log_pos > 0; the dump-start artificial one carries 0)
+      // ends the requested file: a real server's non-blocking dump KEEPS
+      // STREAMING into the next binlog file, whose events restart at small
+      // log_pos values — without this stop they would pass the untilByte
+      // check and be mis-attributed to THIS file's range, duplicating the
+      // next file's partition. (The scripted stub ends each dump at the
+      // file's end; a live server does not.)
+      if (etype == BinlogWire.ROTATE_EVENT && logPos > 0) { done = true; return null }
       val eventStart = if (logPos >= eventSize && logPos > 0) logPos - eventSize else -1L
       if (eventStart >= untilByte) { done = true; return null }
       val line = decoder.decode(head, body, math.max(eventStart, 0L))

@@ -218,6 +218,48 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("reader stops at a real ROTATE: next file's events never leak into the partition") {
+    import BinlogWire._
+    // A real server's non-blocking dump streams PAST the rotation: rotate
+    // event, then the next file's events with log_pos restarting small —
+    // values that pass an untilByte check. Emulate that wire stream and
+    // assert the reader stops at its file's boundary.
+    val w = fixture()
+    val fileEnd = w.bytes.length.toLong
+    w.event(999L, ROTATE_EVENT,
+      MysqlWire.le(4L, 8) ++ "binlog.000002".getBytes(UTF_8)) // real rotate: log_pos > 0
+    val w2 = new BinlogFixtureWriter(checksum = true)
+    w2.fde()
+    w2.tableMap(30L, 7L, "shop", "order", Seq(TYPE_LONG -> w2.mNone))
+    w2.rows(30L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w2.vLong(77))))
+    val wire = w.bytes ++ w2.bytes.drop(4) // drop file2's magic: one dump stream
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", wire))
+      val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "pw", 6402L,
+        "binlog.000001", 0L, fileEnd)
+      val got = try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+        finally r.close()
+      assert(got.size === 3, s"exactly file 1's statements: $got")
+      assert(!got.exists(_._2.contains("\"77\"")),
+        "file 2's row leaked into file 1's partition")
+      assert(got.forall(_._1 < fileEnd))
+    } finally stub.close()
+  }
+
+  test("binaryLogs sorts by numeric suffix across a digit-length rollover") {
+    val stub = new StubMysqlServer("pw")
+    try {
+      // lexicographic order would put 1000000 FIRST; numeric order must win
+      stub.files = Seq(("binlog.1000000", Array[Byte](1)), ("binlog.999999", Array[Byte](1, 2)))
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 1L)
+      try {
+        c.connect()
+        assert(c.binaryLogs().map(_._1) === Seq("binlog.999999", "binlog.1000000"))
+      } finally c.close()
+    } finally stub.close()
+  }
+
   test("DSv2 replication stream: checkpoint resume dumps from the committed offset; " +
     "rotation continues the global sequence") {
     import BinlogWire._
@@ -269,13 +311,18 @@ class ReplicationSpec extends SparkSpec {
       // global positions continue ACROSS the rotation, strictly after batch 1
       assert(second.forall(_._1 >= sizeAfterBatch1))
       // the resumed dump asked the server for the COMMITTED position, not 4:
-      // one request per (batch, file); the 000001 resume must start mid-file
-      val reqs = stub.dumpRequests
+      // one request per (batch, file). Batch 2's two partitions run
+      // CONCURRENTLY on local[32], so compare arrival-order-insensitively.
+      val reqs = {
+        import scala.jdk.CollectionConverters._
+        stub.dumpRequests.asScala.toSeq
+      }
       assert(reqs.size === 3, s"initial + resume + rotated file: $reqs")
-      assert(reqs.get(1) === (("binlog.000001", sizeAfterBatch1)),
-        "resume must COM_BINLOG_DUMP from the checkpointed offset")
-      assert(reqs.get(2)._1 === "binlog.000002")
-      assert(reqs.get(2)._2 <= 4, "rotated file starts from its beginning")
+      assert(reqs.head === (("binlog.000001", 4L)), "first batch dumps from the start")
+      assert(reqs.tail.contains(("binlog.000001", sizeAfterBatch1)),
+        s"resume must COM_BINLOG_DUMP from the checkpointed offset: $reqs")
+      assert(reqs.tail.exists(r => r._1 == "binlog.000002" && r._2 <= 4),
+        s"rotated file starts from its beginning: $reqs")
     } finally stub.close()
   }
 
