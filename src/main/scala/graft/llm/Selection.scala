@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   *    budget is spent" — the standard data-mixing step.
   *  - [[stratifiedSample]]: deterministic hash-bucket downsampling with a
   *    per-stratum rate — rebalances over-represented strata reproducibly.
+  *  - [[exportShuffle]]: seeded deterministic global shuffle into numbered
+  *    shards — the final "write the training set in random order" step.
+  *  - [[mixSources]]: weight-proportional deterministic interleave of
+  *    sources (stride scheduling) — the curriculum/domain-mixing step.
   */
 object Selection {
 
@@ -67,4 +71,71 @@ object Selection {
         Dedup.shingleHash(concat_ws(":", col(stratumCol), col(idCol)))
           % Dedup.MinhashP % 1000)
       .filter(col("bucket") < ratePm)
+
+  /** Seeded deterministic training-export shuffle: route each document to a
+    * shard by hash and order it within the shard by the same hash — the
+    * "write the final corpus in random order, reproducibly" step every
+    * training run needs (sequential readers must not see the corpus in
+    * source/crawl order; re-runs and retried tasks must produce the SAME
+    * order; changing `seed` produces an independent order).
+    *
+    * Scale shape: `H(seed ':' id)` is per-row (no RNG state, portable md5 —
+    * the [[Dedup.shingleHash]] value DuckDB reproduces); the only shuffle is
+    * the per-shard `row_number` window, whose partition key is the shard id.
+    * A shard is an EXPORT FILE, so `numShards` is chosen to make one shard ≈
+    * one output file (hundreds of MB) — one task sorting one export file's
+    * ids is the intended physical plan, parallel across the thousands of
+    * shards a 100 TB export writes. Hash ties (60-bit space) break by id, so
+    * the order is total and engine-independent.
+    *
+    * Output: input columns + (shard, pos) — `pos` is 1-based within shard. */
+  def exportShuffle(docs: DataFrame, idCol: String, seed: String,
+                    numShards: Int): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val byShard = Window.partitionBy("shard").orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit(seed), col(idCol))))
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .drop("__h")
+  }
+
+  /** Weight-proportional deterministic source interleave (stride scheduling):
+    * document r (1-based, in seeded-hash order) of a source with weight w is
+    * placed at integer coordinate `r · 1000000 div w`; reading the corpus in
+    * `(coord, source, id)` order yields every prefix with per-source shares
+    * proportional to the weights — the curriculum/domain-mixing step, with no
+    * RNG and no resampling (each source's own order is itself a seeded
+    * shuffle, so a budget cut = a prefix = a smaller valid mix).
+    *
+    * Scale shape: the per-source rank is the same level-offset trick as
+    * [[tokenBudget]] — NO corpus-wide per-source window (a source is
+    * terabytes; one task must never sort one). Ranks decompose over hash
+    * buckets: per-(source, bucket) counts (map-side combinable,
+    * metadata-sized result) prefix-sum to bucket offsets, and `row_number`
+    * runs only WITHIN a (source, bucket) — fine-grained window keys that
+    * spread across the cluster. `weights` is one row per source — a
+    * broadcast-scale control frame by construction.
+    *
+    * Output: (source, id, rank, coord). */
+  def mixSources(docs: DataFrame, sourceCol: String, idCol: String,
+                 weights: DataFrame, seed: String = "mix",
+                 buckets: Int = 4096): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), col(idCol).as("id"))
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit(seed), col("source"), col("id"))))
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+    val counts = base.groupBy("source", "__b").agg(count(lit(1)).as("__n"))
+    val byBucket = Window.partitionBy("source").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("__off", sum(col("__n")).over(byBucket) - col("__n"))
+      .select(col("source"), col("__b"), col("__off"))
+    val withinBucket = Window.partitionBy("source", "__b").orderBy(col("__h"), col("id"))
+    base
+      .join(offsets, Seq("source", "__b"))
+      .withColumn("rank", col("__off") + row_number().over(withinBucket))
+      .join(broadcast(weights.select(col("source"), col("weight").cast("long"))), "source")
+      .withColumn("coord", expr("rank * 1000000 div weight"))
+      .select(col("source"), col("id"), col("rank"), col("coord"))
+  }
 }

@@ -826,6 +826,60 @@ object LlmQueries {
       |SELECT q_id, rank, doc_id, score_micro FROM r WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q47 export shuffle
+
+  /** Seeded deterministic training-export shuffle ([[Selection.exportShuffle]]):
+    * every document routed to one of 8 shards by portable md5 hash and
+    * ordered within its shard by the same hash — reproducible "random" order
+    * with no RNG state; the per-shard window is the only shuffle. */
+  private def q47(s: SparkSession, d: String): DataFrame =
+    Selection.exportShuffle(Tables.documents(s, d), "doc_id", "r6", numShards = 8)
+      .select("shard", "pos", "doc_id")
+      .orderBy("shard", "pos")
+
+  private val q47Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('r6' || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM documents)
+      |SELECT (h % 8)::INTEGER AS shard,
+      |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos,
+      |  doc_id
+      |FROM h ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q48 source mixing
+
+  /** Weight-proportional deterministic source interleave
+    * ([[Selection.mixSources]], stride scheduling): source weights derived
+    * from the source suffix (1..4 × 100), per-source ranks via the
+    * level-offset decomposition (no corpus-wide per-source window), stream
+    * position = `rank · 1e6 div weight`. Reading in (coord, source, id)
+    * order gives every prefix per-source shares proportional to weights. */
+  private def q48(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (lit(1) + substring(col("source"), 4, 10).cast("long") % 4) * 100)
+    Selection.mixSources(docs, "source", "doc_id", weights)
+      .orderBy("coord", "source", "id")
+  }
+
+  private val q48Sql =
+    """WITH h AS (
+      |  SELECT source, doc_id AS id,
+      |    ('0x' || substr(md5('mix' || ':' || source || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, id,
+      |    row_number() OVER (PARTITION BY source ORDER BY (h % 4096), h, id) AS rank
+      |  FROM h),
+      |w AS (
+      |  SELECT source, (1 + substr(source, 4)::BIGINT % 4) * 100 AS weight
+      |  FROM (SELECT DISTINCT source FROM documents))
+      |SELECT r.source, r.id, r.rank, (r.rank * 1000000) // w.weight AS coord
+      |FROM ranked r JOIN w USING (source)
+      |ORDER BY coord, source, id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -850,5 +904,7 @@ object LlmQueries {
     QueryDef("q44_ann_quantized", q44, Some(q44Sql)),
     QueryDef("q45_decontam", q45, Some(q45Sql)),
     QueryDef("q46_bm25", q46, Some(q46Sql)),
+    QueryDef("q47_export_shuffle", q47, Some(q47Sql)),
+    QueryDef("q48_source_mix", q48, Some(q48Sql)),
   )
 }

@@ -164,6 +164,26 @@ class PlanAuditSpec extends SparkSpec {
         df.queryExecution.executedPlan)
   }
 
+  test("q47 export shuffle: one per-shard window, no join, no aggregate") {
+    val plan = planOf("q47_export_shuffle")
+    assert(!plan.contains("Join"), s"q47 must be hash-route + window only:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q47 must not aggregate:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"q47 should window once (per-shard pos), found $windows:\n$plan")
+  }
+
+  test("q48 source mixing decomposes ranks over buckets: no corpus-wide per-source window") {
+    // The naive form is one row_number window partitioned by source — one
+    // task per source sorting terabytes at scale. The level-offset plan must
+    // aggregate to (source, bucket) counts FIRST (HashAggregate present),
+    // then window the metadata-sized offsets frame and the fine-grained
+    // (source, bucket) keys — exactly two windows.
+    val plan = planOf("q48_source_mix")
+    assert(plan.contains("HashAggregate"), s"bucket-count aggregation missing:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"q48 should have offsets + within-bucket windows, found $windows:\n$plan")
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the

@@ -65,6 +65,71 @@ class SelectionSpec extends SparkSpec {
     assert(enKept > 0.1 && enKept < 0.3, s"en keep-rate ~0.2, got $enKept")
   }
 
+  /** Driver-side replica of [[Dedup.shingleHash]]: first 60 bits of md5. */
+  private def h60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("export shuffle: deterministic permutation, hash-routed shards, dense positions") {
+    val docs = (1L to 300L).map(id => (id, s"t$id")).toDF("doc_id", "text")
+    def run(seed: String) = Selection.exportShuffle(docs, "doc_id", seed, numShards = 8)
+      .select("shard", "pos", "doc_id")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+    val got = run("r6")
+    assert(got === run("r6"), "same seed → identical order (no RNG state)")
+    assert(got.map(_._3).sorted === (1L to 300L), "a permutation: every doc exactly once")
+    // naive oracle: route by H(seed:id) mod 8, order by (H, id)
+    val expected = (1L to 300L).map(id => (id, h60(s"r6:$id")))
+      .groupBy(_._2 % 8).toSeq.flatMap { case (shard, members) =>
+        members.sortBy { case (id, h) => (h, id) }.zipWithIndex
+          .map { case ((id, _), i) => (shard.toInt, (i + 1).toLong, id) }
+      }.toSet
+    assert(got.toSet === expected, "shard routing + within-shard order match the hash oracle")
+    got.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.size).map(_.toLong),
+        s"shard $shard positions must be dense 1..n")
+    }
+    // a different seed is an independent order, not a relabeling
+    val other = run("other-seed")
+    assert(other.toSet !== got.toSet)
+  }
+
+  test("source mixing: ranks match the naive per-source window; prefixes track weights") {
+    import org.apache.spark.sql.functions.col
+    val sources = Seq(("a", 100L), ("b", 200L), ("c", 300L))
+    val docs = sources.flatMap { case (s, _) => (1L to 60L).map(i => (s, s.hashCode * 1000L + i)) }
+      .toDF("source", "id")
+    val weights = sources.toDF("source", "weight")
+    val got = Selection.mixSources(docs, "source", "id", weights)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // rank oracle: per source, order by (H mod 4096, H, id) — the level-offset
+    // decomposition must equal this single-window form
+    val bySource = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, rows) =>
+        s -> rows.map(_._2).sortBy { id =>
+          val h = h60(s"mix:$s:$id"); (h % 4096, h, id)
+        }.zipWithIndex.map { case (id, i) => id -> (i + 1).toLong }.toMap
+      }
+    got.foreach { case (s, id, rank, coord) =>
+      assert(rank === bySource(s)(id), s"rank mismatch for $s/$id")
+      val w = sources.toMap.apply(s)
+      assert(coord === rank * 1000000L / w, "stride coordinate")
+    }
+    // prefix proportionality: in (coord, source, id) order, a prefix holds
+    // each source near its weight share (stride scheduling is within one
+    // item of ideal per source at any cut)
+    val ordered = got.sortBy(t => (t._4, t._1, t._2))
+    val prefix = ordered.take(30).groupBy(_._1).view.mapValues(_.size).toMap
+    assert((prefix.getOrElse("a", 0) - 5).abs <= 1 &&
+      (prefix.getOrElse("b", 0) - 10).abs <= 1 &&
+      (prefix.getOrElse("c", 0) - 15).abs <= 1,
+      s"30-doc prefix should split ~5/10/15, got $prefix")
+  }
+
   test("scrub redacts urls/emails, collapses whitespace, and is idempotent") {
     val rows = Seq(
       (1L, "see https://a.b/c?x=1 and http://d.e for info"),
