@@ -185,9 +185,27 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     b.write("mysql_native_password".getBytes(StandardCharsets.UTF_8)); b.write(0)
     writePacket(out, seq + 1, b.toByteArray)
 
-    val (_, reply) = readPacket(in)
+    var (rseq, reply) = readPacket(in)
+    // AuthSwitchRequest (0xfe + plugin name + fresh nonce): a MySQL 8 server
+    // whose default plugin differs (caching_sha2_password) switches a
+    // native-password account here — answer with the re-scrambled token.
+    // Distinguished from a plain EOF packet by its length (isEof is < 9).
+    if (reply.nonEmpty && (reply(0) & 0xff) == 0xfe && reply.length >= 9) {
+      val nul = reply.indexOf(0.toByte, 1)
+      require(nul > 1, "malformed AuthSwitchRequest")
+      val plugin = new String(reply, 1, nul - 1, StandardCharsets.UTF_8)
+      require(plugin == "mysql_native_password",
+        s"unsupported auth plugin switch: $plugin (create the replication " +
+          "user WITH mysql_native_password, the plugin every MySQL/MariaDB " +
+          "replica speaks)")
+      val fresh = java.util.Arrays.copyOfRange(reply, nul + 1,
+        math.min(reply.length, nul + 21)) // 20-byte nonce; trailing NUL dropped
+      writePacket(out, rseq + 1, nativePasswordScramble(password, fresh))
+      val next = readPacket(in)
+      rseq = next._1; reply = next._2
+    }
     if (isErr(reply)) throw new java.io.IOException(s"auth failed: ${errOf(reply)}")
-    require(isOk(reply), "unexpected auth reply (auth-switch not supported)")
+    require(isOk(reply), "unexpected auth reply")
   }
 
   private def sendCommand(payload: Array[Byte]): Unit = {

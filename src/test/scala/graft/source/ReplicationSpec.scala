@@ -16,11 +16,15 @@ import org.apache.spark.sql.streaming.Trigger
   * crafted [[BinlogFixtureWriter]] bytes (FORMAT_DESCRIPTION always re-sent,
   * then events from the requested position — real-server dump semantics).
   * The same offline-stub trick as KafkaWireSpec's broker. */
-final class StubMysqlServer(password: String) extends AutoCloseable {
+final class StubMysqlServer(password: String, authSwitch: Boolean = false)
+    extends AutoCloseable {
   import MysqlWire._
 
   /** Fixed nonce so the auth token is a golden value: bytes 0x01..0x14. */
   val nonce: Array[Byte] = Array.tabulate(20)(i => (i + 1).toByte)
+  /** Second nonce for the AuthSwitchRequest path (MySQL 8 servers whose
+    * default plugin differs re-challenge with fresh auth data). */
+  val nonce2: Array[Byte] = Array.tabulate(20)(i => (41 + i).toByte)
   /** Binlog "files" (name → full fixture bytes incl. magic); test-mutable —
     * grow the last one / append files to simulate writes and rotation. */
   @volatile var files: Seq[(String, Array[Byte])] = Nil
@@ -79,12 +83,27 @@ final class StubMysqlServer(password: String) extends AutoCloseable {
     at += 1
     val authLen = resp(at) & 0xff; at += 1
     val token = java.util.Arrays.copyOfRange(resp, at, at + authLen)
-    val expected = nativePasswordScramble(password, nonce)
-    if (!java.util.Arrays.equals(token, expected)) {
-      writePacket(out, seq + 1, errPkt(1045, "Access denied"))
-      return
+    if (authSwitch) {
+      // re-challenge with fresh auth data, like a server whose default
+      // plugin differs from the account's
+      writePacket(out, seq + 1,
+        Array(0xfe.toByte) ++ "mysql_native_password".getBytes(UTF_8) ++
+          Array(0.toByte) ++ nonce2 ++ Array(0.toByte))
+      val (seq2, switched) = readPacket(in)
+      val expected2 = nativePasswordScramble(password, nonce2)
+      if (!java.util.Arrays.equals(switched, expected2)) {
+        writePacket(out, seq2 + 1, errPkt(1045, "Access denied"))
+        return
+      }
+      writePacket(out, seq2 + 1, ok)
+    } else {
+      val expected = nativePasswordScramble(password, nonce)
+      if (!java.util.Arrays.equals(token, expected)) {
+        writePacket(out, seq + 1, errPkt(1045, "Access denied"))
+        return
+      }
+      writePacket(out, seq + 1, ok)
     }
-    writePacket(out, seq + 1, ok)
 
     // ---- command loop
     while (true) {
@@ -185,6 +204,23 @@ class ReplicationSpec extends SparkSpec {
         c.registerSlave()
         assert(stub.registeredServerIds.size === 1 && stub.registeredServerIds.get(0) === 6402L)
       } finally c.close()
+    } finally stub.close()
+  }
+
+  test("AuthSwitchRequest: client re-scrambles against the fresh nonce (MySQL 8 path)") {
+    val stub = new StubMysqlServer("secret-pw", authSwitch = true)
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 7L)
+      try {
+        c.connect() // fails unless the switched token verifies against nonce2
+        assert(c.binaryLogs().nonEmpty, "post-switch session is fully usable")
+      } finally c.close()
+      // and a wrong password still fails through the switch path
+      val bad = new ReplicationClient("127.0.0.1", stub.port, "repl", "nope", 7L)
+      val e = intercept[java.io.IOException] { bad.connect() }
+      assert(e.getMessage.contains("auth failed"))
+      bad.close()
     } finally stub.close()
   }
 
