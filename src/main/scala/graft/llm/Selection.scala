@@ -134,8 +134,17 @@ object Selection {
     base
       .join(offsets, Seq("source", "__b"))
       .withColumn("rank", col("__off") + row_number().over(withinBucket))
-      .join(broadcast(weights.select(col("source"), col("weight").cast("long"))), "source")
-      .withColumn("coord", expr("rank * 1000000 div weight"))
+      // LEFT join + in-row check: an inner join would silently DROP every
+      // document of a source missing from `weights` — a training-mix
+      // operator must under-represent nothing quietly. The guard lives in
+      // the output expression so column pruning can never elide it.
+      .join(broadcast(weights.select(col("source"), col("weight").cast("long"))),
+        Seq("source"), "left")
+      .withColumn("coord",
+        when(col("weight").isNull || col("weight") <= 0,
+          raise_error(concat(lit("mixSources: missing or non-positive weight "),
+            lit("for source "), col("source"))).cast("long"))
+          .otherwise(expr("rank * 1000000 div weight")))
       .select(col("source"), col("id"), col("rank"), col("coord"))
   }
 }

@@ -94,8 +94,16 @@ object CdcSource {
 }
 
 class CdcTable(properties: Map[String, String]) extends Table with SupportsRead {
-  require(properties.contains("path") || properties.contains("host"),
-    "graft-cdc source requires option 'path' (file modes) or 'host' (replication)")
+  private def wireFmt: Option[String] =
+    properties.get("wireformat").orElse(properties.get("wireFormat"))
+  require(properties.contains("path") ||
+      wireFmt.exists(_.equalsIgnoreCase("replication")),
+    "graft-cdc source requires option 'path' (file modes) or " +
+      "wireFormat=replication with 'host' (live source)")
+  require(!properties.contains("host") ||
+      wireFmt.exists(_.equalsIgnoreCase("replication")),
+    "graft-cdc: option 'host' is only meaningful with wireFormat=replication " +
+      "— set .option(\"wireFormat\", \"replication\") (file modes read 'path')")
   override def name(): String =
     s"graft-cdc:${properties.getOrElse("path", properties.getOrElse("host", ""))}"
   override def schema(): StructType = CdcSource.schema
@@ -174,6 +182,55 @@ case class CdcOffset(pos: Long) extends Offset {
   override def json(): String = s"""{"pos":$pos}"""
 }
 
+object CdcOffset {
+  /** The one place the `"pos"` field is parsed — both planners' checkpoints
+    * go through it, so the formats cannot silently diverge. */
+  def parsePos(json: String): Long =
+    "\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse {
+        // The offset unit changed from statement index ({"stmt":N}) to byte
+        // position; a legacy value cannot be converted (different unit), so
+        // fail with an actionable message instead of a generic parse error.
+        if (json.contains("\"stmt\""))
+          throw new IllegalArgumentException(
+            s"legacy statement-index offset found in checkpoint: $json — the " +
+              "graft-cdc offset unit is now a byte position; reset the " +
+              "checkpoint directory (and pos file) to restart this stream")
+        throw new IllegalArgumentException(s"bad offset: $json")
+      }
+}
+
+/** Replication-mode offset: the global byte position PLUS the (file, size)
+  * sequence it was measured against. Global positions are sums of file sizes
+  * in sequence order, so they are only stable if every earlier file's size
+  * stays in the map forever — including files the server has since PURGED
+  * (`expire_logs_seconds` is routine on real servers). A bare `pos` would be
+  * re-anchored against the post-purge listing on restart and silently skip
+  * up to the purged bytes; carrying the sizes in the checkpoint makes the
+  * mapping restart-stable. Size: one short entry per binlog file ever seen —
+  * checkpoint-metadata scale. */
+case class ReplOffset(pos: Long, files: Seq[(String, Long)]) extends Offset {
+  override def json(): String = {
+    val fs = files.map { case (n, s) => s"""["$n",$s]""" }.mkString(",")
+    s"""{"pos":$pos,"files":[$fs]}"""
+  }
+}
+
+object ReplOffset {
+  private val pairRe = """\["([^"]+)",(\d+)\]""".r
+  def parse(json: String): ReplOffset =
+    ReplOffset(CdcOffset.parsePos(json),
+      pairRe.findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq)
+  /** Accepts this stream's own offsets and (for compatibility with
+    * checkpoints written before sizes were carried) a bare CdcOffset. */
+  def posOf(o: Offset): Long = o match {
+    case r: ReplOffset => r.pos
+    case c: CdcOffset => c.pos
+    case other => throw new IllegalArgumentException(s"unexpected offset: $other")
+  }
+}
+
 object CdcMicroBatchStream {
   /** One reader task per at most this many bytes — a large binlog file fans
     * out across the cluster instead of pinning one executor. */
@@ -229,19 +286,7 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
   override def initialOffset(): Offset = CdcOffset(0L)
 
   override def deserializeOffset(json: String): Offset =
-    CdcOffset("\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse {
-        // The offset unit changed from statement index ({"stmt":N}) to byte
-        // position; a legacy value cannot be converted (different unit), so
-        // fail with an actionable message instead of a generic parse error.
-        if (json.contains("\"stmt\""))
-          throw new IllegalArgumentException(
-            s"legacy statement-index offset found in checkpoint: $json — the " +
-              "graft-cdc offset unit is now a byte position; reset the " +
-              "checkpoint directory (and pos file) to restart this stream")
-        throw new IllegalArgumentException(s"bad offset: $json")
-      })
+    CdcOffset(CdcOffset.parsePos(json))
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -255,8 +300,11 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
     // Admission control in the offset's own unit (bytes): a byte budget may
     // land mid-line; the reader's start-in-range ownership rule keeps every
     // line in exactly one batch regardless, and the offset always advances,
-    // so a budget smaller than one line cannot stall the stream.
-    val until = maxBytesPerTrigger.map(b => math.min(avail, from + b)).getOrElse(avail)
+    // so a budget smaller than one line cannot stall the stream. The budget
+    // add is saturating: `from + b` wraps negative for b near Long.MaxValue
+    // (the natural "unbounded" setting), which would freeze the offset.
+    val until = maxBytesPerTrigger
+      .map(b => if (b >= avail - from) avail else from + b).getOrElse(avail)
     CdcOffset(math.max(from, until))
   }
 
@@ -282,14 +330,29 @@ case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
 case class ReplConfig(host: String, port: Int, user: String, password: String,
                       serverId: Long) extends Serializable {
   /** Metadata-only listing (SHOW BINARY LOGS) — the replication analogue of
-    * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes. */
+    * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes.
+    * (Plain query connection: no COM_REGISTER_SLAVE, no dump, so sharing the
+    * base serverId here cannot collide with dump connections.) */
   def listLogs(): Seq[(String, Long)] = {
     val c = new ReplicationClient(host, port, user, password, serverId)
     try { c.connect(); c.binaryLogs() } finally c.close()
   }
-  def mkReader(p: CdcInputPartition): BinlogReader =
-    new ReplicationBinlogReader(host, port, user, password, serverId,
+
+  /** One dump connection per partition, each with a DISTINCT server_id:
+    * MySQL's kill_zombie_dump_threads terminates an existing dump whose
+    * server_id matches a new COM_BINLOG_DUMP, so two concurrent partitions
+    * (one batch spanning a rotation) sharing an id would kill each other
+    * mid-dump. Replication-mode partitions are whole-file ranges, so the
+    * file's numeric suffix is a stable per-partition ordinal; the engine
+    * therefore occupies server ids in (serverId, serverId + 100000] — pick
+    * the base so that range is free of real replicas. */
+  def mkReader(p: CdcInputPartition): BinlogReader = {
+    val suffix = p.file.reverse.takeWhile(_.isDigit).reverse.takeRight(9)
+    val ord = if (suffix.nonEmpty) suffix.toLong % 100000L
+      else (p.file.hashCode & 0xffff).toLong
+    new ReplicationBinlogReader(host, port, user, password, serverId + 1 + ord,
       p.file, p.fromByte, p.untilByte, seqBase = p.globalBase)
+  }
 }
 
 /** Micro-batch planner for the LIVE replication source. Same offset unit as
@@ -319,49 +382,78 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
 
   // Monotone size cache: closed files are immutable; only the ACTIVE (last)
   // file grows between refreshes. max() guards against a listing read from
-  // a lagging replica ever shrinking the sequence's base offsets.
+  // a lagging replica ever shrinking the sequence's base offsets. Seeded
+  // from checkpointed ReplOffsets (deserializeOffset), so files the server
+  // has PURGED since the checkpoint keep their recorded sizes and every
+  // global position keeps meaning what it meant when it was committed.
   private val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
+  // AvailableNow freezing is LAZY: Spark calls prepareForTriggerAvailableNow
+  // during source init, BEFORE deserializeOffset restores the checkpoint's
+  // pinned sizes — freezing a sum there would measure the post-purge listing
+  // only and stall a restarted stream short of its own start offset. The
+  // first latestOffset call always runs after offset restore, so the target
+  // is captured there (once).
+  private var availableNowRequested = false
   private var availableNowTarget: Option[Long] = None
 
-  private def refresh(): Seq[(String, Long)] = synchronized {
-    conf.listLogs().foreach { case (name, sz) =>
+  private def seed(files: Seq[(String, Long)]): Unit = synchronized {
+    files.foreach { case (name, sz) =>
       sizes(name) = math.max(sz, sizes.getOrElse(name, 0L))
     }
+  }
+
+  private def refresh(): Seq[(String, Long)] = synchronized {
+    seed(conf.listLogs())
     sizes.toSeq
   }
 
-  override def initialOffset(): Offset = CdcOffset(0L)
-  override def deserializeOffset(json: String): Offset =
-    CdcOffset("\"pos\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(json)
-      .map(_.group(1).toLong)
-      .getOrElse(throw new IllegalArgumentException(s"bad offset: $json")))
+  private def snapshot(): Seq[(String, Long)] = synchronized(sizes.toSeq)
+
+  override def initialOffset(): Offset = ReplOffset(0L, Nil)
+  override def deserializeOffset(json: String): Offset = {
+    val o = ReplOffset.parse(json)
+    seed(o.files) // restart: pin the checkpoint's sequence mapping FIRST
+    o
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[CdcOffset].pos
+    val from = ReplOffset.posOf(start)
     val files = refresh()
-    val avail = availableNowTarget.getOrElse(files.map(_._2).sum)
+    val avail = synchronized {
+      if (availableNowRequested && availableNowTarget.isEmpty)
+        availableNowTarget = Some(files.map(_._2).sum)
+      availableNowTarget.getOrElse(files.map(_._2).sum)
+    }
     val until = maxBytesPerTrigger match {
       case None => avail
-      case Some(b) if from + b >= avail => avail
+      // saturating compare: `from + b` wraps negative for b near MaxValue
+      case Some(b) if b >= avail - from => avail
       case Some(b) =>
         var cum = 0L
         files.map { case (_, s) => cum += s; cum }
           .find(_ >= from + b).getOrElse(avail).min(avail)
     }
-    CdcOffset(math.max(from, until))
+    ReplOffset(math.max(from, until), files)
   }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(refresh().map(_._2).sum)
+    synchronized { availableNowRequested = true }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    CdcMicroBatchStream.slice(refresh(),
-      start.asInstanceOf[CdcOffset].pos, end.asInstanceOf[CdcOffset].pos,
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    // Reuse the snapshot latestOffset (or deserializeOffset's seed) already
+    // took for this batch — no second SHOW BINARY LOGS connection per
+    // trigger. A fresh listing is only needed if the cached sequence doesn't
+    // cover the batch's end (first plan after a bare-pos legacy offset).
+    val endPos = ReplOffset.posOf(end)
+    val snap = snapshot()
+    val listing = if (snap.map(_._2).sum >= endPos) snap else refresh()
+    CdcMicroBatchStream.slice(listing, ReplOffset.posOf(start), endPos,
       filter, splitBytes = Long.MaxValue)
+  }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val c = conf // local pin: the lambda must capture the config, not `this`

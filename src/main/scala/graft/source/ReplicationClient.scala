@@ -185,7 +185,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     b.write("mysql_native_password".getBytes(StandardCharsets.UTF_8)); b.write(0)
     writePacket(out, seq + 1, b.toByteArray)
 
-    var (rseq, reply) = readPacket(in)
+    var (rseq, reply) = readPacketOrFail()
     // AuthSwitchRequest (0xfe + plugin name + fresh nonce): a MySQL 8 server
     // whose default plugin differs (caching_sha2_password) switches a
     // native-password account here — answer with the re-scrambled token.
@@ -201,11 +201,19 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
       val fresh = java.util.Arrays.copyOfRange(reply, nul + 1,
         math.min(reply.length, nul + 21)) // 20-byte nonce; trailing NUL dropped
       writePacket(out, rseq + 1, nativePasswordScramble(password, fresh))
-      val next = readPacket(in)
+      val next = readPacketOrFail()
       rseq = next._1; reply = next._2
     }
     if (isErr(reply)) throw new java.io.IOException(s"auth failed: ${errOf(reply)}")
     require(isOk(reply), "unexpected auth reply")
+  }
+
+  /** [[MysqlWire.readPacket]] that treats a clean close as an error: inside
+    * a session every expected packet has a sender, so null always means the
+    * server went away — surface that, not a downstream MatchError/NPE. */
+  private def readPacketOrFail(): (Int, Array[Byte]) = readPacket(in) match {
+    case null => throw new EOFException(s"$host:$port closed the connection")
+    case p => p
   }
 
   private def sendCommand(payload: Array[Byte]): Unit = {
@@ -214,7 +222,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   }
 
   private def expectOk(): Unit = {
-    val (_, p) = readPacket(in)
+    val (_, p) = readPacketOrFail()
     if (isErr(p)) throw new java.io.IOException(errOf(p))
     require(isOk(p) || isEof(p), "expected OK")
   }
@@ -223,15 +231,15 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     * (None = SQL NULL); statements that return OK yield Nil. */
   def query(sql: String): Seq[Seq[Option[String]]] = {
     sendCommand(Array(COM_QUERY.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
-    val (_, first) = readPacket(in)
+    val (_, first) = readPacketOrFail()
     if (isErr(first)) throw new java.io.IOException(errOf(first))
     if (isOk(first)) return Nil
     val nCols = new BinlogWire.Cursor(first, 0).lenenc().toInt
     var i = 0
-    while (i < nCols) { readPacket(in); i += 1 } // column definitions (opaque here)
-    require(isEof(readPacket(in)._2), "missing EOF after column defs")
+    while (i < nCols) { readPacketOrFail(); i += 1 } // column definitions (opaque here)
+    require(isEof(readPacketOrFail()._2), "missing EOF after column defs")
     val rows = Seq.newBuilder[Seq[Option[String]]]
-    var rp = readPacket(in)._2
+    var rp = readPacketOrFail()._2
     while (!isEof(rp)) {
       if (isErr(rp)) throw new java.io.IOException(errOf(rp))
       val c = new BinlogWire.Cursor(rp, 0)
@@ -241,7 +249,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
         else row += Some(c.str(c.lenenc().toInt))
       }
       rows += row.result()
-      rp = readPacket(in)._2
+      rp = readPacketOrFail()._2
     }
     rows.result()
   }
@@ -303,10 +311,19 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   }
 
   /** Next event's raw bytes (19-byte header + body), or null at the
-    * non-blocking dump's EOF. */
+    * non-blocking dump's EOF packet. A socket close WITHOUT that EOF packet
+    * is an ERROR, never an end-of-batch: the planner has already promised
+    * this partition's byte range to the checkpoint, so silently returning
+    * null here would commit an offset past events that were never read —
+    * permanent data loss. Throwing instead fails the task, Spark retries,
+    * and at-least-once holds. */
   def nextEvent(): Array[Byte] = {
     val pkt = readPacket(in)
-    if (pkt == null) return null // server closed: treat as end of batch
+    if (pkt == null)
+      throw new EOFException(
+        s"$host:$port closed mid-dump (no EOF packet): network drop, server " +
+          "restart, or a duplicate server_id dump being killed — the task " +
+          "must retry, not truncate")
     val p = pkt._2
     if (isEof(p)) { dumping = false; return null }
     if (isErr(p)) throw new java.io.IOException(errOf(p))

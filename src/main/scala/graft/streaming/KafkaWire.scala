@@ -176,8 +176,29 @@ object KafkaWire {
     }
 
     /** Metadata v0: the topic's partition count — what the default
-      * partitioner hashes keys against. One call per producer lifetime. */
-    def partitionCount(topic: String): Int = {
+      * partitioner hashes keys against. One call per producer lifetime.
+      * Retriable broker answers (LEADER_NOT_AVAILABLE=5 while an
+      * auto-created topic is being assigned, UNKNOWN_TOPIC_OR_PARTITION=3)
+      * are retried with a bounded backoff, the standard client behavior —
+      * only a persistent error fails the task. */
+    def partitionCount(topic: String, attempts: Int = 5, backoffMs: Long = 200): Int = {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val (tErr, count) = metadataOnce(topic)
+        if (tErr == 0 && count > 0) return count
+        val retriable = tErr == 3 || tErr == 5
+        if (!retriable || attempt >= attempts)
+          throw new IllegalArgumentException(
+            s"kafka metadata error $tErr for topic $topic after $attempt attempt(s)")
+        Thread.sleep(backoffMs)
+      }
+      -1 // unreachable
+    }
+
+    /** One Metadata round-trip → (topic error code, partition count);
+      * error -1 = topic absent from the response. */
+    private def metadataOnce(topic: String): (Int, Int) = {
       val body = new ByteArrayOutputStream()
       be32(body, 1); kString(body, topic)
       val r = readResponse(send(ApiMetadata, 0, body.toByteArray))
@@ -188,7 +209,7 @@ object KafkaWire {
         r.readInt() // port
       }
       val nTopics = r.readInt()
-      var count = -1
+      var res = (-1, -1)
       (0 until nTopics).foreach { _ =>
         val tErr = r.readShort()
         val tLen = r.readShort(); val tB = new Array[Byte](tLen); r.readFully(tB)
@@ -199,13 +220,9 @@ object KafkaWire {
           r.skipBytes(4 * r.readInt()) // replicas
           r.skipBytes(4 * r.readInt()) // isr
         }
-        if (name == topic) {
-          require(tErr == 0, s"kafka metadata error $tErr for topic $topic")
-          count = nParts
-        }
+        if (name == topic) res = (tErr.toInt, nParts)
       }
-      require(count > 0, s"topic $topic absent from metadata response")
-      count
+      res
     }
 
     /** Produce v3 to (topic, partition 0) — the single-partition convenience

@@ -130,6 +130,21 @@ class SelectionSpec extends SparkSpec {
       s"30-doc prefix should split ~5/10/15, got $prefix")
   }
 
+  test("source mixing fails loudly on a missing or non-positive weight") {
+    val docs = Seq(("a", 1L), ("b", 2L)).toDF("source", "id")
+    val partial = Seq(("a", 100L)).toDF("source", "weight") // b missing
+    val e = intercept[Exception] {
+      Selection.mixSources(docs, "source", "id", partial).collect()
+    }
+    assert(e.getMessage != null && e.toString.contains("mixSources"),
+      s"missing weight must raise, not silently drop the source: $e")
+    val zero = Seq(("a", 100L), ("b", 0L)).toDF("source", "weight")
+    val e2 = intercept[Exception] {
+      Selection.mixSources(docs, "source", "id", zero).collect()
+    }
+    assert(e2.toString.contains("mixSources"))
+  }
+
   test("scrub redacts urls/emails, collapses whitespace, and is idempotent") {
     val rows = Seq(
       (1L, "see https://a.b/c?x=1 and http://d.e for info"),

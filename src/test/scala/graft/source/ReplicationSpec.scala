@@ -28,6 +28,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
   /** Binlog "files" (name → full fixture bytes incl. magic); test-mutable —
     * grow the last one / append files to simulate writes and rotation. */
   @volatile var files: Seq[(String, Array[Byte])] = Nil
+  /** When set, a dump sends its first event then closes the socket WITHOUT
+    * the EOF packet — a network drop / killed dump thread. */
+  @volatile var truncateDump: Boolean = false
   val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
 
@@ -139,13 +142,15 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
               // real dump semantics: FORMAT_DESCRIPTION re-sent regardless of
               // pos; other events sent when their start ≥ pos
               var o = 4
+              var sent = 0
               while (o + 19 <= bytes.length) {
                 val size = leAt(bytes, o + 9, 4).toInt
                 val etype = bytes(o + 4) & 0xff
                 if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT || o >= pos) {
                   writePacket(out, sq,
                     Array(0.toByte) ++ java.util.Arrays.copyOfRange(bytes, o, o + size))
-                  sq += 1
+                  sq += 1; sent += 1
+                  if (truncateDump && sent >= 2) return // drop: no EOF packet
                 }
                 o += size
               }
@@ -359,6 +364,78 @@ class ReplicationSpec extends SparkSpec {
         s"resume must COM_BINLOG_DUMP from the checkpointed offset: $reqs")
       assert(reqs.tail.exists(r => r._1 == "binlog.000002" && r._2 <= 4),
         s"rotated file starts from its beginning: $reqs")
+    } finally stub.close()
+  }
+
+  test("ReplOffset json roundtrip pins the file-size sequence") {
+    val o = ReplOffset(352L, Seq(("binlog.000001", 352L), ("binlog.000002", 180L)))
+    assert(ReplOffset.parse(o.json()) === o)
+    // legacy bare-pos offsets still parse (no pinned sizes)
+    assert(ReplOffset.parse("""{"pos":42}""") === ReplOffset(42L, Nil))
+  }
+
+  test("abrupt socket close mid-dump throws, never truncates the partition silently") {
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.truncateDump = true
+      val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "pw", 6402L,
+        "binlog.000001", 0L, Long.MaxValue)
+      val e = intercept[java.io.EOFException] {
+        Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+      }
+      assert(e.getMessage.contains("closed mid-dump"),
+        "a dump ending without the protocol EOF packet must fail the task")
+      r.close()
+    } finally stub.close()
+  }
+
+  test("restart after the server purges binlogs: pinned sizes keep positions stable") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val size1 = w.bytes.length.toLong
+
+      def drain(): Seq[(Long, String)] = {
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val q = spark.readStream.format("graft-cdc")
+          .option("wireFormat", "replication")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("user", "repl").option("password", "pw")
+          .load()
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            rows ++= batch.collect().map(r => (r.getLong(2), r.getString(0))); ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), s"stream did not drain: ${q.exception}")
+        rows.toSeq.sortBy(_._1)
+      }
+
+      assert(drain().size === 3)
+
+      // the server PURGES file 1 (expire_logs) and has rotated to file 2:
+      // the post-purge listing no longer contains the bytes the checkpoint
+      // position was measured against
+      val w2 = new BinlogFixtureWriter(checksum = true)
+      w2.fde()
+      w2.tableMap(30L, 7L, "shop", "order", Seq(TYPE_LONG -> w2.mNone))
+      w2.rows(30L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w2.vLong(77))))
+      w2.rows(31L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w2.vLong(78))))
+      stub.files = Seq(("binlog.000002", w2.bytes))
+
+      val second = drain()
+      assert(second.size === 2, s"exactly file 2's statements, no skip/dup: $second")
+      assert(second.exists(_._2.contains("\"77\"")) && second.exists(_._2.contains("\"78\"")))
+      // positions continue past the purged file's recorded size: the global
+      // sequence did not re-anchor to the post-purge listing
+      assert(second.forall(_._1 >= size1),
+        s"purge must not re-anchor global positions: $second (size1=$size1)")
     } finally stub.close()
   }
 
