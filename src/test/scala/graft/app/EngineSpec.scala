@@ -176,7 +176,9 @@ class EngineSpec extends SparkSpec {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"),
       (1L to 6L).map(i => line("test", if (i % 2 == 0) "city" else "user", i)).asJava)
-    val broker = new graft.streaming.KafkaStubBroker
+    // 3-partition topic: the engine's push tier must discover the layout via
+    // Metadata and hash each db.table key to its murmur2 partition
+    val broker = new graft.streaming.KafkaStubBroker(numPartitions = 3)
     val handle = Engine.start(spark, Engine.Config(
       inputDir = in.toString,
       checkpointDir = cp.toString,
@@ -186,11 +188,23 @@ class EngineSpec extends SparkSpec {
     try {
       assert(handle.awaitTermination(120000))
       val recs = scala.collection.mutable.ArrayBuffer[(String, String)]()
-      broker.received.forEach(b => { assert(b.crcOk && b.codec == 2); recs ++= b.records })
+      val partOf = scala.collection.mutable.Map[String, scala.collection.mutable.Set[Int]]()
+      broker.received.forEach { b =>
+        assert(b.crcOk && b.codec == 2)
+        recs ++= b.records
+        b.records.foreach { case (k, _) =>
+          partOf.getOrElseUpdate(k, scala.collection.mutable.Set.empty) += b.partition
+        }
+      }
       assert(recs.size === 6, s"all 6 envelopes produced, got ${recs.size}")
       assert(recs.map(_._1).toSet === Set("test.city", "test.user"),
         "kafka key = database.table (producer.go:66-73)")
       assert(recs.forall(_._2.contains("\"event_index\":")))
+      partOf.foreach { case (k, ps) =>
+        val want = graft.streaming.KafkaWire.partitionFor(
+          k.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3)
+        assert(ps.toSet === Set(want), s"key $k must land only on its hash partition")
+      }
     } finally { handle.stop(); broker.stop() }
   }
 
