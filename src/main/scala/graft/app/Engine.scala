@@ -84,13 +84,32 @@ object Engine {
   /** Start the engine: stream → envelopes → fan-out to configured sinks +
     * any connected TCP subscribers; control service wired to the query. */
   def start(spark: SparkSession, cfg: Config): Handle = {
+    // Fail-fast config cross-checks: the binary/replication wire formats emit
+    // POSITIONAL row images (ARRAY<ARRAY<STRING>>), which only the drift
+    // registry decodes — without one, from_json against the entries schema
+    // nulls every `rows` field and the stream runs "successfully" while
+    // delivering nothing. Likewise wireFormat is a DSv2-source option; on the
+    // plain file source it would be silently ignored.
+    val positionalWire = cfg.wireFormat.exists(w =>
+      w.equalsIgnoreCase("binary") || w.equalsIgnoreCase("replication"))
+    require(!positionalWire || cfg.schemaRegistry.isDefined,
+      "Engine: wireFormat=binary/replication emits positional row images — " +
+        "configure Config.schemaRegistry to decode them (or drop wireFormat " +
+        "for the JSON-lines entries form)")
+    require(cfg.wireFormat.isEmpty || cfg.useDsv2Source,
+      "Engine: wireFormat is an option of the graft-cdc DSv2 source — set " +
+        "useDsv2Source=true (the plain file source would silently ignore it)")
+
     val registry = new SubscriberRegistry
     val pubsub = cfg.tcpPubSubPort.map(p => new TcpPubSubService(p))
     // Executors stream each batch's envelopes straight into the pub/sub
     // service's publish ingress — the driver never holds a batch of envelopes
     // (the reference's push tier is likewise its own process fed by a queue,
-    // not the coordinator; `binlog/handler.go:81-98`).
-    val pushTo = pubsub.map(svc => ("127.0.0.1", svc.boundPort))
+    // not the coordinator; `binlog/handler.go:81-98`). The ingress address
+    // must be the DRIVER'S routable host (the service binds driver-side and
+    // the connects happen on executors): loopback only works in local mode.
+    val driverHost = spark.sparkContext.getConf.get("spark.driver.host", "127.0.0.1")
+    val pushTo = pubsub.map(svc => (driverHost, svc.boundPort))
     val sinksRef = new AtomicReference[Seq[CdcStream.SinkConfig]](cfg.sinks)
 
     // Wire form: positional (string-array row images + DDL) when a drift
@@ -108,8 +127,22 @@ object Engine {
         r.load()
           .select(from_json(col("value"), wireSchema).as("r"))
           .select("r.*")
+          // same malformed-line tolerance as readRaw/readRawPositional: a bad
+          // line parses to an all-null row (PERMISSIVE) and is dropped here —
+          // never fed to the decode/registry path (sync.go error tolerance)
+          .filter(col("database").isNotNull && col("table").isNotNull &&
+            col("action").isNotNull)
       } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
       else CdcStream.readRaw(spark, cfg.inputDir)
+
+    // Drift durability: registry state is derived from the stream (base
+    // schemas + every ALTER), and Spark does not replay committed batches —
+    // so versions are snapshotted beside the pos cache after each batch and
+    // restored here on restart. Without this, a post-recovery batch would
+    // decode rows written under an ALTERed column order with the stale base
+    // schema (the mis-slotted-JSON failure the registry exists to prevent).
+    val schemaFile = cfg.posFile + ".schema"
+    cfg.schemaRegistry.foreach(_.loadFrom(schemaFile))
 
     val query = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
@@ -119,6 +152,7 @@ object Engine {
           case Some(reg) =>
             CdcStream.processPositionalBatch(batch, id, cfg.posFile, sinksRef.get(), reg,
               pushTo, cfg.kafkaPush)
+            reg.saveTo(schemaFile)
           case None =>
             CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo, cfg.kafkaPush)
         }

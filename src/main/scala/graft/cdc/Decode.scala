@@ -39,11 +39,13 @@ object Decode {
   def enumLabel(ordinal: Column, enumValues: Column): Column =
     try_element_at(enumValues, ordinal.cast("int"))
 
-  /** SET bitmask → comma-joined labels in definition order (`util.go:101-113`). */
+  /** SET bitmask → comma-joined labels in definition order (`util.go:101-113`).
+    * Membership tests `=!= 0`, not `> 0`: the 64th member's bit is
+    * `1L << 63` = Long.MinValue, which is set-but-negative. */
   def setLabels(mask: Column, setValues: Column): Column =
     concat_ws(",",
       filter(
-        transform(setValues, (s, i) => when(shl(lit(1L), i).bitwiseAND(mask) > 0, s)),
+        transform(setValues, (s, i) => when(shl(lit(1L), i).bitwiseAND(mask) =!= 0, s)),
         x => x.isNotNull))
 
   /** Static column metadata, when the table schema is known at plan time. */
@@ -92,7 +94,6 @@ object Decode {
     val rawType = meta.getField("rawType")
     val uns     = meta.getField("unsigned")
     val vLong   = value.cast("long")
-    val fixed32 = unsignedInt32(vLong, rawType)
     when(value.isNull, lit("null"))
       .when(rawType.startsWith("enum"), Json.str(enumLabel(vLong, meta.getField("enumValues"))))
       .when(rawType.startsWith("set"), Json.str(setLabels(vLong, meta.getField("setValues"))))

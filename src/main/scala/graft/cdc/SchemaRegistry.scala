@@ -93,10 +93,21 @@ final class SchemaRegistry {
 
   /** [[decodeBatch]] plus the unpersist handle for the batch cache. */
   def decodeBatchManaged(batch: DataFrame): (DataFrame, () => Unit) = {
+    // Persist the raw batch FIRST: the control pass below is an action, so
+    // running it against the cached frame means ONE source scan per
+    // micro-batch (the slices' reads substitute the cached plan subtree),
+    // not one for control + one for decode.
+    val cached = batch.persist()
+    // Malformed lines (PERMISSIVE json parse → all-null rows) must not reach
+    // the control plane: a (null, null) group with min(stmt_seq)=null would
+    // NPE the getLong below and kill the stream — the reference's contract
+    // is log-and-keep-tailing (sync.go error tolerance).
+    val wellFormed = cached.filter(
+      col("database").isNotNull && col("table").isNotNull && col("stmt_seq").isNotNull)
     // Pass 1 (control plane): per-table sequence ranges for version pruning +
     // the batch's DDL. collect_list skips the nulls the `when` leaves on
     // non-alter rows, so the payload collected is O(#DDL).
-    val ctl = batch.groupBy("database", "table")
+    val ctl = wellFormed.groupBy("database", "table")
       .agg(min("stmt_seq").as("lo"), max("stmt_seq").as("hi"),
         collect_list(when(col("action") === "alter" && col("query").isNotNull,
           struct(col("stmt_seq"), col("query")))).as("ddl"))
@@ -110,7 +121,7 @@ final class SchemaRegistry {
       ctl.map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
 
     require(registeredTables.nonEmpty, "SchemaRegistry.decodeBatch: no registered tables")
-    val base = batch.drop("query").persist()
+    val base = wellFormed.drop("query")
     val planned = planSlices(ranges)
     val slices = planned.map { case (db, tbl, v, untilSeq) =>
       val slice = base.filter(
@@ -127,7 +138,81 @@ final class SchemaRegistry {
         EnvelopeBuilder.envelopesStatic(base.filter(lit(false)), v.cols)
           .withColumn("schema_version", lit(v.version))
       }
-    (out, () => { base.unpersist(); () })
+    (out, () => { cached.unpersist(); () })
+  }
+
+  // ------------------------------------------------------------ persistence
+
+  /** Serialize the full version state (driver-side, control-plane scale).
+    * Registry state is DERIVED from the stream (base schemas + every ALTER
+    * seen), so without persistence a restart would re-register base schemas
+    * only and decode post-recovery batches with pre-ALTER column order — the
+    * mis-slotted-JSON failure this registry exists to prevent. Spark's
+    * checkpoint does not replay COMMITTED batches, so their ALTERs must
+    * survive some other way: this snapshot, written beside the pos cache
+    * after each batch. Format: one URL-encoded TSV line per (table, version,
+    * column) — field values round-trip arbitrary content (enum values with
+    * commas/quotes included). */
+  def snapshotBytes(): Array[Byte] = synchronized {
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val sb = new StringBuilder("graft-schema-v1\n")
+    tables.toSeq.sortBy(_._1).foreach { case ((db, tbl), vs) =>
+      vs.foreach { v =>
+        v.cols.foreach { c =>
+          sb.append(Seq(enc(db), enc(tbl), v.version.toString, v.sinceSeq.toString,
+            enc(c.name), enc(c.rawType), c.unsigned.toString,
+            c.enumValues.map(enc).mkString(","), c.setValues.map(enc).mkString(","))
+            .mkString("\t")).append('\n')
+        }
+      }
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Restore from [[snapshotBytes]] output: per-table REPLACE (a persisted
+    * table's version vector supersedes its freshly-registered base schema;
+    * tables only in the live registration survive untouched). */
+  def restore(bytes: Array[Byte]): Unit = {
+    def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+    val lines = new String(bytes, java.nio.charset.StandardCharsets.UTF_8).split('\n')
+    require(lines.headOption.contains("graft-schema-v1"),
+      s"unrecognized schema snapshot header: ${lines.headOption.getOrElse("(empty)")}")
+    val grouped = lines.drop(1).filter(_.nonEmpty).map(_.split('\t')).toSeq
+      .map { f =>
+        require(f.length >= 7, s"bad schema snapshot line: ${f.mkString("\\t")}")
+        val ev = if (f.length > 7 && f(7).nonEmpty) f(7).split(',').toSeq.map(dec) else Nil
+        val sv = if (f.length > 8 && f(8).nonEmpty) f(8).split(',').toSeq.map(dec) else Nil
+        ((dec(f(0)), dec(f(1))), f(2).toInt, f(3).toLong,
+          Decode.ColMeta(dec(f(4)), dec(f(5)), f(6).toBoolean, ev, sv))
+      }
+      .groupBy(_._1)
+    synchronized {
+      grouped.foreach { case (key, rows) =>
+        val versions = rows.groupBy(r => (r._2, r._3)).toVector
+          .map { case ((ver, since), cols) => Version(ver, since, cols.map(_._4)) }
+          .sortBy(_.version)
+        tables += key -> versions
+      }
+    }
+  }
+
+  /** Atomic snapshot write (tmp + move), the same durability discipline as
+    * the pos cache. */
+  def saveTo(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp, snapshotBytes())
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Restore from a [[saveTo]] file if present; false when absent. */
+  def loadFrom(path: String): Boolean = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(p)) false
+    else { restore(java.nio.file.Files.readAllBytes(p)); true }
   }
 
   /** The (table, version, untilSeq) slices whose `[sinceSeq, untilSeq)`
@@ -289,9 +374,21 @@ object SchemaRegistry {
         if (em.group(1).equalsIgnoreCase("enum")) (vals, Nil) else (Nil, vals)
       } else (Nil, Nil)
     // Keep only the type token (first word + its parenthesized args) plus the
-    // unsigned marker as the rawType — decode dispatches on prefix.
+    // unsigned marker as the rawType — decode dispatches on prefix. DDL-legal
+    // synonyms are normalized to the name MySQL itself reports in SHOW FULL
+    // COLUMNS (what the reference's decode switch sees, `util.go:61-146`):
+    // an ALTER may say NUMERIC/BOOL, but the row image decodes as
+    // decimal/tinyint — without this, such columns would fall through to the
+    // quoted-string branch and emit "12.50" where the reference emits 12.50.
     val typeTok = {
-      val t = lower.takeWhile(c => !c.isWhitespace)
+      val t0 = lower.takeWhile(c => !c.isWhitespace)
+      val t = t0.takeWhile(_ != '(') match {
+        case "numeric" | "dec" | "fixed" => "decimal" + t0.dropWhile(_ != '(')
+        case "bool" | "boolean"          => "tinyint(1)"
+        case "integer"                   => "int" + t0.dropWhile(_ != '(')
+        case "character"                 => "char" + t0.dropWhile(_ != '(')
+        case _                           => t0
+      }
       if (unsigned) t + " unsigned" else t
     }
     Decode.ColMeta(name, typeTok, unsigned, enumVals, setVals)

@@ -132,6 +132,69 @@ class EngineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("drift survives an engine RESTART: committed ALTERs decode post-recovery batches") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    def pos(db: String, tbl: String, action: String, seq: Long, rows: String, query: String): String = {
+      val q = if (query == null) "null" else "\"" + query.replace("\"", "\\\"") + "\""
+      s"""{"database":"$db","table":"$tbl","action":"$action","ts":9,"stmt_seq":$seq,"rows":$rows,"query":$q}"""
+    }
+    def baseReg(): graft.cdc.SchemaRegistry = {
+      val r = new graft.cdc.SchemaRegistry
+      r.register("shop", "user", Seq(
+        graft.cdc.Decode.ColMeta("id", "int(11)"),
+        graft.cdc.Decode.ColMeta("name", "varchar(16)")))
+      r
+    }
+    def run(reg: graft.cdc.SchemaRegistry): Unit = {
+      val h = Engine.start(spark, Engine.Config(
+        inputDir = in.toString,
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+        schemaRegistry = Some(reg))) // AvailableNow: drain and stop
+      try assert(h.awaitTermination(120000)) finally h.stop()
+    }
+
+    // Run 1 consumes and COMMITS the batch carrying the ALTER.
+    Files.write(in.resolve("bin.0001"), Seq(
+      pos("shop", "user", "insert", 1L, """[["1","ann"]]""", null),
+      pos("shop", "user", "alter", 2L, "null",
+        "ALTER TABLE shop.user ADD COLUMN age tinyint unsigned AFTER id")).asJava)
+    run(baseReg())
+
+    // Crash/restart: a FRESH registry with only the base schema — the ALTER's
+    // batch is committed, Spark will not replay it. New rows are 3-slot.
+    Files.write(in.resolve("bin.0002"), Seq(
+      pos("shop", "user", "insert", 3L, """[["2","-6","bob"]]""", null)).asJava)
+    run(baseReg())
+
+    val all = readSink(s"$out/all")
+    val v2 = all.find(_.contains("\"event_index\":3"))
+    assert(v2.isDefined, s"post-restart batch must decode: $all")
+    assert(v2.get.contains("""{"data":{"age":250,"id":2,"name":"bob"}}"""),
+      "the restored registry must decode under the COMMITTED ALTER's schema " +
+        s"(stale base schema would mis-slot every column after id): ${v2.get}")
+  }
+
+  test("positional-wire config without a registry fails fast, not silently empty") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    val e = intercept[IllegalArgumentException] {
+      Engine.start(spark, Engine.Config(
+        inputDir = in.toString, checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin", useDsv2Source = true,
+        wireFormat = Some("binary"), schemaRegistry = None))
+    }
+    assert(e.getMessage.contains("schemaRegistry"))
+    val e2 = intercept[IllegalArgumentException] {
+      Engine.start(spark, Engine.Config(
+        inputDir = in.toString, checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin", useDsv2Source = false,
+        wireFormat = Some("binary"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
+    }
+    assert(e2.getMessage.contains("useDsv2Source"))
+  }
+
   test("drift + DSv2 compose: admission-controlled source feeds the registry") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     def pos(db: String, tbl: String, action: String, seq: Long, rows: String, query: String): String = {

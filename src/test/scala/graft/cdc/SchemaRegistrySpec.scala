@@ -249,6 +249,53 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(reg.planSlices(Map(("d", "absent") -> (0L, 10L))) === Nil)
   }
 
+  test("snapshot/restore roundtrip: versions, placement, enum values with commas/quotes") {
+    val reg = new SchemaRegistry
+    reg.register("shop", "user", Seq(
+      Decode.ColMeta("id", "int(11)"),
+      Decode.ColMeta("flag", "enum('a','b,c','d''e')", enumValues = Seq("a", "b,c", "d'e")),
+      Decode.ColMeta("name", "varchar(40)")))
+    reg.register("shop", "order", Seq(Decode.ColMeta("oid", "bigint(20) unsigned",
+      unsigned = true)))
+    reg.applyAlter("shop", "user", 10L, "ALTER TABLE user ADD age int AFTER id")
+    reg.applyAlter("shop", "user", 20L, "ALTER TABLE user MODIFY name varchar(80) FIRST")
+
+    // restart: a fresh registry with only the BASE schemas registered
+    val fresh = new SchemaRegistry
+    fresh.register("shop", "user", Seq(
+      Decode.ColMeta("id", "int(11)"),
+      Decode.ColMeta("flag", "enum('a','b,c','d''e')", enumValues = Seq("a", "b,c", "d'e")),
+      Decode.ColMeta("name", "varchar(40)")))
+    fresh.register("shop", "late_table", Seq(Decode.ColMeta("x", "int"))) // only live
+    fresh.restore(reg.snapshotBytes())
+
+    assert(fresh.versionsOf("shop", "user").map(_.version) === Seq(1, 2, 3),
+      "persisted ALTER versions survive the restart")
+    assert(names(fresh.schemaAt("shop", "user", 25L).get.cols) ===
+      Seq("name", "id", "age", "flag"), "post-restore decode order is the ALTERed one")
+    assert(fresh.schemaAt("shop", "user", 25L).get.cols
+      .find(_.name == "flag").get.enumValues === Seq("a", "b,c", "d'e"),
+      "enum values with commas and quotes round-trip")
+    assert(fresh.versionsOf("shop", "order").map(_.version) === Seq(1))
+    assert(fresh.versionsOf("shop", "late_table").nonEmpty,
+      "tables only in the live registration survive a restore")
+  }
+
+  test("decodeBatch drops malformed (all-null) rows instead of NPE-ing the control pass") {
+    val reg = new SchemaRegistry
+    reg.register("d", "t", Seq(Decode.ColMeta("id", "int"), Decode.ColMeta("v", "varchar(8)")))
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row("d", "t", "insert", 1L, 1L,
+          Seq(Seq("1", "x")), null),
+        org.apache.spark.sql.Row(null, null, null, null, null, null, null))), // malformed line
+      graft.streaming.CdcStream.rawPositionalSchema)
+    val (out, done) = reg.decodeBatchManaged(batch)
+    val rows = out.collect()
+    done()
+    assert(rows.length === 1, "the well-formed row decodes; the malformed one is dropped")
+  }
+
   // --------------------------------------------------------------------------
   // Property sweep: the ALTER grammar, pinned by generation. Round 5's
   // FIRST/AFTER-on-MODIFY bug was found by review, not by tests — this closes
