@@ -81,7 +81,9 @@ object Decode {
           else vLong)
       else if (m.rawType.startsWith("float") || m.rawType.startsWith("double") ||
                m.rawType.startsWith("decimal"))
-        Json.num(value.cast("double"))
+        // reference parity: float64 + Go json rendering (`123`, not `123.0`;
+        // plain decimal up to 1e21, not Java's scientific from 1e7)
+        GoFloat.num(value)
       else Json.str(value)
     when(value.isNull, lit("null")).otherwise(decoded)
   }
@@ -109,7 +111,7 @@ object Decode {
             .cast("decimal(20,0)"))
           .otherwise(vLong.cast("decimal(20,0)"))))
       .when(rawType.startsWith("float") || rawType.startsWith("double") ||
-            rawType.startsWith("decimal"), Json.num(value.cast("double")))
+            rawType.startsWith("decimal"), GoFloat.num(value))
       .otherwise(Json.str(value))
   }
 }

@@ -61,4 +61,65 @@ class DecodeSpec extends SparkSpec {
   test("NULL (short-row padding) -> JSON null") {
     assert(decode(null, m("varchar(32)")) === "null")
   }
+  test("set with 64 members: the 64th bit (1L<<63) is a set member, not a sign bit") {
+    val labels = (1 to 64).map(i => s"m$i")
+    // mask with ONLY bit 63 set = Long.MinValue as signed
+    assert(decode(Long.MinValue.toString,
+      m(s"set(${labels.map("'" + _ + "'").mkString(",")})", set = labels)) === "\"m64\"")
+  }
+
+  // decimal/float/double render as Go encoding/json float64 (the reference's
+  // wire bytes: go-mysql float64 + json.Marshal) — golden table across every
+  // notation regime
+  test("decimal/double: Go json rendering, not Java Double.toString") {
+    val cases = Seq(
+      "0"            -> "0",
+      "123.00"       -> "123",          // integral: no forced .0
+      "-42.0"        -> "-42",
+      "12.50"        -> "12.5",
+      "0.002"        -> "0.002",
+      "0.0001"       -> "0.0001",       // Java 1.0E-4; Go plain until 1e-6
+      "0.000001"     -> "0.000001",     // exactly 1e-6: still plain
+      "10000000"     -> "10000000",     // Java 1.0E7; Go plain until 1e21
+      "12345678.9"   -> "12345678.9",
+      "1e20"         -> "100000000000000000000",
+      "1e21"         -> "1e+21",        // Go 'e': lowercase, 2-digit exponent
+      "1.25e22"      -> "1.25e+22",
+      "1e23"         -> "1e+23",
+      "9.9e-7"       -> "9.9e-7",       // negative exponent: zero-stripped
+      "1e-7"         -> "1e-7",
+      "1e-10"        -> "1e-10",
+      "-0.0"         -> "-0")           // Go marshals float64 -0 as -0
+    cases.foreach { case (in, want) =>
+      assert(decode(in, m("decimal(30,10)")) === want, s"decimal carrier $in")
+    }
+    // static (plan-time) path must agree
+    import spark.implicits._
+    cases.foreach { case (in, want) =>
+      val got = Seq(in).toDF("v")
+        .select(Decode.toJsonFragmentStatic(col("v"), Decode.ColMeta("c", "double")).as("r"))
+        .collect()(0).getString(0)
+      assert(got === want, s"static path, double carrier $in")
+    }
+  }
+
+  test("GoFloat.format: seeded sweep — exact round-trip, valid JSON number shape") {
+    val rnd = new scala.util.Random(0x60F10A7L)
+    val shapes = "-?\\d+(\\.\\d+)?(e[+-]\\d+)?"
+    var checked = 0
+    (1 to 30000).foreach { _ =>
+      // half raw bit patterns (extreme exponents), half human-scale values
+      val d =
+        if (rnd.nextBoolean()) java.lang.Double.longBitsToDouble(rnd.nextLong())
+        else (rnd.nextDouble() - 0.5) * math.pow(10, rnd.nextInt(25) - 8)
+      if (!d.isNaN && !d.isInfinite) {
+        checked += 1
+        val s = GoFloat.format(d)
+        assert(s.matches(shapes), s"not a Go json number shape: $d -> $s")
+        assert(java.lang.Double.doubleToLongBits(java.lang.Double.parseDouble(s)) ===
+          java.lang.Double.doubleToLongBits(d), s"round-trip broke: $d -> $s")
+      }
+    }
+    assert(checked > 25000)
+  }
 }
