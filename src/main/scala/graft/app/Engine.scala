@@ -144,6 +144,26 @@ object Engine {
     val schemaFile = cfg.posFile + ".schema"
     cfg.schemaRegistry.foreach(_.loadFrom(schemaFile))
 
+    // Replication-mode zero-config bootstrap, the reference's behavior (canal
+    // fetches SHOW FULL COLUMNS itself; no manual registration step): if the
+    // registry is still empty after the snapshot restore, walk the server's
+    // schema over the metadata connection. A restored snapshot supersedes
+    // (it already contains these bases plus every ALTER since).
+    cfg.schemaRegistry.foreach { reg =>
+      if (reg.registeredTables.isEmpty &&
+          cfg.wireFormat.exists(_.equalsIgnoreCase("replication"))) {
+        val host = cfg.sourceOptions.getOrElse("host",
+          throw new IllegalArgumentException("replication mode requires sourceOptions host"))
+        val c = new graft.source.ReplicationClient(host,
+          cfg.sourceOptions.getOrElse("port", "3306").toInt,
+          cfg.sourceOptions.getOrElse("user", "root"),
+          cfg.sourceOptions.getOrElse("password", ""),
+          cfg.sourceOptions.getOrElse("serverId", "6402").toLong)
+        try { c.connect(); graft.source.SchemaBootstrap.fromServer(c, reg) }
+        finally c.close()
+      }
+    }
+
     val query = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)

@@ -340,6 +340,41 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   }
 }
 
+/** Base-schema bootstrap from a live server — the reference needs no manual
+  * schema registration: canal fetches `SHOW FULL COLUMNS` on demand
+  * (`vendor/.../canal/canal.go:282-305`). This is the eager engine-start
+  * equivalent: walk the server's databases/tables once over the metadata
+  * connection and register every table's column list, so a user points the
+  * engine at a server and decoding just works. Versioned drift then evolves
+  * from these bases as ALTERs stream in. */
+object SchemaBootstrap {
+
+  val SystemDbs: Set[String] =
+    Set("information_schema", "mysql", "performance_schema", "sys")
+
+  /** Register every (db, table)'s base schema; returns what was registered.
+    * `SHOW FULL COLUMNS`' Type column is exactly the spec
+    * [[graft.cdc.SchemaRegistry.colMetaOf]] parses (enum/set value lists,
+    * `unsigned` markers included) — the same string canal reads. */
+  def fromServer(c: ReplicationClient, registry: graft.cdc.SchemaRegistry,
+                 includeDb: String => Boolean = db => !SystemDbs.contains(db))
+      : Seq[(String, String)] = {
+    val dbs = c.query("SHOW DATABASES").flatMap(_.headOption.flatten).filter(includeDb)
+    for {
+      db <- dbs
+      table <- c.query(s"SHOW TABLES FROM `$db`").flatMap(_.headOption.flatten)
+    } yield {
+      val cols = c.query(s"SHOW FULL COLUMNS FROM `$db`.`$table`").collect {
+        case row if row.nonEmpty && row.head.isDefined =>
+          graft.cdc.SchemaRegistry.colMetaOf(row.head.get,
+            row.lift(1).flatten.getOrElse(""))
+      }
+      registry.register(db, table, cols)
+      (db, table)
+    }
+  }
+}
+
 /** [[BinlogReader]] over a LIVE replication connection: dial, authenticate,
   * `COM_REGISTER_SLAVE`, then `COM_BINLOG_DUMP` from `(file, fromByte)` and
   * decode the event stream with the same [[BinlogEventDecoder]] as the file

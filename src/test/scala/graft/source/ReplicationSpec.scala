@@ -31,6 +31,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
   /** When set, a dump sends its first event then closes the socket WITHOUT
     * the EOF packet — a network drop / killed dump thread. */
   @volatile var truncateDump: Boolean = false
+  /** Server-side table catalog for SHOW DATABASES/TABLES/FULL COLUMNS:
+    * (db, table) → (columnName, columnType) in order. */
+  @volatile var schemas: Map[(String, String), Seq[(String, String)]] = Map.empty
   val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
 
@@ -117,17 +120,40 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
         case COM_QUIT => return
         case COM_QUERY =>
           val sql = new String(p, 1, p.length - 1, UTF_8)
-          if (sql.toUpperCase.contains("SHOW BINARY LOGS")) {
-            var sq = 1
-            def send(b: Array[Byte]): Unit = { writePacket(out, sq, b); sq += 1 }
-            send(Array(2.toByte)) // column count
-            send(lenencStr("Log_name")); send(lenencStr("File_size"))
+          var sq = 1
+          def send(b: Array[Byte]): Unit = { writePacket(out, sq, b); sq += 1 }
+          def resultset(cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
+            send(Array(cols.size.toByte))
+            cols.foreach(c => send(lenencStr(c)))
             send(eofPkt)
-            files.foreach { case (name, bytes) =>
-              send(lenencStr(name) ++ lenencStr(bytes.length.toString))
+            rows.foreach(r => send(r.map(lenencStr).reduce(_ ++ _)))
+            send(eofPkt)
+          }
+          val up = sql.toUpperCase
+          val colRe = """(?i)SHOW\s+FULL\s+COLUMNS\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
+          val tblRe = """(?i)SHOW\s+TABLES\s+FROM\s+`?([\w$]+)`?""".r
+          if (up.contains("SHOW BINARY LOGS"))
+            resultset(Seq("Log_name", "File_size"),
+              files.map { case (n, b) => Seq(n, b.length.toString) })
+          else if (up.startsWith("SHOW DATABASES"))
+            resultset(Seq("Database"),
+              (schemas.keys.map(_._1).toSeq.distinct.sorted ++
+                Seq("mysql", "information_schema")).map(Seq(_)))
+          else tblRe.findFirstMatchIn(sql) match {
+            case Some(m) if up.contains("SHOW TABLES") =>
+              resultset(Seq(s"Tables_in_${m.group(1)}"),
+                schemas.keys.filter(_._1 == m.group(1)).map(_._2).toSeq.sorted.map(Seq(_)))
+            case _ => colRe.findFirstMatchIn(sql) match {
+              case Some(m) =>
+                // real servers send 9 columns; the client reads the first two
+                resultset(Seq("Field", "Type", "Collation", "Null", "Key",
+                  "Default", "Extra", "Privileges", "Comment"),
+                  schemas.getOrElse((m.group(1), m.group(2)), Nil).map { case (n, t) =>
+                    Seq(n, t, "", "YES", "", "", "", "", "")
+                  })
+              case None => writePacket(out, 1, ok)
             }
-            send(eofPkt)
-          } else writePacket(out, 1, ok)
+          }
         case COM_REGISTER_SLAVE =>
           registeredServerIds.add(leAt(p, 1, 4))
           writePacket(out, 1, ok)
@@ -436,6 +462,56 @@ class ReplicationSpec extends SparkSpec {
       // sequence did not re-anchor to the post-purge listing
       assert(second.forall(_._1 >= size1),
         s"purge must not re-anchor global positions: $second (size1=$size1)")
+    } finally stub.close()
+  }
+
+  test("schema bootstrap: SHOW DATABASES/TABLES/FULL COLUMNS -> registered metas") {
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.schemas = Map(
+        ("shop", "user") -> Seq(("id", "int(11)"), ("flag", "enum('a','b,c')"),
+          ("n", "bigint(20) unsigned")),
+        ("shop", "order") -> Seq(("oid", "int(11)")),
+        ("other", "t") -> Seq(("x", "varchar(8)")))
+      val reg = new graft.cdc.SchemaRegistry
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 1L)
+      try {
+        c.connect()
+        val got = SchemaBootstrap.fromServer(c, reg)
+        assert(got.toSet === Set(("shop", "user"), ("shop", "order"), ("other", "t")),
+          "system databases excluded, everything else registered")
+      } finally c.close()
+      val user = reg.schemaAt("shop", "user", 0L).get.cols
+      assert(user.map(_.name) === Seq("id", "flag", "n"))
+      assert(user(1).enumValues === Seq("a", "b,c"), "enum values parsed from Type")
+      assert(user(2).unsigned, "unsigned marker parsed from Type")
+    } finally stub.close()
+  }
+
+  test("zero-config capstone: engine bootstraps schemas from the server like canal") {
+    // No manual register() call anywhere — the reference's usage model.
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+        inputDir = "(unused-in-replication-mode)",
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+          "user" -> "repl", "password" -> "pw"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry))) // EMPTY registry
+      try {
+        assert(handle.awaitTermination(120000))
+        val lines = readSinkLines(s"$out/all")
+        assert(lines.size === 4, s"3 row envelopes + 1 alter: $lines")
+        assert(lines.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")),
+          "rows decode under the SERVER-fetched schema")
+      } finally handle.stop()
     } finally stub.close()
   }
 
