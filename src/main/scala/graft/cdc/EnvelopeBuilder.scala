@@ -141,7 +141,18 @@ object EnvelopeBuilder {
     * statically ([[Decode.toJsonFragmentStatic]]). No nested lambdas, no
     * runtime sorting — the whole thing is a flat `concat` that codegens. */
   def rowJsonStatic(row: Column, cols: Seq[Decode.ColMeta]): Column = {
-    val parts: Seq[Column] = cols.zipWithIndex.sortBy(_._1.name).zipWithIndex.flatMap {
+    // Sort keys by UTF-8 BYTES, not Scala's default String order (UTF-16
+    // code units): the two differ for supplementary-plane names (U+FFFD vs
+    // an emoji sort opposite ways), and both Go's json.Marshal and the
+    // dynamic path's array_sort (UTF8String) compare UTF-8 bytes — the
+    // byte-identity contract with `envelopes` spans ALL names, not just BMP.
+    val utf8Order = new Ordering[String] {
+      def compare(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val parts: Seq[Column] = cols.zipWithIndex.sortBy(_._1.name)(utf8Order).zipWithIndex.flatMap {
       case ((m, i), outPos) =>
         val key = (if (outPos == 0) "{\"" else ",\"") +
           m.name.replace("\\", "\\\\").replace("\"", "\\\"") + "\":"

@@ -21,7 +21,10 @@ object StringFns {
     * Go's ignored `strconv` error. */
   def toIntDigitRun(c: Column): Column = {
     val run = regexp_extract(c, "[0-9]+", 0)
-    coalesce(when(run === "", 0L).otherwise(run.cast("long")), lit(0L))
+    // try_cast, not cast: under Spark 4's default ANSI mode a >19-digit run
+    // would make cast THROW (failing the query) instead of yielding the null
+    // this coalesce turns into Go's errors-ignored 0.
+    coalesce(when(run === "", 0L).otherwise(run.try_cast("long")), lit(0L))
   }
 
   /** `WString.ToFloat64`: leading char must be a digit (`string.go:139-143`

@@ -188,7 +188,21 @@ object CdcStream {
         // Same at-least-once contract as the TCP push (runs before
         // PosStore.write; event_index in the envelope is the consumer-side
         // dedup key), but delivery is per-partition on the executors.
-        KafkaWire.produce(out.select(col("topic"), col("envelope")), host, port, kafkaTopic)
+        // Per-table ORDER requires co-location first: `out` is
+        // range-partitioned by event_index, which spreads one table's rows
+        // across partitions — concurrent per-partition producers would
+        // interleave them on the table's Kafka partition in task-race order.
+        // Repartition by topic (all of a table's rows through ONE task) and
+        // sort by event_index within each task; the murmur2 key hash then
+        // lands them on one Kafka partition in index order. One extra
+        // shuffle of the batch's envelopes — the price of the ordering
+        // contract, still fully parallel across tables.
+        KafkaWire.produce(
+          out.select(col("topic"), col("envelope"), col("event_index"))
+            .repartition(col("topic"))
+            .sortWithinPartitions("event_index")
+            .select(col("topic"), col("envelope")),
+          host, port, kafkaTopic)
       }
       val n = out.count()
       PosStore.write(posFile, s"batch-$batchId", start, start + n)

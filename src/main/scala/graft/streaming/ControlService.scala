@@ -21,11 +21,15 @@ final class ControlService(port: Int = 0,
 
   private val acceptor = {
     val t = new Thread(() => {
-      while (running.get) {
+      while (running.get && !server.isClosed) {
         try {
           val sock = server.accept()
           handle(sock)
-        } catch { case _: Throwable => () }
+        } catch { case _: Throwable =>
+          // transient accept failure (e.g. fd exhaustion): back off rather
+          // than busy-spin a core; a closed server socket ends the loop
+          if (running.get && !server.isClosed) Thread.sleep(100)
+        }
       }
     }, "control-accept")
     t.setDaemon(true)
@@ -67,9 +71,13 @@ final class ControlService(port: Int = 0,
 
 /** CLI-side client (`control/client.go:16-60`). */
 object ControlClient {
-  def send(port: Int, cmd: Int, payload: String = ""): (Int, String) = {
+  def send(port: Int, cmd: Int, payload: String = "",
+           timeoutMs: Int = 10000): (Int, String) = {
     val sock = new Socket("127.0.0.1", port)
     try {
+      // bounded read: a server that accepts but never answers (a deadlocked
+      // reload hook) must time the CLI out, not hang it forever
+      sock.setSoTimeout(timeoutMs)
       sock.getOutputStream.write(Frame.pack(cmd, payload))
       sock.getOutputStream.flush()
       val re = new Frame.Reassembler

@@ -51,11 +51,20 @@ object Frame {
 
   def pack(cmd: Int, msg: String): Array[Byte] = pack(cmd, msg.getBytes("UTF-8"))
 
+  /** Smallest legal contentLen (the 2 cmd bytes). A prefix below it (or with
+    * the sign bit set) cannot be a frame: treating it as one would slice a
+    * frame end INSIDE the 6-byte header and desynchronize every subsequent
+    * frame, or feed a negative length into buffer ops. Fail loudly — the
+    * reference likewise drops a connection on garbage rather than guessing. */
+  private def checkLen(clen: Int): Unit =
+    require(clen >= 2, s"malformed frame: contentLen $clen (must be >= 2)")
+
   /** One-shot unpack; None if the buffer does not yet hold a full frame. */
   def unpack(data: Array[Byte]): Option[(Int, Array[Byte])] = {
     if (data.length < 6) return None
     def u(b: Byte): Int = b & 0xFF
     val clen = u(data(0)) | (u(data(1)) << 8) | (u(data(2)) << 16) | (u(data(3)) << 24)
+    checkLen(clen)
     if (data.length < clen + 4) None
     else Some((u(data(4)) | (u(data(5)) << 8), data.slice(6, clen + 4)))
   }
@@ -74,6 +83,7 @@ object Frame {
         else {
           def u(i: Int): Int = buf(i) & 0xFF
           val clen = u(0) | (u(1) << 8) | (u(2) << 16) | (u(3) << 24)
+          checkLen(clen)
           if (buf.length < clen + 4) { continue = false }
           else {
             val cmd = u(4) | (u(5) << 8)

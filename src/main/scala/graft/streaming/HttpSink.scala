@@ -35,8 +35,12 @@ object HttpSink {
     client.send(req, HttpResponse.BodyHandlers.discarding()).statusCode()
   }
 
-  /** Send one envelope batch (columns `topic`, `envelope`) to every group. */
-  def sendBatch(batch: DataFrame, groups: Seq[HttpGroup]): Unit =
+  /** Send one envelope batch (columns `topic`, `envelope`) to every group.
+    * Returns the number of FAILED posts (connect error or non-2xx), summed
+    * via a Spark accumulator across executors — the "counted and reported"
+    * half of the contract; no retries, like the reference's deadline drop. */
+  def sendBatch(batch: DataFrame, groups: Seq[HttpGroup]): Long = {
+    val failures = batch.sparkSession.sparkContext.longAccumulator("http_sink_failures")
     groups.foreach { g =>
       val urls = g.urls
       batch.filter(TopicFilter.matchAny(col("topic"), g.filters))
@@ -44,8 +48,15 @@ object HttpSink {
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
           it.foreach { row =>
             val body = row.getString(0)
-            urls.foreach(u => scala.util.Try(post(u, body)))
+            urls.foreach { u =>
+              val ok = scala.util.Try(post(u, body)).toOption.exists(c => c >= 200 && c < 300)
+              if (!ok) failures.add(1L)
+            }
           }
         }
     }
+    if (failures.value > 0)
+      System.err.println(s"[graft] HttpSink: ${failures.value} failed post(s) this batch")
+    failures.value
+  }
 }

@@ -295,7 +295,11 @@ object KafkaWire {
                 r.getString(1).getBytes(StandardCharsets.UTF_8)))
             // Seq.groupBy preserves encounter order within each group, so a
             // key's records stay ordered inside its partition's batch.
-            p.produceTo(kafkaTopic, recs.groupBy(r => partitionFor(r._1, nParts)))
+            // CreateTime = produce wall clock: a 0 timestamp would read as
+            // epoch 1970 — instantly past any time-based retention (broker
+            // deletes the segment) and garbage for event-time consumers.
+            p.produceTo(kafkaTopic, recs.groupBy(r => partitionFor(r._1, nParts)),
+              timestamp = System.currentTimeMillis())
           }
         } finally p.close()
       }

@@ -90,7 +90,14 @@ object StreamingAggs {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapSec * 1000 =>
-                  cur = Some(s.copy(n = s.n + 1, lastMs = t))
+                  // LATE events (flatMapGroupsWithState does not drop rows
+                  // behind the watermark) must never move the session's end
+                  // backwards: a regressed lastMs shrinks the timeout (early
+                  // close, negative durations) and can even fall below the
+                  // watermark, where setTimeoutTimestamp THROWS and poisons
+                  // the batch. Merge with max/min instead.
+                  cur = Some(s.copy(n = s.n + 1,
+                    lastMs = math.max(s.lastMs, t), startMs = math.min(s.startMs, t)))
                 case Some(s) =>
                   closed ::= SessionOut(user, s.n, (s.lastMs - s.startMs) / 1000)
                   cur = Some(SessionState(1, t, t))
@@ -100,7 +107,10 @@ object StreamingAggs {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapSec * 1000)
+              // clamp: a fully-late session's natural timeout may already be
+              // behind the watermark — fire at the next advance instead
+              state.setTimeoutTimestamp(
+                math.max(s.lastMs + gapSec * 1000, state.getCurrentWatermarkMs() + 1))
             }
             closed.reverseIterator
           }

@@ -75,10 +75,17 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     def trySend(data: Array[Byte]): Unit = if (open.get) { sendQueue.offer(data); () }
 
     private val writer = thread(s"pubsub-writer") {
-      while (open.get) {
-        val d = sendQueue.poll(100, TimeUnit.MILLISECONDS)
-        if (d != null) sock.getOutputStream.write(d)
-      }
+      // A write failure (peer gone without FIN — power loss, NAT drop) must
+      // CLOSE the node: an uncaught exception would kill this thread while
+      // the node stays registered, its capped queue fills, and every
+      // publisher's blocking asyncSend wedges forever on a zombie.
+      try {
+        while (open.get) {
+          val d = sendQueue.poll(100, TimeUnit.MILLISECONDS)
+          if (d != null) sock.getOutputStream.write(d)
+        }
+      } catch { case _: Throwable => () }
+      close()
     }
 
     private val reader = thread(s"pubsub-reader") {
@@ -117,6 +124,7 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
     def close(): Unit = if (open.compareAndSet(true, false)) {
       scala.util.Try(sock.close())
       nodes.remove(this)
+      sendQueue.clear() // frees any publisher blocked in put() on a full queue
     }
   }
 
@@ -128,9 +136,13 @@ final class TcpPubSubService(port: Int = 0, keepaliveMs: Long = 3000) {
   }
 
   private val acceptor = thread("pubsub-accept") {
-    while (running.get) {
+    while (running.get && !server.isClosed) {
       try nodes.add(new Node(server.accept()))
-      catch { case _: Throwable => () }
+      catch { case _: Throwable =>
+        // transient accept failure (e.g. EMFILE): back off instead of
+        // busy-spinning a core; a closed server socket exits the loop
+        if (running.get && !server.isClosed) Thread.sleep(100)
+      }
     }
   }
 

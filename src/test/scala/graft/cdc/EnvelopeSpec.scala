@@ -114,4 +114,23 @@ class EnvelopeSpec extends SparkSpec {
     val env = EnvelopeBuilder.withEventIndex(EnvelopeBuilder.fromPositional(df), startIndex = 1161L)
     assert(env.select("event_index").collect().map(_.getLong(0)).sorted.toSeq === Seq(1162L, 1163L))
   }
+
+  test("static path sorts keys by UTF-8 bytes like Go, not UTF-16 code units") {
+    import spark.implicits._
+    // U+FFFD (UTF-8: EF BF BD) sorts BEFORE U+1F600 (F0 9F 98 80) in byte
+    // order — but AFTER it in Java String order (0xFFFD > surrogate 0xD83D).
+    // Go's json.Marshal and the dynamic path's array_sort both compare
+    // UTF-8 bytes; the static path must agree.
+    val repl = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    val cols = Seq(Decode.ColMeta(emoji, "int(11)"), Decode.ColMeta(repl, "int(11)"))
+    val json = Seq(Seq("7", "8")).toDF("row")
+      .select(EnvelopeBuilder.rowJsonStatic(col("row"), cols).as("j"))
+      .collect()(0).getString(0)
+    assert(json.indexOf(repl) >= 0 && json.indexOf(emoji) >= 0)
+    assert(json.indexOf(repl) < json.indexOf(emoji),
+      s"UTF-8 byte order puts U+FFFD first: $json")
+    // and the value slots still follow the POSITIONAL column order
+    assert(json.contains(s""""$repl":8""") && json.contains(s""""$emoji":7"""), json)
+  }
 }

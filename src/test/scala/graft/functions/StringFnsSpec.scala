@@ -21,6 +21,9 @@ class StringFnsSpec extends SparkSpec {
     assert(eval1[Long]("123.12a", toIntDigitRun) === 123L)  // ToInt64 case 2
     assert(eval1[Long]("a12b34", toIntDigitRun) === 12L)    // FIRST run wins
     assert(eval1[Long]("", toIntDigitRun) === 0L)
+    // overflow -> 0 like Go's ignored strconv error; under Spark 4's default
+    // ANSI mode a plain cast would THROW here instead
+    assert(eval1[Long]("x99999999999999999999y", toIntDigitRun) === 0L)
     assert(eval1[Long]("abc", toIntDigitRun) === 0L)
     assert(eval1[Long]("007x", toIntDigitRun) === 7L)
   }

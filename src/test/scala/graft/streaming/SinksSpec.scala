@@ -32,6 +32,14 @@ class SinksSpec extends SparkSpec {
     val got = re.feed(two.take(3)) ++ re.feed(two.slice(3, 9)) ++ re.feed(two.drop(9))
     assert(got.map(_._1) === Seq(Frame.CMD_TICK, Frame.CMD_EVENT))
     assert(got.map(g => new String(g._2, "UTF-8")) === Seq("ok", "x"))
+    // malformed length prefixes fail loudly instead of desynchronizing the
+    // stream (clen < 2 would end a "frame" inside the 6-byte header)
+    intercept[IllegalArgumentException] {
+      new Frame.Reassembler().feed(Array[Byte](1, 0, 0, 0, 9, 9))
+    }
+    intercept[IllegalArgumentException] {
+      Frame.unpack(Array[Byte](0, 0, 0, 0x80.toByte, 0, 0)) // negative length
+    }
   }
 
   test("kafka sink frame: key = database.table bytes, value = envelope, fixed topic (K4)") {

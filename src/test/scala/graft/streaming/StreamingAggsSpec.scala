@@ -174,6 +174,37 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize tolerates LATE events: no backward session end, no timeout crash") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[StreamingAggs.SessionIn]
+    val q = StreamingAggs.sessionize(in.toDS(), gapSec = 600)
+      .writeStream.format("memory").queryName("late_sessions").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 opens a session; another user advances the watermark
+      in.addData(StreamingAggs.SessionIn(1L, ts(10)), StreamingAggs.SessionIn(1L, ts(12)))
+      q.processAllAvailable()
+      in.addData(StreamingAggs.SessionIn(2L, ts(14)))
+      q.processAllAvailable()
+      // LATE event for user 1 (behind max event time): flatMapGroupsWithState
+      // does NOT drop it — it must merge without moving lastMs backwards or
+      // setting a timeout below the watermark (which would throw)
+      in.addData(StreamingAggs.SessionIn(1L, ts(9)))
+      q.processAllAvailable()
+      // close user 1's session by pushing the watermark past the gap
+      in.addData(StreamingAggs.SessionIn(2L, ts(60)))
+      q.processAllAvailable()
+      in.addData(StreamingAggs.SessionIn(2L, ts(120)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"late event poisoned the query: ${q.exception}")
+      val u1 = spark.table("late_sessions").as[StreamingAggs.SessionOut]
+        .collect().filter(_.user_id == 1L)
+      assert(u1.length === 1, s"one merged session: ${u1.toSeq}")
+      assert(u1.head.n_events === 3 && u1.head.dur_s === 180,
+        s"late event extends the session BACKWARD (9..12 min = 180s), never negative: ${u1.head}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: matches inside the window, bounded state") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
