@@ -880,6 +880,52 @@ object LlmQueries {
       |FROM ranked r JOIN w USING (source)
       |ORDER BY coord, source, id""".stripMargin
 
+  // ---------------------------------------------------------------- q49 export capstone
+
+  /** Export pipeline capstone: weighted source mix → fixed-count budget
+    * prefix → seeded shard shuffle. The budget cut is a FIXED top-k over the
+    * stride coordinates (Spark plans TakeOrderedAndProject — distributed
+    * top-k, never a single-task global sort), so the capstone keeps every
+    * component's scale posture while proving they compose: the selection any
+    * training run would actually write, in reproducible random order. */
+  private def q49(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val weights = docs.select(col("source")).distinct()
+      .withColumn("weight",
+        (lit(1) + substring(col("source"), 4, 10).cast("long") % 4) * 100)
+    val cut = Selection.mixSources(docs, "source", "doc_id", weights)
+      .orderBy("coord", "source", "id").limit(300)
+    val sel = docs.join(cut.select(col("id").as("doc_id")), "doc_id")
+    Selection.exportShuffle(sel, "doc_id", "cap", numShards = 4)
+      .select("shard", "pos", "doc_id", "source")
+      .orderBy("shard", "pos")
+  }
+
+  private val q49Sql =
+    """WITH h AS (
+      |  SELECT source, doc_id AS id,
+      |    ('0x' || substr(md5('mix' || ':' || source || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, id,
+      |    row_number() OVER (PARTITION BY source ORDER BY (h % 4096), h, id) AS rank
+      |  FROM h),
+      |w AS (
+      |  SELECT source, (1 + substr(source, 4)::BIGINT % 4) * 100 AS weight
+      |  FROM (SELECT DISTINCT source FROM documents)),
+      |mixed AS (
+      |  SELECT r.source, r.id, (r.rank * 1000000) // w.weight AS coord
+      |  FROM ranked r JOIN w USING (source)),
+      |cut AS (SELECT source, id FROM mixed ORDER BY coord, source, id LIMIT 300),
+      |sh AS (
+      |  SELECT id AS doc_id, source,
+      |    ('0x' || substr(md5('cap' || ':' || id), 1, 15))::BIGINT AS h
+      |  FROM cut)
+      |SELECT (h % 4)::INTEGER AS shard,
+      |  row_number() OVER (PARTITION BY h % 4 ORDER BY h, doc_id) AS pos,
+      |  doc_id, source
+      |FROM sh ORDER BY shard, pos""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -906,5 +952,6 @@ object LlmQueries {
     QueryDef("q46_bm25", q46, Some(q46Sql)),
     QueryDef("q47_export_shuffle", q47, Some(q47Sql)),
     QueryDef("q48_source_mix", q48, Some(q48Sql)),
+    QueryDef("q49_export_capstone", q49, Some(q49Sql)),
   )
 }

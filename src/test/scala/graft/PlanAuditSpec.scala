@@ -184,6 +184,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 2, s"q48 should have offsets + within-bucket windows, found $windows:\n$plan")
   }
 
+  test("q49's budget cut is a distributed top-k (TakeOrderedAndProject)") {
+    // The fixed-count prefix over stride coordinates must plan as
+    // TakeOrderedAndProject — per-partition top-N then merge — never a
+    // global Sort funneling the corpus through one task before the limit.
+    val plan = planOf("q49_export_capstone")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q49's LIMIT should plan as distributed top-k:\n$plan")
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the
