@@ -36,7 +36,13 @@ object Clusters {
     * sessions must invoke it after consuming the result; one-shot paths may
     * leave it to clearCache / process exit. */
   def connectedComponentsManaged(edges: DataFrame, maxIter: Int = 25): (DataFrame, () => Unit) = {
-    val in = edges.toDF("u", "v")
+    // First two columns are the edge; extra columns (e.g. a pair frame's
+    // `jac` score) are ignored — `toDF` alone would throw on the 3-column
+    // frames ([[Dedup.nearDupPairs]], [[Dedup.jaccardJoin]]) this scaladoc
+    // names as the intended inputs.
+    require(edges.columns.length >= 2,
+      s"connectedComponents needs two edge columns, got ${edges.columns.toSeq}")
+    val in = edges.select(edges.columns.take(2).map(col): _*).toDF("u", "v")
     // Normalize: simple undirected edge set, canonically oriented u > v so
     // the fixed-point checksum is orientation-stable.
     var cur = in.filter(col("u") =!= col("v"))
@@ -65,8 +71,12 @@ object Clusters {
       state = nextState
       it += 1
     }
-    require(done, s"connectedComponents did not converge in $maxIter rounds " +
-      s"(graph needs O(log n) — raise maxIter for adversarially deep graphs)")
+    if (!done) {
+      cur.unpersist() // don't leak the round frame on the failure path
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(graph needs O(log n) — raise maxIter for adversarially deep graphs)")
+    }
     // At the fixed point every edge is (node, componentMin).
     (cur.select(col("u").as("node"), col("v").as("root")), () => { cur.unpersist(); () })
   }
@@ -107,16 +117,24 @@ object Clusters {
     * its component minimum (itself when untouched by any pair) and the
     * component size. Output: (doc_id, cluster_id, cluster_size), one row per
     * input id. `pairs` is any two-column pair frame (e.g. doc_a/doc_b). */
-  def assign(ids: DataFrame, pairs: DataFrame): DataFrame = {
+  def assign(ids: DataFrame, pairs: DataFrame): DataFrame =
+    assignManaged(ids, pairs)._1
+
+  /** [[assign]] plus the cleanup handle for the CC iteration's final persisted
+    * frame (the same managed contract as every other persist-backed operator
+    * here): per-batch callers MUST invoke it after consuming the result, or
+    * each batch pins one more frame in the block manager forever. */
+  def assignManaged(ids: DataFrame, pairs: DataFrame): (DataFrame, () => Unit) = {
     val idCol = ids.columns.head
-    val stars = connectedComponents(pairs)
+    val (stars, cleanup) = connectedComponentsManaged(pairs)
     val lab = ids.select(col(idCol).as("doc_id"))
       .join(stars.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
     // Sizes via groupBy+join (map-side combinable; AQE broadcasts the count
     // side when small) — not a window, which would sort the full frame.
     val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-    lab.join(sizes, "cluster_id")
+    val out = lab.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    (out, cleanup)
   }
 }

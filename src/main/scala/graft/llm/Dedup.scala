@@ -80,11 +80,18 @@ object Dedup {
     * arithmetic, so any engine reproduces it exactly. Duplicates retained
     * (consumers are min- or set-insensitive). */
   def ngramHashes(wh: Column, n: Int): Column =
-    when(size(wh) >= n,
-      transform(sequence(lit(0), size(wh) - n),
-        i => (0 until n).map(j => element_at(wh, i + j + 1))
-          .reduce((a, b) => a * 31L + b) % MinhashP))
-      .otherwise(array().cast("array<bigint>"))
+    if (n > 7)
+      // the mod-at-the-end product overflows a signed long for n ≥ 8
+      // (P·31^7 ≈ 2^65.7): ARITHMETIC_OVERFLOW under Spark 4's default ANSI
+      // mode, silently-negative "hashes" without it. The stepwise form is
+      // value-identical (same modular algebra) and bounded at any n.
+      graft.llm.Decontam.ngramHashesMod(wh, n, MinhashP)
+    else
+      when(size(wh) >= n,
+        transform(sequence(lit(0), size(wh) - n),
+          i => (0 until n).map(j => element_at(wh, i + j + 1))
+            .reduce((a, b) => a * 31L + b) % MinhashP))
+        .otherwise(array().cast("array<bigint>"))
 
   /** MinHash signature from PRE-HASHED shingle values (`xs` values in [0, P)):
     * element h is `min over x of (A_h·x + B_h) mod P` — the standard
@@ -130,6 +137,10 @@ object Dedup {
                           numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.5): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
+        "compute minhashes the banding silently never reads, quietly loosening " +
+        "the LSH calibration the caller asked for")
     val rows = numHashes / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     // Signature stage in ROW form, fully codegen'd: word-order gram hashes
@@ -260,8 +271,14 @@ object Dedup {
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("gs"))
       .select(col("doc_id"), size(col("gs")).as("sz"),
+        // ceil over a FLOAT product needs the epsilon guard: for thresholds
+        // like 0.07, `100 * 0.07` is 7.000000000000001 in binary — ceil
+        // jumps to 8 and the prefix loses its last token, silently breaking
+        // the prefix filter's losslessness. Subtracting 1e-9 (far above the
+        // ~1e-13 representation error, far below 1) restores the exact
+        // integer ceiling; non-integer products are unaffected.
         posexplode(expr(s"slice(transform(gs, x -> x.g), 1, " +
-          s"size(gs) - cast(ceil(size(gs) * $threshold) as int) + 1)")).as(Seq("p", "g")))
+          s"size(gs) - cast(ceil(size(gs) * $threshold - 1e-9) as int) + 1)")).as(Seq("p", "g")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidates: shared prefix token + size filter + POSITIONAL filter
     // (PPJoin, Xiao et al.): a token at 0-based position p leaves at most
@@ -276,8 +293,10 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
       .agg(max(least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))).as("ub"))
+      // same float-ceil epsilon guard as the prefix length above: an
+      // overshot α would over-prune candidates the exact verify never sees
       .filter(col("ub") >=
-        ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b"))))
+        ceil(lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")) - lit(1e-9)))
       .select(col("doc_a"), col("doc_b"))
     val out = cand
       .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
@@ -347,24 +366,38 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b)).cast("long")
 
-  /** SimHash near-duplicate pairs: band the 60-bit hash into four 15-bit
-    * buckets (any shared band ⇒ candidate — Hamming-LSH), then verify
-    * `hamming <= maxDist`. Same no-all-pairs discipline as [[nearDupPairs]]. */
+  /** SimHash near-duplicate pairs: band the 60-bit hash into `bands`
+    * equal-width buckets (any shared band ⇒ candidate — Hamming-LSH), then
+    * verify `hamming <= maxDist`. Same no-all-pairs discipline as
+    * [[nearDupPairs]].
+    *
+    * Recall contract, stated honestly (pigeonhole): a pair at Hamming
+    * distance d < `bands` ALWAYS shares an untouched band and is found
+    * exhaustively; beyond that the banding is probabilistic (the
+    * Hamming-LSH S-curve — a distance-10 pair under 4 bands is generated
+    * only when some band dodges all 10 differing bits, ≈20% for random bit
+    * placement), exactly like MinHash banding above its threshold. Raise
+    * `bands` to buy guaranteed radius at the cost of shorter (less
+    * selective) band keys: selectivity is ~2^(60/bands) values per key. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 10): DataFrame =
-    simhashPairsManaged(docs, idCol, textCol, maxDist)._1
+                   maxDist: Int = 10, bands: Int = 4): DataFrame =
+    simhashPairsManaged(docs, idCol, textCol, maxDist, bands)._1
 
   /** [[simhashPairs]] plus a cleanup handle: the signature frame feeds both
     * sides of the band self-join — without the persist each side recomputes
     * the full tokenize+aggregate pipeline (same contract as
     * [[nearDupPairsManaged]]). */
   def simhashPairsManaged(docs: DataFrame, idCol: String, textCol: String,
-                          maxDist: Int = 10): (DataFrame, () => Unit) = {
+                          maxDist: Int = 10, bands: Int = 4): (DataFrame, () => Unit) = {
+    require(bands >= 1 && 60 % bands == 0,
+      s"bands must divide the 60-bit hash evenly, got $bands")
+    val width = 60 / bands
+    val mask = (1L << width) - 1
     val withH = simhashDf(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandDf = withH.select(col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("b"), shr(col("sh"), b * 15).bitwiseAND(lit(0x7FFFL)).as("bkey")))).as("band"))
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("b"), shr(col("sh"), b * width).bitwiseAND(lit(mask)).as("bkey")))).as("band"))
       .select(col("doc_id"), col("sh"), col("band.b").as("b"), col("band.bkey").as("bkey"))
     val out = bandDf.as("x").join(bandDf.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&

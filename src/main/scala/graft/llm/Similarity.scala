@@ -50,9 +50,16 @@ object Similarity {
   }
 
   /** Deterministic ±1 projection weight for (global plane g, dimension i) — a
-    * fixed pseudo-random pattern both engines compute identically. */
+    * fixed pseudo-random pattern both engines compute identically. Modulus
+    * 101 (prime, ≫ plane count), NOT a small one: with mod 7 the expression
+    * degenerates to 3·(g+i) mod 7 — only SEVEN distinct hyperplane patterns
+    * shared across all tables, which silently voids the any-of-N-tables
+    * recall math (every table reuses the same patterns) and biases buckets
+    * 4:3. With 101, planes g and g' share a pattern only if g ≡ g' (mod
+    * 101) — all 18 default planes are genuinely distinct — and parity is a
+    * near-even 51/50 split. */
   private def weight(g: Int, i: Column): Column =
-    when(((lit(g) * 31 + i * 17) % 7) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    when(((lit(g) * 31 + i * 17) % 101) % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
 
   /** Sign-projection bucket id for hash table `table`: bit p is the sign of
     * the projection onto plane `table*planes + p`. */
@@ -143,6 +150,10 @@ object Similarity {
         val v = r.getSeq[Float](1)
         (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
       }.sortBy(_._1).toSeq
+    require(centroids.nonEmpty,
+      s"ivfTopK: no candidate id is a multiple of centroidStride=$centroidStride " +
+        "— an empty centroid table would make every cell assignment fail " +
+        "(ANSI) or null out silently; pick a stride <= the max candidate id")
     val centArr = typedlit(centroids) // array<struct<_1:id, _2:vec, _3:norm>>
 
     // (cos, cell) per centroid; cos grouped EXACTLY as the oracle's
@@ -217,7 +228,9 @@ object Similarity {
                     shortlistFactor: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qcodes = queries.select(col("id").as("q_id"), col("vec").as("qv"))
-      .select(col("q_id"), qCodes(col("qv"), qScale(col("qv"))).as("qc"))
+      // the `let` barrier, like the candidate side: an inline qScale would be
+      // re-evaluated by the qCodes lambda for EVERY element (O(d²) per row)
+      .select(col("q_id"), let(qScale(col("qv")), s => qCodes(col("qv"), s)).as("qc"))
     val codes = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
       .select(col("c_id"),
         let(qScale(col("cv")), s => qCodes(col("cv"), s)).as("cc"),
@@ -244,25 +257,37 @@ object Similarity {
     * embedding-space flavor of near-dup detection, same no-all-pairs
     * discipline (candidates meet only inside buckets). */
   def cosinePairs(vectors: DataFrame, threshold: Double,
-                  planes: Int = 6, tables: Int = 3): DataFrame = {
+                  planes: Int = 6, tables: Int = 3): DataFrame =
+    cosinePairsManaged(vectors, threshold, planes, tables)._1
+
+  /** [[cosinePairs]] plus a cleanup handle for the persisted bucketed frame.
+    * One norm+projection pipeline feeds BOTH sides of the self-join — two
+    * independently-aliased pipelines would compute every vector's `tables ×
+    * planes` projection folds twice (differently-aliased subplans never hit
+    * ReusedExchange), the same double-pipeline recompute
+    * [[Dedup.nearDupPairsManaged]] persists against. */
+  def cosinePairsManaged(vectors: DataFrame, threshold: Double,
+                         planes: Int = 6, tables: Int = 3): (DataFrame, () => Unit) = {
     // Norms computed once per vector BEFORE the explode and the bucket join —
     // inside the pair predicate they would be re-folded for every candidate
     // pair, and after the explode once per table copy.
-    def side(idName: String, vecName: String, nName: String) = {
-      val base = vectors.select(col("id").as(idName), col("vec").as(vecName))
-        .withColumn(nName, l2norm(col(vecName)))
-      base.withColumn("buckets", explode(array((0 until tables).map(t =>
-          struct(lit(t).as("t"), signBucket(col(vecName), planes, t).as("bkt"))): _*)))
-        .select(col(idName), col(vecName), col(nName),
-          col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
-    }
-    val a = side("id_a", "va", "na")
-    val b = side("id_b", "vb", "nb")
-    a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
+    val bucketed = vectors.select(col("id"), col("vec"))
+      .withColumn("nrm", l2norm(col("vec")))
+      .withColumn("buckets", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col("vec"), planes, t).as("bkt"))): _*)))
+      .select(col("id"), col("vec"), col("nrm"),
+        col("buckets.t").as("t"), col("buckets.bkt").as("bkt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = bucketed.select(col("id").as("id_a"), col("vec").as("va"),
+      col("nrm").as("na"), col("t"), col("bkt"))
+    val b = bucketed.select(col("id").as("id_b"), col("vec").as("vb"),
+      col("nrm").as("nb"), col("t"), col("bkt"))
+    val out = a.join(b, Seq("t", "bkt")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("va"), col("vb"), col("na"), col("nb"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"))
+    (out, () => { bucketed.unpersist(); () })
   }
 }

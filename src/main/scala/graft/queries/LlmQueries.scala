@@ -117,7 +117,7 @@ object LlmQueries {
       |  SELECT vec_id AS id, embedding AS vec,
       |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm,
       |    [list_sum([CASE WHEN list_sum([vec[i]::DOUBLE *
-      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 101) % 2 = 0 THEN 1.0 ELSE -1.0 END)
       |        for i in range(1, len(vec)+1)]) >= 0 THEN 1 << p ELSE 0 END
       |      for p in range(0, 6)])::BIGINT for t in range(0, 3)] AS bucks
       |  FROM embeddings),
@@ -344,7 +344,7 @@ object LlmQueries {
       |  SELECT vec_id AS id, embedding AS vec,
       |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm,
       |    [list_sum([CASE WHEN list_sum([vec[i]::DOUBLE *
-      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 7) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+      |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 101) % 2 = 0 THEN 1.0 ELSE -1.0 END)
       |        for i in range(1, len(vec)+1)]) >= 0 THEN 1 << p ELSE 0 END
       |      for p in range(0, 6)])::BIGINT for t in range(0, 3)] AS bucks
       |  FROM embeddings),
