@@ -53,21 +53,40 @@ object GoFloat {
   }
 
   /** Shortest round-tripping digits of |d| (no dot, no trailing zeros) and
-    * the base-10 exponent of the first digit: the first precision whose
-    * correctly-rounded scientific rendering parses back to the same double.
-    * The loop exits at the value's true digit count (a 4-digit price costs 4
-    * iterations), 17 worst-case — `%.Ne` is HALF_UP over the exact binary
-    * expansion, which is the correct rounding for this search. */
+    * the base-10 exponent of the first digit: the first precision where SOME
+    * p-digit decimal parses back to the same double. The loop exits at the
+    * value's true digit count (a 4-digit price costs 4 iterations), 17
+    * worst-case.
+    *
+    * At each precision both roundings of the exact binary expansion are
+    * tried: HALF_UP and HALF_DOWN agree except when the expansion is an
+    * EXACT halfway at digit p+1 — there, if both candidates round-trip,
+    * Go's shortest-digit conversion (Ryu) is equidistant and ties the last
+    * digit to EVEN, so that candidate is chosen. (If any p-digit decimal
+    * round-trips, the nearest one does too, so checking these two is a
+    * complete search.) A plain `%.Ne` is always HALF_UP, which diverges
+    * from Go's bytes on those ties. */
   private def digitsExp(d: Double): (String, String, Int) = {
     val abs = math.abs(d)
     val sign = if (d < 0) "-" else ""
+    val exact = new java.math.BigDecimal(abs) // exact binary expansion
     var p = 1
     while (p <= 17) {
-      val s = String.format(java.util.Locale.ROOT, "%." + (p - 1) + "e", Double.box(abs))
-      if (java.lang.Double.parseDouble(s) == abs) {
-        val ei = s.indexOf('e')
-        val digits0 = s.substring(0, ei).filter(_ != '.')
-        val exp = s.substring(ei + 1).toInt
+      val up = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_UP))
+      val down = exact.round(new java.math.MathContext(p, java.math.RoundingMode.HALF_DOWN))
+      val upOk = up.doubleValue == abs
+      val downOk = down.doubleValue == abs
+      if (upOk || downOk) {
+        val pick =
+          if (upOk && downOk && up.compareTo(down) != 0) {
+            // exact halfway: equidistant candidates — ties to even, like Ryu
+            if (lastDigitAt(down, p) % 2 == 0) down else up
+          } else if (upOk) up
+          else down
+        // unscaled digits + the base-10 exponent of the FIRST digit:
+        // pick = unscaled * 10^-scale, so first-digit exp = (len-1) - scale
+        val digits0 = pick.unscaledValue.abs.toString
+        val exp = (digits0.length - 1) - pick.scale
         val digits = digits0.reverse.dropWhile(_ == '0').reverse
         return (sign, if (digits.isEmpty) "0" else digits, exp)
       }
@@ -75,6 +94,14 @@ object GoFloat {
     }
     // unreachable: 17 significant digits always round-trip a double
     (sign, java.lang.Double.toString(abs), 0)
+  }
+
+  /** The p-th significant digit of a value rounded to precision p (trailing
+    * zeros restored: rounding 1.95 up at p=2 yields "2" with precision 1,
+    * whose 2nd significant digit is the implied 0). */
+  private def lastDigitAt(v: java.math.BigDecimal, p: Int): Int = {
+    val ds = v.unscaledValue.abs.toString
+    if (ds.length >= p) ds.charAt(p - 1) - '0' else 0
   }
 
   /** JSON number fragment Column with Go rendering; SQL-NULL → `null`. */

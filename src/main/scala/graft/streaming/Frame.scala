@@ -51,13 +51,25 @@ object Frame {
 
   def pack(cmd: Int, msg: String): Array[Byte] = pack(cmd, msg.getBytes("UTF-8"))
 
+  /** Largest contentLen accepted (256 MiB). Frames carry envelope JSON —
+    * orders of magnitude smaller — so a length beyond this is garbage (or an
+    * attack): without a bound, clen near Int.MaxValue overflows `clen + 4`
+    * to negative, turning the "buffer incomplete" checks into a bogus
+    * complete frame with an empty payload and a negative-count buffer
+    * remove. The bound keeps all downstream `clen + 4` arithmetic exact. */
+  val MaxContentLen: Int = 256 * 1024 * 1024
+
   /** Smallest legal contentLen (the 2 cmd bytes). A prefix below it (or with
-    * the sign bit set) cannot be a frame: treating it as one would slice a
-    * frame end INSIDE the 6-byte header and desynchronize every subsequent
-    * frame, or feed a negative length into buffer ops. Fail loudly — the
-    * reference likewise drops a connection on garbage rather than guessing. */
-  private def checkLen(clen: Int): Unit =
+    * the sign bit set, or absurdly large) cannot be a frame: treating it as
+    * one would slice a frame end INSIDE the 6-byte header and desynchronize
+    * every subsequent frame, or feed a negative length into buffer ops. Fail
+    * loudly — the reference likewise drops a connection on garbage rather
+    * than guessing. */
+  private def checkLen(clen: Int): Unit = {
     require(clen >= 2, s"malformed frame: contentLen $clen (must be >= 2)")
+    require(clen <= MaxContentLen,
+      s"malformed frame: contentLen $clen exceeds the $MaxContentLen cap")
+  }
 
   /** One-shot unpack; None if the buffer does not yet hold a full frame. */
   def unpack(data: Array[Byte]): Option[(Int, Array[Byte])] = {

@@ -103,6 +103,29 @@ class DecodeSpec extends SparkSpec {
     }
   }
 
+  test("GoFloat.format: exact-halfway ties break to EVEN like Go/Ryu, not HALF_UP") {
+    // Doubles whose exact decimal expansion terminates exactly one digit past
+    // the minimal precision with a trailing 5: both minimal-length roundings
+    // round-trip, and Go's shortest-digit conversion picks the EVEN last
+    // digit. Golden strings independently computed with a ties-to-even
+    // shortest renderer (CPython repr — David Gay mode 0, the same contract
+    // as Go strconv). A HALF_UP-only search renders e.g. 827425.2114257813.
+    val goldens = Seq(
+      0x412940426c400000L -> "827425.2114257812",  // down is even
+      0x4098b48510000000L -> "1581.1299438476562",
+      0x41210aff35400000L -> "558463.6040039062",
+      0x40f996e99b000000L -> "104814.60034179688", // up is even
+      0x4102bff735800000L -> "153598.90112304688",
+      0x412a14dd83400000L -> "854638.7563476562",
+      0x410aeb92d7800000L -> "220530.35522460938",
+      0x412988f27b400000L -> "836729.2407226562")
+    goldens.foreach { case (bits, want) =>
+      val d = java.lang.Double.longBitsToDouble(bits)
+      assert(GoFloat.format(d) === want, s"tie case ${d}")
+      assert(java.lang.Double.parseDouble(GoFloat.format(d)) === d)
+    }
+  }
+
   test("GoFloat.format: seeded sweep — exact round-trip, valid JSON number shape") {
     val rnd = new scala.util.Random(0x60F10A7L)
     val shapes = "-?\\d+(\\.\\d+)?(e[+-]\\d+)?"

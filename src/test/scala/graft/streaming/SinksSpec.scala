@@ -40,6 +40,16 @@ class SinksSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Frame.unpack(Array[Byte](0, 0, 0, 0x80.toByte, 0, 0)) // negative length
     }
+    // clen in [Int.MaxValue-3, Int.MaxValue] overflows `clen + 4` to
+    // negative, which once returned a bogus "complete" frame with an empty
+    // payload (and a negative-count buffer remove) instead of failing
+    intercept[IllegalArgumentException] {
+      Frame.unpack(Array[Byte](0xfd.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte, 9, 9))
+    }
+    intercept[IllegalArgumentException] {
+      new Frame.Reassembler().feed(
+        Array[Byte](0xfd.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte, 9, 9))
+    }
   }
 
   test("kafka sink frame: key = database.table bytes, value = envelope, fixed topic (K4)") {
