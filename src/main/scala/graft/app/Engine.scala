@@ -21,6 +21,11 @@ import graft.streaming.{CdcStream, ControlService, SubscriberRegistry, TcpPubSub
   */
 object Engine {
 
+  /** Batch id of the snapshot's one pipeline pass — distinct from every
+    * Spark micro-batch id (those start at 0), so the PosStore replay tag
+    * gives a replayed snapshot the same index range. */
+  val SnapshotBatchId: Long = -1L
+
   final case class Config(
       inputDir: String,
       checkpointDir: String,
@@ -65,7 +70,16 @@ object Engine {
       /** K4 scale tier: (host, port, kafkaTopic) produced to via the wire
         * protocol ([[graft.streaming.KafkaWire]]) — keyed `database.table`,
         * snappy record batches, acks=1, per-partition executor fan-out. */
-      kafkaPush: Option[CdcStream.KafkaPush] = None)
+      kafkaPush: Option[CdcStream.KafkaPush] = None,
+      /** Replication-mode consistent initial snapshot (S2's live slice, canal
+        * `tryDump` semantics): on first start, pin (file, pos) under FTWRL,
+        * dump every registered table inside a consistent-snapshot transaction
+        * as `insert` envelopes THROUGH the normal pipeline, then start the
+        * stream from the pin — snapshot ∪ tail = full state, no seam
+        * duplicates. Requires `wireFormat=replication` + `schemaRegistry`.
+        * Restart-safe: the dump runs once (spool + marker beside `posFile`);
+        * replays re-emit the same envelopes with the same indices. */
+      snapshotOnBootstrap: Boolean = false)
 
   final class Handle(val query: StreamingQuery,
                      val control: Option[ControlService],
@@ -99,6 +113,11 @@ object Engine {
     require(cfg.wireFormat.isEmpty || cfg.useDsv2Source,
       "Engine: wireFormat is an option of the graft-cdc DSv2 source — set " +
         "useDsv2Source=true (the plain file source would silently ignore it)")
+    require(!cfg.snapshotOnBootstrap ||
+        cfg.wireFormat.exists(_.equalsIgnoreCase("replication")),
+      "Engine: snapshotOnBootstrap dumps tables over the live replication " +
+        "connection — it requires wireFormat=replication (file modes read " +
+        "a directory that IS the snapshot)")
 
     val registry = new SubscriberRegistry
     val pubsub = cfg.tcpPubSubPort.map(p => new TcpPubSubService(p))
@@ -112,29 +131,6 @@ object Engine {
     val pushTo = pubsub.map(svc => (driverHost, svc.boundPort))
     val sinksRef = new AtomicReference[Seq[CdcStream.SinkConfig]](cfg.sinks)
 
-    // Wire form: positional (string-array row images + DDL) when a drift
-    // registry is configured, entries form otherwise — orthogonal to WHICH
-    // source tails the directory (DSv2 byte-planned source vs file stream).
-    val wireSchema =
-      if (cfg.schemaRegistry.isDefined) CdcStream.rawPositionalSchema else CdcStream.rawSchema
-    val raw =
-      if (cfg.useDsv2Source) {
-        var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
-        cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
-        cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
-        cfg.wireFormat.foreach(w => r = r.option("wireFormat", w))
-        cfg.sourceOptions.foreach { case (k, v) => r = r.option(k, v) }
-        r.load()
-          .select(from_json(col("value"), wireSchema).as("r"))
-          .select("r.*")
-          // same malformed-line tolerance as readRaw/readRawPositional: a bad
-          // line parses to an all-null row (PERMISSIVE) and is dropped here —
-          // never fed to the decode/registry path (sync.go error tolerance)
-          .filter(col("database").isNotNull && col("table").isNotNull &&
-            col("action").isNotNull)
-      } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
-      else CdcStream.readRaw(spark, cfg.inputDir)
-
     // Drift durability: registry state is derived from the stream (base
     // schemas + every ALTER), and Spark does not replay committed batches —
     // so versions are snapshotted beside the pos cache after each batch and
@@ -147,11 +143,27 @@ object Engine {
     // Replication-mode zero-config bootstrap, the reference's behavior (canal
     // fetches SHOW FULL COLUMNS itself; no manual registration step): if the
     // registry is still empty after the snapshot restore, walk the server's
-    // schema over the metadata connection. A restored snapshot supersedes
-    // (it already contains these bases plus every ALTER since).
-    cfg.schemaRegistry.foreach { reg =>
-      if (reg.registeredTables.isEmpty &&
-          cfg.wireFormat.exists(_.equalsIgnoreCase("replication"))) {
+    // schema over the metadata connection — PINNED: the binlog position is
+    // captured under the same FTWRL moment the schemas are read
+    // ([[graft.source.Snapshot.pin]]) and the stream starts THERE, not at the
+    // oldest retained binlog. Replay-from-earliest under a current-state
+    // schema would decode pre-DDL row events against the post-DDL column
+    // list and re-apply already-applied ALTERs onto it — the exact
+    // mis-slotting the registry exists to prevent. The pin (an honest
+    // ReplOffset json) is persisted as a marker, so a restart that lost the
+    // Spark checkpoint but kept the state dir still starts at the pin; a
+    // normal restart resumes from the checkpoint (initialOffset is only
+    // consulted when none exists). With `snapshotOnBootstrap` the same pin
+    // also anchors a consistent-snapshot data dump (S2's replication slice),
+    // spooled then fed through the ordinary batch pipeline below.
+    val snapDir = java.nio.file.Paths.get(cfg.posFile + ".snapshot")
+    val pinMarker = snapDir.resolve("_pinned.json")
+    val startOffsetJson: Option[String] = cfg.schemaRegistry.flatMap { reg =>
+      if (!cfg.wireFormat.exists(_.equalsIgnoreCase("replication"))) None
+      else if (java.nio.file.Files.exists(pinMarker))
+        Some(new String(java.nio.file.Files.readAllBytes(pinMarker), "UTF-8"))
+      else if (reg.registeredTables.nonEmpty) None // manually registered: no pin
+      else {
         val host = cfg.sourceOptions.getOrElse("host",
           throw new IllegalArgumentException("replication mode requires sourceOptions host"))
         val c = new graft.source.ReplicationClient(host,
@@ -159,10 +171,78 @@ object Engine {
           cfg.sourceOptions.getOrElse("user", "root"),
           cfg.sourceOptions.getOrElse("password", ""),
           cfg.sourceOptions.getOrElse("serverId", "6402").toLong)
-        try { c.connect(); graft.source.SchemaBootstrap.fromServer(c, reg) }
-        finally c.close()
+        try {
+          c.connect()
+          val (pinned, dumpTables) =
+            graft.source.Snapshot.pin(c, reg, withDataTxn = cfg.snapshotOnBootstrap)
+          if (cfg.snapshotOnBootstrap)
+            graft.source.Snapshot.dumpToSpool(c, dumpTables, snapDir,
+              ts = System.currentTimeMillis() / 1000)
+          reg.saveTo(schemaFile)
+          // marker written LAST, atomically: its existence == bootstrap done
+          java.nio.file.Files.createDirectories(snapDir)
+          val tmp = snapDir.resolve("_pinned.json.tmp")
+          java.nio.file.Files.write(tmp, pinned.offset.json().getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, pinMarker,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          Some(pinned.offset.json())
+        } finally c.close()
       }
     }
+
+    // Feed the spooled snapshot through the NORMAL batch pipeline (decode →
+    // envelopes → indices → sinks) exactly once, BEFORE the stream's first
+    // micro-batch: snapshot rows take the first event_index range, the tail
+    // continues it — dense across the seam. The done-marker commits the
+    // processing; a crash between the batch and the marker replays it with
+    // the SAME indices (tag-matched PosStore start), the engine-wide
+    // at-least-once contract.
+    val snapDone = snapDir.resolve("_done")
+    if (cfg.snapshotOnBootstrap && java.nio.file.Files.exists(pinMarker) &&
+        !java.nio.file.Files.exists(snapDone)) {
+      val reg = cfg.schemaRegistry.get
+      val spool = {
+        import scala.jdk.CollectionConverters._
+        val s = java.nio.file.Files.list(snapDir)
+        try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).map(_.toString).toSeq
+        finally s.close()
+      }
+      if (spool.nonEmpty) {
+        val batch = spark.read.schema(CdcStream.rawPositionalSchema)
+          .json(spool: _*)
+          .filter(col("database").isNotNull && col("table").isNotNull &&
+            col("action").isNotNull)
+        CdcStream.processPositionalBatch(batch, SnapshotBatchId, cfg.posFile,
+          sinksRef.get(), reg, pushTo, cfg.kafkaPush)
+        reg.saveTo(schemaFile)
+      }
+      java.nio.file.Files.write(snapDone, Array.emptyByteArray)
+    }
+
+    // Wire form: positional (string-array row images + DDL) when a drift
+    // registry is configured, entries form otherwise — orthogonal to WHICH
+    // source tails the directory (DSv2 byte-planned source vs file stream).
+    val wireSchema =
+      if (cfg.schemaRegistry.isDefined) CdcStream.rawPositionalSchema else CdcStream.rawSchema
+    val raw =
+      if (cfg.useDsv2Source) {
+        var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
+        cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
+        cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
+        cfg.wireFormat.foreach(w => r = r.option("wireFormat", w))
+        cfg.sourceOptions.foreach { case (k, v) => r = r.option(k, v) }
+        startOffsetJson.foreach(j => r = r.option("startOffset", j))
+        r.load()
+          .select(from_json(col("value"), wireSchema).as("r"))
+          .select("r.*")
+          // same malformed-line tolerance as readRaw/readRawPositional: a bad
+          // line parses to an all-null row (PERMISSIVE) and is dropped here —
+          // never fed to the decode/registry path (sync.go error tolerance)
+          .filter(col("database").isNotNull && col("table").isNotNull &&
+            col("action").isNotNull)
+      } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
+      else CdcStream.readRaw(spark, cfg.inputDir)
 
     val query = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)

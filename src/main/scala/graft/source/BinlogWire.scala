@@ -55,6 +55,10 @@ object BinlogWire {
   val FORMAT_DESCRIPTION_EVENT = 15
   val XID_EVENT = 16
   val TABLE_MAP_EVENT = 19
+  /** Sent by the server during idle blocking dumps when
+    * `@master_heartbeat_period` is set — liveness only, never written to a
+    * binlog file. */
+  val HEARTBEAT_EVENT = 27
   val WRITE_ROWS_V1 = 23
   val UPDATE_ROWS_V1 = 24
   val DELETE_ROWS_V1 = 25
@@ -489,6 +493,11 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
 
   private var checksummed = false
   private val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
+
+  /** Whether the FORMAT_DESCRIPTION declared CRC32 checksums — body tails of
+    * subsequent events then carry 4 CRC bytes (the rotate payload parser
+    * needs this to find the file-name length). */
+  def isChecksummed: Boolean = checksummed
 
   /** Decode one framed event. `head` is the raw 19 header bytes, `body0` the
     * event body INCLUDING the trailing CRC when the stream is checksummed.

@@ -168,7 +168,9 @@ class CdcScan(props: Map[String, String]) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     replication match {
-      case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"))
+      case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"),
+        startOffset = props.get("startoffset").orElse(props.get("startOffset"))
+          .map(ReplOffset.parse))
       case None =>
         new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
           mkReader = if (binary) Some(p =>
@@ -244,6 +246,7 @@ object CdcMicroBatchStream {
   def slice(files: Seq[(String, Long)], from: Long, until: Long,
             filter: Option[String], splitBytes: Long = DefaultSplitBytes): Array[InputPartition] = {
     var base = 0L
+    var ordinal = 0
     val parts = Seq.newBuilder[InputPartition]
     files.foreach { case (name, sz) =>
       val lo = math.max(from, base)
@@ -252,8 +255,9 @@ object CdcMicroBatchStream {
       while (at < hi) {
         // overflow-safe: at + splitBytes can wrap for splitBytes=MaxValue
         val end = at + math.min(splitBytes, hi - at)
-        parts += CdcInputPartition(name, at - base, end - base, base, filter)
+        parts += CdcInputPartition(name, at - base, end - base, base, filter, ordinal)
         at = end
+        ordinal += 1
       }
       base += sz
     }
@@ -322,7 +326,11 @@ class CdcMicroBatchStream(dir: String, filter: Option[String], maxBytesPerTrigge
 }
 
 case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
-                             globalBase: Long, filter: Option[String]) extends InputPartition
+                             globalBase: Long, filter: Option[String],
+                             /** Index within the planned batch — unique by
+                               * construction, the replication mode's per-dump
+                               * server_id ordinal. */
+                             ordinal: Int = 0) extends InputPartition
 
 /** Connection coordinates for `wireFormat=replication`. Serializable: the
   * reader factory ships it to executors, where each partition dials its own
@@ -342,17 +350,17 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
     * MySQL's kill_zombie_dump_threads terminates an existing dump whose
     * server_id matches a new COM_BINLOG_DUMP, so two concurrent partitions
     * (one batch spanning a rotation) sharing an id would kill each other
-    * mid-dump. Replication-mode partitions are whole-file ranges, so the
-    * file's numeric suffix is a stable per-partition ordinal; the engine
-    * therefore occupies server ids in (serverId, serverId + 100000] — pick
-    * the base so that range is free of real replicas. */
-  def mkReader(p: CdcInputPartition): BinlogReader = {
-    val suffix = p.file.reverse.takeWhile(_.isDigit).reverse.takeRight(9)
-    val ord = if (suffix.nonEmpty) suffix.toLong % 100000L
-      else (p.file.hashCode & 0xffff).toLong
-    new ReplicationBinlogReader(host, port, user, password, serverId + 1 + ord,
-      p.file, p.fromByte, p.untilByte, seqBase = p.globalBase)
-  }
+    * mid-dump — a task-retry livelock, not a clean error. The ordinal is the
+    * partition's index WITHIN its planned batch (unique by construction —
+    * a file-name-derived id could collide: suffixes congruent mod the range
+    * width, or a hashCode collision). Batches run one at a time per stream,
+    * so the engine occupies server ids in (serverId, serverId + 100000];
+    * pick the base so that range is free of real replicas, and give
+    * concurrent streams against one server disjoint bases. */
+  def mkReader(p: CdcInputPartition): BinlogReader =
+    new ReplicationBinlogReader(host, port, user, password,
+      serverId + 1 + (p.ordinal % 100000), p.file, p.fromByte, p.untilByte,
+      seqBase = p.globalBase)
 }
 
 /** Micro-batch planner for the LIVE replication source. Same offset unit as
@@ -377,7 +385,13 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
   *    cannot stall the stream — same invariant as the file planner's
   *    mid-line budgets. */
 class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
-                           maxBytesPerTrigger: Option[Long])
+                           maxBytesPerTrigger: Option[Long],
+                           /** First-start offset (option `startOffset`, a
+                             * [[ReplOffset]] json) — the pinned bootstrap /
+                             * snapshot position. Only consulted when no
+                             * checkpoint exists; a restart resumes from the
+                             * checkpoint as always. */
+                           startOffset: Option[ReplOffset] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Monotone size cache: closed files are immutable; only the ACTIVE (last)
@@ -409,7 +423,8 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
 
   private def snapshot(): Seq[(String, Long)] = synchronized(sizes.toSeq)
 
-  override def initialOffset(): Offset = ReplOffset(0L, Nil)
+  override def initialOffset(): Offset =
+    startOffset.map { o => seed(o.files); o }.getOrElse(ReplOffset(0L, Nil))
   override def deserializeOffset(json: String): Offset = {
     val o = ReplOffset.parse(json)
     seed(o.files) // restart: pin the checkpoint's sequence mapping FIRST

@@ -228,17 +228,28 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   }
 
   /** COM_QUERY returning a text resultset as rows of nullable strings
-    * (None = SQL NULL); statements that return OK yield Nil. */
+    * (None = SQL NULL); statements that return OK yield Nil. Materializes —
+    * metadata-sized results only; the snapshot data path uses
+    * [[queryForeach]]. */
   def query(sql: String): Seq[Seq[Option[String]]] = {
+    val rows = Seq.newBuilder[Seq[Option[String]]]
+    queryForeach(sql)(rows += _)
+    rows.result()
+  }
+
+  /** COM_QUERY streaming the text resultset one row at a time — bounded
+    * memory for arbitrarily large results (the snapshot's `SELECT *` over a
+    * big table arrives row-packet by row-packet and is spooled, never
+    * held). */
+  def queryForeach(sql: String)(f: Seq[Option[String]] => Unit): Unit = {
     sendCommand(Array(COM_QUERY.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
     val (_, first) = readPacketOrFail()
     if (isErr(first)) throw new java.io.IOException(errOf(first))
-    if (isOk(first)) return Nil
+    if (isOk(first)) return
     val nCols = new BinlogWire.Cursor(first, 0).lenenc().toInt
     var i = 0
     while (i < nCols) { readPacketOrFail(); i += 1 } // column definitions (opaque here)
     require(isEof(readPacketOrFail()._2), "missing EOF after column defs")
-    val rows = Seq.newBuilder[Seq[Option[String]]]
     var rp = readPacketOrFail()._2
     while (!isEof(rp)) {
       if (isErr(rp)) throw new java.io.IOException(errOf(rp))
@@ -248,10 +259,9 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
         if ((rp(c.at) & 0xff) == 0xfb) { c.skip(1); row += None }
         else row += Some(c.str(c.lenenc().toInt))
       }
-      rows += row.result()
+      f(row.result())
       rp = readPacketOrFail()._2
     }
-    rows.result()
   }
 
   /** `SHOW BINARY LOGS` → sorted (file, sizeBytes): the replication
@@ -284,6 +294,23 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     b.write(le(0, 4)) // replication rank (unused)
     b.write(le(0, 4)) // master id (0 = from server)
     sendCommand(b.toByteArray)
+    expectOk()
+  }
+
+  /** Re-arm the socket read timeout — the blocking-dump loop idles between
+    * events for up to a heartbeat period, far longer than the handshake
+    * timeout that is appropriate during [[connect]]. */
+  def soTimeout(ms: Int): Unit = socket.setSoTimeout(ms)
+
+  /** Ask the server to emit HEARTBEAT events every `secs` while a blocking
+    * dump is idle (the reference's canal.toml 30 s heartbeat): the liveness
+    * signal that distinguishes "no traffic" from "dead connection", letting
+    * the reader keep a finite socket timeout. The variable is in
+    * nanoseconds. */
+  def setHeartbeatPeriod(secs: Int): Unit = {
+    sendCommand(Array(COM_QUERY.toByte) ++
+      s"SET @master_heartbeat_period = ${secs.toLong * 1000000000L}"
+        .getBytes(StandardCharsets.UTF_8))
     expectOk()
   }
 
@@ -401,6 +428,16 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
   private val decoder = new BinlogEventDecoder(seqBase, s"$host:$port/$file")
   private var done = false
 
+  /** 64-bit end position of the last real event seen. The header's log_pos
+    * field is 32-bit and WRAPS once a binlog file grows past 4 GiB (a large
+    * transaction extends a file beyond max_binlog_size); trusting it raw
+    * would make post-wrap events fail the fromByte/untilByte range checks
+    * and silently vanish. Positions are therefore reconstructed in the
+    * 4 GiB window tracked here: dump order is monotone (only the re-sent
+    * FORMAT_DESCRIPTION, handled by type, legitimately points backwards),
+    * so a backwards jump of more than 2 GiB is the wrap. */
+  private var lastEnd = math.max(4L, fromByte)
+
   override def nextLine(): (Long, String) = {
     while (!done) {
       val ev = client.nextEvent()
@@ -409,7 +446,7 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
       val body = java.util.Arrays.copyOfRange(ev, 19, ev.length)
       val etype = head(4) & 0xff
       val eventSize = MysqlWire.leAt(head, 9, 4)
-      val logPos = MysqlWire.leAt(head, 13, 4)
+      val logPos = MysqlWire.leAt(head, 13, 4) // 32-bit: the low word only
       // A REAL rotate (log_pos > 0; the dump-start artificial one carries 0)
       // ends the requested file: a real server's non-blocking dump KEEPS
       // STREAMING into the next binlog file, whose events restart at small
@@ -418,7 +455,21 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
       // next file's partition. (The scripted stub ends each dump at the
       // file's end; a live server does not.)
       if (etype == BinlogWire.ROTATE_EVENT && logPos > 0) { done = true; return null }
-      val eventStart = if (logPos >= eventSize && logPos > 0) logPos - eventSize else -1L
+      val eventStart =
+        if (logPos == 0 || logPos < eventSize) -1L // artificial server event
+        else {
+          var end = (lastEnd & ~0xffffffffL) | logPos
+          if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT) {
+            // re-sent at every dump start with its true in-file log_pos: a
+            // small backwards value, never a wrap — decode for side effects
+            // (checksum mode), don't move the window
+            end - eventSize
+          } else {
+            if (end + 0x80000000L < lastEnd) end += 0x100000000L // log_pos wrapped
+            lastEnd = math.max(lastEnd, end)
+            end - eventSize
+          }
+        }
       if (eventStart >= untilByte) { done = true; return null }
       val line = decoder.decode(head, body, math.max(eventStart, 0L))
       if (line != null && eventStart >= fromByte) return (eventStart, line)

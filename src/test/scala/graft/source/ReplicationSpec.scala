@@ -34,8 +34,13 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
   /** Server-side table catalog for SHOW DATABASES/TABLES/FULL COLUMNS:
     * (db, table) → (columnName, columnType) in order. */
   @volatile var schemas: Map[(String, String), Seq[(String, String)]] = Map.empty
+  /** Server-side table DATA for `SELECT * FROM db.t` (the snapshot dump):
+    * rows of nullable cells in schema column order. */
+  @volatile var tableData: Map[(String, String), Seq[Seq[Option[String]]]] = Map.empty
   val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+  /** Every COM_QUERY sql, in arrival order — lock/pin ordering assertions. */
+  val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -120,21 +125,32 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
         case COM_QUIT => return
         case COM_QUERY =>
           val sql = new String(p, 1, p.length - 1, UTF_8)
+          queriesSeen.add(sql)
           var sq = 1
           def send(b: Array[Byte]): Unit = { writePacket(out, sq, b); sq += 1 }
-          def resultset(cols: Seq[String], rows: Seq[Seq[String]]): Unit = {
+          def resultsetN(cols: Seq[String], rows: Seq[Seq[Option[String]]]): Unit = {
             send(Array(cols.size.toByte))
             cols.foreach(c => send(lenencStr(c)))
             send(eofPkt)
-            rows.foreach(r => send(r.map(lenencStr).reduce(_ ++ _)))
+            rows.foreach(r => send(r.map {
+              case Some(v) => lenencStr(v)
+              case None => Array(0xfb.toByte) // SQL NULL cell
+            }.reduce(_ ++ _)))
             send(eofPkt)
           }
+          def resultset(cols: Seq[String], rows: Seq[Seq[String]]): Unit =
+            resultsetN(cols, rows.map(_.map(Option(_))))
           val up = sql.toUpperCase
           val colRe = """(?i)SHOW\s+FULL\s+COLUMNS\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
           val tblRe = """(?i)SHOW\s+TABLES\s+FROM\s+`?([\w$]+)`?""".r
+          val selRe = """(?i)SELECT\s+\*\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
           if (up.contains("SHOW BINARY LOGS"))
             resultset(Seq("Log_name", "File_size"),
               files.map { case (n, b) => Seq(n, b.length.toString) })
+          else if (up.contains("SHOW MASTER STATUS"))
+            // the active (last) file at its current end — a real master's answer
+            resultset(Seq("File", "Position", "Binlog_Do_DB", "Binlog_Ignore_DB"),
+              files.lastOption.toSeq.map { case (n, b) => Seq(n, b.length.toString, "", "") })
           else if (up.startsWith("SHOW DATABASES"))
             resultset(Seq("Database"),
               (schemas.keys.map(_._1).toSeq.distinct.sorted ++
@@ -151,7 +167,13 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
                   schemas.getOrElse((m.group(1), m.group(2)), Nil).map { case (n, t) =>
                     Seq(n, t, "", "YES", "", "", "", "", "")
                   })
-              case None => writePacket(out, 1, ok)
+              case None => selRe.findFirstMatchIn(sql) match {
+                case Some(m) =>
+                  val key = (m.group(1), m.group(2))
+                  resultsetN(schemas.getOrElse(key, Nil).map(_._1),
+                    tableData.getOrElse(key, Nil))
+                case None => writePacket(out, 1, ok)
+              }
             }
           }
         case COM_REGISTER_SLAVE =>
@@ -311,6 +333,86 @@ class ReplicationSpec extends SparkSpec {
       assert(!got.exists(_._2.contains("\"77\"")),
         "file 2's row leaked into file 1's partition")
       assert(got.forall(_._1 < fileEnd))
+    } finally stub.close()
+  }
+
+  test("32-bit log_pos wrap (file past 4 GiB): positions reconstructed, events kept") {
+    import BinlogWire._
+    // A binlog file can exceed 4 GiB (one large transaction extends it past
+    // max_binlog_size) and the header's log_pos then wraps modulo 2^32.
+    // Emulate the wire stream by patching headers: a TABLE_MAP ending just
+    // under the 4 GiB line, then a ROWS event whose 32-bit log_pos has
+    // wrapped to a small value. The reader must reconstruct the true 64-bit
+    // position — with raw log_pos the wrapped event would be mis-attributed
+    // (or dropped as artificial) and the partition silently truncated.
+    val w = new BinlogFixtureWriter(checksum = false) // patching breaks CRCs
+    w.fde()
+    val tmAt = w.tableMap(10L, 5L, "shop", "user", Seq(TYPE_LONG -> w.mNone))
+    val rowsAt = w.rows(10L, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(42))))
+    val bytes = w.bytes
+    def patchLogPos(eventStart: Long, v: Long): Unit = {
+      val at = eventStart.toInt + 13
+      (0 until 4).foreach(i => bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte)
+    }
+    val rowsSize = MysqlWire.leAt(bytes, rowsAt.toInt + 9, 4)
+    val trueRowsEnd = 0x100000000L + 0x50L // past the 4 GiB line
+    patchLogPos(tmAt, 0xFFFFFF00L)         // TABLE_MAP ends just below it
+    patchLogPos(rowsAt, trueRowsEnd & 0xFFFFFFFFL) // wrapped on the wire
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", bytes))
+      val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "pw", 6402L,
+        "binlog.000001", 0L, Long.MaxValue)
+      val got = try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+        finally r.close()
+      assert(got.size === 1, s"the wrapped ROWS event must survive: $got")
+      assert(got.head._1 === trueRowsEnd - rowsSize,
+        s"true 64-bit start, not the wrapped 32-bit value: ${got.head}")
+      assert(got.head._2.contains("\"42\""))
+    } finally stub.close()
+  }
+
+  test("concurrent partitions in one batch get DISTINCT dump server_ids " +
+    "(batch-ordinal derivation, immune to file-name collisions)") {
+    import BinlogWire._
+    // Two files whose numeric suffixes are congruent mod 100000 — a
+    // name-derived ordinal would give both dumps the same server_id and a
+    // real server's kill_zombie_dump_threads would kill one mid-stream.
+    val stub = new StubMysqlServer("pw")
+    val (cp, _) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      val w2 = new BinlogFixtureWriter(checksum = true)
+      w2.fde()
+      w2.tableMap(30L, 7L, "shop", "order", Seq(TYPE_LONG -> w2.mNone))
+      w2.rows(30L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w2.vLong(77))))
+      stub.files = Seq(("binlog.000007", w.bytes), ("binlog.100007", w2.bytes))
+      val rows = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("host", "127.0.0.1").option("port", stub.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .option("serverId", "9000")
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          rows ++= batch.collect().map(_.getLong(2)); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), s"stream did not drain: ${q.exception}")
+      assert(rows.size === 4, s"both files' statements: $rows")
+      val dumpIds = {
+        import scala.jdk.CollectionConverters._
+        // the metadata connection registers nothing; every registered id is a dump
+        stub.registeredServerIds.asScala.toSeq
+      }
+      assert(dumpIds.size === 2, s"one dump per file: $dumpIds")
+      assert(dumpIds.distinct.size === 2,
+        s"concurrent dumps MUST NOT share a server_id: $dumpIds")
+      assert(dumpIds.forall(id => id > 9000L && id <= 9000L + 100000L),
+        s"ids stay in the documented (serverId, serverId+100000] range: $dumpIds")
     } finally stub.close()
   }
 
@@ -488,30 +590,220 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
-  test("zero-config capstone: engine bootstraps schemas from the server like canal") {
-    // No manual register() call anywhere — the reference's usage model.
+  test("Snapshot.pin: position + schemas captured under one FTWRL moment, " +
+    "snapshot transaction opened before writes resume") {
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", Array.fill[Byte](352)(1)),
+        ("binlog.000002", Array.fill[Byte](80)(1)))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      val reg = new graft.cdc.SchemaRegistry
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 1L)
+      try {
+        c.connect()
+        val (pinned, tables) = Snapshot.pin(c, reg, withDataTxn = true)
+        assert(pinned.file === "binlog.000002" && pinned.pos === 80L,
+          "pin = SHOW MASTER STATUS of the active file")
+        assert(pinned.globalPos === 352L + 80L, "global = earlier sizes + in-file pos")
+        assert(pinned.offset === ReplOffset(432L,
+          Seq(("binlog.000001", 352L), ("binlog.000002", 80L))))
+        assert(tables === Seq(("shop", "user")))
+        assert(reg.schemaAt("shop", "user", 0L).get.cols.map(_.name) === Seq("id", "name"))
+      } finally c.close()
+      val qs = {
+        import scala.jdk.CollectionConverters._
+        stub.queriesSeen.asScala.toSeq.map(_.toUpperCase)
+      }
+      def at(frag: String): Int = {
+        val i = qs.indexWhere(_.contains(frag))
+        assert(i >= 0, s"expected query containing '$frag' in $qs"); i
+      }
+      // the mysqldump --single-transaction --master-data ordering: lock →
+      // pin → open the MVCC read view → schemas → unlock (writes resume)
+      assert(at("FLUSH TABLES WITH READ LOCK") < at("SHOW MASTER STATUS"))
+      assert(at("SHOW MASTER STATUS") < at("START TRANSACTION WITH CONSISTENT SNAPSHOT"))
+      assert(at("START TRANSACTION WITH CONSISTENT SNAPSHOT") < at("SHOW FULL COLUMNS"))
+      assert(at("SHOW FULL COLUMNS") < at("UNLOCK TABLES"))
+    } finally stub.close()
+  }
+
+  test("Snapshot.dumpToSpool: SELECT * rows spooled as insert positional lines, " +
+    "NULL cells preserved, sequences below every real binlog position") {
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", Array.fill[Byte](100)(1)))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      stub.tableData = Map(("shop", "user") -> Seq(
+        Seq(Some("1"), Some("ann")), Seq(Some("2"), None)))
+      val reg = new graft.cdc.SchemaRegistry
+      val spool = tmp()
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 1L)
+      try {
+        c.connect()
+        val (_, tables) = Snapshot.pin(c, reg, withDataTxn = true)
+        assert(Snapshot.dumpToSpool(c, tables, spool, ts = 1234L) === 2L)
+      } finally c.close()
+      val lines = Files.readAllLines(spool.resolve("shop.user.jsonl"))
+      assert(lines.size === 2)
+      assert(lines.get(0) ===
+        s"""{"database":"shop","table":"user","action":"insert","ts":1234,"stmt_seq":${Snapshot.SeqBase},"rows":[["1","ann"]]}""")
+      assert(lines.get(1).contains("\"rows\":[[\"2\",null]]"), s"NULL cell: ${lines.get(1)}")
+      assert(lines.get(1).contains(s""""stmt_seq":${Snapshot.SeqBase + 1}"""))
+      import scala.jdk.CollectionConverters._
+      assert(stub.queriesSeen.asScala.exists(_.equalsIgnoreCase("COMMIT")),
+        "the snapshot transaction is closed after the dump")
+    } finally stub.close()
+  }
+
+  test("pinned bootstrap: stream starts AT the pin — already-executed history " +
+    "is never replayed against the current-state schema") {
+    import BinlogWire._
+    // The server's binlog retains history whose DDL has ALREADY executed:
+    // rows written with 2 columns, then the ALTER adding the third. A
+    // bootstrap that registered the server's CURRENT (3-column) schema but
+    // started the stream at position 0 would decode those 2-column rows
+    // against 3 columns and re-apply the ALTER onto a base that already
+    // contains it. The pin makes the stream start at the bootstrap moment.
     val stub = new StubMysqlServer("pw")
     val (cp, out) = (tmp(), tmp())
     try {
-      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val w = new BinlogFixtureWriter(checksum = true)
+      w.fde()
+      w.tableMap(10L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(10L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("old", 40))))
+      w.query(12L, "shop", "ALTER TABLE shop.user ADD COLUMN age int")
+      stub.files = Seq(("binlog.000001", w.bytes))
+      // the server reports the CURRENT schema — post-ALTER, as real servers do
+      stub.schemas = Map(("shop", "user") ->
+        Seq(("id", "int(11)"), ("name", "varchar(40)"), ("age", "int(11)")))
+
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+
+      run()
+      assert(readSinkLines(s"$out/all").isEmpty,
+        "nothing before the pin may be replayed")
+
+      // post-pin traffic, written under the CURRENT 3-column schema
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40), TYPE_LONG -> w.mNone))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 3,
+        Seq(Seq(w.vLong(5), w.vVarchar("eve", 40), w.vLong(30))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+
+      run()
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 1, s"exactly the post-pin event: $lines")
+      assert(lines.head.contains("""{"data":{"age":30,"id":5,"name":"eve"}}"""),
+        s"decoded under the server-fetched CURRENT schema: $lines")
+    } finally stub.close()
+  }
+
+  test("consistent snapshot ∪ tail: table data arrives as insert envelopes, the " +
+    "tail continues the index range, restarts never re-dump") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      // retained history before the pin (would DUPLICATE the snapshot rows
+      // if replayed — the seam test)
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
       stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
-      val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
-        inputDir = "(unused-in-replication-mode)",
-        checkpointDir = cp.toString,
-        posFile = s"$out/pos.bin",
-        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
-        useDsv2Source = true,
-        wireFormat = Some("replication"),
-        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
-          "user" -> "repl", "password" -> "pw"),
-        schemaRegistry = Some(new graft.cdc.SchemaRegistry))) // EMPTY registry
-      try {
-        assert(handle.awaitTermination(120000))
-        val lines = readSinkLines(s"$out/all")
-        assert(lines.size === 4, s"3 row envelopes + 1 alter: $lines")
-        assert(lines.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")),
-          "rows decode under the SERVER-fetched schema")
-      } finally handle.stop()
+      stub.tableData = Map(("shop", "user") -> Seq(
+        Seq(Some("1"), Some("ann")), Seq(Some("2"), None)))
+
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry),
+          snapshotOnBootstrap = true))
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+
+      run()
+      val afterSnap = readSinkLines(s"$out/all")
+      assert(afterSnap.size === 2, s"snapshot rows only, never the pre-pin binlog: $afterSnap")
+      assert(afterSnap.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
+      assert(afterSnap.exists(_.contains("""{"data":{"id":2,"name":null}}""")))
+      assert(afterSnap.forall(_.contains("\"event_type\":\"insert\"")))
+
+      // tail traffic after the pin
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(3), w.vVarchar("cal", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+
+      run()
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 3, s"snapshot (once) + tail: $lines")
+      assert(lines.count(_.contains("\"ann\"")) === 1, "restart did not re-dump")
+      val tail = lines.find(_.contains("\"cal\"")).get
+      assert(tail.contains("\"event_index\":3"),
+        s"the tail continues the snapshot's dense index range: $tail")
+      // the dump ran exactly once across both runs
+      import scala.jdk.CollectionConverters._
+      assert(stub.queriesSeen.asScala.count(_.toUpperCase.contains("SELECT * FROM")) === 1)
+    } finally stub.close()
+  }
+
+  test("zero-config capstone: engine bootstraps schemas from the server like canal, " +
+    "then tails from the pin") {
+    import BinlogWire._
+    // No manual register() call anywhere — the reference's usage model. The
+    // stream starts at the PINNED bootstrap position (never replaying
+    // retained history against the current-state schema), so new traffic is
+    // what flows.
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry))) // EMPTY registry
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+      run()
+      assert(readSinkLines(s"$out/all").isEmpty, "zero-config starts from NOW")
+      // live traffic after the bootstrap
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("ann", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      run()
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 1, s"the post-bootstrap event: $lines")
+      assert(lines.head.contains("""{"data":{"id":1,"name":"ann"}}"""),
+        "rows decode under the SERVER-fetched schema")
     } finally stub.close()
   }
 
