@@ -168,6 +168,15 @@ class CdcScan(props: Map[String, String]) extends Scan {
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     replication match {
+      case Some(r)
+        if props.get("connection").exists(_.equalsIgnoreCase("persistent")) =>
+        // one long-lived blocking dump + heartbeat (the reference's ops
+        // shape) instead of per-batch re-dialing — see [[PersistentDump]]
+        new PersistentReplStream(r, filter, opt("maxBytesPerTrigger"),
+          startOffset = props.get("startoffset").orElse(props.get("startOffset"))
+            .map(ReplOffset.parse),
+          bufferCap = opt("dumpBufferCap").getOrElse(10000L).toInt,
+          heartbeatSecs = opt("heartbeatSecs").getOrElse(30L).toInt)
       case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"),
         startOffset = props.get("startoffset").orElse(props.get("startOffset"))
           .map(ReplOffset.parse))

@@ -114,6 +114,24 @@ object MysqlWire {
     h1.indices.map(i => (h1(i) ^ rhs(i)).toByte).toArray
   }
 
+  /** caching_sha2_password scramble (MySQL 8's default plugin, public
+    * protocol): SHA256(pw) XOR SHA256(SHA256(SHA256(pw)) ++ nonce); empty
+    * password → empty token. This is the CACHED fast path's proof — the
+    * server accepts it whenever the account's SHA256 digest is in its auth
+    * cache (any prior full login primes it). */
+  def cachingSha2Scramble(password: String, nonce: Array[Byte]): Array[Byte] = {
+    if (password.isEmpty) return Array.emptyByteArray
+    val sha = MessageDigest.getInstance("SHA-256")
+    val h1 = sha.digest(password.getBytes(StandardCharsets.UTF_8))
+    sha.reset()
+    val h2 = sha.digest(h1)
+    sha.reset()
+    sha.update(h2)
+    sha.update(nonce)
+    val rhs = sha.digest()
+    h1.indices.map(i => (h1(i) ^ rhs(i)).toByte).toArray
+  }
+
   def isOk(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0x00
   def isEof(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xfe && p.length < 9
   def isErr(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xff
@@ -187,21 +205,41 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
 
     var (rseq, reply) = readPacketOrFail()
     // AuthSwitchRequest (0xfe + plugin name + fresh nonce): a MySQL 8 server
-    // whose default plugin differs (caching_sha2_password) switches a
-    // native-password account here — answer with the re-scrambled token.
+    // whose default plugin differs switches the account's plugin here —
+    // answer with the re-scrambled token in THAT plugin's formula.
     // Distinguished from a plain EOF packet by its length (isEof is < 9).
     if (reply.nonEmpty && (reply(0) & 0xff) == 0xfe && reply.length >= 9) {
       val nul = reply.indexOf(0.toByte, 1)
       require(nul > 1, "malformed AuthSwitchRequest")
       val plugin = new String(reply, 1, nul - 1, StandardCharsets.UTF_8)
-      require(plugin == "mysql_native_password",
-        s"unsupported auth plugin switch: $plugin (create the replication " +
-          "user WITH mysql_native_password, the plugin every MySQL/MariaDB " +
-          "replica speaks)")
       val fresh = java.util.Arrays.copyOfRange(reply, nul + 1,
         math.min(reply.length, nul + 21)) // 20-byte nonce; trailing NUL dropped
-      writePacket(out, rseq + 1, nativePasswordScramble(password, fresh))
-      val next = readPacketOrFail()
+      val switched = plugin match {
+        case "mysql_native_password" => nativePasswordScramble(password, fresh)
+        case "caching_sha2_password" => cachingSha2Scramble(password, fresh)
+        case other => throw new IllegalArgumentException(
+          s"unsupported auth plugin switch: $other (use mysql_native_password " +
+            "or caching_sha2_password for the replication user)")
+      }
+      writePacket(out, rseq + 1, switched)
+      var next = readPacketOrFail()
+      // caching_sha2 continuation: 0x01 0x03 = cached FAST path accepted (an
+      // OK follows); 0x01 0x04 = the cache is cold and the server demands
+      // FULL auth (cleartext over TLS or RSA-encrypted) — refuse with the
+      // actionable fix rather than implement a key exchange the reference
+      // never speaks (its vendored go-mysql is native-password only).
+      if (plugin == "caching_sha2_password" && next._2.length >= 2 &&
+          (next._2(0) & 0xff) == 0x01) {
+        (next._2(1) & 0xff) match {
+          case 0x03 => next = readPacketOrFail() // fast-auth success marker
+          case 0x04 => throw new java.io.IOException(
+            "caching_sha2_password demands FULL authentication (auth cache " +
+              "cold): log the replication user in once over TLS to prime the " +
+              "server's cache, or create it WITH mysql_native_password")
+          case other => throw new java.io.IOException(
+            f"unexpected caching_sha2 continuation 0x$other%02x")
+        }
+      }
       rseq = next._1; reply = next._2
     }
     if (isErr(reply)) throw new java.io.IOException(s"auth failed: ${errOf(reply)}")

@@ -4,6 +4,7 @@ import java.io.{BufferedInputStream, BufferedOutputStream}
 import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
@@ -16,7 +17,12 @@ import org.apache.spark.sql.streaming.Trigger
   * crafted [[BinlogFixtureWriter]] bytes (FORMAT_DESCRIPTION always re-sent,
   * then events from the requested position — real-server dump semantics).
   * The same offline-stub trick as KafkaWireSpec's broker. */
-final class StubMysqlServer(password: String, authSwitch: Boolean = false)
+final class StubMysqlServer(password: String, authSwitch: Boolean = false,
+                            /** Switch accounts to caching_sha2_password (the
+                              * MySQL 8 default); `sha2FullAuth` makes the
+                              * stub demand FULL auth (cold cache) instead of
+                              * accepting the cached fast path. */
+                            sha2: Boolean = false, sha2FullAuth: Boolean = false)
     extends AutoCloseable {
   import MysqlWire._
 
@@ -41,6 +47,8 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
   /** Every COM_QUERY sql, in arrival order — lock/pin ordering assertions. */
   val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** Total connections ever accepted — the persistent-mode churn assertion. */
+  val connections = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -49,6 +57,7 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
     while (running) {
       try {
         val s = server.accept()
+        connections.incrementAndGet()
         try serve(s) catch { case _: Exception => () } finally s.close()
       } catch { case _: Exception => () }
     }
@@ -94,7 +103,25 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
     at += 1
     val authLen = resp(at) & 0xff; at += 1
     val token = java.util.Arrays.copyOfRange(resp, at, at + authLen)
-    if (authSwitch) {
+    if (sha2) {
+      // switch the account to MySQL 8's default plugin
+      writePacket(out, seq + 1,
+        Array(0xfe.toByte) ++ "caching_sha2_password".getBytes(UTF_8) ++
+          Array(0.toByte) ++ nonce2 ++ Array(0.toByte))
+      val (seq2, switched) = readPacket(in)
+      if (sha2FullAuth) {
+        // cold cache: demand full authentication (0x01 0x04)
+        writePacket(out, seq2 + 1, Array[Byte](0x01, 0x04))
+        return
+      }
+      val expected2 = cachingSha2Scramble(password, nonce2)
+      if (!java.util.Arrays.equals(switched, expected2)) {
+        writePacket(out, seq2 + 1, errPkt(1045, "Access denied"))
+        return
+      }
+      writePacket(out, seq2 + 1, Array[Byte](0x01, 0x03)) // fast-auth success
+      writePacket(out, seq2 + 2, ok)
+    } else if (authSwitch) {
       // re-challenge with fresh auth data, like a server whose default
       // plugin differs from the account's
       writePacket(out, seq + 1,
@@ -181,28 +208,61 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false)
           writePacket(out, 1, ok)
         case COM_BINLOG_DUMP =>
           val pos = leAt(p, 1, 4)
+          val flags = leAt(p, 5, 2)
           val fname = new String(p, 11, p.length - 11, UTF_8)
           dumpRequests.add((fname, pos))
           var sq = 1
-          files.find(_._1 == fname) match {
-            case None => writePacket(out, sq, errPkt(1236, s"no such binlog: $fname"))
-            case Some((_, bytes)) =>
-              // real dump semantics: FORMAT_DESCRIPTION re-sent regardless of
-              // pos; other events sent when their start ≥ pos
-              var o = 4
-              var sent = 0
-              while (o + 19 <= bytes.length) {
-                val size = leAt(bytes, o + 9, 4).toInt
-                val etype = bytes(o + 4) & 0xff
-                if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT || o >= pos) {
-                  writePacket(out, sq,
-                    Array(0.toByte) ++ java.util.Arrays.copyOfRange(bytes, o, o + size))
-                  sq += 1; sent += 1
-                  if (truncateDump && sent >= 2) return // drop: no EOF packet
+          if ((flags & BINLOG_DUMP_NON_BLOCK) != 0) {
+            files.find(_._1 == fname) match {
+              case None => writePacket(out, sq, errPkt(1236, s"no such binlog: $fname"))
+              case Some((_, bytes)) =>
+                // real dump semantics: FORMAT_DESCRIPTION re-sent regardless
+                // of pos; other events sent when their start ≥ pos
+                var o = 4
+                var sent = 0
+                while (o + 19 <= bytes.length) {
+                  val size = leAt(bytes, o + 9, 4).toInt
+                  val etype = bytes(o + 4) & 0xff
+                  if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT || o >= pos) {
+                    writePacket(out, sq,
+                      Array(0.toByte) ++ java.util.Arrays.copyOfRange(bytes, o, o + size))
+                    sq += 1; sent += 1
+                    if (truncateDump && sent >= 2) return // drop: no EOF packet
+                  }
+                  o += size
                 }
-                o += size
+                writePacket(out, sq, eofPkt) // BINLOG_DUMP_NON_BLOCK end
+            }
+          } else {
+            // BLOCKING dump: stream the requested file, follow into every
+            // later file as it appears (fixtures carry their own ROTATE
+            // events), keep polling for growth, never send EOF — the
+            // connection lives until one side closes it.
+            var fidx = files.indexWhere(_._1 == fname)
+            if (fidx < 0) { writePacket(out, sq, errPkt(1236, s"no such binlog: $fname")); return }
+            var o = 4
+            var firstFile = true
+            while (running) {
+              val cur = files
+              var sent = false
+              if (fidx < cur.size) {
+                val bytes = cur(fidx)._2
+                while (o + 19 <= bytes.length) {
+                  val size = leAt(bytes, o + 9, 4).toInt
+                  val etype = bytes(o + 4) & 0xff
+                  if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT || !firstFile || o >= pos) {
+                    writePacket(out, sq,
+                      Array(0.toByte) ++ java.util.Arrays.copyOfRange(bytes, o, o + size))
+                    sq += 1; sent = true
+                  }
+                  o += size
+                }
+                if (fidx + 1 < cur.size && o + 19 > bytes.length) {
+                  fidx += 1; o = 4; firstFile = false; sent = true
+                }
               }
-              writePacket(out, sq, eofPkt) // BINLOG_DUMP_NON_BLOCK end
+              if (!sent) Thread.sleep(10)
+            }
           }
         case _ => writePacket(out, 1, errPkt(1047, "unknown command"))
       }
@@ -275,6 +335,41 @@ class ReplicationSpec extends SparkSpec {
       assert(e.getMessage.contains("auth failed"))
       bad.close()
     } finally stub.close()
+  }
+
+  test("caching_sha2_password: golden token, cached fast path accepted, " +
+    "full-auth demand refused with the actionable fix") {
+    // golden value computed independently (python hashlib) for password
+    // "secret-pw" and nonce 0x29..0x3c (the stub's nonce2)
+    val n2 = Array.tabulate(20)(i => (41 + i).toByte)
+    val got = MysqlWire.cachingSha2Scramble("secret-pw", n2)
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got === "a0e6eebe7477e647623b42b3e45b7ca4c6b8291ee45a0de6cec53645b6f4a555")
+    assert(MysqlWire.cachingSha2Scramble("", n2).isEmpty)
+
+    val fast = new StubMysqlServer("secret-pw", sha2 = true)
+    try {
+      fast.files = Seq(("binlog.000001", fixture().bytes))
+      val c = new ReplicationClient("127.0.0.1", fast.port, "repl", "secret-pw", 8L)
+      try {
+        c.connect() // switch → SHA256 scramble → 0x01 0x03 → OK
+        assert(c.binaryLogs().nonEmpty, "post-fast-auth session is fully usable")
+      } finally c.close()
+      val bad = new ReplicationClient("127.0.0.1", fast.port, "repl", "nope", 8L)
+      val e = intercept[java.io.IOException] { bad.connect() }
+      assert(e.getMessage.contains("auth failed"))
+      bad.close()
+    } finally fast.close()
+
+    val cold = new StubMysqlServer("secret-pw", sha2 = true, sha2FullAuth = true)
+    try {
+      val c = new ReplicationClient("127.0.0.1", cold.port, "repl", "secret-pw", 8L)
+      val e = intercept[java.io.IOException] { c.connect() }
+      assert(e.getMessage.contains("FULL authentication") &&
+        e.getMessage.contains("prime the server's cache"),
+        s"actionable refusal, not a protocol error: ${e.getMessage}")
+      c.close()
+    } finally cold.close()
   }
 
   test("wrong password is rejected by the server's verification, loudly") {
@@ -492,6 +587,116 @@ class ReplicationSpec extends SparkSpec {
         s"resume must COM_BINLOG_DUMP from the checkpointed offset: $reqs")
       assert(reqs.tail.exists(r => r._1 == "binlog.000002" && r._2 <= 4),
         s"rotated file starts from its beginning: $reqs")
+    } finally stub.close()
+  }
+
+  test("persistent connection mode: ONE dump connection across many triggers, " +
+    "following growth and rotation without re-dialing") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("connection", "persistent")
+        .option("host", "127.0.0.1").option("port", stub.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => rows.add((r.getLong(2), r.getString(0)))); ()
+        }
+        .start()
+      try {
+        def await(n: Int): Unit = {
+          val deadline = System.currentTimeMillis() + 60000
+          while (rows.size < n && System.currentTimeMillis() < deadline) Thread.sleep(50)
+          assert(rows.size >= n, s"expected $n rows, got ${rows.size}: " +
+            s"${q.exception}; dumps=${stub.dumpRequests}")
+        }
+        await(3) // the fixture's statements, many empty triggers later
+
+        // live growth: the SAME dump connection must deliver it
+        w.tableMap(20L, 5L, "shop", "user",
+          Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+        w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(9), w.vVarchar("dee", 40))))
+        // and a real rotation into a second file
+        val fileEnd = w.bytes.length.toLong
+        w.event(999L, ROTATE_EVENT,
+          MysqlWire.le(4L, 8) ++ "binlog.000002".getBytes(UTF_8))
+        val w2 = new BinlogFixtureWriter(checksum = true)
+        w2.fde()
+        w2.tableMap(30L, 7L, "shop", "order", Seq(TYPE_LONG -> w2.mNone))
+        w2.rows(30L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w2.vLong(77))))
+        stub.files = Seq(("binlog.000001", w.bytes), ("binlog.000002", w2.bytes))
+
+        await(5)
+        assert(rows.asScala.exists(_._2.contains("\"dee\"")))
+        val rotated = rows.asScala.find(_._2.contains("\"77\"")).get
+        // global position continues across the rotation: past file 1's size
+        // (incl. its rotate event)
+        assert(rotated._1 > fileEnd, s"rotated row position: $rotated (fileEnd $fileEnd)")
+      } finally q.stop()
+      assert(stub.dumpRequests.size === 1, s"ONE blocking dump: ${stub.dumpRequests}")
+      assert(stub.connections.get() === 2,
+        s"one metadata listing + one dump — not per-trigger churn: ${stub.connections.get()}")
+    } finally stub.close()
+  }
+
+  test("persistent mode resumes from the checkpoint: the new dump starts at the " +
+    "committed offset, indistinguishable from per-batch mode") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+
+      def run(expect: Int): Seq[(Long, String)] = {
+        val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+        val q = spark.readStream.format("graft-cdc")
+          .option("wireFormat", "replication")
+          .option("connection", "persistent")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("user", "repl").option("password", "pw")
+          .load()
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.ProcessingTime("100 milliseconds"))
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.collect().foreach(r => rows.add((r.getLong(2), r.getString(0)))); ()
+          }
+          .start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          while (rows.size < expect && System.currentTimeMillis() < deadline) Thread.sleep(50)
+          assert(rows.size >= expect, s"expected $expect rows, got ${rows.size}: ${q.exception}")
+          q.processAllAvailable() // commit everything delivered so far
+        } finally q.stop()
+        rows.asScala.toSeq.sortBy(_._1)
+      }
+
+      val first = run(3)
+      assert(first.size === 3)
+      val committedEnd = w.bytes.length.toLong
+
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(9), w.vVarchar("dee", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+
+      val second = run(1)
+      assert(second.size === 1 && second.head._2.contains("\"dee\""),
+        s"only the post-checkpoint statement: $second")
+      assert(stub.dumpRequests.size === 2, s"${stub.dumpRequests}")
+      val resume = stub.dumpRequests.get(1)
+      assert(resume._1 === "binlog.000001" && resume._2 === committedEnd,
+        s"the restart dump must start at the committed offset: $resume")
     } finally stub.close()
   }
 
@@ -835,6 +1040,112 @@ class ReplicationSpec extends SparkSpec {
         assert(lines.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
         assert(lines.exists(l => l.contains("\"event_type\":\"alter\"") && !l.contains("\"event\":")))
       } finally handle.stop()
+    } finally stub.close()
+  }
+
+  test("soak: 20 seeded random kill-restart cycles — at-least-once delivery, " +
+    "replay-stable dense event_index, drift-registry durability") {
+    import BinlogWire._
+    // The end-to-end version of the invariants the other cases pin piecewise:
+    // each cycle appends random traffic (sometimes an ALTER — live drift),
+    // starts the engine against the stub, and either drains cleanly or is
+    // KILLED after a random delay (mid-batch, mid-decode, between batch and
+    // registry save — wherever the timing lands). After the final clean
+    // drain: nothing lost, duplicates byte-identical per index (replay
+    // stability), indices dense, post-ALTER rows decoded under the evolved
+    // schema.
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = new BinlogFixtureWriter(checksum = true)
+      w.fde()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+
+      var nextId = 0
+      var altered = false
+      val expectedIds = scala.collection.mutable.ArrayBuffer[(Int, Boolean)]() // (id, postAlter)
+      var expectedAlters = 0
+
+      def appendTraffic(): Unit = {
+        (1 to (1 + rnd.nextInt(3))).foreach { _ =>
+          if (!altered && rnd.nextInt(6) == 0) {
+            w.query(1000L + nextId, "shop", "ALTER TABLE shop.user ADD COLUMN age int")
+            altered = true
+            expectedAlters += 1
+          } else {
+            nextId += 1
+            if (altered) {
+              w.tableMap(1000L + nextId, 5L, "shop", "user",
+                Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40), TYPE_LONG -> w.mNone))
+              w.rows(1000L + nextId, WRITE_ROWS_V2, 5L, 3,
+                Seq(Seq(w.vLong(nextId), w.vVarchar(s"u$nextId", 40), w.vLong(nextId * 7))))
+            } else {
+              w.tableMap(1000L + nextId, 5L, "shop", "user",
+                Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+              w.rows(1000L + nextId, WRITE_ROWS_V2, 5L, 2,
+                Seq(Seq(w.vLong(nextId), w.vVarchar(s"u$nextId", 40))))
+            }
+            expectedIds += ((nextId, altered))
+          }
+        }
+        stub.files = Seq(("binlog.000001", w.bytes))
+      }
+
+      def cycle(killAfterMs: Int): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
+        try {
+          if (killAfterMs < 0) assert(handle.awaitTermination(120000), s"${handle.query.exception}")
+          else { Thread.sleep(killAfterMs); () } // kill mid-flight
+        } finally handle.stop()
+      }
+
+      cycle(-1) // cycle 0: pinned zero-config bootstrap, clean
+      (1 to 20).foreach { _ =>
+        appendTraffic()
+        cycle(if (rnd.nextBoolean()) -1 else rnd.nextInt(1500))
+      }
+      cycle(-1) // final clean drain picks up everything left behind
+
+      val lines = readSinkLines(s"$out/all")
+      val idxRe = """"event_index":(\d+)""".r
+
+      // at-least-once: every appended statement's envelope is present
+      expectedIds.foreach { case (id, postAlter) =>
+        val mine = lines.filter(_.contains(s""""id":$id,"""))
+        assert(mine.nonEmpty, s"lost row $id (${lines.size} lines)")
+        if (postAlter)
+          assert(mine.forall(_.contains(s""""age":${id * 7}""")),
+            s"row $id must decode under the POST-alter schema: $mine")
+        else
+          assert(mine.forall(!_.contains("\"age\"")),
+            s"row $id precedes the alter; a third column means mis-slotting: $mine")
+      }
+      assert(lines.count(_.contains("\"event_type\":\"alter\"")) >= expectedAlters)
+
+      // replay stability: duplicates are allowed, but every line with one
+      // event_index must be byte-identical
+      lines.groupBy(l => idxRe.findFirstMatchIn(l).map(_.group(1)).getOrElse("?"))
+        .foreach { case (idx, ls) =>
+          assert(ls.distinct.size === 1,
+            s"index $idx re-assigned to different envelopes: ${ls.distinct}")
+        }
+
+      // dense: distinct indices are exactly 1..N
+      val indices = lines.flatMap(l => idxRe.findFirstMatchIn(l).map(_.group(1).toLong))
+        .distinct.sorted
+      assert(indices === (1L to indices.size).toSeq,
+        s"event_index must be dense: $indices")
     } finally stub.close()
   }
 
