@@ -118,6 +118,14 @@ object Engine {
       "Engine: snapshotOnBootstrap dumps tables over the live replication " +
         "connection — it requires wireFormat=replication (file modes read " +
         "a directory that IS the snapshot)")
+    require(!cfg.snapshotOnBootstrap || cfg.schemaRegistry.exists(r =>
+        r.registeredTables.isEmpty ||
+          java.nio.file.Files.exists(
+            java.nio.file.Paths.get(cfg.posFile + ".snapshot/_pinned.json"))),
+      "Engine: snapshotOnBootstrap belongs to the zero-config bootstrap " +
+        "(empty registry on first start) — a manually-registered registry " +
+        "would silently skip the dump; register nothing and let the pinned " +
+        "bootstrap fetch schemas, or drop snapshotOnBootstrap")
 
     val registry = new SubscriberRegistry
     val pubsub = cfg.tcpPubSubPort.map(p => new TcpPubSubService(p))

@@ -100,6 +100,68 @@ object Selection {
       .drop("__h")
   }
 
+  /** Concat-and-chunk sequence packing: the step between "selected corpus"
+    * and "training shards" — documents are laid end to end in a seeded
+    * deterministic order and the concatenated token stream is cut into
+    * fixed windows of `windowTokens` (the GPT-pretraining packing shape:
+    * documents SPLIT across window boundaries; no padding waste). Each
+    * output row is one (document, window) overlap with enough coordinates
+    * to materialize the window: where the document starts inside it and how
+    * many of its tokens land there.
+    *
+    * Scale shape: the global token prefix-sum NEVER runs as one corpus-wide
+    * window. Like [[tokenBudget]]/[[mixSources]], it decomposes over seeded
+    * hash buckets: per-bucket token sums (map-side combinable — the frame is
+    * `buckets` rows, metadata-sized) prefix-sum to bucket base offsets on
+    * the tiny frame, and the per-document cumulation runs WITHIN a bucket —
+    * fine-grained window keys that spread across the cluster. The global
+    * order is (bucket, hash, id), reproducible across engines, retries and
+    * partitionings; re-packing after an upstream change moves only the
+    * buckets whose contents changed... plus everything downstream of the
+    * first moved token — which is why the seed is part of the contract.
+    *
+    * Zero-token documents contribute nothing to the stream and are dropped
+    * (a packed window cannot hold them).
+    *
+    * Output: (id, tok, gstart, bin, off_in_bin, len_in_bin) — `gstart` the
+    * document's global token offset, `bin` the window id, `off_in_bin`
+    * where the document's surviving tokens begin within the window,
+    * `len_in_bin` how many land there. Σ len_in_bin over a bin =
+    * `windowTokens` (except the last). */
+  def packSequences(docs: DataFrame, idCol: String, tok: Column,
+                    windowTokens: Long, seed: String = "pack",
+                    buckets: Int = 4096): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val base = docs.select(col(idCol).as("id"), tok.cast("long").as("tok"))
+      .filter(col("tok") >= 1)
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit(seed), col("id"))))
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+    val counts = base.groupBy("__b").agg(sum("tok").as("__n"))
+    // tiny frame (≤ `buckets` rows): the single-partition window is fine HERE
+    val byBucket = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("__off", sum(col("__n")).over(byBucket) - col("__n"))
+      .select(col("__b"), col("__off"))
+    val withinBucket = Window.partitionBy("__b").orderBy(col("__h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum", col("__off") + sum(col("tok")).over(withinBucket))
+      .withColumn("gstart", col("cum") - col("tok"))
+      .select(col("id"), col("tok"), col("gstart"),
+        col("cum"),
+        explode(sequence(expr(s"gstart div $windowTokens"),
+          expr(s"(cum - 1) div $windowTokens"))).as("bin"))
+      .withColumn("off_in_bin",
+        greatest(col("gstart") - col("bin") * windowTokens, lit(0L)))
+      .withColumn("len_in_bin",
+        least(col("cum"), (col("bin") + 1) * windowTokens) -
+          greatest(col("gstart"), col("bin") * windowTokens))
+      .select(col("id"), col("tok"), col("gstart"), col("bin"),
+        col("off_in_bin"), col("len_in_bin"))
+  }
+
   /** Weight-proportional deterministic source interleave (stride scheduling):
     * document r (1-based, in seeded-hash order) of a source with weight w is
     * placed at integer coordinate `r · 1000000 div w`; reading the corpus in

@@ -926,6 +926,67 @@ object LlmQueries {
       |  doc_id, source
       |FROM sh ORDER BY shard, pos""".stripMargin
 
+  // ---------------------------------------------------------------- q50 sequence packing
+
+  /** Concat-and-chunk sequence packing ([[Selection.packSequences]]): lay the
+    * corpus end to end in seeded-hash order and cut the token stream into
+    * 512-token training windows — each output row one (document, window)
+    * overlap with in-window coordinates. The oracle reproduces the global
+    * prefix sum with a plain window; the engine must produce IDENTICAL
+    * coordinates from the bucket-decomposed plan (per-bucket sums + tiny
+    * offset frame + within-bucket windows) that never sorts the corpus in
+    * one task. */
+  private def q50(s: SparkSession, d: String): DataFrame =
+    Selection.packSequences(Tables.documents(s, d), "doc_id",
+        TextAnalysis.subwordTokens(col("text")), windowTokens = 512L)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("bin", "gstart")
+
+  private val q50Sql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS tok,
+      |    ('0x' || substr(md5('pack' || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |b AS (SELECT *, (h % 4096)::INTEGER AS bk FROM t WHERE tok >= 1),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |    sum(tok) OVER (ORDER BY bk, h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM b),
+      |s AS (SELECT doc_id, tok, (cum - tok)::BIGINT AS gstart, cum::BIGINT AS cum FROM c),
+      |e AS (
+      |  SELECT doc_id, tok, gstart, cum,
+      |    unnest(range(gstart // 512, (cum - 1) // 512 + 1)) AS bin
+      |  FROM s)
+      |SELECT doc_id, tok, gstart, bin,
+      |  greatest(gstart - bin * 512, 0) AS off_in_bin,
+      |  least(cum, (bin + 1) * 512) - greatest(gstart, bin * 512) AS len_in_bin
+      |FROM e ORDER BY bin, gstart""".stripMargin
+
+  // ---------------------------------------------------------------- q51 chunking
+
+  /** Overlapping word-window chunking ([[TextAnalysis.chunkWords]]): 64-word
+    * chunks every 48 words (16 overlap) — the RAG/embedding passage step.
+    * Pure per-row explode; the oracle mirrors it with list slicing. */
+  private def q51(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(TextAnalysis.chunkWords(col("text"), 64, 16)).as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.n_words"),
+        col("c.chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  private val q51Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |e AS (
+      |  SELECT doc_id, len(ws)::BIGINT AS n_words, ws,
+      |    unnest(range(0, (len(ws) - 1) // 48 + 1)) AS chunk_id
+      |  FROM w)
+      |SELECT doc_id, chunk_id, n_words,
+      |  array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+      |FROM e ORDER BY doc_id, chunk_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -953,5 +1014,7 @@ object LlmQueries {
     QueryDef("q47_export_shuffle", q47, Some(q47Sql)),
     QueryDef("q48_source_mix", q48, Some(q48Sql)),
     QueryDef("q49_export_capstone", q49, Some(q49Sql)),
+    QueryDef("q50_seq_packing", q50, Some(q50Sql)),
+    QueryDef("q51_chunking", q51, Some(q51Sql)),
   )
 }

@@ -96,7 +96,13 @@ object Snapshot {
       }
       val tables = SchemaBootstrap.fromServer(c, registry, includeDb)
       (pinned, tables)
-    } finally if (locked) c.query("UNLOCK TABLES")
+    } finally if (locked) {
+      // best-effort: if the pin itself failed on a dead connection, the
+      // UNLOCK fails too — surfacing THAT would mask the original error
+      // (and the server drops the lock with the session anyway)
+      scala.util.Try(c.query("UNLOCK TABLES"))
+      ()
+    }
   }
 
   /** Step 6: `SELECT *` each table inside the consistent-snapshot

@@ -193,6 +193,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q49's LIMIT should plan as distributed top-k:\n$plan")
   }
 
+  test("q50 sequence packing decomposes the global prefix sum over buckets") {
+    // The naive form is ONE corpus-wide cumulative window (a single task
+    // sorting the whole corpus). The packed plan must aggregate to
+    // per-bucket token sums first (HashAggregate), window the
+    // metadata-sized offsets frame plus the fine-grained per-bucket keys —
+    // exactly two windows — and join the offsets back as a BROADCAST.
+    val plan = planOf("q50_seq_packing")
+    assert(plan.contains("HashAggregate"), s"bucket-sum aggregation missing:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 2, s"q50 should have offsets + within-bucket windows, found $windows:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the 4096-row offsets frame must broadcast, not shuffle the corpus:\n$plan")
+  }
+
+  test("q51 chunking is a pure per-row explode: no join, no aggregate, no window") {
+    val plan = planOf("q51_chunking")
+    assert(!plan.contains("Join"), s"q51 must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q51 must not aggregate:\n$plan")
+    assert(!"Window \\[".r.findAllIn(plan).hasNext, s"q51 must not window:\n$plan")
+    assert(plan.contains("Generate"), s"the explode must be a Generate:\n$plan")
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the

@@ -22,6 +22,76 @@ class SelectionSpec extends SparkSpec {
       }
     }.sortBy(r => (r._1, r._2))
 
+  test("sequence packing: windows fill exactly, documents split losslessly, " +
+    "bucket-decomposed plan equals the naive global prefix sum") {
+    val rnd = new Random(50)
+    val docs = (1L to 300L).map(id => (id, 1L + rnd.nextInt(40))).toDF("doc_id", "tok")
+    val T = 64L
+    val got = Selection.packSequences(docs, "doc_id", col("tok"), T)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+
+    // lossless: every document's in-bin lengths sum to its token count
+    got.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._6).sum === rows.head._2, s"doc $id split lost tokens")
+    }
+    // windows fill EXACTLY to T (the last may be short), bins dense from 0
+    val byBin = got.groupBy(_._4).toSeq.sortBy(_._1)
+    assert(byBin.map(_._1) === (0L until byBin.size).toSeq, "bins must be dense")
+    byBin.dropRight(1).foreach { case (bin, rows) =>
+      assert(rows.map(_._6).sum === T, s"bin $bin not full")
+    }
+    assert(byBin.last._2.map(_._6).sum <= T)
+    // coordinates: a document's window slice starts where the previous ended
+    got.foreach { case (id, _, gstart, bin, off, len) =>
+      assert(off >= 0 && off < T && len >= 1 && off + len <= T, s"doc $id bin $bin")
+      assert(math.max(gstart, bin * T) === bin * T + off)
+    }
+    // equals the naive single-window global prefix sum in the same order
+    val naiveOrder = docs.withColumn("__h",
+        Dedup.shingleHash(concat_ws(":", lit("pack"), col("doc_id"))))
+      .select(col("doc_id"), col("tok"), col("__h"), (col("__h") % 4096).as("__b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(2)))
+      .sortBy(r => (r._3, r._4, r._1))
+    var cum = 0L
+    val naive = naiveOrder.flatMap { case (id, tok, _, _) =>
+      val start = cum; cum += tok
+      (start / T to (cum - 1) / T).map(bin => (id, tok, start, bin,
+        math.max(start - bin * T, 0L),
+        math.min(cum, (bin + 1) * T) - math.max(start, bin * T)))
+    }
+    assert(got.sortBy(r => (r._4, r._3)).toSeq === naive.sortBy(r => (r._4, r._3)).toSeq)
+  }
+
+  test("chunkWords: stride coverage, overlap identity, short trailing chunk") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ") // 100 words
+    val out = Seq(text).toDF("text")
+      .select(explode(TextAnalysis.chunkWords(col("text"), 10, 3)).as("c"))
+      .select("c.chunk_id", "c.n_words", "c.chunk_text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // step 7: chunks start at 0,7,...,98 → ⌈…⌉ = (100-1)/7+1 = 15 chunks
+    assert(out.length === 15)
+    assert(out.forall(_._2 === 100L))
+    out.foreach { case (i, _, chunk) =>
+      val ws = chunk.split(" ")
+      assert(ws.head === s"w${i * 7 + 1}", s"chunk $i starts wrong")
+      assert(ws.length === math.min(10L, 100L - i * 7).toInt, s"chunk $i length")
+    }
+    // overlap identity: last 3 words of chunk i = first 3 of chunk i+1 when full
+    out.sliding(2).foreach {
+      case Array((_, _, a), (bId, _, b)) =>
+        assert(a.split(" ").drop(7).toSeq === b.split(" ").take(3).toSeq,
+          s"overlap broken entering chunk $bId")
+      case _ => ()
+    }
+    // single-word and empty documents chunk to exactly one chunk
+    val tiny = Seq("solo", "").toDF("text")
+      .select(explode(TextAnalysis.chunkWords(col("text"), 10, 3)).as("c"))
+      .select("c.chunk_text").collect().map(_.getString(0))
+    assert(tiny.toSeq === Seq("solo", ""))
+  }
+
   test("token budget equals the naive running-total oracle on seeded inputs") {
     val rnd = new Random(7)
     for (trial <- 1 to 4) {

@@ -648,6 +648,53 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("persistent mode under backpressure: a 2-entry buffer and a small byte " +
+    "budget still deliver everything, in order, without deadlock") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = new BinlogFixtureWriter(checksum = true)
+      w.fde()
+      (1 to 8).foreach { i =>
+        w.tableMap(10L + i, 5L, "shop", "user",
+          Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+        w.rows(10L + i, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(i), w.vVarchar(s"u$i", 40))))
+      }
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+      val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Int]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("connection", "persistent")
+        .option("dumpBufferCap", "2")          // reader blocks → TCP backpressure
+        .option("maxBytesPerTrigger", "120")   // ~1-2 statements per batch
+        .option("host", "127.0.0.1").option("port", stub.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.ProcessingTime("50 milliseconds"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val got = batch.collect().map(r => (r.getLong(2), r.getString(0)))
+          if (got.nonEmpty) batchSizes.add(got.length)
+          got.foreach(rows.add); ()
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (rows.size < 8 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(rows.size === 8, s"all statements must arrive: ${rows.size}, ${q.exception}")
+      } finally q.stop()
+      val pos = rows.asScala.map(_._1).toSeq
+      assert(pos === pos.sorted && pos.distinct.size === 8,
+        s"in order, no duplicates in steady state: $pos")
+      assert(batchSizes.asScala.max <= 4,
+        s"the budget must bound batches (got $batchSizes)")
+      assert(stub.dumpRequests.size === 1, "still one dump connection")
+    } finally stub.close()
+  }
+
   test("persistent mode resumes from the checkpoint: the new dump starts at the " +
     "committed offset, indistinguishable from per-batch mode") {
     import BinlogWire._
@@ -969,6 +1016,21 @@ class ReplicationSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       assert(stub.queriesSeen.asScala.count(_.toUpperCase.contains("SELECT * FROM")) === 1)
     } finally stub.close()
+  }
+
+  test("snapshotOnBootstrap with a manually-registered registry fails fast " +
+    "instead of silently skipping the dump") {
+    val reg = new graft.cdc.SchemaRegistry
+    reg.register("shop", "user", Seq(graft.cdc.Decode.ColMeta("id", "int(11)")))
+    val out = tmp()
+    val e = intercept[IllegalArgumentException] {
+      graft.app.Engine.start(spark, graft.app.Engine.Config(
+        inputDir = "(unused)", checkpointDir = s"$out/cp", posFile = s"$out/pos.bin",
+        useDsv2Source = true, wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1"),
+        schemaRegistry = Some(reg), snapshotOnBootstrap = true))
+    }
+    assert(e.getMessage.contains("zero-config"), e.getMessage)
   }
 
   test("zero-config capstone: engine bootstraps schemas from the server like canal, " +
