@@ -319,6 +319,62 @@ object Dedup {
         count(lit(1)).as("n_dups"),
         concat_ws(",", sort_array(collect_list(col(idCol)))).as("members"))
 
+  /** Corpus-wide REPEATED n-gram span detection — the substring-level dedup
+    * pass (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): find word n-grams that occur in ≥ `minDocs` distinct
+    * documents (boilerplate, licenses, navigation chrome, templated spam)
+    * and merge each document's flagged occurrences into maximal word spans
+    * `[span_start, span_end)` for removal/masking. Document-level dedup
+    * misses these entirely — two different pages sharing a 200-word footer
+    * are not near-duplicates, but the footer still appears a million times
+    * in the training set.
+    *
+    * Scale shape: n-grams travel as stepwise-mod 58-bit hashes
+    * ([[graft.llm.Decontam.ngramHashesMod]] — a 31-bit space saturates at
+    * corpus scale), built from the once-per-distinct-word dictionary. The
+    * frequent-gram set is the heavy-hitter TAIL of a map-side-combined
+    * count — small by construction (the whole point is that repeats are
+    * rare relative to the corpus), so AQE broadcasts it and occurrences
+    * never shuffle for the probe. Only FLAGGED occurrences (the repeats
+    * themselves) reach the per-document island-merge window, whose key is
+    * doc_id — fine-grained and skew-free.
+    *
+    * Output: (doc_id, span_start, span_end) — 0-based word offsets,
+    * end-exclusive, spans disjoint with ≥ one unflagged word between them. */
+  def repeatedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 8, minDocs: Long = 2): DataFrame =
+    repeatedNgramSpansManaged(docs, idCol, textCol, n, minDocs)._1
+
+  /** [[repeatedNgramSpans]] plus a cleanup handle: the word-hash frame feeds
+    * both the frequency count and the flagged-occurrence probe — without the
+    * persist the corpus scan + dictionary join run twice. */
+  def repeatedNgramSpansManaged(docs: DataFrame, idCol: String, textCol: String,
+                                n: Int, minDocs: Long): (DataFrame, () => Unit) = {
+    import org.apache.spark.sql.expressions.Window
+    val wh = wordHashFrame(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = wh.select(col("doc_id"),
+      posexplode(graft.llm.Decontam.ngramHashesMod(col("whs"), n)).as(Seq("p", "ng")))
+    val freq = grams.groupBy("ng")
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("ng")
+    val flagged = grams.join(freq, "ng").select(col("doc_id"), col("p"))
+    // island merge: occurrences [p, p+n) chain while the next start is at
+    // most n past the previous (touching or overlapping windows)
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val prev = lag(col("p"), 1).over(byDoc)
+    val out = flagged
+      .withColumn("brk", when(prev.isNull || col("p") > prev + n, 1).otherwise(0))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("p")).cast("long").as("span_start"),
+        (max(col("p")) + n).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    (out, () => { wh.unpersist(); () })
+  }
+
   private def shr(a: Column, b: Column): Column = call_function("shiftright", a, b)
 
   /** 60-bit SimHash per document: bit j of the hash is the sign of the sum

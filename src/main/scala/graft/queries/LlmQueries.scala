@@ -987,6 +987,57 @@ object LlmQueries {
       |  array_to_string(ws[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
       |FROM e ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q52 repeated-span removal
+
+  /** Repeated n-gram span detection ([[Dedup.repeatedNgramSpans]]):
+    * substring-level dedup — word 8-grams occurring in ≥2 distinct documents
+    * (boilerplate/template text the document-level passes cannot see),
+    * merged into maximal removal spans per document. The oracle replays the
+    * same stepwise-mod gram hashes and island merge in SQL. */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    Dedup.repeatedNgramSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 8, minDocs = 2)
+      .orderBy("doc_id", "span_start")
+
+  private val q52Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |wh AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(whs) >= 8 THEN [
+      |    {'p': i - 1, 'ng':
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717)}
+      |    for i in range(1, len(whs)-6)] ELSE [] END AS gs
+      |  FROM wh),
+      |occ AS (SELECT doc_id, unnest(gs, recursive := true) FROM g),
+      |freq AS (
+      |  SELECT ng FROM (SELECT ng, count(DISTINCT doc_id) AS nd FROM occ GROUP BY ng)
+      |  WHERE nd >= 2),
+      |f AS (SELECT o.doc_id, o.p FROM occ o JOIN freq USING (ng)),
+      |i AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |         OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM i)
+      |SELECT doc_id, min(p)::BIGINT AS span_start, (max(p) + 8)::BIGINT AS span_end
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1016,5 +1067,6 @@ object LlmQueries {
     QueryDef("q49_export_capstone", q49, Some(q49Sql)),
     QueryDef("q50_seq_packing", q50, Some(q50Sql)),
     QueryDef("q51_chunking", q51, Some(q51Sql)),
+    QueryDef("q52_repeated_spans", q52, Some(q52Sql)),
   )
 }

@@ -297,7 +297,14 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
     }
     // what the dump has buffered, bounded by the AvailableNow pin and the
     // byte budget; every promised offset is a buffered SAFE position (an
-    // event end a future dump can start from), never an arbitrary byte
+    // event end a future dump can start from), never an arbitrary byte.
+    // Under AvailableNow the wrapper stops as soon as the source reports no
+    // progress toward the pinned target — but "no progress" here usually
+    // means the dump thread simply hasn't buffered yet (it dials on the
+    // FIRST latestOffset call). Returning `from` then would end the drain
+    // EMPTY, so block until the dump advances past `from` (bounded by the
+    // socket timeout: a dead connection still fails loudly).
+    target.foreach(t => if (t > from && r.buffered() <= from) r.awaitCovered(from + 1, 120000))
     var until = target.fold(r.buffered())(t => math.min(r.buffered(), t))
     maxBytesPerTrigger.foreach { b =>
       if (b < until - from) until = math.min(until, r.boundedSafe(from, b))

@@ -215,6 +215,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"the explode must be a Generate:\n$plan")
   }
 
+  test("q52 repeated spans: aggregate-first heavy hitters, doc-keyed island windows only") {
+    // The frequency count must be a map-side-combinable aggregate; the only
+    // windows are the island merge's lag + running sum, both partitioned by
+    // doc_id (fine-grained keys) over FLAGGED occurrences only — never a
+    // corpus-wide window.
+    val plan = planOf("q52_repeated_spans")
+    assert(plan.contains("HashAggregate"), s"gram-count aggregation missing:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows <= 2, s"island merge needs at most lag+sum windows, found $windows:\n$plan")
+    assert(plan.contains("doc_id"), plan)
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the

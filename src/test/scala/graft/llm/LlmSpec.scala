@@ -17,6 +17,30 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("repeated n-gram spans: planted boilerplate found and merged, unique text untouched") {
+    import spark.implicits._
+    val footer = (1 to 20).map(i => s"foot$i").mkString(" ") // 20-word shared footer
+    val docs = Seq(
+      (1L, s"alpha bravo charlie delta echo foxtrot golf hotel india juliett $footer"),
+      (2L, s"kilo lima mike november oscar papa quebec romeo sierra tango $footer"),
+      (3L, s"$footer uniform victor whiskey xray yankee zulu one two three four"),
+      (4L, "unique unrepeated words only nothing shared here at all today friend"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(s => (s._1, s._2))
+    // each of docs 1-3 gets EXACTLY ONE merged span covering the footer's
+    // words; doc 4 (all unique) gets none
+    assert(spans.map(_._1).toSeq === Seq(1L, 2L, 3L), s"spans: ${spans.toSeq}")
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 10L, 30L)), s"${spans.toSeq}")
+    assert(spans.filter(_._1 == 2L).toSeq === Seq((2L, 10L, 30L)))
+    // doc 3's footer is at the START; its 8-grams bleed into the suffix by
+    // up to n-1 words of context — the span still STARTS at word 0 and the
+    // flagged-gram window ends inside the unique tail
+    val s3 = spans.filter(_._1 == 3L).head
+    assert(s3._2 === 0L && s3._3 === 20L, s"doc 3 span: $s3")
+  }
+
   test("prefix-filtered jaccard join equals brute force (lossless recall)") {
     import spark.implicits._
     val docs = Tables.documents(spark, d)

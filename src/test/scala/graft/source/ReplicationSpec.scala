@@ -648,6 +648,74 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("persistent mode under Trigger.AvailableNow: drains to the dial-time tail " +
+    "and terminates — the first latestOffset must WAIT for the dump, not report " +
+    "no-progress on an empty buffer") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      def drain(): Seq[(Long, String)] = {
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val q = spark.readStream.format("graft-cdc")
+          .option("wireFormat", "replication")
+          .option("connection", "persistent")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("user", "repl").option("password", "pw")
+          .load()
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            rows ++= batch.collect().map(r => (r.getLong(2), r.getString(0))); ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), s"drain did not terminate: ${q.exception}")
+        rows.toSeq.sortBy(_._1)
+      }
+      assert(drain().size === 3, "the whole fixture, then stop")
+      // append + second AvailableNow run: only the new statements
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(9), w.vVarchar("dee", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val second = drain()
+      assert(second.size === 1 && second.head._2.contains("\"dee\""), s"$second")
+    } finally stub.close()
+  }
+
+  test("engine capstone over the persistent connection: socket → drift decode → " +
+    "envelopes with the default AvailableNow trigger") {
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val reg = new graft.cdc.SchemaRegistry
+      reg.register("shop", "user", Seq(
+        graft.cdc.Decode.ColMeta("id", "int(11)"),
+        graft.cdc.Decode.ColMeta("name", "varchar(40)")))
+      val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+        inputDir = "(unused-in-replication-mode)",
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+          "user" -> "repl", "password" -> "pw", "connection" -> "persistent"),
+        schemaRegistry = Some(reg)))
+      try {
+        assert(handle.awaitTermination(120000))
+        val lines = readSinkLines(s"$out/all")
+        assert(lines.size === 4, s"3 row envelopes + 1 alter: $lines")
+        assert(lines.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
+      } finally handle.stop()
+      assert(stub.dumpRequests.size === 1, s"one blocking dump: ${stub.dumpRequests}")
+    } finally stub.close()
+  }
+
   test("persistent mode under backpressure: a 2-entry buffer and a small byte " +
     "budget still deliver everything, in order, without deadlock") {
     import BinlogWire._
