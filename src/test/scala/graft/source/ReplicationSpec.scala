@@ -49,6 +49,10 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
   val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
   /** Total connections ever accepted — the persistent-mode churn assertion. */
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Blocking dumps emit HEARTBEAT events while idle (real-server behavior
+    * under @master_heartbeat_period). */
+  @volatile var heartbeats: Boolean = false
+  val heartbeatsSent = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val server = new ServerSocket(0, 16, InetAddress.getLoopbackAddress)
   def port: Int = server.getLocalPort
@@ -58,7 +62,17 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
       try {
         val s = server.accept()
         connections.incrementAndGet()
-        try serve(s) catch { case _: Exception => () } finally s.close()
+        // one thread per connection, like a real server: a long-lived
+        // blocking dump must not starve later metadata/dump connections
+        // (an abandoned dump's serve loop only notices the peer closed
+        // when it next writes)
+        val t = new Thread(() => {
+          try serve(s) catch { case _: Exception => () } finally {
+            try s.close() catch { case _: Exception => () }
+          }
+        }, "stub-mysql-conn")
+        t.setDaemon(true)
+        t.start()
       } catch { case _: Exception => () }
     }
   }, "stub-mysql")
@@ -242,6 +256,7 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
             if (fidx < 0) { writePacket(out, sq, errPkt(1236, s"no such binlog: $fname")); return }
             var o = 4
             var firstFile = true
+            var lastHb = System.currentTimeMillis()
             while (running) {
               val cur = files
               var sent = false
@@ -261,7 +276,22 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
                   fidx += 1; o = 4; firstFile = false; sent = true
                 }
               }
-              if (!sent) Thread.sleep(10)
+              if (!sent) {
+                if (heartbeats && System.currentTimeMillis() - lastHb > 100) {
+                  lastHb = System.currentTimeMillis()
+                  // HEARTBEAT (type 27): header-only liveness event carrying
+                  // the current file name; log_pos = current position
+                  val nameB = (if (fidx < cur.size) cur(fidx)._1 else fname).getBytes(UTF_8)
+                  val hb = new java.io.ByteArrayOutputStream()
+                  hb.write(le(0, 4)); hb.write(BinlogWire.HEARTBEAT_EVENT)
+                  hb.write(le(1, 4)); hb.write(le(19 + nameB.length, 4))
+                  hb.write(le(o, 4)); hb.write(le(0, 2)); hb.write(nameB)
+                  writePacket(out, sq, Array(0.toByte) ++ hb.toByteArray)
+                  sq += 1
+                  heartbeatsSent.incrementAndGet()
+                }
+                Thread.sleep(10)
+              }
             }
           }
         case _ => writePacket(out, 1, errPkt(1047, "unknown command"))
@@ -713,6 +743,55 @@ class ReplicationSpec extends SparkSpec {
         assert(lines.exists(_.contains("""{"data":{"id":1,"name":"ann"}}""")))
       } finally handle.stop()
       assert(stub.dumpRequests.size === 1, s"one blocking dump: ${stub.dumpRequests}")
+    } finally stub.close()
+  }
+
+  test("persistent mode ignores idle heartbeats: positions unaffected, traffic " +
+    "after a heartbeat-only idle period still delivered") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    stub.heartbeats = true
+    val cp = tmp()
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val rows = new java.util.concurrent.CopyOnWriteArrayList[(Long, String)]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("connection", "persistent")
+        .option("host", "127.0.0.1").option("port", stub.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.collect().foreach(r => rows.add((r.getLong(2), r.getString(0)))); ()
+        }
+        .start()
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (rows.size < 3 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(rows.size === 3, s"${q.exception}")
+        // idle: only heartbeats flow for a while
+        val hb0 = stub.heartbeatsSent.get()
+        while (stub.heartbeatsSent.get() < hb0 + 3 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(stub.heartbeatsSent.get() >= hb0 + 3, "stub must have idled through heartbeats")
+        assert(rows.size === 3, "heartbeats must not materialize as rows")
+        // traffic after the idle period flows with correct positions
+        val before = w.bytes.length.toLong
+        w.tableMap(20L, 5L, "shop", "user",
+          Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+        w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(9), w.vVarchar("dee", 40))))
+        stub.files = Seq(("binlog.000001", w.bytes))
+        while (rows.size < 4 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(rows.size === 4, s"post-idle delivery: ${q.exception}")
+        import scala.jdk.CollectionConverters._
+        val dee = rows.asScala.find(_._2.contains("\"dee\"")).get
+        assert(dee._1 > before && dee._1 < w.bytes.length,
+          s"heartbeat log_pos values must not perturb real positions: $dee")
+      } finally q.stop()
     } finally stub.close()
   }
 
@@ -1175,7 +1254,6 @@ class ReplicationSpec extends SparkSpec {
 
   test("soak: 20 seeded random kill-restart cycles — at-least-once delivery, " +
     "replay-stable dense event_index, drift-registry durability") {
-    import BinlogWire._
     // The end-to-end version of the invariants the other cases pin piecewise:
     // each cycle appends random traffic (sometimes an ALTER — live drift),
     // starts the engine against the stub, and either drains cleanly or is
@@ -1184,7 +1262,21 @@ class ReplicationSpec extends SparkSpec {
     // drain: nothing lost, duplicates byte-identical per index (replay
     // stability), indices dense, post-ALTER rows decoded under the evolved
     // schema.
-    val rnd = new scala.util.Random(0xC0FFEE)
+    soakRun(cycles = 20, seed = 0xC0FFEE, extraOptions = Map.empty)
+  }
+
+  test("soak over the PERSISTENT connection: kill-restart cycles re-dial the " +
+    "blocking dump from the checkpoint with the same invariants") {
+    // Exercises PersistentDumpReader's crash windows: killed mid-drain the
+    // reader thread dies with the query; the next cycle's fresh dump starts
+    // at the committed offset and must preserve exactly the same
+    // at-least-once / replay-stable / dense-index / drift contracts.
+    soakRun(cycles = 12, seed = 0xD00D, extraOptions = Map("connection" -> "persistent"))
+  }
+
+  private def soakRun(cycles: Int, seed: Long, extraOptions: Map[String, String]): Unit = {
+    import BinlogWire._
+    val rnd = new scala.util.Random(seed)
     val stub = new StubMysqlServer("pw")
     val (cp, out) = (tmp(), tmp())
     try {
@@ -1232,7 +1324,7 @@ class ReplicationSpec extends SparkSpec {
           useDsv2Source = true,
           wireFormat = Some("replication"),
           sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
-            "user" -> "repl", "password" -> "pw"),
+            "user" -> "repl", "password" -> "pw") ++ extraOptions,
           schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
         try {
           if (killAfterMs < 0) assert(handle.awaitTermination(120000), s"${handle.query.exception}")
@@ -1241,7 +1333,7 @@ class ReplicationSpec extends SparkSpec {
       }
 
       cycle(-1) // cycle 0: pinned zero-config bootstrap, clean
-      (1 to 20).foreach { _ =>
+      (1 to cycles).foreach { _ =>
         appendTraffic()
         cycle(if (rnd.nextBoolean()) -1 else rnd.nextInt(1500))
       }
