@@ -375,6 +375,38 @@ object Dedup {
     (out, () => { wh.unpersist(); () })
   }
 
+  /** The REMOVAL half of substring-level dedup: rebuild each document's word
+    * stream with the flagged spans cut out. `spans` is
+    * [[repeatedNgramSpans]]' output shape (doc_id, span_start, span_end) —
+    * disjoint, end-exclusive, in-bounds by construction there, but any span
+    * frame with that shape works (e.g. contaminated-span masks). Documents
+    * with no spans pass through untouched. Row-local after the one
+    * spans-per-doc aggregation: the rebuild is a higher-order filter over
+    * the word array — no shuffle of the corpus beyond the broadcast-sized
+    * span join (spans exist only for flagged documents).
+    *
+    * Output: (doc_id, n_words, n_removed, clean_text) — clean_text in the
+    * analysis tokenization (lowercased, single-space), the same convention
+    * as [[TextAnalysis.chunkWords]]. */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    val byDoc = spans.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e")))).as("spans"))
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(byDoc, Seq("doc_id"), "left")
+      .withColumn("__ws", split(lower(col("__text")), " "))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        coalesce(expr("aggregate(spans, cast(0 as bigint), (a, sp) -> a + sp.e - sp.s)"),
+          lit(0L)).as("n_removed"),
+        when(col("spans").isNull, array_join(col("__ws"), " "))
+          .otherwise(expr(
+            "array_join(filter(__ws, (w, i) -> " +
+              "!exists(spans, sp -> i >= sp.s and i < sp.e)), ' ')"))
+          .as("clean_text"))
+  }
+
   private def shr(a: Column, b: Column): Column = call_function("shiftright", a, b)
 
   /** 60-bit SimHash per document: bit j of the hash is the sign of the sum

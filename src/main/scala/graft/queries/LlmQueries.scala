@@ -1038,6 +1038,70 @@ object LlmQueries {
       |FROM isl GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
 
+  // ---------------------------------------------------------------- q53 span scrub
+
+  /** Substring-dedup capstone: q52's repeated spans applied back to the
+    * corpus ([[Dedup.removeSpans]]) — every document out the other side with
+    * its boilerplate cut and the removal accounted. Documents without spans
+    * pass through untouched. */
+  private def q53(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Dedup.removeSpans(docs,
+        Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val q53Sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |wh AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM w),
+      |g AS (
+      |  SELECT doc_id, CASE WHEN len(whs) >= 8 THEN [
+      |    {'p': i - 1, 'ng':
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717)}
+      |    for i in range(1, len(whs)-6)] ELSE [] END AS gs
+      |  FROM wh),
+      |occ AS (SELECT doc_id, unnest(gs, recursive := true) FROM g),
+      |freq AS (
+      |  SELECT ng FROM (SELECT ng, count(DISTINCT doc_id) AS nd FROM occ GROUP BY ng)
+      |  WHERE nd >= 2),
+      |f AS (SELECT o.doc_id, o.p FROM occ o JOIN freq USING (ng)),
+      |i AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |         OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM i),
+      |sp AS (
+      |  SELECT doc_id, min(p)::BIGINT AS s, (max(p) + 8)::BIGINT AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |spd AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS spans
+      |        FROM sp GROUP BY doc_id)
+      |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
+      |  coalesce(list_sum([x.e - x.s for x in spd.spans]), 0)::BIGINT AS n_removed,
+      |  CASE WHEN spd.spans IS NULL THEN array_to_string(w.ws, ' ')
+      |       -- array_to_string([]) is NULL in DuckDB; a fully-removed doc is ''
+      |       ELSE coalesce(array_to_string([w.ws[i] for i in range(1, len(w.ws)+1)
+      |         if len(list_filter(spd.spans, x -> i - 1 >= x.s AND i - 1 < x.e)) = 0], ' '), '')
+      |  END AS clean_text
+      |FROM w LEFT JOIN spd USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1068,5 +1132,6 @@ object LlmQueries {
     QueryDef("q50_seq_packing", q50, Some(q50Sql)),
     QueryDef("q51_chunking", q51, Some(q51Sql)),
     QueryDef("q52_repeated_spans", q52, Some(q52Sql)),
+    QueryDef("q53_span_scrub", q53, Some(q53Sql)),
   )
 }

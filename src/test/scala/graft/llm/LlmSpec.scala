@@ -39,6 +39,19 @@ class LlmSpec extends SparkSpec {
     // flagged-gram window ends inside the unique tail
     val s3 = spans.filter(_._1 == 3L).head
     assert(s3._2 === 0L && s3._3 === 20L, s"doc 3 span: $s3")
+
+    // the removal half: spans applied back to the text
+    val cleaned = Dedup.removeSpans(docs,
+        Dedup.repeatedNgramSpans(docs, "doc_id", "text", n = 8, minDocs = 2),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    assert(cleaned.map(c => (c._1, c._2, c._3)) ===
+      Seq((1L, 30L, 20L), (2L, 30L, 20L), (3L, 30L, 20L), (4L, 11L, 0L)))
+    assert(cleaned(0)._4 === "alpha bravo charlie delta echo foxtrot golf hotel india juliett")
+    assert(cleaned(2)._4 === "uniform victor whiskey xray yankee zulu one two three four")
+    assert(cleaned(3)._4 === "unique unrepeated words only nothing shared here at all today friend",
+      "span-free documents pass through")
   }
 
   test("prefix-filtered jaccard join equals brute force (lossless recall)") {
