@@ -83,6 +83,30 @@ object Decontam {
         expr("n_hits * 1000 div n_ngrams").as("hit_permille"))
   }
 
+  /** SPAN-level contamination mask — [[contaminationReport]]'s surgical
+    * sibling: instead of flagging whole documents for DROPPING, locate the
+    * exact word spans whose n-grams collide with the benchmark set and merge
+    * them into maximal `[start, end)` ranges ([[Dedup.mergeIslands]]).
+    * Feeding the result to [[Dedup.removeSpans]] masks the contamination
+    * while KEEPING the rest of the document — the right trade when the
+    * overlap is a quoted benchmark question inside an otherwise-clean page
+    * (dropping the page wastes data; keeping it leaks the eval).
+    *
+    * Same scale posture as the report: gram hashes from the shared word
+    * dictionary, benchmark side distinct + AQE-broadcast, corpus grams never
+    * shuffle for the probe; only COLLIDING positions (rare by construction)
+    * reach the doc-keyed island merge. */
+  def contaminationSpans(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    val grams = Dedup.wordHashFrame(corpus, idCol, textCol)
+      .select(col("doc_id"),
+        posexplode(ngramHashesMod(col("whs"), n)).as(Seq("p", "ng")))
+    val benchNgrams = Dedup.wordHashFrame(benchmark, idCol, textCol)
+      .select(explode(ngramHashesMod(col("whs"), n)).as("ng"))
+      .distinct()
+    Dedup.mergeIslands(grams.join(benchNgrams, "ng").select(col("doc_id"), col("p")), n)
+  }
+
   /** N-gram hashes computed DIRECTLY from a materialized words array — no
     * word dictionary. Value-identical to [[ngramHashesMod]] over
     * [[Dedup.wordHashFrame]] output (the dictionary never changes the hash, a

@@ -350,7 +350,6 @@ object Dedup {
     * persist the corpus scan + dictionary join run twice. */
   def repeatedNgramSpansManaged(docs: DataFrame, idCol: String, textCol: String,
                                 n: Int, minDocs: Long): (DataFrame, () => Unit) = {
-    import org.apache.spark.sql.expressions.Window
     val wh = wordHashFrame(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val grams = wh.select(col("doc_id"),
@@ -360,11 +359,19 @@ object Dedup {
       .filter(col("nd") >= minDocs)
       .select("ng")
     val flagged = grams.join(freq, "ng").select(col("doc_id"), col("p"))
-    // island merge: occurrences [p, p+n) chain while the next start is at
-    // most n past the previous (touching or overlapping windows)
+    (mergeIslands(flagged, n), () => { wh.unpersist(); () })
+  }
+
+  /** Island merge shared by every span producer: flagged (doc_id, p) n-gram
+    * start positions → maximal disjoint word spans `[span_start, span_end)`,
+    * chaining occurrences whose windows `[p, p+n)` touch or overlap (next
+    * start at most n past the previous). Doc-keyed windows over FLAGGED
+    * rows only — fine-grained, skew-free. */
+  def mergeIslands(flagged: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("p")
     val prev = lag(col("p"), 1).over(byDoc)
-    val out = flagged
+    flagged
       .withColumn("brk", when(prev.isNull || col("p") > prev + n, 1).otherwise(0))
       .withColumn("island", sum(col("brk")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -372,7 +379,6 @@ object Dedup {
       .agg(min(col("p")).cast("long").as("span_start"),
         (max(col("p")) + n).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
-    (out, () => { wh.unpersist(); () })
   }
 
   /** The REMOVAL half of substring-level dedup: rebuild each document's word

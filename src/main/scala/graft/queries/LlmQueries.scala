@@ -1102,6 +1102,72 @@ object LlmQueries {
       |FROM w LEFT JOIN spd USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q54 decontam scrub
+
+  /** Span-level decontamination ([[Decontam.contaminationSpans]] →
+    * [[Dedup.removeSpans]]): instead of dropping every document q45 flags,
+    * cut out exactly the benchmark-overlapping word spans and keep the rest
+    * — the surgical form of decontamination. Same held-out split as q45. */
+  private def q54(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val corpus = docs.filter(!isBench)
+    Dedup.removeSpans(corpus,
+        Decontam.contaminationSpans(corpus, docs.filter(isBench), "doc_id", "text", n = 8),
+        "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val q54Sql =
+    """WITH marked AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+      |    substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') AS is_bench
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, is_bench, ws,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM marked),
+      |g AS (
+      |  SELECT doc_id, is_bench, CASE WHEN len(whs) >= 8 THEN [
+      |    {'p': i - 1, 'ng':
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717)}
+      |    for i in range(1, len(whs)-6)] ELSE [] END AS gs
+      |  FROM wh),
+      |occ AS (SELECT doc_id, is_bench, unnest(gs, recursive := true) FROM g),
+      |bench AS (SELECT DISTINCT ng FROM occ WHERE is_bench),
+      |f AS (SELECT o.doc_id, o.p FROM occ o JOIN bench USING (ng) WHERE NOT o.is_bench),
+      |i AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+      |         OR p > lag(p) OVER (PARTITION BY doc_id ORDER BY p) + 8
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM i),
+      |sp AS (
+      |  SELECT doc_id, min(p)::BIGINT AS s, (max(p) + 8)::BIGINT AS e
+      |  FROM isl GROUP BY doc_id, island),
+      |spd AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS spans
+      |        FROM sp GROUP BY doc_id)
+      |SELECT m.doc_id, len(m.ws)::BIGINT AS n_words,
+      |  coalesce(list_sum([x.e - x.s for x in spd.spans]), 0)::BIGINT AS n_removed,
+      |  CASE WHEN spd.spans IS NULL THEN array_to_string(m.ws, ' ')
+      |       ELSE coalesce(array_to_string([m.ws[i] for i in range(1, len(m.ws)+1)
+      |         if len(list_filter(spd.spans, x -> i - 1 >= x.s AND i - 1 < x.e)) = 0], ' '), '')
+      |  END AS clean_text
+      |FROM marked m LEFT JOIN spd USING (doc_id)
+      |WHERE NOT m.is_bench
+      |ORDER BY m.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1133,5 +1199,6 @@ object LlmQueries {
     QueryDef("q51_chunking", q51, Some(q51Sql)),
     QueryDef("q52_repeated_spans", q52, Some(q52Sql)),
     QueryDef("q53_span_scrub", q53, Some(q53Sql)),
+    QueryDef("q54_decontam_scrub", q54, Some(q54Sql)),
   )
 }

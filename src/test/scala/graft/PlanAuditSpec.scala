@@ -227,6 +227,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("doc_id"), plan)
   }
 
+  test("q54 span decontam: benchmark probe broadcasts, doc-keyed island windows only") {
+    val plan = planOf("q54_decontam_scrub")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the benchmark gram set must broadcast:\n$plan")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows <= 2, s"island merge needs at most lag+sum windows, found $windows:\n$plan")
+  }
+
   test("q34 assigns IVF cells map-side: no join before the probe join") {
     // The r4 defect: cell assignment expanded candidates × centroids through
     // a windowed Exchange. The fixed plan computes the argmax inline, so the

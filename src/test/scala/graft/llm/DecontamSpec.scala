@@ -9,6 +9,30 @@ class DecontamSpec extends SparkSpec {
   private def words(n: Int, prefix: String): String =
     (0 until n).map(i => s"$prefix$i").mkString(" ")
 
+  test("span-level decontamination masks exactly the quoted benchmark region, " +
+    "keeping the rest of the document") {
+    // bench doc: b0..b11. Corpus doc 1 quotes b0..b11 verbatim between
+    // unique prose; doc 2 is clean.
+    val bench = Seq((100L, words(12, "b"))).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, words(10, "u") + " " + words(12, "b") + " " + words(10, "v")),
+      (2L, words(20, "z"))).toDF("doc_id", "text")
+    val spans = Decontam.contaminationSpans(corpus, bench, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // the quote occupies words [10, 22); its internal 8-grams start at
+    // 10..14 and merge to one span [10, 22) — the surrounding prose's mixed
+    // grams differ from the bench doc's, so the span is EXACTLY the quote
+    assert(spans === Seq((1L, 10L, 22L)), s"$spans")
+    val cleaned = Dedup.removeSpans(corpus, spans.toDF("doc_id", "span_start", "span_end"),
+        "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(cleaned(0)._3 === 12L)
+    assert(cleaned(0)._4 === words(10, "u") + " " + words(10, "v"),
+      "only the quoted region is cut")
+    assert(cleaned(1) === ((2L, 20L, 0L, words(20, "z"))), "clean docs untouched")
+  }
+
   test("flags exactly the corpus docs sharing a full n-gram with the benchmark") {
     // bench doc: w0..w9. Corpus: doc 1 embeds w1..w8 (a full 8-gram of the
     // bench doc), doc 2 shares only a 7-word run, doc 3 shares nothing.
