@@ -183,9 +183,16 @@ object Engine {
           c.connect()
           val (pinned, dumpTables) =
             graft.source.Snapshot.pin(c, reg, withDataTxn = cfg.snapshotOnBootstrap)
-          if (cfg.snapshotOnBootstrap)
+          if (cfg.snapshotOnBootstrap) {
             graft.source.Snapshot.dumpToSpool(c, dumpTables, snapDir,
               ts = System.currentTimeMillis() / 1000)
+            // records "this pin CAME WITH a data dump" — a later run with
+            // snapshotOnBootstrap set can distinguish an empty dump (fine)
+            // from a pin-only bootstrap's missing dump (an error)
+            java.nio.file.Files.createDirectories(snapDir)
+            java.nio.file.Files.write(snapDir.resolve("_spooled"),
+              Array.emptyByteArray)
+          }
           reg.saveTo(schemaFile)
           // marker written LAST, atomically: its existence == bootstrap done
           java.nio.file.Files.createDirectories(snapDir)
@@ -209,6 +216,16 @@ object Engine {
     val snapDone = snapDir.resolve("_done")
     if (cfg.snapshotOnBootstrap && java.nio.file.Files.exists(pinMarker) &&
         !java.nio.file.Files.exists(snapDone)) {
+      // A pin written by an earlier PIN-ONLY bootstrap has no data dump
+      // behind it — feeding "the spool" would silently deliver nothing and
+      // then commit _done over the omission. Refuse loudly instead: the
+      // operator asked for a snapshot and there isn't one to give.
+      if (!java.nio.file.Files.exists(snapDir.resolve("_spooled")))
+        throw new IllegalStateException(
+          s"snapshotOnBootstrap is set but the existing bootstrap pin at " +
+            s"$pinMarker was created without a data snapshot (pin-only " +
+            s"bootstrap). Delete $snapDir to re-bootstrap with a snapshot, " +
+            "or unset snapshotOnBootstrap to keep the existing pin.")
       val reg = cfg.schemaRegistry.get
       val spool = {
         import scala.jdk.CollectionConverters._
@@ -217,6 +234,12 @@ object Engine {
         finally s.close()
       }
       if (spool.nonEmpty) {
+        // NOTE (cluster deployments): the spool lives beside posFile, written
+        // by the DRIVER — spark.read.json here means executor tasks must see
+        // the same paths. Like the checkpoint dir, posFile/spool must be on a
+        // shared filesystem (NFS, DBFS, a fuse mount) when executors are
+        // remote; on a single node (this engine's ops tier, the reference's
+        // deployment shape) any local path works.
         val batch = spark.read.schema(CdcStream.rawPositionalSchema)
           .json(spool: _*)
           .filter(col("database").isNotNull && col("table").isNotNull &&

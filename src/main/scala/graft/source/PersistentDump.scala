@@ -70,6 +70,14 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
   private val buf = new util.ArrayDeque[Entry]()
   /** Largest safe restart position buffered so far (≥ startPos always). */
   private var highWater: Long = startPos
+  /** Global position the reader has READ through — advances on every real
+    * event, emitting or not. highWater can lag this forever (a tail of
+    * FORMAT_DESCRIPTION / PREVIOUS_GTIDS / STOP events emits nothing); the
+    * AvailableNow drain bounds its wait on THIS, not on highWater. */
+  private var readPos: Long = startPos
+  /** Heartbeats received — a heartbeat means the server had nothing pending,
+    * i.e. everything below the live tail has been sent. */
+  private var beats: Long = 0L
   /** Every file the dump has touched → its size as far as seen (final for
     * rotated-away files, monotone-growing for the active one). Checkpoints
     * carry this, so a restart can map its global position even if the
@@ -131,9 +139,12 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
           record(file, 4L)
           decoder = new BinlogEventDecoder(base, s"${conf.host}:${conf.port}/$file")
           advance(base + 4) // a file start is a valid dump position
+          progressed(base + 4)
         } else if (etype == BinlogWire.HEARTBEAT_EVENT) {
-          () // liveness only; carries no position we need
-        } else if (logPos != 0 && logPos >= eventSize) {
+          // liveness only; but a heartbeat is also the server saying "nothing
+          // pending" — the AvailableNow drain uses that as exhaustion proof
+          beat()
+        } else if (logPos != 0) {
           val window = lastEnd & ~0xffffffffL
           var end = window | logPos
           if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT) {
@@ -142,15 +153,25 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
             decoder.decode(head, body, math.max(end - eventSize, 0L))
           } else {
             if (end + 0x80000000L < lastEnd) end += 0x100000000L // 4 GiB wrap
-            lastEnd = math.max(lastEnd, end)
-            record(file, lastEnd)
-            val eventStart = end - eventSize
-            val line = decoder.decode(head, body, math.max(eventStart, 0L))
-            val globalStart = base + eventStart
-            if (line != null && globalStart >= startPos)
-              put(Entry(globalStart, base + end, file, line))
-            else if (etype == BinlogWire.XID_EVENT)
-              advance(base + end) // commit marker: safe even with no line
+            // log_pos < eventSize marks an artificial event ONLY when the
+            // reconstructed start stays implausible (before the file magic):
+            // an event whose true end lands within eventSize bytes past a
+            // 4 GiB multiple wraps into [0, eventSize) too, and must be kept.
+            if (end - eventSize < 4L) {
+              decoder.decode(head, body, 0L) // artificial: side effects only
+            } else {
+              lastEnd = math.max(lastEnd, end)
+              record(file, lastEnd)
+              val eventStart = end - eventSize
+              val line = decoder.decode(head, body, math.max(eventStart, 0L))
+              val globalStart = base + eventStart
+              progressed(base + end) // reader position: advances on EVERY real
+              // event, emitting or not (the AvailableNow drain bound)
+              if (line != null && globalStart >= startPos)
+                put(Entry(globalStart, base + end, file, line))
+              else if (etype == BinlogWire.XID_EVENT)
+                advance(base + end) // commit marker: safe even with no line
+            }
           }
         } else {
           // artificial event (log_pos 0): side effects only
@@ -170,6 +191,12 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
   private def advance(safe: Long): Unit = lock.synchronized {
     highWater = math.max(highWater, safe); lock.notifyAll()
   }
+
+  private def progressed(pos: Long): Unit = lock.synchronized {
+    readPos = math.max(readPos, pos); lock.notifyAll()
+  }
+
+  private def beat(): Unit = lock.synchronized { beats += 1; lock.notifyAll() }
 
   private def record(name: String, size: Long): Unit = lock.synchronized {
     filesSeen(name) = math.max(size, filesSeen.getOrElse(name, 0L))
@@ -224,6 +251,29 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
         val left = deadline - System.currentTimeMillis()
         require(left > 0, s"timed out waiting for the dump to reach offset $pos " +
           s"(at $highWater after ${timeoutMs} ms)")
+        lock.wait(math.min(left, 1000))
+      }
+    }
+  }
+
+  /** AvailableNow drain wait: block until the dump has buffered something
+    * past `from`, OR it is provably exhausted below `readTarget` — the
+    * reader has READ through the target (everything below the pin was
+    * non-emitting: a freshly rotated file's FORMAT_DESCRIPTION +
+    * PREVIOUS_GTIDS, a trailing STOP) or a heartbeat arrived (the server had
+    * nothing pending at all). Without the exhaustion exits, a pin landing on
+    * a non-emitting tail would block the full timeout and then FAIL a drain
+    * that should complete empty. */
+  def awaitProgress(from: Long, readTarget: Long, timeoutMs: Long): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    lock.synchronized {
+      val beats0 = beats
+      while (highWater <= from && readPos < readTarget && beats == beats0) {
+        throwIfFailed()
+        val left = deadline - System.currentTimeMillis()
+        require(left > 0, s"timed out waiting for the dump to progress past " +
+          s"$from (read position $readPos, target $readTarget, " +
+          s"after ${timeoutMs} ms)")
         lock.wait(math.min(left, 1000))
       }
     }
@@ -302,9 +352,11 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
     // progress toward the pinned target — but "no progress" here usually
     // means the dump thread simply hasn't buffered yet (it dials on the
     // FIRST latestOffset call). Returning `from` then would end the drain
-    // EMPTY, so block until the dump advances past `from` (bounded by the
-    // socket timeout: a dead connection still fails loudly).
-    target.foreach(t => if (t > from && r.buffered() <= from) r.awaitCovered(from + 1, 120000))
+    // EMPTY, so block until the dump advances past `from` — or until it is
+    // provably exhausted below the pin (the bytes there were non-emitting
+    // events, or an idle heartbeat arrived), in which case the drain
+    // completes at `from` instead of timing out.
+    target.foreach(t => if (t > from && r.buffered() <= from) r.awaitProgress(from, t, 120000))
     var until = target.fold(r.buffered())(t => math.min(r.buffered(), t))
     maxBytesPerTrigger.foreach { b =>
       if (b < until - from) until = math.min(until, r.boundedSafe(from, b))

@@ -144,6 +144,15 @@ object MysqlWire {
     val msg = new String(p, at, p.length - at, StandardCharsets.UTF_8)
     s"MySQL error $code: $msg"
   }
+
+  /** A server ERR packet as an exception carrying its numeric code, so
+    * callers can branch on SPECIFIC server errors (a missing RELOAD
+    * privilege, say) instead of string-matching the rendered message. */
+  final class MysqlServerError(val code: Int, msg: String)
+      extends java.io.IOException(msg)
+
+  def errEx(p: Array[Byte]): MysqlServerError =
+    new MysqlServerError(leAt(p, 1, 2).toInt, errOf(p))
 }
 
 /** Minimal replication-protocol client. One instance = one connection = one
@@ -171,7 +180,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
       case null => throw new EOFException(s"$host:$port closed before handshake")
       case p => p
     }
-    if (isErr(hs)) throw new java.io.IOException(errOf(hs))
+    if (isErr(hs)) throw errEx(hs)
     require((hs(0) & 0xff) == 10, s"unsupported handshake protocol ${hs(0) & 0xff}")
     // server_version: nul-terminated from offset 1
     var at = 1
@@ -261,7 +270,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
 
   private def expectOk(): Unit = {
     val (_, p) = readPacketOrFail()
-    if (isErr(p)) throw new java.io.IOException(errOf(p))
+    if (isErr(p)) throw errEx(p)
     require(isOk(p) || isEof(p), "expected OK")
   }
 
@@ -282,7 +291,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
   def queryForeach(sql: String)(f: Seq[Option[String]] => Unit): Unit = {
     sendCommand(Array(COM_QUERY.toByte) ++ sql.getBytes(StandardCharsets.UTF_8))
     val (_, first) = readPacketOrFail()
-    if (isErr(first)) throw new java.io.IOException(errOf(first))
+    if (isErr(first)) throw errEx(first)
     if (isOk(first)) return
     val nCols = new BinlogWire.Cursor(first, 0).lenenc().toInt
     var i = 0
@@ -290,7 +299,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     require(isEof(readPacketOrFail()._2), "missing EOF after column defs")
     var rp = readPacketOrFail()._2
     while (!isEof(rp)) {
-      if (isErr(rp)) throw new java.io.IOException(errOf(rp))
+      if (isErr(rp)) throw errEx(rp)
       val c = new BinlogWire.Cursor(rp, 0)
       val row = Seq.newBuilder[Option[String]]
       while (c.remaining > 0) {
@@ -391,7 +400,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
           "must retry, not truncate")
     val p = pkt._2
     if (isEof(p)) { dumping = false; return null }
-    if (isErr(p)) throw new java.io.IOException(errOf(p))
+    if (isErr(p)) throw errEx(p)
     require((p(0) & 0xff) == 0x00, "malformed event packet")
     java.util.Arrays.copyOfRange(p, 1, p.length)
   }
@@ -494,7 +503,7 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
       // file's end; a live server does not.)
       if (etype == BinlogWire.ROTATE_EVENT && logPos > 0) { done = true; return null }
       val eventStart =
-        if (logPos == 0 || logPos < eventSize) -1L // artificial server event
+        if (logPos == 0) -1L // artificial server event (the one reliable marker)
         else {
           var end = (lastEnd & ~0xffffffffL) | logPos
           if (etype == BinlogWire.FORMAT_DESCRIPTION_EVENT) {
@@ -504,8 +513,16 @@ final class ReplicationBinlogReader(host: String, port: Int, user: String, passw
             end - eventSize
           } else {
             if (end + 0x80000000L < lastEnd) end += 0x100000000L // log_pos wrapped
-            lastEnd = math.max(lastEnd, end)
-            end - eventSize
+            // A log_pos smaller than the event's own size normally marks an
+            // artificial server event — but an event whose true 64-bit end
+            // lands within eventSize bytes past a 4 GiB multiple wraps into
+            // exactly that range. Classify by the RECONSTRUCTED start: only
+            // a start before the file magic (4) is truly implausible.
+            if (end - eventSize < 4L) -1L
+            else {
+              lastEnd = math.max(lastEnd, end)
+              end - eventSize
+            }
           }
         }
       if (eventStart >= untilByte) { done = true; return null }

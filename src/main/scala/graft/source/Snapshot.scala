@@ -81,7 +81,15 @@ object Snapshot {
       : (Pinned, Seq[(String, String)]) = {
     val locked =
       try { c.query("FLUSH TABLES WITH READ LOCK"); true }
-      catch { case _: java.io.IOException => false } // no RELOAD privilege
+      catch {
+        // Only a server-side privilege refusal may degrade to the unlocked
+        // path (1227 ER_SPECIFIC_ACCESS_DENIED / 1045 ER_ACCESS_DENIED).
+        // Anything else — a dead connection, a timeout, an unrelated server
+        // error — must surface HERE, not as a misleading failure from the
+        // SHOW MASTER STATUS that follows.
+        case e: MysqlWire.MysqlServerError if e.code == 1227 || e.code == 1045 =>
+          false
+      }
     try {
       val status = c.query("SHOW MASTER STATUS")
       require(status.nonEmpty && status.head.size >= 2 && status.head(0).isDefined,
@@ -110,7 +118,12 @@ object Snapshot {
     * positional wire line (one JSON-lines file per table, written atomically
     * via tmp+move). `SELECT *` returns columns in table-definition order —
     * the same order `SHOW FULL COLUMNS` registered, so positional decode
-    * lines up by construction. Returns the number of rows spooled. */
+    * lines up by construction. Returns the number of rows spooled.
+    *
+    * `spoolDir` is written by the process running this call (the driver);
+    * the Spark batch that later reads it runs on executors — on a
+    * multi-node cluster the directory must be on a shared filesystem, the
+    * same requirement Spark places on its checkpoint location. */
   def dumpToSpool(c: ReplicationClient, tables: Seq[(String, String)],
                   spoolDir: Path, ts: Long): Long = {
     Files.createDirectories(spoolDir)

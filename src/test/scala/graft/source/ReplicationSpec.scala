@@ -47,6 +47,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
   /** Every COM_QUERY sql, in arrival order — lock/pin ordering assertions. */
   val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** Scripted server errors: any COM_QUERY whose UPPERCASED sql contains the
+    * key gets an ERR packet with this (code, message) instead of a result. */
+  @volatile var queryErrors: Map[String, (Int, String)] = Map.empty
   /** Total connections ever accepted — the persistent-mode churn assertion. */
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
   /** Blocking dumps emit HEARTBEAT events while idle (real-server behavior
@@ -182,6 +185,11 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
           def resultset(cols: Seq[String], rows: Seq[Seq[String]]): Unit =
             resultsetN(cols, rows.map(_.map(Option(_))))
           val up = sql.toUpperCase
+          queryErrors.collectFirst { case (k, (code, msg)) if up.contains(k.toUpperCase) =>
+            send(errPkt(code, msg))
+          } match {
+            case Some(_) => // scripted failure sent; next command
+            case None =>
           val colRe = """(?i)SHOW\s+FULL\s+COLUMNS\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
           val tblRe = """(?i)SHOW\s+TABLES\s+FROM\s+`?([\w$]+)`?""".r
           val selRe = """(?i)SELECT\s+\*\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
@@ -217,6 +225,7 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
               }
             }
           }
+          } // queryErrors match
         case COM_REGISTER_SLAVE =>
           registeredServerIds.add(leAt(p, 1, 4))
           writePacket(out, 1, ok)
@@ -497,6 +506,43 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("log_pos wrap landing WITHIN eventSize of a 4 GiB multiple: kept, not " +
+    "misclassified as artificial") {
+    import BinlogWire._
+    // The nastier wrap case: an event whose true 64-bit END lands within
+    // eventSize bytes past a 4 GiB multiple has a wrapped 32-bit log_pos in
+    // [0, eventSize) — the range a `log_pos < eventSize` artificial-event
+    // test claims. Classification must use the RECONSTRUCTED start (before
+    // the file magic = artificial), not the raw 32-bit field, or the row
+    // event is silently dropped.
+    val w = new BinlogFixtureWriter(checksum = false) // patching breaks CRCs
+    w.fde()
+    val tmAt = w.tableMap(10L, 5L, "shop", "user", Seq(TYPE_LONG -> w.mNone))
+    val rowsAt = w.rows(10L, WRITE_ROWS_V2, 5L, 1, Seq(Seq(w.vLong(43))))
+    val bytes = w.bytes
+    def patchLogPos(eventStart: Long, v: Long): Unit = {
+      val at = eventStart.toInt + 13
+      (0 until 4).foreach(i => bytes(at + i) = ((v >> (8 * i)) & 0xff).toByte)
+    }
+    val rowsSize = MysqlWire.leAt(bytes, rowsAt.toInt + 9, 4)
+    assert(rowsSize > 8, "fixture rows event must be bigger than the overhang")
+    val trueRowsEnd = 0x100000000L + (rowsSize - 8) // log_pos wraps to rowsSize-8 < rowsSize
+    patchLogPos(tmAt, 0xFFFFFF00L)                  // TABLE_MAP ends just below 4 GiB
+    patchLogPos(rowsAt, trueRowsEnd & 0xFFFFFFFFL)
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", bytes))
+      val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "pw", 6402L,
+        "binlog.000001", 0L, Long.MaxValue)
+      val got = try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList
+        finally r.close()
+      assert(got.size === 1, s"the boundary-straddling ROWS event must survive: $got")
+      assert(got.head._1 === trueRowsEnd - rowsSize,
+        s"reconstructed start in the window BELOW the 4 GiB line: ${got.head}")
+      assert(got.head._2.contains("\"43\""))
+    } finally stub.close()
+  }
+
   test("concurrent partitions in one batch get DISTINCT dump server_ids " +
     "(batch-ordinal derivation, immune to file-name collisions)") {
     import BinlogWire._
@@ -713,6 +759,53 @@ class ReplicationSpec extends SparkSpec {
       stub.files = Seq(("binlog.000001", w.bytes))
       val second = drain()
       assert(second.size === 1 && second.head._2.contains("\"dee\""), s"$second")
+    } finally stub.close()
+  }
+
+  test("persistent AvailableNow drain completes when every byte below the pin is " +
+    "non-emitting (a PREVIOUS_GTIDS-style tail) instead of timing out") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      def drain(): Seq[(Long, String)] = {
+        val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+        val q = spark.readStream.format("graft-cdc")
+          .option("wireFormat", "replication")
+          .option("connection", "persistent")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("user", "repl").option("password", "pw")
+          .load()
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            rows ++= batch.collect().map(r => (r.getLong(2), r.getString(0))); ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), s"drain did not terminate: ${q.exception}")
+        rows.toSeq.sortBy(_._1)
+      }
+      assert(drain().size === 3, "baseline drain")
+      // The pin (dial-time byte tail) now covers ONLY an event that emits no
+      // line and no XID safe-point — highWater can never reach it. The drain
+      // must complete EMPTY via the reader-progress bound, not block 120 s
+      // and fail the query.
+      w.event(50L, 35 /* PREVIOUS_GTIDS */, MysqlWire.le(0L, 8))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val t0 = System.currentTimeMillis()
+      assert(drain().isEmpty, "nothing emittable below the pin")
+      assert(System.currentTimeMillis() - t0 < 60000,
+        "completed by exhaustion detection, not by timeout")
+      // a real row AFTER the non-emitting stretch still flows, correctly placed
+      w.tableMap(60L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(60L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(9), w.vVarchar("dee", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val third = drain()
+      assert(third.size === 1 && third.head._2.contains("\"dee\""), s"$third")
     } finally stub.close()
   }
 
@@ -1178,6 +1271,76 @@ class ReplicationSpec extends SparkSpec {
         schemaRegistry = Some(reg), snapshotOnBootstrap = true))
     }
     assert(e.getMessage.contains("zero-config"), e.getMessage)
+  }
+
+  test("enabling snapshotOnBootstrap over an existing pin-only bootstrap fails " +
+    "loudly instead of committing an empty snapshot") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") ->
+        Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      stub.tableData = Map(("shop", "user") -> Seq(Seq(Some("1"), Some("ann"))))
+      def cfg(snap: Boolean) = graft.app.Engine.Config(
+        inputDir = "(unused-in-replication-mode)",
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+          "user" -> "repl", "password" -> "pw"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry),
+        snapshotOnBootstrap = snap)
+      // run 1: pin-only bootstrap (no data dump behind the pin)
+      val h = graft.app.Engine.start(spark, cfg(snap = false))
+      try assert(h.awaitTermination(120000)) finally h.stop()
+      // run 2: the operator now asks for a snapshot — there is none to give
+      val e = intercept[IllegalStateException] {
+        graft.app.Engine.start(spark, cfg(snap = true))
+      }
+      assert(e.getMessage.contains("pin-only"), e.getMessage)
+      import scala.jdk.CollectionConverters._
+      assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("SELECT * FROM")),
+        "no silent late dump either — the pin moment is gone")
+    } finally stub.close()
+  }
+
+  test("FTWRL refusal: privilege errors degrade to the unlocked pin, anything " +
+    "else surfaces as the original failure") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)")))
+      // a server that denies RELOAD: pin proceeds unlocked (canal's race)
+      stub.queryErrors = Map("FLUSH TABLES" ->
+        (1227, "Access denied; you need (at least one of) the RELOAD privilege(s)"))
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      try {
+        c.connect()
+        val (pinned, tables) =
+          Snapshot.pin(c, new graft.cdc.SchemaRegistry, withDataTxn = false)
+        assert(pinned.file === "binlog.000001")
+        assert(tables === Seq(("shop", "user")))
+        import scala.jdk.CollectionConverters._
+        assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("UNLOCK TABLES")),
+          "the unlocked path must not UNLOCK what it never locked")
+      } finally c.close()
+      // any OTHER server error (here: a scripted engine failure) must NOT be
+      // swallowed into the racy unlocked path
+      stub.queryErrors = Map("FLUSH TABLES" -> (1105, "Unknown error"))
+      val c2 = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      try {
+        c2.connect()
+        val e = intercept[MysqlWire.MysqlServerError] {
+          Snapshot.pin(c2, new graft.cdc.SchemaRegistry, withDataTxn = false)
+        }
+        assert(e.code === 1105, e.getMessage)
+      } finally c2.close()
+    } finally stub.close()
   }
 
   test("zero-config capstone: engine bootstraps schemas from the server like canal, " +
