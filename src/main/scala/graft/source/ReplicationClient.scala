@@ -132,6 +132,31 @@ object MysqlWire {
     h1.indices.map(i => (h1(i) ^ rhs(i)).toByte).toArray
   }
 
+  /** caching_sha2 FULL-auth scramble: the NUL-terminated password XORed with
+    * the handshake nonce (cycled) — the plaintext the RSA exchange encrypts.
+    * Public protocol: the XOR prevents a replay of the ciphertext alone from
+    * being useful against a different session's nonce. */
+  def sha2XorPassword(password: String, nonce: Array[Byte]): Array[Byte] = {
+    val pwd = password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte
+    pwd.indices.map(i => (pwd(i) ^ nonce(i % nonce.length)).toByte).toArray
+  }
+
+  /** Encrypt the XOR-scrambled password with the server's RSA public key
+    * (PEM/SPKI as served in the AuthMoreData reply to a 0x02 public-key
+    * request) using RSA-OAEP(SHA-1) — MySQL 8's padding for
+    * caching_sha2_password full auth over a non-TLS channel. */
+  def sha2RsaEncrypt(password: String, nonce: Array[Byte], publicKeyPem: String): Array[Byte] = {
+    val b64 = publicKeyPem
+      .replaceAll("-----(BEGIN|END) (RSA )?PUBLIC KEY-----", "")
+      .replaceAll("\\s", "")
+    val der = java.util.Base64.getDecoder.decode(b64)
+    val key = java.security.KeyFactory.getInstance("RSA")
+      .generatePublic(new java.security.spec.X509EncodedKeySpec(der))
+    val cipher = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE, key)
+    cipher.doFinal(sha2XorPassword(password, nonce))
+  }
+
   def isOk(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0x00
   def isEof(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xfe && p.length < 9
   def isErr(p: Array[Byte]): Boolean = p.nonEmpty && (p(0) & 0xff) == 0xff
@@ -234,17 +259,29 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
       var next = readPacketOrFail()
       // caching_sha2 continuation: 0x01 0x03 = cached FAST path accepted (an
       // OK follows); 0x01 0x04 = the cache is cold and the server demands
-      // FULL auth (cleartext over TLS or RSA-encrypted) — refuse with the
-      // actionable fix rather than implement a key exchange the reference
-      // never speaks (its vendored go-mysql is native-password only).
+      // FULL auth. Over a non-TLS channel the public protocol is the RSA
+      // exchange: request the server's public key (one 0x02 byte), XOR the
+      // NUL-terminated password with the handshake nonce, RSA-OAEP encrypt,
+      // send — the server verifies and replies OK, priming its cache for the
+      // fast path on every later dial. (Parity-plus: the reference's vendored
+      // go-mysql is native-password only.)
       if (plugin == "caching_sha2_password" && next._2.length >= 2 &&
           (next._2(0) & 0xff) == 0x01) {
         (next._2(1) & 0xff) match {
           case 0x03 => next = readPacketOrFail() // fast-auth success marker
-          case 0x04 => throw new java.io.IOException(
-            "caching_sha2_password demands FULL authentication (auth cache " +
-              "cold): log the replication user in once over TLS to prime the " +
-              "server's cache, or create it WITH mysql_native_password")
+          case 0x04 =>
+            writePacket(out, next._1 + 1, Array(0x02.toByte)) // public key, please
+            val (kseq, kpkt) = readPacketOrFail()
+            if (isErr(kpkt)) throw new java.io.IOException(
+              "caching_sha2_password full auth: the server refused to hand " +
+                s"out its RSA public key (${errOf(kpkt)}). Connect over TLS, " +
+                "prime the cache with one TLS login, or create the " +
+                "replication user WITH mysql_native_password")
+            require((kpkt(0) & 0xff) == 0x01 && kpkt.length > 1,
+              "expected AuthMoreData carrying the RSA public key")
+            val pem = new String(kpkt, 1, kpkt.length - 1, StandardCharsets.UTF_8)
+            writePacket(out, kseq + 1, sha2RsaEncrypt(password, fresh, pem))
+            next = readPacketOrFail()
           case other => throw new java.io.IOException(
             f"unexpected caching_sha2 continuation 0x$other%02x")
         }

@@ -42,11 +42,14 @@ final class BinlogFixtureWriter(checksum: Boolean) {
   }
 
   /** FORMAT_DESCRIPTION: version 4, header length 19, checksum alg in the
-    * standard tail position (last byte before the event's own CRC). */
-  def fde(ts: Long = 100L): Long = {
+    * standard tail position (last byte before the event's own CRC).
+    * `serverVersion` lets fixtures speak a MariaDB version string — the
+    * layout is identical (MariaDB ≥5.3 writes the same v4 FDE + checksum
+    * byte). */
+  def fde(ts: Long = 100L, serverVersion: String = "5.7.44-graft-fixture"): Long = {
     val b = new ByteArrayOutputStream()
     b.write(le(4, 2))
-    val sv = "5.7.44-graft-fixture".getBytes(StandardCharsets.UTF_8)
+    val sv = serverVersion.getBytes(StandardCharsets.UTF_8)
     b.write(java.util.Arrays.copyOf(sv, 50))
     b.write(le(ts, 4)); b.write(19)
     b.write(Array.fill(39)(0.toByte)) // post-header length table (unused here)
@@ -422,6 +425,51 @@ class BinlogWireSpec extends SparkSpec {
       "binary wire and JSON fixture must decode to identical envelopes")
     // and the drifted-in unsigned tinyint fix-up applied on the binary path:
     assert(fromBinary.map(_._4).contains("""{"data":{"age":250,"id":3,"name":"cat"}}"""))
+  }
+
+  test("MariaDB dialect: MARIADB_GTID (0xa2) / ANNOTATE_ROWS (0xa0) interleaved " +
+    "with rows events decode to the SAME lines as a MySQL-flavored stream") {
+    // MariaDB ≥10 masters emit their own GTID event before each transaction
+    // and (under binlog_annotate_row_events) an ANNOTATE_ROWS event carrying
+    // the originating SQL — event types a MySQL-only decoder has never seen
+    // (readme claim: /root/reference/readme.md:16-20, MariaDB 5.5–10.2).
+    // The framing-only skip must hold exactly: identical statement lines,
+    // positions advancing over the extra events, CRC verification intact
+    // (MariaDB writes the same CRC32 tail).
+    def build(mariadb: Boolean): BinlogFixtureWriter = {
+      val w = new BinlogFixtureWriter(checksum = true)
+      w.fde(serverVersion =
+        if (mariadb) "10.2.44-MariaDB-log" else "5.7.44-graft-fixture")
+      if (mariadb) { // GTID 0-1-1: seqno(8) + domain_id(4) + flags(1)
+        w.event(90L, 0xa2, MysqlWire.le(1L, 8) ++ MysqlWire.le(0L, 4) ++ Array(0.toByte))
+        w.event(91L, 0xa0,
+          "INSERT INTO shop.user VALUES (1,'ann')".getBytes(StandardCharsets.UTF_8))
+      }
+      w.tableMap(100L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(100L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("ann", 40))))
+      if (mariadb) // second transaction's GTID
+        w.event(92L, 0xa2, MysqlWire.le(2L, 8) ++ MysqlWire.le(0L, 4) ++ Array(0.toByte))
+      w.tableMap(101L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(101L, UPDATE_ROWS_V2, 5L, 2, Seq(
+        Seq(w.vLong(1), w.vVarchar("ann", 40)),
+        Seq(w.vLong(1), w.vVarchar("ann2", 40))))
+      w
+    }
+    val mysqlLines = readAll(writeTmp(build(mariadb = false).bytes))
+    val mariaLines = readAll(writeTmp(build(mariadb = true).bytes))
+    assert(mysqlLines.size === 2, "insert + update statements")
+    assert(mariaLines.size === mysqlLines.size,
+      s"MariaDB events must not add or eat lines: $mariaLines")
+    // content identical modulo stmt_seq (derived from byte offsets, which
+    // the interleaved MariaDB events shift)
+    def scrub(s: String) = s.replaceAll("\"stmt_seq\":-?\\d+", "\"stmt_seq\":S")
+    assert(mariaLines.map(l => scrub(l._2)) === mysqlLines.map(l => scrub(l._2)))
+    // positions still strictly increase and reflect the extra bytes
+    assert(mariaLines.map(_._1) === mariaLines.map(_._1).sorted)
+    assert(mariaLines.head._1 > mysqlLines.head._1,
+      "the GTID/ANNOTATE events occupy file bytes before the first statement")
   }
 
   test("CRC32 is verified: a corrupted event fails loudly") {

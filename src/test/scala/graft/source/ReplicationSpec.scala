@@ -20,11 +20,29 @@ import org.apache.spark.sql.streaming.Trigger
 final class StubMysqlServer(password: String, authSwitch: Boolean = false,
                             /** Switch accounts to caching_sha2_password (the
                               * MySQL 8 default); `sha2FullAuth` makes the
-                              * stub demand FULL auth (cold cache) instead of
-                              * accepting the cached fast path. */
-                            sha2: Boolean = false, sha2FullAuth: Boolean = false)
+                              * stub demand FULL auth (cold cache) and serve
+                              * the RSA public-key exchange; `sha2RefuseKey`
+                              * additionally refuses the key request (a server
+                              * with caching_sha2_password but RSA disabled). */
+                            sha2: Boolean = false, sha2FullAuth: Boolean = false,
+                            sha2RefuseKey: Boolean = false,
+                            /** Handshake server version — set a MariaDB
+                              * string to emulate a MariaDB master. */
+                            serverVersion: String = "5.7.44-stub")
     extends AutoCloseable {
   import MysqlWire._
+
+  /** Server-side RSA keypair for the full-auth exchange (generated once). */
+  private lazy val rsaKeys: java.security.KeyPair = {
+    val g = java.security.KeyPairGenerator.getInstance("RSA")
+    g.initialize(2048)
+    g.generateKeyPair()
+  }
+  private def publicKeyPem: String = {
+    val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes(UTF_8))
+      .encodeToString(rsaKeys.getPublic.getEncoded)
+    s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+  }
 
   /** Fixed nonce so the auth token is a golden value: bytes 0x01..0x14. */
   val nonce: Array[Byte] = Array.tabulate(20)(i => (i + 1).toByte)
@@ -98,7 +116,7 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
     // ---- initial handshake v10
     val hs = new java.io.ByteArrayOutputStream()
     hs.write(10)
-    hs.write("5.7.44-stub".getBytes(UTF_8)); hs.write(0)
+    hs.write(serverVersion.getBytes(UTF_8)); hs.write(0)
     hs.write(le(1, 4))           // thread id
     hs.write(nonce, 0, 8)        // auth-plugin-data part 1
     hs.write(0)                  // filler
@@ -127,10 +145,35 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
           Array(0.toByte) ++ nonce2 ++ Array(0.toByte))
       val (seq2, switched) = readPacket(in)
       if (sha2FullAuth) {
-        // cold cache: demand full authentication (0x01 0x04)
+        // cold cache: demand full authentication (0x01 0x04), then serve the
+        // RSA public-key exchange like a real MySQL 8 server
         writePacket(out, seq2 + 1, Array[Byte](0x01, 0x04))
-        return
-      }
+        val (seq3, req) = readPacket(in)
+        if (req.length != 1 || (req(0) & 0xff) != 0x02) {
+          writePacket(out, seq3 + 1, errPkt(1045, "expected public key request"))
+          return
+        }
+        if (sha2RefuseKey) {
+          writePacket(out, seq3 + 1,
+            errPkt(1105, "Public key retrieval is not allowed"))
+          return
+        }
+        writePacket(out, seq3 + 1,
+          Array(0x01.toByte) ++ publicKeyPem.getBytes(UTF_8))
+        val (seq4, encrypted) = readPacket(in)
+        val cipher = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+        cipher.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
+        val plain = try cipher.doFinal(encrypted) catch {
+          case _: Exception =>
+            writePacket(out, seq4 + 1, errPkt(1045, "Access denied")); return
+        }
+        val expected = MysqlWire.sha2XorPassword(password, nonce2)
+        if (!java.util.Arrays.equals(plain, expected)) {
+          writePacket(out, seq4 + 1, errPkt(1045, "Access denied"))
+          return
+        }
+        writePacket(out, seq4 + 1, ok)
+      } else {
       val expected2 = cachingSha2Scramble(password, nonce2)
       if (!java.util.Arrays.equals(switched, expected2)) {
         writePacket(out, seq2 + 1, errPkt(1045, "Access denied"))
@@ -138,6 +181,7 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
       }
       writePacket(out, seq2 + 1, Array[Byte](0x01, 0x03)) // fast-auth success
       writePacket(out, seq2 + 2, ok)
+      }
     } else if (authSwitch) {
       // re-challenge with fresh auth data, like a server whose default
       // plugin differs from the account's
@@ -376,8 +420,7 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
-  test("caching_sha2_password: golden token, cached fast path accepted, " +
-    "full-auth demand refused with the actionable fix") {
+  test("caching_sha2_password: golden token, cached fast path accepted") {
     // golden value computed independently (python hashlib) for password
     // "secret-pw" and nonce 0x29..0x3c (the stub's nonce2)
     val n2 = Array.tabulate(20)(i => (41 + i).toByte)
@@ -399,16 +442,63 @@ class ReplicationSpec extends SparkSpec {
       assert(e.getMessage.contains("auth failed"))
       bad.close()
     } finally fast.close()
+  }
 
+  test("caching_sha2_password COLD cache: full auth via the RSA public-key " +
+    "exchange succeeds; a key-refusing server gets the actionable error") {
+    // XOR-scramble golden: NUL-terminated password cycled against the nonce
+    val n2 = Array.tabulate(20)(i => (41 + i).toByte)
+    val xor = MysqlWire.sha2XorPassword("secret-pw", n2)
+    assert(xor.length === 10, "password + trailing NUL")
+    val pwdNul: Array[Byte] = "secret-pw".getBytes("UTF-8") :+ 0.toByte
+    assert(xor.zipWithIndex.forall { case (b, i) =>
+      b == ((pwdNul(i) ^ n2(i % 20)).toByte)
+    })
+    // round-trip through the real cipher: encrypt with a local public key,
+    // decrypt with its private half, recover the XOR plaintext
+    val kp = {
+      val g = java.security.KeyPairGenerator.getInstance("RSA")
+      g.initialize(2048); g.generateKeyPair()
+    }
+    val pem = {
+      val b64 = java.util.Base64.getMimeEncoder(64, "\n".getBytes("UTF-8"))
+        .encodeToString(kp.getPublic.getEncoded)
+      s"-----BEGIN PUBLIC KEY-----\n$b64\n-----END PUBLIC KEY-----\n"
+    }
+    val decrypted = {
+      val ci = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+      ci.init(javax.crypto.Cipher.DECRYPT_MODE, kp.getPrivate)
+      ci.doFinal(MysqlWire.sha2RsaEncrypt("secret-pw", n2, pem))
+    }
+    assert(java.util.Arrays.equals(decrypted, xor))
+
+    // cold cache end-to-end: 0x01 0x04 → key request → encrypted → OK,
+    // and the session is fully usable afterwards
     val cold = new StubMysqlServer("secret-pw", sha2 = true, sha2FullAuth = true)
     try {
+      cold.files = Seq(("binlog.000001", fixture().bytes))
       val c = new ReplicationClient("127.0.0.1", cold.port, "repl", "secret-pw", 8L)
-      val e = intercept[java.io.IOException] { c.connect() }
-      assert(e.getMessage.contains("FULL authentication") &&
-        e.getMessage.contains("prime the server's cache"),
-        s"actionable refusal, not a protocol error: ${e.getMessage}")
-      c.close()
+      try {
+        c.connect()
+        assert(c.binaryLogs().nonEmpty, "post-full-auth session is fully usable")
+      } finally c.close()
+      // wrong password fails at the server's decrypt-compare, loudly
+      val bad = new ReplicationClient("127.0.0.1", cold.port, "repl", "nope", 8L)
+      val e = intercept[java.io.IOException] { bad.connect() }
+      assert(e.getMessage.contains("auth failed"), e.getMessage)
+      bad.close()
     } finally cold.close()
+
+    // a server with RSA retrieval disabled: actionable refusal, not a hang
+    val refusing = new StubMysqlServer("secret-pw", sha2 = true,
+      sha2FullAuth = true, sha2RefuseKey = true)
+    try {
+      val c = new ReplicationClient("127.0.0.1", refusing.port, "repl", "secret-pw", 8L)
+      val e = intercept[java.io.IOException] { c.connect() }
+      assert(e.getMessage.contains("refused to hand out its RSA public key") &&
+        e.getMessage.contains("TLS"), s"actionable: ${e.getMessage}")
+      c.close()
+    } finally refusing.close()
   }
 
   test("wrong password is rejected by the server's verification, loudly") {
@@ -439,6 +529,51 @@ class ReplicationSpec extends SparkSpec {
       assert(fromWire === fromFile, "replication stream must equal the file parse exactly")
       assert(fromFile.size === 3, "two row statements + one alter")
     } finally stub.close()
+  }
+
+  test("MariaDB-flavored master: version string + checksum negotiation + GTID/" +
+    "ANNOTATE_ROWS events — envelopes identical to the MySQL-flavored stream") {
+    import BinlogWire._
+    // The readme claims MariaDB 5.5–10.2 (/root/reference/readme.md:16-20).
+    // Emulate a MariaDB 10.2 master end-to-end: the 5.5.5- prefixed version
+    // string in the handshake, the same checksum SET, and a dump stream
+    // interleaving MARIADB_GTID (0xa2) / ANNOTATE_ROWS (0xa0) with rows
+    // events. The decoded statements must be byte-identical to a MySQL
+    // master's (modulo byte-offset-derived stmt_seq).
+    def build(mariadb: Boolean): Array[Byte] = {
+      val w = new BinlogFixtureWriter(checksum = true)
+      w.fde(serverVersion = if (mariadb) "10.2.44-MariaDB-log" else "5.7.44-stub")
+      if (mariadb) {
+        w.event(90L, 0xa2, MysqlWire.le(7L, 8) ++ MysqlWire.le(0L, 4) ++ Array(0.toByte))
+        w.event(91L, 0xa0, "INSERT INTO shop.user VALUES (4,'mia')".getBytes(UTF_8))
+      }
+      w.tableMap(100L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(100L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(4), w.vVarchar("mia", 40))))
+      w.bytes
+    }
+    def streamOf(stub: StubMysqlServer): Seq[(Long, String)] = {
+      val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "pw", 6402L,
+        "binlog.000001", 0L, Long.MaxValue)
+      try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList finally r.close()
+    }
+    val my = new StubMysqlServer("pw")
+    val ma = new StubMysqlServer("pw", serverVersion = "5.5.5-10.2.44-MariaDB-log")
+    try {
+      my.files = Seq(("binlog.000001", build(mariadb = false)))
+      ma.files = Seq(("binlog.000001", build(mariadb = true)))
+      val mysqlLines = streamOf(my)
+      val mariaLines = streamOf(ma)
+      assert(mysqlLines.size === 1 && mariaLines.size === 1,
+        s"one statement each: $mysqlLines / $mariaLines")
+      def scrub(s: String) = s.replaceAll("\"stmt_seq\":-?\\d+", "\"stmt_seq\":S")
+      assert(scrub(mariaLines.head._2) === scrub(mysqlLines.head._2))
+      assert(mariaLines.head._1 > mysqlLines.head._1,
+        "the MariaDB events occupy dump bytes before the statement")
+      import scala.jdk.CollectionConverters._
+      assert(ma.queriesSeen.asScala.exists(_.toUpperCase.contains("BINLOG_CHECKSUM")),
+        "checksum negotiation must run against the MariaDB master too")
+    } finally { my.close(); ma.close() }
   }
 
   test("reader stops at a real ROTATE: next file's events never leak into the partition") {
