@@ -174,18 +174,38 @@ object Engine {
       else {
         val host = cfg.sourceOptions.getOrElse("host",
           throw new IllegalArgumentException("replication mode requires sourceOptions host"))
-        val c = new graft.source.ReplicationClient(host,
+        def mkClient() = new graft.source.ReplicationClient(host,
           cfg.sourceOptions.getOrElse("port", "3306").toInt,
           cfg.sourceOptions.getOrElse("user", "root"),
           cfg.sourceOptions.getOrElse("password", ""),
           cfg.sourceOptions.getOrElse("serverId", "6402").toLong)
+        // mydumper-style parallel bootstrap: `snapshotWorkers` > 1 opens that
+        // many extra connections under the FTWRL moment, each with its own
+        // consistent-snapshot transaction, and drains tables / integer-PK
+        // ranges in parallel — the single-connection dump stops being the
+        // bottleneck for a 100 GB-per-table bootstrap.
+        val snapWorkers =
+          cfg.sourceOptions.get("snapshotWorkers").map(_.trim.toInt).getOrElse(1)
+        val c = mkClient()
         try {
           c.connect()
-          val (pinned, dumpTables) =
-            graft.source.Snapshot.pin(c, reg, withDataTxn = cfg.snapshotOnBootstrap)
+          val ts = System.currentTimeMillis() / 1000
+          val pinned =
+            if (cfg.snapshotOnBootstrap && snapWorkers > 1) {
+              val (p, tables, conns) = graft.source.Snapshot.pinParallel(
+                c, () => { val w = mkClient(); w.connect(); w }, reg, snapWorkers)
+              graft.source.Snapshot.dumpToSpoolParallel(tables, conns, snapDir, ts,
+                chunkRows = cfg.sourceOptions.get("snapshotChunkRows")
+                  .map(_.trim.toLong).getOrElse(1L << 20))
+              p
+            } else {
+              val (p, dumpTables) =
+                graft.source.Snapshot.pin(c, reg, withDataTxn = cfg.snapshotOnBootstrap)
+              if (cfg.snapshotOnBootstrap)
+                graft.source.Snapshot.dumpToSpool(c, dumpTables, snapDir, ts)
+              p
+            }
           if (cfg.snapshotOnBootstrap) {
-            graft.source.Snapshot.dumpToSpool(c, dumpTables, snapDir,
-              ts = System.currentTimeMillis() / 1000)
             // records "this pin CAME WITH a data dump" — a later run with
             // snapshotOnBootstrap set can distinguish an empty dump (fine)
             // from a pin-only bootstrap's missing dump (an error)

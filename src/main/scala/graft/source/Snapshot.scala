@@ -48,6 +48,15 @@ object Snapshot {
     * version's `Long.MinValue` still covers them. */
   val SeqBase: Long = Long.MinValue / 2
 
+  /** Per-table stmt_seq stride: table i's rows start at SeqBase + i*stride,
+    * so the serial and parallel dumps assign IDENTICAL sequences (and the
+    * total order — table order, then row order — matches the serial dump's).
+    * 2^40 rows per table, ~4M tables before the range touches zero. */
+  val TableSeqStride: Long = 1L << 40
+  /** Within a table, chunk c starts at tableBase + c*stride: 2^28 rows per
+    * chunk, 4096 chunks per table. */
+  val ChunkSeqStride: Long = 1L << 28
+
   /** The pinned stream start: (file, pos) from SHOW MASTER STATUS plus the
     * SHOW BINARY LOGS listing it was measured against. */
   final case class Pinned(file: String, pos: Long, files: Seq[(String, Long)]) {
@@ -113,6 +122,178 @@ object Snapshot {
     }
   }
 
+  /** mydumper-style parallel bootstrap: [[pin]]'s discipline with `workers`
+    * EXTRA connections, each opening its OWN consistent-snapshot transaction
+    * while the FTWRL is still held — writes are blocked, so every worker's
+    * MVCC read view is the same pinned moment, and after UNLOCK they drain
+    * tables (and PK ranges) in parallel. This is how a 100 GB-per-table
+    * bootstrap stops being bottlenecked on one connection: the source
+    * server's parallel read capacity becomes the limit, not the protocol.
+    *
+    * Returns the pin, the registered tables, and the worker connections
+    * (transactions OPEN — hand them to [[dumpToSpoolParallel]], which
+    * commits and closes them). */
+  def pinParallel(c: ReplicationClient, mkWorker: () => ReplicationClient,
+                  registry: graft.cdc.SchemaRegistry, workers: Int,
+                  includeDb: String => Boolean = db => !SchemaBootstrap.SystemDbs.contains(db))
+      : (Pinned, Seq[(String, String)], Seq[ReplicationClient]) = {
+    require(workers >= 1, s"workers must be >= 1, got $workers")
+    val locked =
+      try { c.query("FLUSH TABLES WITH READ LOCK"); true }
+      catch {
+        case e: MysqlWire.MysqlServerError if e.code == 1227 || e.code == 1045 =>
+          false
+      }
+    val opened = scala.collection.mutable.ArrayBuffer[ReplicationClient]()
+    try {
+      val status = c.query("SHOW MASTER STATUS")
+      require(status.nonEmpty && status.head.size >= 2 && status.head(0).isDefined,
+        "SHOW MASTER STATUS returned nothing — is the binlog enabled " +
+          "(log_bin) on this server?")
+      val pinned = Pinned(status.head(0).get, status.head(1).flatMap(_.toLongOption)
+        .getOrElse(throw new IllegalStateException(
+          s"unparsable SHOW MASTER STATUS position: ${status.head}")), c.binaryLogs())
+      (1 to workers).foreach { _ =>
+        val w = mkWorker()
+        opened += w
+        w.query("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+        w.query("START TRANSACTION WITH CONSISTENT SNAPSHOT")
+      }
+      val tables = SchemaBootstrap.fromServer(c, registry, includeDb)
+      (pinned, tables, opened.toSeq)
+    } catch {
+      case e: Throwable =>
+        opened.foreach(w => scala.util.Try(w.close()))
+        throw e
+    } finally if (locked) {
+      scala.util.Try(c.query("UNLOCK TABLES"))
+      ()
+    }
+  }
+
+  /** A unit of parallel dump work: one table, or one PK range of it.
+    * `where` is empty for whole-table units; `file` is the spool file the
+    * unit owns exclusively. */
+  private final case class DumpUnit(db: String, table: String, where: String,
+                                    file: String, seqBase: Long)
+
+  /** The first column of the table's PRIMARY KEY when it is a single
+    * integer column — the chunkable case. `SHOW FULL COLUMNS` carries the
+    * Key marker in its 5th column. */
+  private def integerPk(c: ReplicationClient, db: String, table: String): Option[String] = {
+    val cols = c.query(s"SHOW FULL COLUMNS FROM `$db`.`$table`")
+    val pri = cols.filter(_.lift(4).flatten.contains("PRI"))
+    pri match {
+      case Seq(only) if only.headOption.flatten.isDefined &&
+        only.lift(1).flatten.exists(t =>
+          Seq("int", "bigint", "mediumint", "smallint", "tinyint")
+            .exists(t.toLowerCase.startsWith)) => only.head
+      case _ => None // composite or non-integer PK: dump whole-table
+    }
+  }
+
+  /** Step 6, parallel: drain the tables over the worker connections
+    * [[pinParallel]] opened. Tables with a single integer-PK column and a
+    * key span wider than `chunkRows` are split into PK ranges (mydumper's
+    * chunking), each range an independent unit any worker may execute —
+    * every worker sees the same pinned read view, so placement is free.
+    * Commits and closes the workers. Returns rows spooled. */
+  def dumpToSpoolParallel(tables: Seq[(String, String)],
+                          workerConns: Seq[ReplicationClient],
+                          spoolDir: Path, ts: Long,
+                          chunkRows: Long = 1L << 20): Long = {
+    Files.createDirectories(spoolDir)
+    require(tables.size < (SeqBase.abs / TableSeqStride),
+      s"too many tables for the snapshot seq range: ${tables.size}")
+    require(chunkRows > 0 && chunkRows <= ChunkSeqStride,
+      s"chunkRows must be in (0, $ChunkSeqStride], got $chunkRows")
+    val total = new java.util.concurrent.atomic.AtomicLong(0L)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+
+    // Phase 1 (parallel over tables): discover chunkable PKs + key spans,
+    // emit units. MIN/MAX run inside the snapshot txns — consistent.
+    val tableQueue = new java.util.concurrent.ConcurrentLinkedQueue[((String, String), Int)]()
+    tables.zipWithIndex.foreach(tableQueue.add)
+    val units = new java.util.concurrent.ConcurrentLinkedQueue[DumpUnit]()
+    def discover(c: ReplicationClient): Unit = {
+      var t = tableQueue.poll()
+      while (t != null && failure.get() == null) {
+        val ((db, table), idx) = t
+        val base = SeqBase + idx * TableSeqStride
+        integerPk(c, db, table) match {
+          case Some(pk) =>
+            val mm = c.query(
+              s"SELECT MIN(`$pk`), MAX(`$pk`) FROM `$db`.`$table`").headOption
+            val lo = mm.flatMap(_.headOption.flatten).flatMap(_.toLongOption)
+            val hi = mm.flatMap(_.lift(1).flatten).flatMap(_.toLongOption)
+            (lo, hi) match {
+              case (Some(l), Some(h)) if h - l + 1 > chunkRows =>
+                val nChunks = math.min(((h - l) / chunkRows) + 1,
+                  TableSeqStride / ChunkSeqStride)
+                val span = (h - l) / nChunks + 1
+                (0L until nChunks).foreach { ci =>
+                  val clo = l + ci * span
+                  val chi = math.min(h, clo + span - 1)
+                  units.add(DumpUnit(db, table,
+                    s" WHERE `$pk` >= $clo AND `$pk` <= $chi",
+                    f"$db.$table.c$ci%04d.jsonl", base + ci * ChunkSeqStride))
+                }
+              case _ => // empty table or narrow key span: one unit
+                units.add(DumpUnit(db, table, "", s"$db.$table.jsonl", base))
+            }
+          case None =>
+            units.add(DumpUnit(db, table, "", s"$db.$table.jsonl", base))
+        }
+        t = tableQueue.poll()
+      }
+    }
+
+    // Phase 2 (parallel over units): spool. A unit owns its file; tmp+move
+    // keeps partial files invisible, same as the serial path.
+    def drain(c: ReplicationClient): Unit = {
+      var u = units.poll()
+      while (u != null && failure.get() == null) {
+        var seq = u.seqBase
+        val tmp = spoolDir.resolve(u.file + ".tmp")
+        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+        try {
+          c.queryForeach(s"SELECT * FROM `${u.db}`.`${u.table}`${u.where}") { row =>
+            val img = row.map(_.orNull).toArray
+            w.write(BinlogWire.positionalLine(u.db, u.table, "insert", ts, seq,
+              Seq(img), null))
+            w.write("\n")
+            seq += 1
+            total.addAndGet(1L)
+            ()
+          }
+        } finally w.close()
+        Files.move(tmp, spoolDir.resolve(u.file),
+          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+        u = units.poll()
+      }
+    }
+
+    val threads = workerConns.map { c =>
+      val th = new Thread(() => {
+        try { discover(c); drain(c) }
+        catch { case e: Throwable => failure.compareAndSet(null, e) }
+      }, "graft-snapshot-worker")
+      th.setDaemon(true); th.start(); th
+    }
+    // Phase barrier between discover and drain is per-thread: a thread only
+    // drains once the TABLE queue is empty, and unit execution is
+    // placement-free, so no cross-thread barrier is needed — a fast thread
+    // draining early only ever executes fully-formed units.
+    threads.foreach(_.join())
+    workerConns.foreach { c =>
+      scala.util.Try(c.query("COMMIT"))
+      scala.util.Try(c.close())
+    }
+    if (failure.get() != null) throw new java.io.IOException(
+      "parallel snapshot dump failed", failure.get())
+    total.get()
+  }
+
   /** Step 6: `SELECT *` each table inside the consistent-snapshot
     * transaction [[pin]] opened, spooling every row as an `action=insert`
     * positional wire line (one JSON-lines file per table, written atomically
@@ -127,9 +308,11 @@ object Snapshot {
   def dumpToSpool(c: ReplicationClient, tables: Seq[(String, String)],
                   spoolDir: Path, ts: Long): Long = {
     Files.createDirectories(spoolDir)
-    var seq = SeqBase
+    require(tables.size < (SeqBase.abs / TableSeqStride),
+      s"too many tables for the snapshot seq range: ${tables.size}")
     var count = 0L
-    tables.foreach { case (db, table) =>
+    tables.zipWithIndex.foreach { case ((db, table), idx) =>
+      var seq = SeqBase + idx * TableSeqStride
       val tmp = spoolDir.resolve(s"$db.$table.jsonl.tmp")
       val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
       try {

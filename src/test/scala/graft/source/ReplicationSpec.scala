@@ -61,6 +61,10 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
   /** Server-side table DATA for `SELECT * FROM db.t` (the snapshot dump):
     * rows of nullable cells in schema column order. */
   @volatile var tableData: Map[(String, String), Seq[Seq[Option[String]]]] = Map.empty
+  /** Single-column integer PRIMARY KEYs: (db, table) → column name. Marks
+    * the column PRI in SHOW FULL COLUMNS and enables MIN/MAX + ranged
+    * SELECTs over it (the parallel snapshot's chunking surface). */
+  @volatile var primaryKeys: Map[(String, String), String] = Map.empty
   val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
   /** Every COM_QUERY sql, in arrival order — lock/pin ordering assertions. */
@@ -254,19 +258,49 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
                 schemas.keys.filter(_._1 == m.group(1)).map(_._2).toSeq.sorted.map(Seq(_)))
             case _ => colRe.findFirstMatchIn(sql) match {
               case Some(m) =>
-                // real servers send 9 columns; the client reads the first two
+                // real servers send 9 columns; the client reads Field, Type
+                // and the Key marker
+                val tkey = (m.group(1), m.group(2))
                 resultset(Seq("Field", "Type", "Collation", "Null", "Key",
                   "Default", "Extra", "Privileges", "Comment"),
-                  schemas.getOrElse((m.group(1), m.group(2)), Nil).map { case (n, t) =>
-                    Seq(n, t, "", "YES", "", "", "", "", "")
+                  schemas.getOrElse(tkey, Nil).map { case (n, t) =>
+                    val k = if (primaryKeys.get(tkey).contains(n)) "PRI" else ""
+                    Seq(n, t, "", "YES", k, "", "", "", "")
                   })
-              case None => selRe.findFirstMatchIn(sql) match {
-                case Some(m) =>
-                  val key = (m.group(1), m.group(2))
-                  resultsetN(schemas.getOrElse(key, Nil).map(_._1),
-                    tableData.getOrElse(key, Nil))
-                case None => writePacket(out, 1, ok)
-              }
+              case None =>
+                val mmRe = ("""(?i)SELECT\s+MIN\(`?(\w+)`?\),\s*MAX\(`?\w+`?\)""" +
+                  """\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""").r
+                val rangeRe = ("""(?i)SELECT\s+\*\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""" +
+                  """\s+WHERE\s+`?(\w+)`?\s*>=\s*(-?\d+)\s+AND\s+`?\w+`?\s*<=\s*(-?\d+)""").r
+                def colIdx(key: (String, String), col: String): Int =
+                  schemas.getOrElse(key, Nil).indexWhere(_._1 == col)
+                mmRe.findFirstMatchIn(sql) match {
+                  case Some(m) =>
+                    val key = (m.group(2), m.group(3))
+                    val ci = colIdx(key, m.group(1))
+                    val vals = tableData.getOrElse(key, Nil)
+                      .flatMap(_.lift(ci).flatten).flatMap(_.toLongOption)
+                    if (vals.isEmpty) resultsetN(Seq("min", "max"), Seq(Seq(None, None)))
+                    else resultset(Seq("min", "max"),
+                      Seq(Seq(vals.min.toString, vals.max.toString)))
+                  case None => rangeRe.findFirstMatchIn(sql) match {
+                    case Some(m) =>
+                      val key = (m.group(1), m.group(2))
+                      val ci = colIdx(key, m.group(3))
+                      val (lo, hi) = (m.group(4).toLong, m.group(5).toLong)
+                      resultsetN(schemas.getOrElse(key, Nil).map(_._1),
+                        tableData.getOrElse(key, Nil).filter(r =>
+                          r.lift(ci).flatten.flatMap(_.toLongOption)
+                            .exists(v => v >= lo && v <= hi)))
+                    case None => selRe.findFirstMatchIn(sql) match {
+                      case Some(m) =>
+                        val key = (m.group(1), m.group(2))
+                        resultsetN(schemas.getOrElse(key, Nil).map(_._1),
+                          tableData.getOrElse(key, Nil))
+                      case None => writePacket(out, 1, ok)
+                    }
+                  }
+                }
             }
           }
           } // queryErrors match
@@ -1440,6 +1474,138 @@ class ReplicationSpec extends SparkSpec {
       import scala.jdk.CollectionConverters._
       assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("SELECT * FROM")),
         "no silent late dump either — the pin moment is gone")
+    } finally stub.close()
+  }
+
+  test("parallel consistent snapshot: chunked parallel spool is row-identical to " +
+    "the single-connection spool; every worker txn opens under the lock") {
+    import scala.jdk.CollectionConverters._
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(
+        ("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")),
+        ("shop", "logs") -> Seq(("msg", "varchar(40)"))) // no PK: whole-table unit
+      stub.primaryKeys = Map(("shop", "user") -> "id")
+      stub.tableData = Map(
+        ("shop", "user") -> (1 to 10).map(i => Seq(Some(i.toString), Some(s"u$i"))),
+        ("shop", "logs") -> Seq(Seq(Some("hello")), Seq(None)))
+      def rowsByTable(dir: Path): Map[String, Set[String]] = {
+        val files = {
+          val s = Files.list(dir)
+          try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).toList
+          finally s.close()
+        }
+        files.flatMap(f => Files.readAllLines(f).asScala)
+          .groupBy(l => "\"table\":\"(\\w+)\"".r.findFirstMatchIn(l).get.group(1))
+          .map { case (t, ls) =>
+            t -> ls.map(_.replaceAll("\"stmt_seq\":-?\\d+", "")).toSet
+          }
+      }
+      // serial reference dump
+      val dirA = tmp()
+      val c1 = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      val (pinA, _) = try {
+        c1.connect()
+        val (p, tablesA) = Snapshot.pin(c1, new graft.cdc.SchemaRegistry, withDataTxn = true)
+        Snapshot.dumpToSpool(c1, tablesA, dirA, ts = 1000L)
+        (p, tablesA)
+      } finally c1.close()
+      // parallel, chunked: key span 1..10 with chunkRows=4 → ranged units
+      val dirB = tmp()
+      stub.queriesSeen.clear()
+      val c2 = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      val n = try {
+        c2.connect()
+        val (pinB, tablesB, conns) = Snapshot.pinParallel(c2,
+          () => {
+            val w = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+            w.connect(); w
+          },
+          new graft.cdc.SchemaRegistry, workers = 3)
+        assert(pinB.globalPos === pinA.globalPos)
+        Snapshot.dumpToSpoolParallel(tablesB, conns, dirB, ts = 1000L, chunkRows = 4)
+      } finally c2.close()
+      assert(n === 12, "10 user rows + 2 log rows")
+      val bFiles = {
+        val s = Files.list(dirB)
+        try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+      }
+      assert(bFiles.count(_.startsWith("shop.user.c")) >= 2,
+        s"the PK'd table must be split into chunk files: $bFiles")
+      assert(bFiles.contains("shop.logs.jsonl"), s"no-PK table dumps whole: $bFiles")
+      assert(rowsByTable(dirB) === rowsByTable(dirA),
+        "identical rows per table, modulo stmt_seq")
+      // every worker's consistent-snapshot txn opened INSIDE the lock window
+      val qs = stub.queriesSeen.asScala.toSeq.map(_.toUpperCase)
+      val lockAt = qs.indexWhere(_.contains("FLUSH TABLES WITH READ LOCK"))
+      val unlockAt = qs.indexWhere(_.contains("UNLOCK TABLES"))
+      val txnsAt = qs.zipWithIndex.collect {
+        case (q, i) if q.contains("CONSISTENT SNAPSHOT") => i
+      }
+      assert(lockAt >= 0 && unlockAt > lockAt && txnsAt.size === 3)
+      assert(txnsAt.forall(i => i > lockAt && i < unlockAt),
+        s"worker txns must open inside the lock window: " +
+          s"lock=$lockAt unlock=$unlockAt txns=$txnsAt")
+      // stmt_seqs stay unique across the whole parallel spool
+      val seqs = {
+        val s = Files.list(dirB)
+        try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).toList
+        finally s.close()
+      }.flatMap(f => Files.readAllLines(f).asScala)
+        .map(l => "\"stmt_seq\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1))
+      assert(seqs.distinct.size === seqs.size, "stmt_seqs must be unique")
+    } finally stub.close()
+  }
+
+  test("engine seam with snapshotWorkers=2: parallel snapshot ∪ tail stays " +
+    "exact — no duplicates, dense indices, restart never re-dumps") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      stub.primaryKeys = Map(("shop", "user") -> "id")
+      stub.tableData = Map(("shop", "user") -> (1 to 6).map(i =>
+        Seq(Some(i.toString), Some(s"u$i"))))
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw",
+            "snapshotWorkers" -> "2", "snapshotChunkRows" -> "3"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry),
+          snapshotOnBootstrap = true))
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+      run()
+      val afterSnap = readSinkLines(s"$out/all")
+      assert(afterSnap.size === 6, s"snapshot rows only, never the pre-pin binlog: $afterSnap")
+      (1 to 6).foreach(i => assert(afterSnap.count(_.contains(s"\"u$i\"")) === 1,
+        s"row u$i exactly once: $afterSnap"))
+      // tail traffic after the pin: the index range continues densely
+      w.tableMap(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(20L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(7), w.vVarchar("cal", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      run()
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 7, s"snapshot (once) + tail: $lines")
+      val tail = lines.find(_.contains("\"cal\"")).get
+      assert(tail.contains("\"event_index\":7"),
+        s"tail continues the snapshot's dense index range: $tail")
+      import scala.jdk.CollectionConverters._
+      assert(stub.queriesSeen.asScala.count(_.toUpperCase.contains("SELECT * FROM")) >= 2,
+        "the parallel dump issued per-unit SELECTs")
+      assert(stub.queriesSeen.asScala.count(
+        _.toUpperCase.contains("CONSISTENT SNAPSHOT")) === 2, "two worker txns")
     } finally stub.close()
   }
 
