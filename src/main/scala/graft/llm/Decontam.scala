@@ -127,6 +127,71 @@ object Decontam {
       .otherwise(array().cast("array<bigint>"))
   }
 
+  /** Streaming SPAN-level decontamination scrub: the stream-static form of
+    * the q54 composition ([[contaminationSpans]] → [[Dedup.removeSpans]]) —
+    * each micro-batch's documents are probed against the STATIC benchmark
+    * n-gram set, colliding gram positions are merged into maximal spans, and
+    * each document is re-emitted with those spans cut out. The shape a live
+    * ingest pipeline needs: scrub-on-arrival, with the batch composition
+    * remaining the full-corpus audit.
+    *
+    * Column parity with [[Dedup.removeSpans]]: (doc_id, n_words, n_removed,
+    * clean_text) for EVERY document — clean documents pass through with
+    * n_removed = 0 — emitted when the watermark passes the document's event
+    * time.
+    *
+    * Plan shape:
+    *  - per-row gram hashing ([[ngramHashesDirect]]) with a Generate barrier
+    *    materializing the words array; `posexplode_outer` keeps sub-n-word
+    *    documents alive;
+    *  - stream-static LEFT join against the bounded benchmark gram frame —
+    *    stateless, static side re-planned per micro-batch, AQE-broadcast at
+    *    its true (small) size;
+    *  - ONE stateful operator: the per-document regroup keyed by the
+    *    watermarked event time + doc_id, collecting the (rare) hit positions
+    *    and the words array. Its state carries each document's words until
+    *    the watermark passes — unavoidable for an operator that must rebuild
+    *    the text — so state is bounded by watermark delay × ingest rate, the
+    *    same contract as [[contaminationStream]] but text-sized; size the
+    *    delay accordingly.
+    *  - island merge + span removal after the aggregate are row-local folds
+    *    (the batch path's window/groupBy become an in-row `aggregate` over
+    *    the sorted hit positions — per-document data, never wider). */
+  def spanScrubStream(docs: DataFrame, tsCol: String, idCol: String,
+      textCol: String, benchmark: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 8, watermarkDelay: String = "10 minutes"): DataFrame = {
+    val benchNgrams = Dedup.wordHashFrame(benchmark, benchIdCol, benchTextCol)
+      .select(explode(ngramHashesMod(col("whs"), n)).as("ng"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docs
+      .select(col(tsCol).as("__ts"), col(idCol).as("doc_id"),
+        explode(array(split(lower(col(textCol)), " "))).as("__ws"))
+      .select(col("__ts"), col("doc_id"), col("__ws"),
+        posexplode_outer(ngramHashesDirect(col("__ws"), n)).as(Seq("p", "ng")))
+      .withWatermark("__ts", watermarkDelay)
+      .join(benchNgrams, Seq("ng"), "left")
+      .groupBy(col("__ts"), col("doc_id"))
+      .agg(first(col("__ws")).as("__ws"),
+        sort_array(collect_list(when(col("__hit").isNotNull, col("p").cast("long"))))
+          .as("ps"))
+      // islands: chain hit positions at most n apart; (s, l) = first/last
+      // start of the chain, span = [s, l + n)
+      .withColumn("spans", expr(
+        s"""aggregate(ps, cast(array() as array<struct<s: bigint, l: bigint>>),
+           |  (acc, p) -> if(size(acc) = 0 or p > element_at(acc, -1).l + $n,
+           |    concat(acc, array(struct(p as s, p as l))),
+           |    concat(slice(acc, 1, size(acc) - 1),
+           |      array(struct(element_at(acc, -1).s as s, p as l)))))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        expr(s"aggregate(spans, cast(0 as bigint), (a, sp) -> a + sp.l + $n - sp.s)")
+          .as("n_removed"),
+        expr(s"array_join(filter(__ws, (w, i) -> " +
+          s"!exists(spans, sp -> i >= sp.s and i < sp.l + $n)), ' ')")
+          .as("clean_text"))
+  }
+
   /** Streaming decontamination: the stream-static form of
     * [[contaminationReport]] — each micro-batch of incoming documents is
     * probed against the STATIC benchmark n-gram set, the shape a live ingest

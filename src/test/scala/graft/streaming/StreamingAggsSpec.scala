@@ -132,6 +132,63 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming span scrub: stream-static span masking, parity with the batch " +
+    "contaminationSpans → removeSpans composition") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // Same fixture family as the decontamination test: d1/d2/d4 share 3-gram
+    // runs with the benchmark, d3 is clean, d5 is shorter than n (no grams —
+    // must still pass through), and d4's hits sit mid-document so the scrub
+    // must cut an INTERIOR span and keep both flanks.
+    val benchmark = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "here the quick brown fox appears again somewhere"),
+      (2L, "she said pack my box with care today"),
+      (3L, "completely unrelated clean words only here now"),
+      (4L, "noise noise jumps over the noise noise tail"),
+      (5L, "too short"))
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.llm.Decontam.spanScrubStream(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        benchmark, "doc_id", "text", n = 3, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("spanscrub")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((ts(0), docs(0)._1, docs(0)._2), (ts(1), docs(1)._1, docs(1)._2))
+      q.processAllAvailable()
+      in.addData((ts(2), docs(2)._1, docs(2)._2), (ts(3), docs(3)._1, docs(3)._2),
+        (ts(4), docs(4)._1, docs(4)._2))
+      q.processAllAvailable()
+      // two clean flush batches: advance max event time, then apply it
+      in.addData((ts(120), 999L, "zz1 zz2 zz3"))
+      q.processAllAvailable()
+      in.addData((ts(121), 998L, "zz4 zz5 zz6"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("spanscrub")
+        .filter($"doc_id" < 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      val corpus = docs.toDF("doc_id", "text")
+      val batch = graft.llm.Dedup.removeSpans(corpus,
+          graft.llm.Decontam.contaminationSpans(corpus, benchmark, "doc_id", "text", n = 3),
+          "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .toSet
+      // fixture sanity: an interior cut keeps both flanks, the clean and
+      // sub-n docs pass through whole
+      assert(batch.exists(r => r._1 == 4L && r._3 > 0 &&
+        r._4.startsWith("noise") && r._4.endsWith("tail")), s"batch: $batch")
+      assert(batch.exists(r => r._1 == 3L && r._3 === 0L))
+      assert(batch.exists(r => r._1 == 5L && r._3 === 0L && r._4 == "too short"))
+      assert(streamed === batch,
+        s"stream/batch span-scrub parity broken:\nstream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join: envelope stream x dimension table") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
