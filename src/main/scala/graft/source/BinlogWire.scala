@@ -59,6 +59,13 @@ object BinlogWire {
     * `@master_heartbeat_period` is set — liveness only, never written to a
     * binlog file. */
   val HEARTBEAT_EVENT = 27
+  /** One per transaction under gtid_mode=ON: flags(1) + source uuid(16) +
+    * transaction number(8 LE), ahead of the transaction's events. */
+  val GTID_EVENT = 33
+  val ANONYMOUS_GTID_EVENT = 34
+  /** Mandatory file prologue under gtid_mode: the executed set as of this
+    * file's creation, in [[GtidSet]] wire encoding. */
+  val PREVIOUS_GTIDS_EVENT = 35
   val WRITE_ROWS_V1 = 23
   val UPDATE_ROWS_V1 = 24
   val DELETE_ROWS_V1 = 25
@@ -79,6 +86,18 @@ object BinlogWire {
 
   final case class EventHeader(timestamp: Long, eventType: Int, serverId: Long,
                                eventSize: Int, logPos: Long, flags: Int)
+
+  /** GTID_EVENT body prefix → (source uuid, transaction number). Later
+    * fields (logical-clock timestamps, 8.0's commit timestamps) follow but
+    * don't affect identity, so only the 25-byte prefix is read. */
+  def parseGtid(body: Array[Byte]): (String, Long) = {
+    require(body.length >= 25, s"short GTID event body: ${body.length}")
+    val sid = GtidSet.sidHex(java.util.Arrays.copyOfRange(body, 1, 17))
+    var gno = 0L
+    var i = 0
+    while (i < 8) { gno |= (body(17 + i) & 0xffL) << (8 * i); i += 1 }
+    (sid, gno)
+  }
 
   /** One mapped table: column wire types + their 16-bit metadata. */
   final case class TableMap(db: String, table: String, colTypes: Array[Int],

@@ -176,10 +176,12 @@ class CdcScan(props: Map[String, String]) extends Scan {
           startOffset = props.get("startoffset").orElse(props.get("startOffset"))
             .map(ReplOffset.parse),
           bufferCap = opt("dumpBufferCap").getOrElse(10000L).toInt,
-          heartbeatSecs = opt("heartbeatSecs").getOrElse(30L).toInt)
+          heartbeatSecs = opt("heartbeatSecs").getOrElse(30L).toInt,
+          startGtid = props.get("startgtid").orElse(props.get("startGtid")))
       case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"),
         startOffset = props.get("startoffset").orElse(props.get("startOffset"))
-          .map(ReplOffset.parse))
+          .map(ReplOffset.parse),
+        startGtid = props.get("startgtid").orElse(props.get("startGtid")))
       case None =>
         new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
           mkReader = if (binary) Some(p =>
@@ -221,24 +223,53 @@ object CdcOffset {
   * up to the purged bytes; carrying the sizes in the checkpoint makes the
   * mapping restart-stable. Size: one short entry per binlog file ever seen —
   * checkpoint-metadata scale. */
-case class ReplOffset(pos: Long, files: Seq[(String, Long)]) extends Offset {
+case class ReplOffset(pos: Long, files: Seq[(String, Long)],
+                      /** gtid_executed at-or-below `pos` (canonical
+                        * [[GtidSet]] text) — the unit a restart can carry to
+                        * a DIFFERENT primary after failover (option
+                        * `startGtid`), where `pos`/`files` mean nothing.
+                        * The persistent dump mode re-stamps it exactly as
+                        * transactions commit (it observes GTID events
+                        * driver-side); per-batch mode only CARRIES the start
+                        * set forward (events are seen on executors), which
+                        * can understate — the at-least-once-safe direction.
+                        * Absent in pre-GTID checkpoints; parsing tolerates
+                        * both directions. */
+                      gtid: Option[String] = None,
+                      /** The primary's `@@server_uuid` at stamp time: lets a
+                        * restart distinguish "same server purged/rotated past
+                        * every file we knew" (continue) from "a different
+                        * primary after failover" (fail loudly, point at
+                        * startGtid). None for MariaDB / legacy checkpoints. */
+                      suuid: Option[String] = None) extends Offset {
   override def json(): String = {
     val fs = files.map { case (n, s) => s"""["$n",$s]""" }.mkString(",")
-    s"""{"pos":$pos,"files":[$fs]}"""
+    val g = gtid.fold("")(g => s""","gtid":"$g"""")
+    val u = suuid.fold("")(u => s""","suuid":"$u"""")
+    s"""{"pos":$pos$g$u,"files":[$fs]}"""
   }
 }
 
 object ReplOffset {
   private val pairRe = """\["([^"]+)",(\d+)\]""".r
+  private val gtidRe = """"gtid"\s*:\s*"([^"]*)"""".r
+  private val suuidRe = """"suuid"\s*:\s*"([^"]*)"""".r
   def parse(json: String): ReplOffset =
     ReplOffset(CdcOffset.parsePos(json),
-      pairRe.findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq)
+      pairRe.findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq,
+      gtidRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty),
+      suuidRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty))
   /** Accepts this stream's own offsets and (for compatibility with
     * checkpoints written before sizes were carried) a bare CdcOffset. */
   def posOf(o: Offset): Long = o match {
     case r: ReplOffset => r.pos
     case c: CdcOffset => c.pos
     case other => throw new IllegalArgumentException(s"unexpected offset: $other")
+  }
+
+  def gtidOf(o: Offset): Option[String] = o match {
+    case r: ReplOffset => r.gtid
+    case _ => None
   }
 }
 
@@ -350,9 +381,13 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
     * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes.
     * (Plain query connection: no COM_REGISTER_SLAVE, no dump, so sharing the
     * base serverId here cannot collide with dump connections.) */
-  def listLogs(): Seq[(String, Long)] = {
+  def listLogs(): Seq[(String, Long)] = listWithUuid()._2
+
+  /** Listing plus the server's identity, over one connection — the uuid is
+    * the failover discriminator [[BinlogLineage.check]] consumes. */
+  def listWithUuid(): (Option[String], Seq[(String, Long)]) = {
     val c = new ReplicationClient(host, port, user, password, serverId)
-    try { c.connect(); c.binaryLogs() } finally c.close()
+    try { c.connect(); (c.serverUuid(), c.binaryLogs()) } finally c.close()
   }
 
   /** One dump connection per partition, each with a DISTINCT server_id:
@@ -370,6 +405,57 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
     new ReplicationBinlogReader(host, port, user, password,
       serverId + 1 + (p.ordinal % 100000), p.file, p.fromByte, p.untilByte,
       seqBase = p.globalBase)
+}
+
+/** Failover detection for position-based resume. A checkpointed global
+  * position only means something against the binlog lineage it was measured
+  * on; when the server's current listing shares NO file with the known
+  * sequence, either the SAME primary purged/rotated past everything we knew
+  * (positions stay valid — new files append after the pinned sizes) or this
+  * is a DIFFERENT primary after failover (positions are garbage: its files
+  * would be appended to the sequence and re-streamed IN FULL — silent
+  * duplication of every retained transaction). `@@server_uuid` separates the
+  * two exactly; without it (MariaDB, legacy checkpoints) a strictly-forward
+  * same-basename rotation is accepted and anything else fails toward the
+  * GTID recovery path. */
+object BinlogLineage {
+  private val suffixRe = """^(.*)\.(\d+)$""".r
+
+  private def parseName(n: String): Option[(String, Long)] = n match {
+    case suffixRe(b, num) => Some((b, num.toLong))
+    case _ => None
+  }
+
+  def check(known: Set[String], knownUuid: Option[String],
+            live: Seq[(String, Long)], liveUuid: Option[String],
+            server: String, startGtidHint: Option[String]): Unit = {
+    val sameLineage = (knownUuid, liveUuid) match {
+      // identity decides outright when both sides have it — a NEW primary
+      // may well reuse the old one's file names (fresh installs all write
+      // binlog.000001), which name overlap would wrongly bless
+      case (Some(a), Some(b)) => a.equalsIgnoreCase(b)
+      case _ if known.isEmpty || live.isEmpty => true // nothing to contradict
+      case _ if live.exists(f => known(f._1)) => true // shared file: one log
+      case _ =>
+        // no identity on one side (MariaDB / legacy checkpoint): accept only
+        // an unambiguous forward rotation — every name parses, one shared
+        // basename, every live suffix beyond every known suffix
+        val k = known.toSeq.map(parseName)
+        val l = live.map(f => parseName(f._1))
+        (k ++ l).forall(_.isDefined) &&
+          (k ++ l).flatten.map(_._1).distinct.size == 1 &&
+          l.flatten.map(_._2).min > k.flatten.map(_._2).max
+    }
+    if (!sameLineage)
+      throw new IllegalStateException(
+        s"binlog sequence mismatch: checkpoint knows files ${known.mkString(", ")}" +
+          knownUuid.fold("")(u => s" (server_uuid $u)") +
+          s" but $server serves ${live.map(_._1).mkString(", ")}" +
+          liveUuid.fold("")(u => s" (server_uuid $u)") +
+          " — a failover to a new primary? File/pos offsets do not survive " +
+          "failover; restart with a FRESH checkpoint and option startGtid=" +
+          startGtidHint.getOrElse("<gtid_executed from the old checkpoint's offset>"))
+  }
 }
 
 /** Micro-batch planner for the LIVE replication source. Same offset unit as
@@ -400,7 +486,15 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
                              * snapshot position. Only consulted when no
                              * checkpoint exists; a restart resumes from the
                              * checkpoint as always. */
-                           startOffset: Option[ReplOffset] = None)
+                           startOffset: Option[ReplOffset] = None,
+                           /** First-start gtid_executed (option `startGtid`):
+                             * locate the start by GTID — the failover-proof
+                             * resume unit. Only consulted when no checkpoint
+                             * exists. (Per-batch offsets do not RE-stamp
+                             * gtids as the stream runs — events are only seen
+                             * on executors; use `connection=persistent` for
+                             * continuously stamped offsets.) */
+                           startGtid: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Monotone size cache: closed files are immutable; only the ACTIVE (last)
@@ -425,18 +519,35 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
     }
   }
 
+  /** Last known server identity (checkpoint-carried or observed live). */
+  private var knownUuid: Option[String] = None
+
   private def refresh(): Seq[(String, Long)] = synchronized {
-    seed(conf.listLogs())
+    val (liveUuid, live) = conf.listWithUuid()
+    BinlogLineage.check(sizes.keySet.toSet, knownUuid, live, liveUuid,
+      s"${conf.host}:${conf.port}", startGtidHint = None)
+    knownUuid = liveUuid.orElse(knownUuid)
+    seed(live)
     sizes.toSeq
   }
 
   private def snapshot(): Seq[(String, Long)] = synchronized(sizes.toSeq)
 
-  override def initialOffset(): Offset =
-    startOffset.map { o => seed(o.files); o }.getOrElse(ReplOffset(0L, Nil))
+  override def initialOffset(): Offset = {
+    val o = startOffset.map { o => seed(o.files); o }
+      .orElse(startGtid.map { g =>
+        val located = GtidLocator.locate(conf, GtidSet.parse(g))
+        seed(located.files)
+        located.copy(gtid = Some(GtidSet.parse(g).toString))
+      })
+      .getOrElse(ReplOffset(0L, Nil))
+    synchronized { knownUuid = o.suuid.orElse(knownUuid) }
+    o
+  }
   override def deserializeOffset(json: String): Offset = {
     val o = ReplOffset.parse(json)
     seed(o.files) // restart: pin the checkpoint's sequence mapping FIRST
+    synchronized { knownUuid = o.suuid.orElse(knownUuid) }
     o
   }
 
@@ -461,7 +572,9 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
         files.map { case (_, s) => cum += s; cum }
           .find(_ >= from + b).getOrElse(avail).min(avail)
     }
-    ReplOffset(math.max(from, until), files)
+    ReplOffset(math.max(from, until), files,
+      gtid = ReplOffset.gtidOf(start), // carried, not re-stamped (see ctor doc)
+      suuid = synchronized(knownUuid))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

@@ -59,7 +59,13 @@ object PersistentDump {
   * fresh `SHOW BINARY LOGS`). */
 final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
                                  files0: Seq[(String, Long)], bufferCap: Int,
-                                 heartbeatSecs: Int) extends AutoCloseable {
+                                 heartbeatSecs: Int,
+                                 /** gtid_executed as of `startPos` (from the
+                                   * checkpoint / startGtid option): the base
+                                   * the streamed GTID events accumulate onto,
+                                   * exactly how a real replica maintains its
+                                   * own executed set. */
+                                 gtid0: GtidSet = GtidSet.Empty) extends AutoCloseable {
 
   /** (lineGlobalStartPos, safeEndPosAfterIt, fileName, line). `safe` is a
     * position a future COM_BINLOG_DUMP may start from: the end of this
@@ -83,6 +89,17 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
     * carry this, so a restart can map its global position even if the
     * server has since purged files the original listing knew. */
   private val filesSeen = scala.collection.mutable.LinkedHashMap[String, Long](files0: _*)
+  /** Executed-set bookkeeping (operator S1's `OnGTID`, made useful): the
+    * accumulated set, the in-flight transaction's id (folded in when its
+    * commit marker arrives), and per-safe-position snapshots so an offset
+    * promised at position P is stamped with EXACTLY the transactions whose
+    * commit landed at-or-before P — never a later transaction's id, which a
+    * failover resume would then wrongly skip. Snapshots are pruned with the
+    * buffer on commit. */
+  private var gtidApplied: GtidSet = gtid0
+  private var gtidPending: Option[(String, Long)] = None
+  private val gtidSnaps = new java.util.TreeMap[Long, String]()
+  if (!gtid0.isEmpty) gtidSnaps.put(startPos, gtid0.toString)
   private var failure: Throwable = _
   @volatile private var closed = false
 
@@ -167,6 +184,18 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
               val globalStart = base + eventStart
               progressed(base + end) // reader position: advances on EVERY real
               // event, emitting or not (the AvailableNow drain bound)
+              if (etype == BinlogWire.GTID_EVENT) {
+                // a new transaction header proves the previous one is fully
+                // streamed — fold a pending id that had no XID (DDL) here
+                gtidFold(base + eventStart)
+                gtidPending = Some(BinlogWire.parseGtid(body))
+              } else if (etype == BinlogWire.PREVIOUS_GTIDS_EVENT) {
+                lock.synchronized {
+                  gtidApplied = gtidApplied.union(GtidSet.decode(body))
+                }
+              } else if (etype == BinlogWire.XID_EVENT) {
+                gtidFold(base + end) // commit marker: the txn is applied HERE
+              }
               if (line != null && globalStart >= startPos)
                 put(Entry(globalStart, base + end, file, line))
               else if (etype == BinlogWire.XID_EVENT)
@@ -200,6 +229,26 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
 
   private def record(name: String, size: Long): Unit = lock.synchronized {
     filesSeen(name) = math.max(size, filesSeen.getOrElse(name, 0L))
+  }
+
+  /** Fold the in-flight transaction's id into the executed set, snapshotting
+    * at `at` — the position its commit landed. Folding happens at the XID
+    * marker (exact) or at the NEXT transaction's GTID header (DDL has no
+    * XID; its id lands one header late, which can only make a failover
+    * resume REPLAY the DDL, never skip it — the at-least-once direction). */
+  private def gtidFold(at: Long): Unit = lock.synchronized {
+    gtidPending.foreach { case (sid, gno) =>
+      gtidApplied = gtidApplied.add(sid, gno)
+      gtidSnaps.put(at, gtidApplied.toString)
+    }
+    gtidPending = None
+  }
+
+  /** gtid_executed as of global position `pos` — the largest snapshot at or
+    * below it (None before any transaction has committed and no seed was
+    * given). */
+  def gtidAt(pos: Long): Option[String] = lock.synchronized {
+    Option(gtidSnaps.floorEntry(pos)).map(_.getValue)
   }
 
   /** The dump's view of the file sequence — listing-at-dial plus every file
@@ -283,6 +332,9 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
     * buffer was full. */
   def prune(until: Long): Unit = lock.synchronized {
     while (!buf.isEmpty && buf.peekFirst().pos < until) buf.removeFirst()
+    // keep the floor snapshot (it stamps future offsets ≥ until); drop older
+    val keep = gtidSnaps.floorEntry(until)
+    if (keep != null) gtidSnaps.headMap(keep.getKey, false).clear()
     lock.notifyAll()
   }
 
@@ -300,13 +352,25 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
                            maxBytesPerTrigger: Option[Long],
                            startOffset: Option[ReplOffset] = None,
                            bufferCap: Int = 10000,
-                           heartbeatSecs: Int = 30)
+                           heartbeatSecs: Int = 30,
+                           /** First-start gtid_executed (option `startGtid`):
+                             * locate the start position by GTID instead of
+                             * file/pos — the MASTER_AUTO_POSITION shape, and
+                             * the only resume unit that survives a failover
+                             * to a new primary. Only consulted when no
+                             * checkpoint exists. */
+                           startGtid: Option[String] = None)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
   private var reader: PersistentDumpReader = _
   private var availableNowRequested = false
   private var availableNowTarget: Option[Long] = None
+  /** Latest known executed set (start option / checkpoint / reader), so an
+    * offset is never stamped with LESS than what an earlier one carried. */
+  private var lastGtid: Option[String] = None
+  /** Last known server identity (checkpoint-carried or observed at dial). */
+  private var knownUuid: Option[String] = None
 
   private def seed(files: Seq[(String, Long)]): Unit = synchronized {
     files.foreach { case (n, s) => sizes(n) = math.max(s, sizes.getOrElse(n, 0L)) }
@@ -317,19 +381,39 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
     * restore, never at construction. */
   private def readerFor(startPos: Long): PersistentDumpReader = synchronized {
     if (reader == null) {
-      seed(conf.listLogs()) // ONE metadata listing, at dial time only
+      val (liveUuid, live) = conf.listWithUuid()
+      // Failover detection ([[BinlogLineage]]): a checkpointed position is
+      // measured against a file sequence this server does not have —
+      // resuming by pos would re-stream the new primary's retained history
+      // in full. Fail with the GTID recovery path, not silent duplication.
+      if (startPos > 0)
+        BinlogLineage.check(sizes.keySet.toSet, knownUuid, live, liveUuid,
+          s"${conf.host}:${conf.port}", startGtidHint = lastGtid)
+      knownUuid = liveUuid.orElse(knownUuid)
+      seed(live) // ONE metadata listing, at dial time only
       reader = new PersistentDumpReader(conf, startPos, sizes.toSeq, bufferCap,
-        heartbeatSecs)
+        heartbeatSecs, gtid0 = lastGtid.map(GtidSet.parse).getOrElse(GtidSet.Empty))
     }
     reader
   }
 
-  override def initialOffset(): Offset =
-    startOffset.map { o => seed(o.files); o }.getOrElse(ReplOffset(0L, Nil))
+  override def initialOffset(): Offset = {
+    val o = startOffset.map { o => seed(o.files); o }
+      .orElse(startGtid.map { g =>
+        // no checkpoint, GTID start: locate against the CURRENT primary
+        val located = GtidLocator.locate(conf, GtidSet.parse(g))
+        seed(located.files)
+        located.copy(gtid = Some(GtidSet.parse(g).toString))
+      })
+      .getOrElse(ReplOffset(0L, Nil))
+    synchronized { lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid) }
+    o
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val o = ReplOffset.parse(json)
     seed(o.files)
+    synchronized { lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid) }
     o
   }
 
@@ -362,7 +446,11 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
       if (b < until - from) until = math.min(until, r.boundedSafe(from, b))
     }
     seed(r.fileSizes()) // checkpoints carry the dump's own file view
-    ReplOffset(math.max(from, until), synchronized(sizes.toSeq))
+    val end = math.max(from, until)
+    val (g, u) = synchronized {
+      lastGtid = r.gtidAt(end).orElse(lastGtid); (lastGtid, knownUuid)
+    }
+    ReplOffset(end, synchronized(sizes.toSeq), g, u)
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

@@ -348,6 +348,15 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     }
   }
 
+  /** The server's immutable identity (`@@server_uuid`) — the one value that
+    * distinguishes "same primary, rotated/purged forward" from "a different
+    * primary after failover" when binlog file names are disjoint. MariaDB
+    * has no server_uuid; any server error yields None (callers fall back to
+    * a name-continuity heuristic). */
+  def serverUuid(): Option[String] =
+    try query("SELECT @@server_uuid").headOption.flatMap(_.headOption.flatten)
+    catch { case _: MysqlWire.MysqlServerError => None }
+
   /** `SHOW BINARY LOGS` → sorted (file, sizeBytes): the replication
     * analogue of [[CdcSource.listFiles]] — metadata only, never events.
     * Sorted by the NUMERIC file suffix where present: plain lexicographic

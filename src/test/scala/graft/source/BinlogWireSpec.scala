@@ -96,6 +96,25 @@ final class BinlogFixtureWriter(checksum: Boolean) {
     event(ts, etype, b.toByteArray)
   }
 
+  /** GTID transaction header (gtid_mode=ON): commit flag, source uuid,
+    * transaction number, 5.7 logical-clock tail. */
+  def gtid(ts: Long, sid: String, gno: Long): Long = {
+    val b = new ByteArrayOutputStream()
+    b.write(1) // GTID_FLAG_MAY_HAVE_SBR
+    b.write(GtidSet.sidBytes(sid))
+    b.write(le(gno, 8))
+    b.write(2) // logical-clock typecode
+    b.write(le(0, 8)); b.write(le(0, 8)) // last_committed, sequence_number
+    event(ts, GTID_EVENT, b.toByteArray)
+  }
+
+  /** PREVIOUS_GTIDS file prologue: the executed set at file creation. */
+  def previousGtids(ts: Long, set: GtidSet): Long =
+    event(ts, PREVIOUS_GTIDS_EVENT, set.encode)
+
+  /** XID transaction-commit marker. */
+  def xid(ts: Long, id: Long): Long = event(ts, XID_EVENT, le(id, 8))
+
   def query(ts: Long, db: String, sql: String): Long = {
     val b = new ByteArrayOutputStream()
     val dbB = db.getBytes(StandardCharsets.UTF_8)

@@ -74,6 +74,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
   @volatile var queryErrors: Map[String, (Int, String)] = Map.empty
   /** Total connections ever accepted — the persistent-mode churn assertion. */
   val connections = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** This server's identity (`SELECT @@server_uuid`) — random per instance,
+    * like real servers; set `mariadb=true`-style refusal by clearing it. */
+  @volatile var serverUuid: Option[String] = Some(java.util.UUID.randomUUID().toString)
   /** Blocking dumps emit HEARTBEAT events while idle (real-server behavior
     * under @master_heartbeat_period). */
   @volatile var heartbeats: Boolean = false
@@ -241,7 +244,11 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
           val colRe = """(?i)SHOW\s+FULL\s+COLUMNS\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
           val tblRe = """(?i)SHOW\s+TABLES\s+FROM\s+`?([\w$]+)`?""".r
           val selRe = """(?i)SELECT\s+\*\s+FROM\s+`?([\w$]+)`?\.`?([\w$]+)`?""".r
-          if (up.contains("SHOW BINARY LOGS"))
+          if (up.contains("SERVER_UUID")) serverUuid match {
+            case Some(u) => resultset(Seq("@@server_uuid"), Seq(Seq(u)))
+            case None => send(errPkt(1193, "Unknown system variable 'server_uuid'"))
+          }
+          else if (up.contains("SHOW BINARY LOGS"))
             resultset(Seq("Log_name", "File_size"),
               files.map { case (n, b) => Seq(n, b.length.toString) })
           else if (up.contains("SHOW MASTER STATUS"))
@@ -1842,5 +1849,187 @@ class ReplicationSpec extends SparkSpec {
     Files.walk(p).iterator().asScala
       .filter(f => f.toString.endsWith(".txt") && Files.isRegularFile(f))
       .flatMap(f => Files.readAllLines(f).asScala).toSeq
+  }
+
+  // ---------------------------------------------------------------- GTID tier
+
+  private val SidA = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+
+  /** A gtid_mode=ON binlog file: FDE, PREVIOUS_GTIDS prologue, then one
+    * single-row transaction per (gno, value) — GTID header, TABLE_MAP, ROWS,
+    * XID — the exact event shape a MySQL 5.6+ primary writes. */
+  private def gtidFixture(prev: GtidSet, sid: String,
+                          txns: Seq[(Long, Int)]): BinlogFixtureWriter = {
+    import BinlogWire._
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    w.previousGtids(90L, prev)
+    txns.foreach { case (gno, value) =>
+      w.gtid(100L + gno, sid, gno)
+      w.tableMap(100L + gno, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(100L + gno, WRITE_ROWS_V2, 5L, 2,
+        Seq(Seq(w.vLong(value), w.vVarchar(s"u$value", 40))))
+      w.xid(100L + gno, gno)
+    }
+    w
+  }
+
+  /** Drain a replication stream AvailableNow; returns emitted (pos, line). */
+  private def gtidDrain(stub: StubMysqlServer, cp: Path, persistent: Boolean,
+                        startGtid: Option[String] = None): Seq[(Long, String)] = {
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var r = spark.readStream.format("graft-cdc")
+      .option("wireFormat", "replication")
+      .option("host", "127.0.0.1").option("port", stub.port.toString)
+      .option("user", "repl").option("password", "pw")
+    if (persistent) r = r.option("connection", "persistent")
+    startGtid.foreach(g => r = r.option("startGtid", g))
+    val q = r.load()
+      .writeStream
+      .option("checkpointLocation", cp.toString)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        rows ++= batch.collect().map(x => (x.getLong(2), x.getString(0))); ()
+      }
+      .start()
+    assert(q.awaitTermination(120000), s"drain did not terminate: ${q.exception}")
+    rows.toSeq.sortBy(_._1)
+  }
+
+  /** The gtid field of the LAST committed checkpoint offset, if stamped. */
+  private def lastOffsetGtid(cp: Path): Option[String] = {
+    import scala.jdk.CollectionConverters._
+    val dir = cp.resolve("offsets")
+    val batches = Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
+    assert(batches.nonEmpty, s"no offset files under $dir")
+    val last = batches.maxBy(_.getFileName.toString.toLong)
+    val json = new String(Files.readAllBytes(last), UTF_8)
+    """"gtid"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+  }
+
+  test("GtidSet: parse/canonical/coalesce/subset algebra + wire codec roundtrip") {
+    val up = SidA.toUpperCase // uuids compare case-insensitively
+    val s = GtidSet.parse(s"$up:1-3:7,$SidA:4") // 1-3 and 4 coalesce to 1-4
+    assert(s.toString === s"$SidA:1-4:7")
+    assert(s.contains(up, 2) && s.contains(SidA, 7) && !s.contains(SidA, 5))
+    val grown = s.add(SidA, 5).add(up, 6)
+    assert(grown.toString === s"$SidA:1-7")
+    assert(s.subsetOf(grown) && !grown.subsetOf(s))
+    assert(GtidSet.Empty.subsetOf(s) && !s.subsetOf(GtidSet.Empty))
+    val other = GtidSet.parse("859d2f3e-0000-1111-2222-000000000001:1-2")
+    val u = s.union(other)
+    assert(s.subsetOf(u) && other.subsetOf(u))
+    assert(GtidSet.decode(u.encode).toString === u.toString,
+      "wire roundtrip incl. the exclusive-end conversion")
+    // golden wire bytes: one sid, one interval, ends exclusive on the wire
+    val g = GtidSet.parse(s"$SidA:1-4").encode
+    assert(g.length === 8 + 16 + 8 + 16)
+    assert(MysqlWire.leAt(g, 0, 8) === 1L)  // n_sids
+    assert(GtidSet.sidHex(java.util.Arrays.copyOfRange(g, 8, 24)) === SidA)
+    assert(MysqlWire.leAt(g, 24, 8) === 1L) // n_intervals
+    assert(MysqlWire.leAt(g, 32, 8) === 1L) // start
+    assert(MysqlWire.leAt(g, 40, 8) === 5L) // end EXCLUSIVE
+  }
+
+  test("BinlogLineage: server_uuid decides outright; without it only a forward " +
+    "same-basename rotation continues") {
+    val live = Seq(("binlog.000003", 10L), ("binlog.000004", 5L))
+    // same uuid: any listing is the same log lineage (purge past everything)
+    BinlogLineage.check(Set("old.000001"), Some("u1"), live, Some("u1"), "s", None)
+    // different uuid: failover, even when file NAMES overlap (fresh installs
+    // all write binlog.000001 — overlap proves nothing)
+    intercept[IllegalStateException] {
+      BinlogLineage.check(Set("binlog.000003"), Some("u1"), live, Some("u2"), "s", None)
+    }
+    // no uuid (MariaDB/legacy): shared file → continue
+    BinlogLineage.check(Set("binlog.000003"), None, live, None, "s", None)
+    // no uuid: strictly-forward rotation → continue
+    BinlogLineage.check(Set("binlog.000002"), None, live, None, "s", None)
+    // no uuid: live suffixes NOT beyond known → refuse
+    intercept[IllegalStateException] {
+      BinlogLineage.check(Set("binlog.000005"), None, live, None, "s", None)
+    }
+    // no uuid: basename change → refuse, with the actual recovery hint
+    val ex = intercept[IllegalStateException] {
+      BinlogLineage.check(Set("binlogA.000001"), None, Seq(("binlogB.000001", 9L)),
+        None, "s", Some("sid:1-3"))
+    }
+    assert(ex.getMessage.contains("startGtid=sid:1-3"))
+  }
+
+  test("persistent mode stamps offsets with gtid_executed as transactions commit") {
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      stub.files = Seq(("binlog.000001",
+        gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1), (2L, 2))).bytes))
+      val got = gtidDrain(stub, cp, persistent = true)
+      assert(got.size === 2, s"both transactions' rows: $got")
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1-2"),
+        "the committed offset must carry the executed set at its position")
+    } finally stub.close()
+  }
+
+  test("GTID failover resume: file/pos resume fails LOUDLY on the new primary; " +
+    "startGtid relocates exactly — no duplicates, no gaps") {
+    val oldP = new StubMysqlServer("pw")
+    val newP = new StubMysqlServer("pw")
+    val (cpA, cpB, cpC, cpD) = (tmp(), tmp(), tmp(), tmp())
+    try {
+      // old primary: transactions 1-3
+      oldP.files = Seq(("binlogA.000001",
+        gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1), (2L, 2), (3L, 3))).bytes))
+      val gotA = gtidDrain(oldP, cpA, persistent = true)
+      assert(gotA.size === 3)
+      val executed = lastOffsetGtid(cpA).get
+      assert(executed === s"$SidA:1-3")
+
+      // failover: the new primary has DIFFERENT file names; its binlog
+      // retains transaction 3 (purge hasn't passed it) and adds 4, 5 —
+      // continuous GTID history, discontinuous file/pos history
+      newP.files = Seq(("binlogB.000001",
+        gtidFixture(GtidSet.parse(s"$SidA:1-2"), SidA,
+          Seq((3L, 3), (4L, 4), (5L, 5))).bytes))
+
+      // resuming the OLD checkpoint against the new primary must fail with
+      // the failover diagnosis, not a confusing missing-binlog error
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication").option("connection", "persistent")
+        .option("host", "127.0.0.1").option("port", newP.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .load().writeStream
+        .option("checkpointLocation", cpA.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(120000)
+      }
+      assert(ex.toString.contains("binlog sequence mismatch"),
+        s"expected the failover diagnosis, got: $ex")
+      assert(ex.toString.contains(s"startGtid=$executed"),
+        s"the diagnosis must hand the operator the ACTUAL recovery value: $ex")
+
+      // the supported path: fresh checkpoint + startGtid from the old offset.
+      // Transaction 3 (already executed) must be SKIPPED; 4 and 5 delivered.
+      val gotB = gtidDrain(newP, cpB, persistent = true, startGtid = Some(executed))
+      assert(gotB.size === 2, s"only the unexecuted transactions: $gotB")
+      assert(gotB.map(_._2).count(_.contains("\"u4\"")) === 1)
+      assert(gotB.map(_._2).count(_.contains("\"u5\"")) === 1)
+      assert(!gotB.exists(_._2.contains("\"u3\"")), "transaction 3 must not replay")
+      assert(lastOffsetGtid(cpB) === Some(s"$SidA:1-5"),
+        "the new primary's offsets accumulate onto the carried set")
+
+      // per-batch mode accepts the same start option
+      val gotC = gtidDrain(newP, cpC, persistent = false, startGtid = Some(executed))
+      assert(gotC.size === 2 && !gotC.exists(_._2.contains("\"u3\"")), s"$gotC")
+
+      // fully-executed set: locate resumes at the tail — an empty drain
+      val gotD = gtidDrain(newP, cpD, persistent = true,
+        startGtid = Some(s"$SidA:1-5"))
+      assert(gotD.isEmpty, s"nothing left to stream: $gotD")
+    } finally { oldP.close(); newP.close() }
   }
 }
