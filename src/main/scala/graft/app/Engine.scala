@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.streaming.{CdcStream, ControlService, SubscriberRegistry, TcpPubSubService}
+import graft.streaming.{CdcStream, ControlService, EngineMetrics, GraftQueryListener, SubscriberRegistry, TcpPubSubService}
 
 /** The application wiring (SURVEY §7.1 `app/`): one CDC stream →
   * envelope pipeline → N filtered sinks, plus the control surface — the
@@ -85,13 +85,19 @@ object Engine {
                      val control: Option[ControlService],
                      val pubsub: Option[TcpPubSubService],
                      val registry: SubscriberRegistry,
-                     sinksRef: AtomicReference[Seq[CdcStream.SinkConfig]]) {
+                     sinksRef: AtomicReference[Seq[CdcStream.SinkConfig]],
+                     /** Live counters (envelopes, per-sink sends, rates) —
+                       * the reference's events/sec instrumentation
+                       * (tcp.go:436-443), engine-wide. */
+                     val metrics: EngineMetrics = new EngineMetrics,
+                     teardown: () => Unit = () => ()) {
     def awaitTermination(ms: Long): Boolean = query.awaitTermination(ms)
     def currentSinks: Seq[CdcStream.SinkConfig] = sinksRef.get()
     def stop(): Unit = {
       scala.util.Try(query.stop())
       pubsub.foreach(_.stop())
       control.foreach(_.stop())
+      teardown()
     }
   }
 
@@ -128,6 +134,7 @@ object Engine {
         "bootstrap fetch schemas, or drop snapshotOnBootstrap")
 
     val registry = new SubscriberRegistry
+    val metrics = new EngineMetrics
     val pubsub = cfg.tcpPubSubPort.map(p => new TcpPubSubService(p))
     // Executors stream each batch's envelopes straight into the pub/sub
     // service's publish ingress — the driver never holds a batch of envelopes
@@ -265,7 +272,7 @@ object Engine {
           .filter(col("database").isNotNull && col("table").isNotNull &&
             col("action").isNotNull)
         CdcStream.processPositionalBatch(batch, SnapshotBatchId, cfg.posFile,
-          sinksRef.get(), reg, pushTo, cfg.kafkaPush)
+          sinksRef.get(), reg, pushTo, cfg.kafkaPush, Some(metrics))
         reg.saveTo(schemaFile)
       }
       java.nio.file.Files.write(snapDone, Array.emptyByteArray)
@@ -295,6 +302,12 @@ object Engine {
       } else if (cfg.schemaRegistry.isDefined) CdcStream.readRawPositional(spark, cfg.inputDir)
       else CdcStream.readRaw(spark, cfg.inputDir)
 
+    // One progress line per micro-batch (rows/s from Spark's own progress,
+    // engine counters appended) — registered before start so no batch's
+    // event is missed, scoped to this query's id, removed on stop.
+    val listener = new GraftQueryListener(metrics)
+    spark.streams.addListener(listener)
+
     val query = raw.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
@@ -302,19 +315,26 @@ object Engine {
         cfg.schemaRegistry match {
           case Some(reg) =>
             CdcStream.processPositionalBatch(batch, id, cfg.posFile, sinksRef.get(), reg,
-              pushTo, cfg.kafkaPush)
+              pushTo, cfg.kafkaPush, Some(metrics))
             reg.saveTo(schemaFile)
           case None =>
-            CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo, cfg.kafkaPush)
+            CdcStream.processBatch(batch, id, cfg.posFile, sinksRef.get(), pushTo,
+              cfg.kafkaPush, Some(metrics))
         }
       }
       .start()
+    listener.queryId = Some(query.id)
 
     val control = cfg.controlPort.map(p => new ControlService(p,
       onStop = () => query.stop(),
       onReload = payload => cfg.reloadSinks.foreach(f => sinksRef.set(f(payload))),
-      members = () => spark.streams.active.map(q => s"${q.name} ${q.id}").mkString("\n")))
+      // CTRL_STATUS: active queries plus the live counters — the reference's
+      // status surface never had rates; ours is the tcp.go:436 counter
+      // rendered engine-wide.
+      members = () => (spark.streams.active.map(q => s"${q.name} ${q.id}") :+
+        metrics.render).mkString("\n")))
 
-    new Handle(query, control, pubsub, registry, sinksRef)
+    new Handle(query, control, pubsub, registry, sinksRef, metrics,
+      teardown = () => spark.streams.removeListener(listener))
   }
 }

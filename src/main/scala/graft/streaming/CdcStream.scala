@@ -107,13 +107,18 @@ object CdcStream {
 
   def processBatch(batch: DataFrame, batchId: Long, posFile: String,
                    sinks: Seq[SinkConfig], pushTo: Option[(String, Int)] = None,
-                   kafkaPush: Option[KafkaPush] = None): Unit = {
+                   kafkaPush: Option[KafkaPush] = None,
+                   metrics: Option[EngineMetrics] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     // Replay of the committed batch re-uses its original start index
     // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
     val start = if (tag == s"batch-$batchId") replayStart else next
+    // exact raw-statement count (one extra scan of the raw frame, metrics
+    // mode only — the engine is the low-rate ops tier; see EngineMetrics)
+    metrics.foreach(_.rawRows.addAndGet(batch.count()))
     val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(batch, startIndex = start)
-    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start, kafkaPush)
+    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start, kafkaPush,
+      metrics)
   }
 
   /** Positional-stream variant of [[processBatch]]: raw statements carry
@@ -124,14 +129,16 @@ object CdcStream {
   def processPositionalBatch(batch: DataFrame, batchId: Long, posFile: String,
                              sinks: Seq[SinkConfig], registry: graft.cdc.SchemaRegistry,
                              pushTo: Option[(String, Int)] = None,
-                             kafkaPush: Option[KafkaPush] = None): Unit = {
+                             kafkaPush: Option[KafkaPush] = None,
+                             metrics: Option[EngineMetrics] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     val start = if (tag == s"batch-$batchId") replayStart else next
+    metrics.foreach(_.rawRows.addAndGet(batch.count())) // see processBatch note
     val (decoded, decodeCleanup) = registry.decodeBatchManaged(batch)
     val (env, indexCleanup) = graft.cdc.EventIndexer.denseManaged(
       decoded, Seq(col("stmt_seq"), col("pair_pos")), "event_index", start)
     fanOutIndexed(env, () => { indexCleanup(); decodeCleanup() },
-      batchId, posFile, sinks, pushTo, start, kafkaPush)
+      batchId, posFile, sinks, pushTo, start, kafkaPush, metrics)
   }
 
   /** Shared tail of the two batch paths: serialize once, offer to every sink,
@@ -140,7 +147,8 @@ object CdcStream {
   private def fanOutIndexed(env: DataFrame, envCleanup: () => Unit, batchId: Long,
                             posFile: String, sinks: Seq[SinkConfig],
                             pushTo: Option[(String, Int)], start: Long,
-                            kafkaPush: Option[KafkaPush] = None): Unit = {
+                            kafkaPush: Option[KafkaPush] = None,
+                            metrics: Option[EngineMetrics] = None): Unit = {
     val out = env.withColumn("envelope", EnvelopeBuilder.envelopeJson(env))
       .select(col("topic"), col("envelope"), col("event_index"))
       .persist()
@@ -153,6 +161,10 @@ object CdcStream {
           if (s.kafkaShaped) filtered.select(concat(col("topic"), lit("\t"), col("envelope")).as("value"))
           else filtered.select(col("envelope").as("value"))
         lines.write.mode("append").text(s.dir)
+        // per-sink send count (the reference's per-connection `times`,
+        // tcp.go:436): a count over the PERSISTED frame — cached scan, no
+        // recompute of the envelope pipeline
+        metrics.foreach(_.addSink(s.name, filtered.count()))
       }
       pushTo.foreach { case (host, port) =>
         // Delivery is AT-LEAST-ONCE: the push runs before PosStore.write and
@@ -205,6 +217,7 @@ object CdcStream {
           host, port, kafkaTopic)
       }
       val n = out.count()
+      metrics.foreach { m => m.envelopes.addAndGet(n); m.batches.incrementAndGet() }
       PosStore.write(posFile, s"batch-$batchId", start, start + n)
     } finally {
       out.unpersist()

@@ -358,4 +358,40 @@ class EngineSpec extends SparkSpec {
       assert(idx.toSeq === idx.sorted.toSeq)
     } finally handle.stop()
   }
+
+  test("observability: metrics count envelopes + per-sink sends for a known batch; " +
+    "the progress listener folds Spark's own numbers in; status carries the line") {
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    Files.write(in.resolve("bin.0001"),
+      Seq(line("test", "city", 1), line("test", "user", 2), line("test", "user", 3)).asJava)
+
+    val handle = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(
+        CdcStream.SinkConfig("all", s"$out/all"),
+        CdcStream.SinkConfig("city_only", s"$out/city", Seq("\\.city$"))),
+      controlPort = Some(0)))
+    try {
+      assert(handle.awaitTermination(120000))
+      val m = handle.metrics
+      // pipeline-side counters: exact for the known batch
+      assert(m.envelopes.get === 3, s"3 single-row inserts: ${m.render}")
+      assert(m.batches.get === 1, m.render)
+      assert(m.sinkCounts === Map("all" -> 3L, "city_only" -> 1L),
+        s"per-sink sends (the reference's per-connection times counter): ${m.render}")
+      assert(m.envelopesPerSec > 0.0)
+      // Spark-side numbers arrive via the listener bus (async): wait for them
+      val deadline = System.currentTimeMillis() + 30000
+      while (m.lastProgress.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(m.lastProgress.nonEmpty, "no QueryProgressEvent observed")
+      assert(m.rawRows.get === 3, s"exact raw-statement count: ${m.render}")
+      // the control plane's status line carries the rendered counters
+      val status = ControlClient.showMembers(handle.control.get.boundPort)
+      assert(status.contains("envelopes=3") && status.contains("city_only:1"),
+        s"status: $status")
+    } finally handle.stop()
+  }
 }
