@@ -1,0 +1,78 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model scoring — the CCNet/KenLM-shaped quality signal: a
+  * cheap LM is trained on a corpus and each document is scored by its
+  * negative log-likelihood under it; low-probability documents (gibberish,
+  * boilerplate soup, wrong-language fragments) score high and are filtered
+  * or down-weighted. Real pipelines train KenLM on a reference corpus
+  * (e.g. Wikipedia); this operator trains an add-α bigram model on the
+  * corpus itself — the same signal shape with zero external artifacts, and
+  * the train corpus is a parameter so a reference corpus drops in.
+  *
+  * Scale posture (the 100 TB contract):
+  *  - One corpus-scale shuffle to build per-doc bigram multiplicities
+  *    (`groupBy(doc, w1, w2)` — map-side combinable), one to count the
+  *    model (`groupBy(w1, w2)` over the ALREADY-AGGREGATED pairs, input =
+  *    distinct (doc, bigram) rows, not the raw token stream).
+  *  - Head counts and the vocabulary scalar derive from the MODEL frame
+  *    (vocabulary-scale, not corpus-scale); the model is enriched with its
+  *    head totals model-side, so the corpus-derived pairs frame meets ONE
+  *    join — on (w1, w2), the key both sides are already aggregated by.
+  *    No broadcast hint: vocabulary size is corpus-dependent (AQE decides),
+  *    unlike BM25's by-contract-small query set.
+  *  - The final per-doc score is a groupBy over matched pairs — keyed by
+  *    doc_id, map-side combinable.
+  *
+  * Determinism contract (shared with the DuckDB oracle, same as
+  * [[Retrieval]]): each bigram's NLL term is rounded to integer MICROS
+  * (`floor(x·1e6 + 0.5)`) before the weighted integer sum and integer
+  * division, so summation order cannot change the result; the `ln` caveat
+  * in Retrieval's doc applies identically.
+  */
+object LanguageModel {
+
+  /** Per-document average bigram negative log-likelihood, in integer
+    * micro-nats. Add-α smoothing: `P(w2|w1) = (c(w1,w2) + α) /
+    * (c(w1) + α·V)` with `V` = number of distinct head words; `c(w1)` is
+    * the bigram-head count (= Σ_w2 c(w1,w2)), so P is a proper conditional.
+    * Documents with fewer than two words have no bigrams and are omitted.
+    * Output: (doc_id, n_bigrams, avg_nll_micro). */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                alpha: Double = 0.5): DataFrame = {
+    val ws = docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    // adjacent pairs via a 0-based index transform; explode once, then
+    // pre-aggregate per (doc, bigram) so repeated bigrams ride as one row
+    // with a multiplicity into everything downstream
+    val pairs = ws
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+
+    // the model: corpus bigram counts from the aggregated pairs; head counts
+    // and vocabulary derive from the MODEL (vocabulary-scale inputs)
+    val model = pairs.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val heads = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = heads.agg(count(lit(1)).as("v"))
+    val enriched = model.join(heads, "w1") // model-scale enrich: AQE decides
+
+    val p = (col("c12").cast("double") + lit(alpha)) /
+      (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))
+    val termMicro = floor(-log(p) * lit(1000000.0) + lit(0.5))
+
+    pairs
+      .join(enriched, Seq("w1", "w2")) // the one corpus-derived join
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("m") * termMicro).cast("long").as("sum_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_nll_micro div n_bigrams").as("avg_nll_micro"))
+  }
+}

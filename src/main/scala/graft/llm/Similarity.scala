@@ -136,14 +136,15 @@ object Similarity {
     * unprobed cell).
     *
     * Output (q_id, rank, neighbor_id), rank order (cosine DESC, id). */
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              centroidStride: Long = 40, nProbe: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Driver-side collect of CONTROL-PLANE data only (the centroid table),
-    // mirroring what any IVF index stores in its header. Norms are
-    // precomputed with the same left-fold double arithmetic as [[l2norm]].
-    val centroids: Seq[(Long, Seq[Float], Double)] = candidates
-      .filter(col("id") % centroidStride === 0)
+  /** Driver-side collect of CONTROL-PLANE data only (the centroid table),
+    * mirroring what any IVF index stores in its header: a deterministic
+    * sample (every `stride`-th id) of (id, vec, norm), metadata-scale by the
+    * IVF contract. Norms are precomputed with the same left-fold double
+    * arithmetic as [[l2norm]]. Shared by [[ivfTopK]] and [[semanticDedup]]. */
+  private def sampledCentroids(candidates: DataFrame, stride: Long,
+                               caller: String): Seq[(Long, Seq[Float], Double)] = {
+    val centroids = candidates
+      .filter(col("id") % stride === 0)
       .select(col("id"), col("vec"))
       .collect()
       .map { r =>
@@ -151,28 +152,39 @@ object Similarity {
         (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
       }.sortBy(_._1).toSeq
     require(centroids.nonEmpty,
-      s"ivfTopK: no candidate id is a multiple of centroidStride=$centroidStride " +
+      s"$caller: no candidate id is a multiple of centroidStride=$stride " +
         "— an empty centroid table would make every cell assignment fail " +
         "(ANSI) or null out silently; pick a stride <= the max candidate id")
-    val centArr = typedlit(centroids) // array<struct<_1:id, _2:vec, _3:norm>>
+    centroids
+  }
 
-    // (cos, cell) per centroid; cos grouped EXACTLY as the oracle's
-    // dot/(nrm*centn) so assignment ties break identically.
-    def cellScores(vec: Column, nrm: Column): Column =
+  /** The `n` nearest cell ids of `vec` against the centroid literal
+    * `centArr` (array<struct<_1:id, _2:vec, _3:norm>>) — pure per-row
+    * expression work: an argmax fold inside the projection, never a join or
+    * Exchange. Cosines are grouped EXACTLY as the oracle's dot/(nrm·centn)
+    * so assignment ties break identically; order is (cosine DESC, cell ASC),
+    * row_number semantics. */
+  private def nearestCellsCol(centArr: Column, vec: Column, n: Int): Column = {
+    def cellScores(v: Column, nrm: Column): Column =
       transform(centArr, ct =>
-        struct((dot(vec, ct.getField("_2")) / (nrm * ct.getField("_3"))).as("cos"),
+        struct((dot(v, ct.getField("_2")) / (nrm * ct.getField("_3"))).as("cos"),
           ct.getField("_1").as("cell")))
-    // array_sort comparator: cosine DESC, then cell ASC — row_number order.
     def byBest(l: Column, r: Column): Column =
       when(l.getField("cos") > r.getField("cos"), -1)
         .when(l.getField("cos") < r.getField("cos"), 1)
         .when(l.getField("cell") < r.getField("cell"), -1)
         .when(l.getField("cell") > r.getField("cell"), 1)
         .otherwise(0)
-    def nearestCells(vec: Column, n: Int): Column =
-      let(l2norm(vec), nrm =>
-        transform(slice(array_sort(cellScores(vec, nrm), byBest), 1, n),
-          s => s.getField("cell")))
+    let(l2norm(vec), nrm =>
+      transform(slice(array_sort(cellScores(vec, nrm), byBest), 1, n),
+        s => s.getField("cell")))
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              centroidStride: Long = 40, nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centArr = typedlit(sampledCentroids(candidates, centroidStride, "ivfTopK"))
+    def nearestCells(vec: Column, n: Int): Column = nearestCellsCol(centArr, vec, n)
 
     // Inverted file: nearest cell per candidate — map-side only, no Exchange.
     val inv = candidates.select(col("id").as("c_id"), col("vec").as("cv"))
@@ -193,6 +205,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("c_id").as("neighbor_id"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): prune semantically
+    * near-duplicate documents by their EMBEDDINGS — cluster the corpus
+    * coarsely, compare vectors only WITHIN a cluster, and keep one
+    * representative per near-duplicate group. The within-cluster restriction
+    * is the published algorithm's own scale trick (k-means cells bound the
+    * quadratic term), not an approximation bolted on here; pairs that cross
+    * cells are out of scope by design.
+    *
+    * Spark shape, reusing the verified building blocks:
+    *  - cells: the IVF deterministic sampled centroids ([[sampledCentroids]],
+    *    [[nearestCellsCol]]) — assignment is per-row expression work, no
+    *    Exchange (q34's audited posture);
+    *  - candidate pairs: self-join keyed on the cell id, `id_a < id_b`,
+    *    exact cosine ≥ `tau` — the only place the corpus meets itself, and
+    *    it is cell-bounded (avg cell size ≈ centroidStride). A pathological
+    *    cell (all vectors identical) degrades to that cell's quadratic —
+    *    the documented SemDeDup trade;
+    *  - groups: connected components over the pair graph
+    *    ([[Clusters]] large-star/small-star, q38's audited machinery);
+    *    the representative is the component's minimum id (deterministic).
+    *
+    * Output: (id, keep_id, kept, cluster_size) — one row per input vector;
+    * `kept` marks the representative (every non-duplicate is its own). */
+  def semanticDedup(vecs: DataFrame, tau: Double,
+                    centroidStride: Long = 40): DataFrame =
+    Clusters.assign(vecs.select("id"), semanticPairs(vecs, tau, centroidStride))
+      .select(col("doc_id").as("id"), col("cluster_id").as("keep_id"),
+        (col("doc_id") === col("cluster_id")).cast("long").as("kept"),
+        col("cluster_size"))
+
+  /** [[semanticDedup]]'s candidate stage, exposed on its own: (id_a, id_b)
+    * pairs with exact cosine ≥ `tau` among SAME-CELL vectors. Separately
+    * visible so its plan can be audited directly — the downstream connected
+    * components run through [[Clusters]]' lineage barrier (per-round
+    * actions), which hides this stage from the final query's executed
+    * plan. */
+  def semanticPairs(vecs: DataFrame, tau: Double,
+                    centroidStride: Long = 40): DataFrame = {
+    val centArr = typedlit(sampledCentroids(vecs, centroidStride, "semanticDedup"))
+    val cells = vecs.select(col("id"), col("vec"))
+      .withColumn("cell", element_at(nearestCellsCol(centArr, col("vec"), 1), 1))
+      .withColumn("nrm", l2norm(col("vec")))
+    val a = cells.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"))
+    val b = cells.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"))
+    a.join(b, "cell")
+      .filter(col("id_a") < col("id_b") &&
+        cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+      .select("id_a", "id_b")
   }
 
   /** Per-vector int8 symmetric quantization scale: max |x_i| (double). */

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Clusters, Decontam, Dedup, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Decontam, Dedup, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,12 @@ object LlmQueries {
 
   private def embeddingsAsIdVec(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id").as("id"), col("embedding").as("vec"))
+
+  /** The (id, vec) embeddings frame, exposed for plan audits of operator
+    * stages that the catalog query's own executed plan cannot show (q56's
+    * pair stage runs behind the CC lineage barrier). */
+  def embeddingsForAudit(s: SparkSession, d: String): DataFrame =
+    embeddingsAsIdVec(s, d)
 
   /** Exact cosine top-5 for a small broadcast query set (every 100th vector).
     * Rank-only output: both engines order by (cosine DESC, id). */
@@ -1168,6 +1174,79 @@ object LlmQueries {
       |WHERE NOT m.is_bench
       |ORDER BY m.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55 bigram LM
+
+  /** Bigram LM quality score ([[LanguageModel.bigramNll]]): add-½ bigram
+    * model trained on the corpus itself; each document's average NLL in
+    * integer micro-nats — the CCNet/KenLM filtering signal shape. */
+  private def q55(s: SparkSession, d: String): DataFrame =
+    LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  private val q55Sql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM ws),
+      |pairs AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY 1, 2, 3),
+      |model AS (
+      |  SELECT w1, w2, sum(m)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      |heads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM model GROUP BY 1),
+      |vocab AS (SELECT count(*)::BIGINT AS v FROM heads),
+      |terms AS (
+      |  SELECT p.doc_id, p.m,
+      |    floor(-ln((mo.c12 + 0.5) / (h.c1 + 0.5 * vocab.v)) * 1000000 + 0.5)::BIGINT AS term
+      |  FROM pairs p
+      |  JOIN model mo USING (w1, w2)
+      |  JOIN heads h USING (w1)
+      |  CROSS JOIN vocab)
+      |SELECT doc_id, sum(m)::BIGINT AS n_bigrams,
+      |  (sum(m * term) // sum(m))::BIGINT AS avg_nll_micro
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q56 semantic dedup
+
+  /** SemDeDup ([[Similarity.semanticDedup]]): embedding-side near-duplicate
+    * pruning — IVF cells bound the comparisons, exact cosine ≥ 0.3 pairs
+    * (q31's near-dup threshold), connected components pick one
+    * representative per group. The embedding-side capstone, as q43 is the
+    * text-side one. */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    Similarity.semanticDedup(embeddingsAsIdVec(s, d), tau = 0.3)
+      .orderBy("id")
+
+  private val q56Sql =
+    """WITH RECURSIVE vv AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT id AS cent_id, vec AS centv, nrm AS centn FROM vv WHERE id % 40 = 0),
+      |cellof AS (
+      |  SELECT id, cell FROM (
+      |    SELECT c.id, ct.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_sum([c.vec[i]::DOUBLE * ct.centv[i]::DOUBLE for i in range(1, len(c.vec)+1)])
+      |          / (c.nrm * ct.centn) DESC, ct.cent_id) AS rn
+      |    FROM vv c, cents ct) WHERE rn = 1),
+      |pairs AS (
+      |  SELECT a.id AS u, b.id AS v
+      |  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.id < b.id
+      |  JOIN vv va ON va.id = a.id JOIN vv vb ON vb.id = b.id
+      |  WHERE list_sum([va.vec[i]::DOUBLE * vb.vec[i]::DOUBLE for i in range(1, len(va.vec)+1)])
+      |      / (va.nrm * vb.nrm) >= 0.3),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs),
+      |reach(node, root) AS (
+      |  SELECT id, id FROM vv
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |lab AS (SELECT node AS id, min(root) AS keep_id FROM reach GROUP BY node)
+      |SELECT id, keep_id, (id = keep_id)::BIGINT AS kept,
+      |  count(*) OVER (PARTITION BY keep_id)::BIGINT AS cluster_size
+      |FROM lab ORDER BY id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1200,5 +1279,7 @@ object LlmQueries {
     QueryDef("q52_repeated_spans", q52, Some(q52Sql)),
     QueryDef("q53_span_scrub", q53, Some(q53Sql)),
     QueryDef("q54_decontam_scrub", q54, Some(q54Sql)),
+    QueryDef("q55_bigram_lm", q55, Some(q55Sql)),
+    QueryDef("q56_semantic_dedup", q56, Some(q56Sql)),
   )
 }

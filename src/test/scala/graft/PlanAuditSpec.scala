@@ -25,7 +25,8 @@ class PlanAuditSpec extends SparkSpec {
     * broadcast the small query set with a non-equi (!=) residual. */
   private val bnljByDesign = Set("q12_rangejoin", "q23_ann_cosine",
     "q44_ann_quantized", // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
-    "q46_bm25") // 1-row corpus-stats frame cross-joined via explicit broadcast()
+    "q46_bm25", // 1-row corpus-stats frame cross-joined via explicit broadcast()
+    "q55_bigram_lm") // 1-row vocabulary scalar cross-joined via explicit broadcast()
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -233,6 +234,36 @@ class PlanAuditSpec extends SparkSpec {
       s"the benchmark gram set must broadcast:\n$plan")
     val windows = "Window \\[".r.findAllIn(plan).size
     assert(windows <= 2, s"island merge needs at most lag+sum windows, found $windows:\n$plan")
+  }
+
+  test("q55 bigram LM: aggregate-first (pairs pre-agg below the model join), " +
+    "no window anywhere") {
+    // The corpus-derived frame must be the AGGREGATED (doc, bigram, m) pairs
+    // before it meets the model join — never the raw token stream — and the
+    // scoring path is pure groupBy/join: a window would mean a corpus-wide
+    // ordering snuck in.
+    val plan = planOf("q55_bigram_lm")
+    assert(plan.contains("HashAggregate"), s"pairs/model aggregation missing:\n$plan")
+    assert(!plan.contains("Window"), s"no windows belong in this plan:\n$plan")
+  }
+
+  test("q56 semantic dedup: cell argmax inline, pair join keyed on the cell, " +
+    "no windows in either stage") {
+    // The final query's executed plan only shows the label/size stage — the
+    // CC rounds run behind Clusters' lineage barrier — so the candidate
+    // stage is audited on its own plan: cell assignment must stay per-row
+    // expression work (q34's posture; a Window would be the r4 row_number
+    // defect shape) and the self-join must be an equi-join on the cell id.
+    val vecs = graft.queries.LlmQueries.embeddingsForAudit(spark, d)
+    val pairPlan = graft.llm.Similarity.semanticPairs(vecs, tau = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!pairPlan.contains("Window"), s"cell argmax must be inline:\n$pairPlan")
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"),
+      s"pair generation must be keyed on the cell:\n$pairPlan")
+    assert(pairPlan.contains("cell"), s"pair join must key on the cell id:\n$pairPlan")
+    val finalPlan = planOf("q56_semantic_dedup")
+    assert(!finalPlan.contains("Window"), s"label/size stage is windowless:\n$finalPlan")
   }
 
   test("q34 assigns IVF cells map-side: no join before the probe join") {

@@ -17,6 +17,45 @@ class LlmSpec extends SparkSpec {
     assert(pairs.forall(p => p._1 < p._2))
   }
 
+  test("bigram LM: hand-computed add-half NLL on a tiny corpus; short docs omitted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b)×2, (b,a)×1
+      (2L, "a b c"),   // (a,b), (b,c)
+      (3L, "solo"))    // one word: no bigrams, omitted
+      .toDF("doc_id", "text")
+    val got = LanguageModel.bigramNll(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // model: c(a,b)=3, c(b,a)=1, c(b,c)=1; heads: c(a)=3, c(b)=2; V=2 heads
+    def term(c12: Long, c1: Long): Long =
+      math.floor(-math.log((c12 + 0.5) / (c1 + 0.5 * 2)) * 1e6 + 0.5).toLong
+    val (tAB, tBA, tBC) = (term(3, 3), term(1, 2), term(1, 2))
+    assert(got === Array(
+      (1L, 3L, (2 * tAB + tBA) / 3),
+      (2L, 2L, (tAB + tBC) / 2)))
+  }
+
+  test("semantic dedup: within-cell near-dups collapse to the min id; distinct " +
+    "vectors and cross-cell pairs are kept") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)),        // centroid; near-dup group head
+      (1L, Seq(0.99f, 0.1f)),   // near 0
+      (2L, Seq(0f, 1f)),        // centroid; second group head
+      (3L, Seq(0.05f, 0.99f)),  // near 2
+      (4L, Seq(-1f, 0f)),       // centroid; singleton
+      (5L, Seq(0.98f, 0.05f)))  // near 0
+      .toDF("id", "vec")
+    val got = Similarity.semanticDedup(vecs, tau = 0.9, centroidStride = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cells (centroids = ids 0,2,4): {0,1,5} → 0, {2,3} → 2, {4} → 4;
+    // pairs ≥ 0.9 within cells: (0,1),(0,5),(1,5),(2,3)
+    assert(got === Array(
+      (0L, 0L, 1L, 3L), (1L, 0L, 0L, 3L), (2L, 2L, 1L, 2L),
+      (3L, 2L, 0L, 2L), (4L, 4L, 1L, 1L), (5L, 0L, 0L, 3L)))
+  }
+
   test("repeated n-gram spans: planted boilerplate found and merged, unique text untouched") {
     import spark.implicits._
     val footer = (1 to 20).map(i => s"foot$i").mkString(" ") // 20-word shared footer
