@@ -1972,6 +1972,35 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("gtid stamping accumulates across checkpointed restarts: the second " +
+    "run's offsets extend the first run's set, never restart it") {
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1), (2L, 2)))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      assert(gtidDrain(stub, cp, persistent = true).size === 2)
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1-2"))
+      // two more transactions land; the restarted stream dials from the
+      // checkpoint (mid-sequence) and must fold the NEW gtids onto the
+      // checkpoint-carried set — the dump never re-sees transactions 1-2
+      import BinlogWire._
+      Seq((3L, 3), (4L, 4)).foreach { case (gno, value) =>
+        w.gtid(100L + gno, SidA, gno)
+        w.tableMap(100L + gno, 5L, "shop", "user",
+          Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+        w.rows(100L + gno, WRITE_ROWS_V2, 5L, 2,
+          Seq(Seq(w.vLong(value), w.vVarchar(s"u$value", 40))))
+        w.xid(100L + gno, gno)
+      }
+      stub.files = Seq(("binlog.000001", w.bytes))
+      val second = gtidDrain(stub, cp, persistent = true)
+      assert(second.size === 2 && second.exists(_._2.contains("\"u4\"")), s"$second")
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1-4"),
+        "restart must ACCUMULATE onto the carried set, not restart from 3-4")
+    } finally stub.close()
+  }
+
   test("GTID failover resume: file/pos resume fails LOUDLY on the new primary; " +
     "startGtid relocates exactly — no duplicates, no gaps") {
     val oldP = new StubMysqlServer("pw")
