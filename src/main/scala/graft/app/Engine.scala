@@ -243,16 +243,6 @@ object Engine {
     val snapDone = snapDir.resolve("_done")
     if (cfg.snapshotOnBootstrap && java.nio.file.Files.exists(pinMarker) &&
         !java.nio.file.Files.exists(snapDone)) {
-      // A pin written by an earlier PIN-ONLY bootstrap has no data dump
-      // behind it — feeding "the spool" would silently deliver nothing and
-      // then commit _done over the omission. Refuse loudly instead: the
-      // operator asked for a snapshot and there isn't one to give.
-      if (!java.nio.file.Files.exists(snapDir.resolve("_spooled")))
-        throw new IllegalStateException(
-          s"snapshotOnBootstrap is set but the existing bootstrap pin at " +
-            s"$pinMarker was created without a data snapshot (pin-only " +
-            s"bootstrap). Delete $snapDir to re-bootstrap with a snapshot, " +
-            "or unset snapshotOnBootstrap to keep the existing pin.")
       val reg = cfg.schemaRegistry.get
       val spool = {
         import scala.jdk.CollectionConverters._
@@ -260,6 +250,20 @@ object Engine {
         try s.iterator().asScala.filter(_.toString.endsWith(".jsonl")).map(_.toString).toSeq
         finally s.close()
       }
+      // A pin written by an earlier PIN-ONLY bootstrap has no data dump
+      // behind it — feeding "the spool" would silently deliver nothing and
+      // then commit _done over the omission. Refuse loudly instead: the
+      // operator asked for a snapshot and there isn't one to give. The
+      // _spooled marker is the primary evidence, but actual spool files
+      // count too: a dump written by a build that predates the marker (crash
+      // between spooling and _done) is a VALID snapshot whose pin moment is
+      // unrecoverable — failing it would discard a consistent dump.
+      if (!java.nio.file.Files.exists(snapDir.resolve("_spooled")) && spool.isEmpty)
+        throw new IllegalStateException(
+          s"snapshotOnBootstrap is set but the existing bootstrap pin at " +
+            s"$pinMarker was created without a data snapshot (pin-only " +
+            s"bootstrap). Delete $snapDir to re-bootstrap with a snapshot, " +
+            "or unset snapshotOnBootstrap to keep the existing pin.")
       if (spool.nonEmpty) {
         // NOTE (cluster deployments): the spool lives beside posFile, written
         // by the DRIVER — spark.read.json here means executor tasks must see
@@ -304,11 +308,15 @@ object Engine {
 
     // One progress line per micro-batch (rows/s from Spark's own progress,
     // engine counters appended) — registered before start so no batch's
-    // event is missed, scoped to this query's id, removed on stop.
-    val listener = new GraftQueryListener(metrics)
+    // event is missed, scoped by a pre-assigned unique query NAME (known
+    // before start, so no startup window admits a foreign query's events),
+    // removed on stop.
+    val queryName = s"graft-engine-${java.util.UUID.randomUUID()}"
+    val listener = new GraftQueryListener(metrics, queryName)
     spark.streams.addListener(listener)
 
     val query = raw.writeStream
+      .queryName(queryName)
       .option("checkpointLocation", cfg.checkpointDir)
       .trigger(cfg.trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
@@ -323,7 +331,6 @@ object Engine {
         }
       }
       .start()
-    listener.queryId = Some(query.id)
 
     val control = cfg.controlPort.map(p => new ControlService(p,
       onStop = () => query.stop(),

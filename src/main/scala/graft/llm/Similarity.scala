@@ -232,11 +232,18 @@ object Similarity {
     * Output: (id, keep_id, kept, cluster_size) — one row per input vector;
     * `kept` marks the representative (every non-duplicate is its own). */
   def semanticDedup(vecs: DataFrame, tau: Double,
-                    centroidStride: Long = 40): DataFrame =
-    Clusters.assign(vecs.select("id"), semanticPairs(vecs, tau, centroidStride))
+                    centroidStride: Long = 40): DataFrame = {
+    val (pairs, cleanup) = semanticPairsManaged(vecs, tau, centroidStride)
+    // Clusters.assign EXECUTES the CC rounds during the call (per-round
+    // actions behind a lineage barrier); the returned frame references the
+    // materialized stars, not the pair plan — the cells cache can go.
+    val assigned = Clusters.assign(vecs.select("id"), pairs)
+    cleanup()
+    assigned
       .select(col("doc_id").as("id"), col("cluster_id").as("keep_id"),
         (col("doc_id") === col("cluster_id")).cast("long").as("kept"),
         col("cluster_size"))
+  }
 
   /** [[semanticDedup]]'s candidate stage, exposed on its own: (id_a, id_b)
     * pairs with exact cosine ≥ `tau` among SAME-CELL vectors. Separately
@@ -245,19 +252,30 @@ object Similarity {
     * actions), which hides this stage from the final query's executed
     * plan. */
   def semanticPairs(vecs: DataFrame, tau: Double,
-                    centroidStride: Long = 40): DataFrame = {
+                    centroidStride: Long = 40): DataFrame =
+    semanticPairsManaged(vecs, tau, centroidStride)._1
+
+  /** [[semanticPairs]] plus the cleanup handle for the cached cell frame:
+    * the per-row centroid argmax is the operator's dominant non-join cost,
+    * and BOTH sides of the self-join read it — uncached, Spark would run
+    * the full assignment twice (self-join children are independent
+    * subtrees). Same managed-persist contract as [[Dedup.jaccardJoin]]. */
+  def semanticPairsManaged(vecs: DataFrame, tau: Double,
+                           centroidStride: Long = 40): (DataFrame, () => Unit) = {
     val centArr = typedlit(sampledCentroids(vecs, centroidStride, "semanticDedup"))
     val cells = vecs.select(col("id"), col("vec"))
       .withColumn("cell", element_at(nearestCellsCol(centArr, col("vec"), 1), 1))
       .withColumn("nrm", l2norm(col("vec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = cells.select(col("cell"), col("id").as("id_a"),
       col("vec").as("va"), col("nrm").as("na"))
     val b = cells.select(col("cell"), col("id").as("id_b"),
       col("vec").as("vb"), col("nrm").as("nb"))
-    a.join(b, "cell")
+    val pairs = a.join(b, "cell")
       .filter(col("id_a") < col("id_b") &&
         cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select("id_a", "id_b")
+    (pairs, () => { cells.unpersist(); () })
   }
 
   /** Per-vector int8 symmetric quantization scale: max |x_i| (double). */

@@ -184,10 +184,22 @@ object GtidLocator {
     val bases = files.scanLeft(0L)(_ + _._2)
 
     // newest→oldest: first file whose prologue PREVIOUS_GTIDS ⊆ executed can
-    // serve as the scan start (everything before it is already applied)
+    // serve as the scan start (everything before it is already applied).
+    // No such file means even the OLDEST retained file's prologue contains
+    // transactions this replica has not executed — the server PURGED binlogs
+    // the replica still needs. Resuming from the oldest retained file would
+    // silently skip the purged transactions; MySQL itself refuses this
+    // (ER_MASTER_HAS_PURGED_REQUIRED_GTIDS), and so do we. (Pre-GTID files
+    // have no prologue = the empty set, always a subset, so a fresh server's
+    // history is never mistaken for a purge.)
     val startIdx = (files.indices.reverse.find { i =>
       previousGtids(conf, files(i)._1).subsetOf(executed)
-    }).getOrElse(0)
+    }).getOrElse(throw new IllegalStateException(
+      s"GTID resume impossible: the oldest retained binlog on ${conf.host}:" +
+        s"${conf.port} (${files.head._1}) already requires transactions " +
+        s"beyond startGtid=$executed — the server has purged binlogs this " +
+        "position still needs. Re-bootstrap with a fresh snapshot instead " +
+        "of resuming."))
 
     // forward scan from the chosen file: the first GTID event whose id is
     // not yet executed marks the resume position (the event START, so the
@@ -214,7 +226,11 @@ object GtidLocator {
         found = GtidSet.decode(raw, at0 = 19) // skip the event header
         false
       } else etype == BinlogWire.FORMAT_DESCRIPTION_EVENT ||
-        etype == BinlogWire.ROTATE_EVENT // keep scanning past the prologue only
+        // the dump-start ARTIFICIAL rotate (log_pos 0) precedes the prologue;
+        // a REAL rotate means this file ENDED without one (pre-GTID file) —
+        // stop, or the dump streams into the NEXT file and its prologue
+        // would be mis-attributed to this one
+        (etype == BinlogWire.ROTATE_EVENT && MysqlWire.leAt(raw, 13, 4) == 0)
     }
     found
   }
@@ -227,7 +243,12 @@ object GtidLocator {
     var lastEnd = 4L
     probe(conf, file) { (etype, raw) =>
       val logPos = MysqlWire.leAt(raw, 13, 4)
-      if (etype == BinlogWire.GTID_EVENT && logPos > 0) {
+      // a REAL rotate ends the requested file: a live server's non-blocking
+      // dump keeps streaming into the next file, whose positions restart
+      // small — scanning on would return a NEXT-file position under THIS
+      // file's base (the same stop [[ReplicationBinlogReader]] applies)
+      if (etype == BinlogWire.ROTATE_EVENT && logPos > 0) false
+      else if (etype == BinlogWire.GTID_EVENT && logPos > 0) {
         val eventSize = MysqlWire.leAt(raw, 9, 4)
         val window = lastEnd & ~0xffffffffL
         var end = window | logPos

@@ -84,29 +84,39 @@ object Snapshot {
     * proceeds UNLOCKED — correct unless DDL executes during the metadata
     * reads themselves (the reference's canal accepts the same race on its
     * on-demand schema fetch). */
+  /** `FLUSH TABLES WITH READ LOCK`. Only a server-side privilege refusal may
+    * degrade to the unlocked path (1227 ER_SPECIFIC_ACCESS_DENIED / 1045
+    * ER_ACCESS_DENIED). Anything else — a dead connection, a timeout, an
+    * unrelated server error — must surface HERE, not as a misleading failure
+    * from the SHOW MASTER STATUS that follows. Returns whether the lock is
+    * held; shared by [[pin]] and [[pinParallel]] so the privilege whitelist
+    * cannot diverge between the serial and parallel bootstrap paths. */
+  private def acquireFtwrl(c: ReplicationClient): Boolean =
+    try { c.query("FLUSH TABLES WITH READ LOCK"); true }
+    catch {
+      case e: MysqlWire.MysqlServerError if e.code == 1227 || e.code == 1045 =>
+        false
+    }
+
+  /** SHOW MASTER STATUS + SHOW BINARY LOGS → the pin; fails loudly when the
+    * binlog is off or the status row is unparsable. */
+  private def readPin(c: ReplicationClient): Pinned = {
+    val status = c.query("SHOW MASTER STATUS")
+    require(status.nonEmpty && status.head.size >= 2 && status.head(0).isDefined,
+      "SHOW MASTER STATUS returned nothing — is the binlog enabled " +
+        "(log_bin) on this server?")
+    Pinned(status.head(0).get, status.head(1).flatMap(_.toLongOption)
+      .getOrElse(throw new IllegalStateException(
+        s"unparsable SHOW MASTER STATUS position: ${status.head}")), c.binaryLogs())
+  }
+
   def pin(c: ReplicationClient, registry: graft.cdc.SchemaRegistry,
           withDataTxn: Boolean,
           includeDb: String => Boolean = db => !SchemaBootstrap.SystemDbs.contains(db))
       : (Pinned, Seq[(String, String)]) = {
-    val locked =
-      try { c.query("FLUSH TABLES WITH READ LOCK"); true }
-      catch {
-        // Only a server-side privilege refusal may degrade to the unlocked
-        // path (1227 ER_SPECIFIC_ACCESS_DENIED / 1045 ER_ACCESS_DENIED).
-        // Anything else — a dead connection, a timeout, an unrelated server
-        // error — must surface HERE, not as a misleading failure from the
-        // SHOW MASTER STATUS that follows.
-        case e: MysqlWire.MysqlServerError if e.code == 1227 || e.code == 1045 =>
-          false
-      }
+    val locked = acquireFtwrl(c)
     try {
-      val status = c.query("SHOW MASTER STATUS")
-      require(status.nonEmpty && status.head.size >= 2 && status.head(0).isDefined,
-        "SHOW MASTER STATUS returned nothing — is the binlog enabled " +
-          "(log_bin) on this server?")
-      val pinned = Pinned(status.head(0).get, status.head(1).flatMap(_.toLongOption)
-        .getOrElse(throw new IllegalStateException(
-          s"unparsable SHOW MASTER STATUS position: ${status.head}")), c.binaryLogs())
+      val pinned = readPin(c)
       if (withDataTxn) {
         c.query("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
         c.query("START TRANSACTION WITH CONSISTENT SNAPSHOT")
@@ -138,21 +148,10 @@ object Snapshot {
                   includeDb: String => Boolean = db => !SchemaBootstrap.SystemDbs.contains(db))
       : (Pinned, Seq[(String, String)], Seq[ReplicationClient]) = {
     require(workers >= 1, s"workers must be >= 1, got $workers")
-    val locked =
-      try { c.query("FLUSH TABLES WITH READ LOCK"); true }
-      catch {
-        case e: MysqlWire.MysqlServerError if e.code == 1227 || e.code == 1045 =>
-          false
-      }
+    val locked = acquireFtwrl(c)
     val opened = scala.collection.mutable.ArrayBuffer[ReplicationClient]()
     try {
-      val status = c.query("SHOW MASTER STATUS")
-      require(status.nonEmpty && status.head.size >= 2 && status.head(0).isDefined,
-        "SHOW MASTER STATUS returned nothing — is the binlog enabled " +
-          "(log_bin) on this server?")
-      val pinned = Pinned(status.head(0).get, status.head(1).flatMap(_.toLongOption)
-        .getOrElse(throw new IllegalStateException(
-          s"unparsable SHOW MASTER STATUS position: ${status.head}")), c.binaryLogs())
+      val pinned = readPin(c)
       (1 to workers).foreach { _ =>
         val w = mkWorker()
         opened += w
@@ -198,11 +197,28 @@ object Snapshot {
     * chunking), each range an independent unit any worker may execute —
     * every worker sees the same pinned read view, so placement is free.
     * Commits and closes the workers. Returns rows spooled. */
+  /** Remove any *.jsonl / *.tmp left by a PREVIOUS dump attempt. A crash
+    * before the pin marker re-runs the whole bootstrap, and the new dump's
+    * file-name set can differ (chunk count depends on the key span and
+    * worker/chunk settings) — stale files from the failed attempt would
+    * otherwise survive and be fed to the sinks as ghost rows by the engine's
+    * spool listing. */
+  private def clearSpool(spoolDir: Path): Unit = {
+    if (!Files.exists(spoolDir)) return
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(spoolDir)
+    try s.iterator().asScala
+      .filter(p => p.toString.endsWith(".jsonl") || p.toString.endsWith(".tmp"))
+      .foreach(p => Files.deleteIfExists(p))
+    finally s.close()
+  }
+
   def dumpToSpoolParallel(tables: Seq[(String, String)],
                           workerConns: Seq[ReplicationClient],
                           spoolDir: Path, ts: Long,
                           chunkRows: Long = 1L << 20): Long = {
     Files.createDirectories(spoolDir)
+    clearSpool(spoolDir)
     require(tables.size < (SeqBase.abs / TableSeqStride),
       s"too many tables for the snapshot seq range: ${tables.size}")
     require(chunkRows > 0 && chunkRows <= ChunkSeqStride,
@@ -248,42 +264,55 @@ object Snapshot {
       }
     }
 
+    // Threads still inside discover(): drain must not EXIT on an empty unit
+    // queue while any discovery is in flight — with one large table, every
+    // other worker would otherwise see both queues empty (the one discoverer
+    // is still running MIN/MAX) and terminate, collapsing the parallel dump
+    // back to a single connection.
+    val discovering = new java.util.concurrent.atomic.AtomicInteger(workerConns.size)
+
     // Phase 2 (parallel over units): spool. A unit owns its file; tmp+move
     // keeps partial files invisible, same as the serial path.
     def drain(c: ReplicationClient): Unit = {
       var u = units.poll()
-      while (u != null && failure.get() == null) {
-        var seq = u.seqBase
-        val tmp = spoolDir.resolve(u.file + ".tmp")
-        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-        try {
-          c.queryForeach(s"SELECT * FROM `${u.db}`.`${u.table}`${u.where}") { row =>
-            val img = row.map(_.orNull).toArray
-            w.write(BinlogWire.positionalLine(u.db, u.table, "insert", ts, seq,
-              Seq(img), null))
-            w.write("\n")
-            seq += 1
-            total.addAndGet(1L)
-            ()
-          }
-        } finally w.close()
-        Files.move(tmp, spoolDir.resolve(u.file),
-          StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
-        u = units.poll()
+      while ((u != null || discovering.get() > 0) && failure.get() == null) {
+        if (u == null) { Thread.sleep(5); u = units.poll() }
+        else {
+          var seq = u.seqBase
+          val tmp = spoolDir.resolve(u.file + ".tmp")
+          val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+          try {
+            c.queryForeach(s"SELECT * FROM `${u.db}`.`${u.table}`${u.where}") { row =>
+              val img = row.map(_.orNull).toArray
+              w.write(BinlogWire.positionalLine(u.db, u.table, "insert", ts, seq,
+                Seq(img), null))
+              w.write("\n")
+              seq += 1
+              total.addAndGet(1L)
+              ()
+            }
+          } finally w.close()
+          Files.move(tmp, spoolDir.resolve(u.file),
+            StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+          u = units.poll()
+        }
       }
     }
 
     val threads = workerConns.map { c =>
       val th = new Thread(() => {
-        try { discover(c); drain(c) }
+        try {
+          try discover(c) finally discovering.decrementAndGet()
+          drain(c)
+        }
         catch { case e: Throwable => failure.compareAndSet(null, e) }
       }, "graft-snapshot-worker")
       th.setDaemon(true); th.start(); th
     }
-    // Phase barrier between discover and drain is per-thread: a thread only
-    // drains once the TABLE queue is empty, and unit execution is
-    // placement-free, so no cross-thread barrier is needed — a fast thread
-    // draining early only ever executes fully-formed units.
+    // No table-level barrier is needed beyond the discovering counter: unit
+    // execution is placement-free (every worker shares the pinned read
+    // view), so a fast thread draining early only ever executes
+    // fully-formed units — it just may briefly wait for more.
     threads.foreach(_.join())
     workerConns.foreach { c =>
       scala.util.Try(c.query("COMMIT"))
@@ -308,6 +337,7 @@ object Snapshot {
   def dumpToSpool(c: ReplicationClient, tables: Seq[(String, String)],
                   spoolDir: Path, ts: Long): Long = {
     Files.createDirectories(spoolDir)
+    clearSpool(spoolDir)
     require(tables.size < (SeqBase.abs / TableSeqStride),
       s"too many tables for the snapshot seq range: ${tables.size}")
     var count = 0L

@@ -113,13 +113,28 @@ object CdcStream {
     // Replay of the committed batch re-uses its original start index
     // (replay-stable numbering, ST2/ST3); a new batch starts at `next`.
     val start = if (tag == s"batch-$batchId") replayStart else next
-    // exact raw-statement count (one extra scan of the raw frame, metrics
-    // mode only — the engine is the low-rate ops tier; see EngineMetrics)
-    metrics.foreach(_.rawRows.addAndGet(batch.count()))
-    val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(batch, startIndex = start)
-    fanOutIndexed(env, envCleanup, batchId, posFile, sinks, pushTo, start, kafkaPush,
-      metrics)
+    val (tracked, trackCleanup) = countRaw(batch, metrics)
+    val (env, envCleanup) = EnvelopeBuilder.withEventIndexManaged(tracked, startIndex = start)
+    fanOutIndexed(env, () => { envCleanup(); trackCleanup() },
+      batchId, posFile, sinks, pushTo, start, kafkaPush, metrics)
   }
+
+  /** Exact raw-statement count for [[EngineMetrics.rawRows]] — via
+    * persist-then-count, NOT an extra source scan: the batch pipeline reads
+    * the raw frame more than once (the indexer pre-pass plus the envelope
+    * materialization), so caching it here means the source — in replication
+    * mode, a live dump connection per read — is hit ONCE per batch where it
+    * was hit 2-3×, and the count rides the cached frame for free. Without
+    * metrics the frame passes through untouched. */
+  private def countRaw(batch: DataFrame,
+                       metrics: Option[EngineMetrics]): (DataFrame, () => Unit) =
+    metrics match {
+      case Some(m) =>
+        val b = batch.persist()
+        m.rawRows.addAndGet(b.count())
+        (b, () => { b.unpersist(); () })
+      case None => (batch, () => ())
+    }
 
   /** Positional-stream variant of [[processBatch]]: raw statements carry
     * POSITIONAL row images plus ALTER DDL text, and the per-row decode is
@@ -133,11 +148,11 @@ object CdcStream {
                              metrics: Option[EngineMetrics] = None): Unit = {
     val (tag, replayStart, next) = PosStore.read(posFile)
     val start = if (tag == s"batch-$batchId") replayStart else next
-    metrics.foreach(_.rawRows.addAndGet(batch.count())) // see processBatch note
-    val (decoded, decodeCleanup) = registry.decodeBatchManaged(batch)
+    val (tracked, trackCleanup) = countRaw(batch, metrics)
+    val (decoded, decodeCleanup) = registry.decodeBatchManaged(tracked)
     val (env, indexCleanup) = graft.cdc.EventIndexer.denseManaged(
       decoded, Seq(col("stmt_seq"), col("pair_pos")), "event_index", start)
-    fanOutIndexed(env, () => { indexCleanup(); decodeCleanup() },
+    fanOutIndexed(env, () => { indexCleanup(); decodeCleanup(); trackCleanup() },
       batchId, posFile, sinks, pushTo, start, kafkaPush, metrics)
   }
 

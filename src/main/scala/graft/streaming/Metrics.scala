@@ -62,20 +62,20 @@ final class EngineMetrics {
   * numbers (`numInputRows`, `processedRowsPerSecond`) into the engine's
   * [[EngineMetrics]] — the streaming-native seam for rate instrumentation
   * (progress events carry per-source/per-batch rows without any extra
-  * action over the data). Filtered by query id: the listener bus is
-  * session-global, and this engine's numbers must not absorb another
-  * query's. */
-final class GraftQueryListener(metrics: EngineMetrics) extends StreamingQueryListener {
+  * action over the data). Filtered by QUERY NAME: the listener bus is
+  * session-global and this engine's numbers must not absorb another
+  * query's — the name is assigned by the engine BEFORE `start()`, so the
+  * filter has no startup window in which a foreign query's event could
+  * slip through (a post-start id assignment would). */
+final class GraftQueryListener(metrics: EngineMetrics,
+                               queryName: String) extends StreamingQueryListener {
   private val log = org.slf4j.LoggerFactory.getLogger("graft.engine.metrics")
-  /** Set by the engine right after `start()` returns (progress events cannot
-    * outrun the first micro-batch, so nothing is missed). */
-  @volatile var queryId: Option[java.util.UUID] = None
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
-    if (queryId.forall(_ == p.id)) {
+    if (p.name == queryName) {
       // numInputRows is recorded as Spark reports it (rows READ — see the
       // rawRows caveat in [[EngineMetrics]]); the engine's own counters in
       // `render` carry the exact pipeline numbers.

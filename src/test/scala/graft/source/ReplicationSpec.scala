@@ -2001,6 +2001,43 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("GtidLocator refuses a purged history and stops probes at a real ROTATE") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    try {
+      // Purged gap: the oldest retained file's prologue already contains
+      // transactions beyond the replica's executed set — resuming would skip
+      // sid:4 silently; MySQL errors here (MASTER_HAS_PURGED_REQUIRED_GTIDS)
+      // and so must we.
+      stub.files = Seq(("binlog.000009",
+        gtidFixture(GtidSet.parse(s"$SidA:1-4"), SidA, Seq((5L, 5))).bytes))
+      val conf = ReplConfig("127.0.0.1", stub.port, "repl", "pw", 7500L)
+      val ex = intercept[IllegalStateException] {
+        GtidLocator.locate(conf, GtidSet.parse(s"$SidA:1-3"))
+      }
+      assert(ex.getMessage.contains("purged"), ex.getMessage)
+
+      // Real-server dump semantics: the wire stream continues PAST a real
+      // rotate into the next file, whose positions restart small. The probe
+      // must stop at the file boundary — without the stop, the fully-executed
+      // file 1's scan would find file 2's first transaction at an
+      // f2-RELATIVE position and return it under f1's base.
+      val w1 = gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1), (2L, 2)))
+      val w2 = gtidFixture(GtidSet.parse(s"$SidA:1-2"), SidA, Seq((3L, 3)))
+      w1.event(999L, ROTATE_EVENT,
+        MysqlWire.le(4L, 8) ++ "binlog.000011".getBytes(UTF_8)) // real rotate
+      val f1wire = w1.bytes ++ w2.bytes.drop(4) // one dump stream, two files
+      stub.files = Seq(("binlog.000010", f1wire), ("binlog.000011", w2.bytes))
+      val located = GtidLocator.locate(conf, GtidSet.parse(s"$SidA:1-2"))
+      // resume must land in FILE 2's range (after f1's full listed size), at
+      // transaction 3's GTID header
+      assert(located.pos >= f1wire.length,
+        s"resume position ${located.pos} fell inside file 1 (size ${f1wire.length})")
+      val inF2 = located.pos - f1wire.length
+      assert(inF2 > 4 && inF2 < w2.bytes.length, s"in-file-2 offset $inF2")
+    } finally stub.close()
+  }
+
   test("GTID failover resume: file/pos resume fails LOUDLY on the new primary; " +
     "startGtid relocates exactly — no duplicates, no gaps") {
     val oldP = new StubMysqlServer("pw")
