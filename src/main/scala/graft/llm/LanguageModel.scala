@@ -13,16 +13,20 @@ import org.apache.spark.sql.functions._
   * the train corpus is a parameter so a reference corpus drops in.
   *
   * Scale posture (the 100 TB contract):
-  *  - One corpus-scale shuffle to build per-doc bigram multiplicities
-  *    (`groupBy(doc, w1, w2)` — map-side combinable), one to count the
-  *    model (`groupBy(w1, w2)` over the ALREADY-AGGREGATED pairs, input =
-  *    distinct (doc, bigram) rows, not the raw token stream).
-  *  - Head counts and the vocabulary scalar derive from the MODEL frame
-  *    (vocabulary-scale, not corpus-scale); the model is enriched with its
-  *    head totals model-side, so the corpus-derived pairs frame meets ONE
-  *    join — on (w1, w2), the key both sides are already aggregated by.
-  *    No broadcast hint: vocabulary size is corpus-dependent (AQE decides),
-  *    unlike BM25's by-contract-small query set.
+  *  - ONE corpus scan and one corpus-scale shuffle: the per-doc bigram
+  *    multiplicities (`groupBy(doc, w1, w2)` — map-side combinable) are
+  *    PERSISTED, because four downstream frames (model, heads, vocabulary,
+  *    and the scoring join's probe side) all derive from them — uncached,
+  *    Spark recomputes the explode chain once per consumer (the measured
+  *    plan had four parquet scans and no exchange reuse). The model frame
+  *    is persisted too: heads and the vocabulary scalar re-aggregate it,
+  *    and it is vocabulary-scale, not corpus-scale.
+  *  - Head counts and the vocabulary scalar derive from the MODEL frame;
+  *    the model is enriched with its head totals model-side, so the
+  *    corpus-derived pairs frame meets ONE join — on (w1, w2), the key
+  *    both sides are already aggregated by. No broadcast hint: vocabulary
+  *    size is corpus-dependent (AQE decides), unlike BM25's
+  *    by-contract-small query set.
   *  - The final per-doc score is a groupBy over matched pairs — keyed by
   *    doc_id, map-side combinable.
   *
@@ -41,23 +45,32 @@ object LanguageModel {
     * Documents with fewer than two words have no bigrams and are omitted.
     * Output: (doc_id, n_bigrams, avg_nll_micro). */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
-                alpha: Double = 0.5): DataFrame = {
+                alpha: Double = 0.5): DataFrame =
+    bigramNllManaged(docs, idCol, textCol, alpha)._1
+
+  /** [[bigramNll]] plus the cleanup handle for the two cached frames (same
+    * managed-persist contract as [[Dedup.jaccardJoin]]). */
+  def bigramNllManaged(docs: DataFrame, idCol: String, textCol: String,
+                       alpha: Double = 0.5): (DataFrame, () => Unit) = {
     val ws = docs
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
     // adjacent pairs via a 0-based index transform; explode once, then
     // pre-aggregate per (doc, bigram) so repeated bigrams ride as one row
-    // with a multiplicity into everything downstream
+    // with a multiplicity into everything downstream — persisted: four
+    // consumers (model, and through it heads/vocab, plus the scoring join)
     val pairs = ws
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
         .as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // the model: corpus bigram counts from the aggregated pairs; head counts
     // and vocabulary derive from the MODEL (vocabulary-scale inputs)
     val model = pairs.groupBy("w1", "w2").agg(sum("m").as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val heads = model.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = heads.agg(count(lit(1)).as("v"))
     val enriched = model.join(heads, "w1") // model-scale enrich: AQE decides
@@ -66,7 +79,7 @@ object LanguageModel {
       (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))
     val termMicro = floor(-log(p) * lit(1000000.0) + lit(0.5))
 
-    pairs
+    val out = pairs
       .join(enriched, Seq("w1", "w2")) // the one corpus-derived join
       .crossJoin(broadcast(vocab))
       .groupBy("doc_id")
@@ -74,5 +87,6 @@ object LanguageModel {
         sum(col("m") * termMicro).cast("long").as("sum_nll_micro"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_nll_micro div n_bigrams").as("avg_nll_micro"))
+    (out, () => { model.unpersist(); pairs.unpersist(); () })
   }
 }
