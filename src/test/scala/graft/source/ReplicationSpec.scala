@@ -2088,6 +2088,21 @@ class ReplicationSpec extends SparkSpec {
       assert(lastOffsetGtid(cpB) === Some(s"$SidA:1-5"),
         "the new primary's offsets accumulate onto the carried set")
 
+      // the per-batch planner fires the same lineage guard from its refresh
+      val qb = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("host", "127.0.0.1").option("port", newP.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .load().writeStream
+        .option("checkpointLocation", cpA.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (_: DataFrame, _: Long) => () }
+        .start()
+      val exB = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        qb.awaitTermination(120000)
+      }
+      assert(exB.toString.contains("binlog sequence mismatch"), s"$exB")
+
       // per-batch mode accepts the same start option
       val gotC = gtidDrain(newP, cpC, persistent = false, startGtid = Some(executed))
       assert(gotC.size === 2 && !gotC.exists(_._2.contains("\"u3\"")), s"$gotC")
