@@ -1247,6 +1247,96 @@ object LlmQueries {
       |  count(*) OVER (PARTITION BY keep_id)::BIGINT AS cluster_size
       |FROM lab ORDER BY id""".stripMargin
 
+  // ------------------------------------------------- q57 semantic curation
+
+  /** Quality-aware semantic curation — the composition real pipelines run:
+    * semantic near-dup clusters ([[Similarity.semanticDedup]], q56) choose
+    * their representative by QUALITY ([[LanguageModel.bigramNll]], q55 —
+    * lowest average NLL wins, id as the tie-break) instead of lowest id.
+    * Embeddings and documents are id-aligned in this corpus; docs without a
+    * score (under two words) rank last. */
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_micro"))
+    val labeled = Similarity.semanticDedup(embeddingsAsIdVec(s, d), tau = 0.3)
+      .select(col("id"), col("keep_id").as("cluster_id"))
+    val scored = labeled.join(nll, labeled("id") === nll("doc_id"), "left")
+      .select(col("id"), col("cluster_id"),
+        coalesce(col("avg_nll_micro"), lit(Long.MaxValue)).as("avg_nll_micro"))
+    // per-cluster argmin — a window keyed on the cluster id (fine-grained)
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("avg_nll_micro"), col("id"))
+    val best = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("id").as("keep_id"))
+    scored.join(best, "cluster_id") // one row per cluster: AQE broadcasts
+      .select(col("id"), col("cluster_id"), col("avg_nll_micro"), col("keep_id"),
+        (col("id") === col("keep_id")).cast("long").as("kept"))
+      .orderBy("id")
+  }
+
+  private val q57Sql =
+    """WITH RECURSIVE vv AS (
+      |  SELECT vec_id AS id, embedding AS vec,
+      |    sqrt(list_sum([vec[i]::DOUBLE * vec[i]::DOUBLE for i in range(1, len(vec)+1)])) AS nrm
+      |  FROM embeddings),
+      |cents AS (SELECT id AS cent_id, vec AS centv, nrm AS centn FROM vv WHERE id % 40 = 0),
+      |cellof AS (
+      |  SELECT id, cell FROM (
+      |    SELECT c.id, ct.cent_id AS cell,
+      |      row_number() OVER (PARTITION BY c.id ORDER BY
+      |        list_sum([c.vec[i]::DOUBLE * ct.centv[i]::DOUBLE for i in range(1, len(c.vec)+1)])
+      |          / (c.nrm * ct.centn) DESC, ct.cent_id) AS rn
+      |    FROM vv c, cents ct) WHERE rn = 1),
+      |simpairs AS (
+      |  SELECT a.id AS u, b.id AS v
+      |  FROM cellof a JOIN cellof b ON a.cell = b.cell AND a.id < b.id
+      |  JOIN vv va ON va.id = a.id JOIN vv vb ON vb.id = b.id
+      |  WHERE list_sum([va.vec[i]::DOUBLE * vb.vec[i]::DOUBLE for i in range(1, len(va.vec)+1)])
+      |      / (va.nrm * vb.nrm) >= 0.3),
+      |edges AS (SELECT u, v FROM simpairs UNION ALL SELECT v AS u, u AS v FROM simpairs),
+      |reach(node, root) AS (
+      |  SELECT id, id FROM vv
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |lab AS (SELECT node AS id, min(root) AS cluster_id FROM reach GROUP BY node),
+      |ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM ws),
+      |lmpairs AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY 1, 2, 3),
+      |model AS (
+      |  SELECT w1, w2, sum(m)::BIGINT AS c12 FROM lmpairs GROUP BY 1, 2),
+      |heads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM model GROUP BY 1),
+      |vocab AS (SELECT count(*)::BIGINT AS v FROM heads),
+      |terms AS (
+      |  SELECT p.doc_id, p.m,
+      |    floor(-ln((mo.c12 + 0.5) / (h.c1 + 0.5 * vocab.v)) * 1000000 + 0.5)::BIGINT AS term
+      |  FROM lmpairs p
+      |  JOIN model mo USING (w1, w2)
+      |  JOIN heads h USING (w1)
+      |  CROSS JOIN vocab),
+      |nll AS (
+      |  SELECT doc_id, (sum(m * term) // sum(m))::BIGINT AS avg_nll_micro
+      |  FROM terms GROUP BY doc_id),
+      |scored AS (
+      |  SELECT l.id, l.cluster_id,
+      |    coalesce(n.avg_nll_micro, 9223372036854775807) AS avg_nll_micro
+      |  FROM lab l LEFT JOIN nll n ON n.doc_id = l.id),
+      |best AS (
+      |  SELECT cluster_id, id AS keep_id FROM (
+      |    SELECT id, cluster_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |        ORDER BY avg_nll_micro, id) AS rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT s.id, s.cluster_id, s.avg_nll_micro, b.keep_id,
+      |  (s.id = b.keep_id)::BIGINT AS kept
+      |FROM scored s JOIN best b USING (cluster_id) ORDER BY s.id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1281,5 +1371,6 @@ object LlmQueries {
     QueryDef("q54_decontam_scrub", q54, Some(q54Sql)),
     QueryDef("q55_bigram_lm", q55, Some(q55Sql)),
     QueryDef("q56_semantic_dedup", q56, Some(q56Sql)),
+    QueryDef("q57_semantic_curation", q57, Some(q57Sql)),
   )
 }

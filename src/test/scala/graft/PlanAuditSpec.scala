@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljByDesign = Set("q12_rangejoin", "q23_ann_cosine",
     "q44_ann_quantized", // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
     "q46_bm25", // 1-row corpus-stats frame cross-joined via explicit broadcast()
-    "q55_bigram_lm") // 1-row vocabulary scalar cross-joined via explicit broadcast()
+    "q55_bigram_lm", // 1-row vocabulary scalar cross-joined via explicit broadcast()
+    "q57_semantic_curation") // composes q55: same 1-row vocabulary cross-join
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -264,6 +265,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(pairPlan.contains("cell"), s"pair join must key on the cell id:\n$pairPlan")
     val finalPlan = planOf("q56_semantic_dedup")
     assert(!finalPlan.contains("Window"), s"label/size stage is windowless:\n$finalPlan")
+  }
+
+  test("q57 semantic curation: exactly one window (the per-cluster argmin), " +
+    "keyed on the cluster id") {
+    // The q55 scoring chain and the label stage are windowless; the only
+    // window the composition adds is the per-cluster representative pick —
+    // partitioned by cluster_id (fine-grained), never corpus-wide.
+    val plan = planOf("q57_semantic_curation")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"expected exactly the argmin window, found $windows:\n$plan")
+    assert(plan.contains("cluster_id"), plan)
   }
 
   test("q34 assigns IVF cells map-side: no join before the probe join") {
