@@ -1745,7 +1745,19 @@ class ReplicationSpec extends SparkSpec {
     soakRun(cycles = 12, seed = 0xD00D, extraOptions = Map("connection" -> "persistent"))
   }
 
-  private def soakRun(cycles: Int, seed: Long, extraOptions: Map[String, String]): Unit = {
+  test("soak under gtid_mode: kill-restart cycles keep the stamped " +
+    "gtid_executed exact — no lost and no over-claimed transaction") {
+    // Same chaos harness with GTID headers + XIDs on every transaction: a
+    // kill can land between a fold and the offset commit (the replay
+    // re-folds, union-idempotent), between a GTID header and its XID (the
+    // pending id must NOT be claimed), or mid-bootstrap. The final drain's
+    // offset must carry exactly sid:1-N.
+    soakRun(cycles = 12, seed = 0xFACADE,
+      extraOptions = Map("connection" -> "persistent"), gtid = true)
+  }
+
+  private def soakRun(cycles: Int, seed: Long, extraOptions: Map[String, String],
+                      gtid: Boolean = false): Unit = {
     import BinlogWire._
     val rnd = new scala.util.Random(seed)
     val stub = new StubMysqlServer("pw")
@@ -1753,17 +1765,21 @@ class ReplicationSpec extends SparkSpec {
     try {
       val w = new BinlogFixtureWriter(checksum = true)
       w.fde()
+      if (gtid) w.previousGtids(91L, GtidSet.Empty)
       stub.files = Seq(("binlog.000001", w.bytes))
       stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
 
       var nextId = 0
       var altered = false
+      var gno = 0L // transaction ids under gtid mode, one per statement/DDL
+      var rowsOnly = false // force row statements (the gtid-mode sealer)
       val expectedIds = scala.collection.mutable.ArrayBuffer[(Int, Boolean)]() // (id, postAlter)
       var expectedAlters = 0
 
       def appendTraffic(): Unit = {
         (1 to (1 + rnd.nextInt(3))).foreach { _ =>
-          if (!altered && rnd.nextInt(6) == 0) {
+          if (gtid) { gno += 1; w.gtid(1000L + nextId, SidA, gno) }
+          if (!rowsOnly && !altered && rnd.nextInt(6) == 0) {
             w.query(1000L + nextId, "shop", "ALTER TABLE shop.user ADD COLUMN age int")
             altered = true
             expectedAlters += 1
@@ -1781,6 +1797,7 @@ class ReplicationSpec extends SparkSpec {
                 Seq(Seq(w.vLong(nextId), w.vVarchar(s"u$nextId", 40))))
             }
             expectedIds += ((nextId, altered))
+            if (gtid) w.xid(1000L + nextId, gno) // DDL has no XID (next-header fold)
           }
         }
         stub.files = Seq(("binlog.000001", w.bytes))
@@ -1807,6 +1824,14 @@ class ReplicationSpec extends SparkSpec {
       (1 to cycles).foreach { _ =>
         appendTraffic()
         cycle(if (rnd.nextBoolean()) -1 else rnd.nextInt(1500))
+      }
+      if (gtid) {
+        // seal the executed set: a DDL's id only folds at the NEXT
+        // transaction's header, so the last appended statement must be a
+        // row transaction (it carries an XID) for the final stamped set to
+        // be complete
+        rowsOnly = true
+        appendTraffic()
       }
       cycle(-1) // final clean drain picks up everything left behind
 
@@ -1839,6 +1864,16 @@ class ReplicationSpec extends SparkSpec {
         .distinct.sorted
       assert(indices === (1L to indices.size).toSeq,
         s"event_index must be dense: $indices")
+
+      // gtid stamping under chaos (persistent mode tracks it driver-side):
+      // after the final clean drain the last committed offset must carry
+      // EXACTLY the full executed set — kills can replay transactions
+      // (union-idempotent) but can never lose or over-claim one. The
+      // rows-only sealer above guarantees the last transaction has an XID,
+      // so every id (including a DDL's, folded at the next header) is in.
+      if (gtid && extraOptions.get("connection").contains("persistent"))
+        assert(lastOffsetGtid(cp) === Some(s"$SidA:1-$gno"),
+          s"stamped set after ${cycles} kill cycles must be $SidA:1-$gno")
     } finally stub.close()
   }
 
