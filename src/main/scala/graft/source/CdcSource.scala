@@ -116,6 +116,8 @@ class CdcTable(properties: Map[String, String]) extends Table with SupportsRead 
 class CdcScan(props: Map[String, String]) extends Scan {
   private def dir = props("path")
   private val filter = props.get("tablefilter").orElse(props.get("tableFilter"))
+  private def sopt(name: String): Option[String] =
+    props.get(name.toLowerCase).orElse(props.get(name))
   private def opt(name: String): Option[Long] =
     props.get(name.toLowerCase).orElse(props.get(name)).map(_.toLong)
   private val splitBytes = opt("splitBytes").getOrElse(CdcMicroBatchStream.DefaultSplitBytes)
@@ -135,7 +137,12 @@ class CdcScan(props: Map[String, String]) extends Scan {
         port = opt("port").getOrElse(3306L).toInt,
         user = props.getOrElse("user", "root"),
         password = props.getOrElse("password", ""),
-        serverId = opt("serverId").getOrElse(6402L)))
+        serverId = opt("serverId").getOrElse(6402L),
+        tls = TlsConfig(
+          enabled = sopt("tls").exists(_.equalsIgnoreCase("true")),
+          trustAll = sopt("tlsInsecure").exists(_.equalsIgnoreCase("true")),
+          truststorePath = sopt("tlsTruststore").getOrElse(""),
+          truststorePassword = sopt("tlsTruststorePassword").getOrElse(""))))
     else None
 
   override def readSchema(): StructType = CdcSource.schema
@@ -376,7 +383,8 @@ case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
   * reader factory ships it to executors, where each partition dials its own
   * bounded dump. */
 case class ReplConfig(host: String, port: Int, user: String, password: String,
-                      serverId: Long) extends Serializable {
+                      serverId: Long, tls: TlsConfig = TlsConfig.Off)
+    extends Serializable {
   /** Metadata-only listing (SHOW BINARY LOGS) — the replication analogue of
     * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes.
     * (Plain query connection: no COM_REGISTER_SLAVE, no dump, so sharing the
@@ -386,7 +394,7 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
   /** Listing plus the server's identity, over one connection — the uuid is
     * the failover discriminator [[BinlogLineage.check]] consumes. */
   def listWithUuid(): (Option[String], Seq[(String, Long)]) = {
-    val c = new ReplicationClient(host, port, user, password, serverId)
+    val c = new ReplicationClient(host, port, user, password, serverId, tls)
     try { c.connect(); (c.serverUuid(), c.binaryLogs()) } finally c.close()
   }
 
@@ -404,7 +412,7 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
   def mkReader(p: CdcInputPartition): BinlogReader =
     new ReplicationBinlogReader(host, port, user, password,
       serverId + 1 + (p.ordinal % 100000), p.file, p.fromByte, p.untilByte,
-      seqBase = p.globalBase)
+      seqBase = p.globalBase, tls = tls)
 }
 
 /** Failover detection for position-based resume. A checkpointed global

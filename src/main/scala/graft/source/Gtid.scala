@@ -279,7 +279,8 @@ object GtidLocator {
     * offset from the metadata id so probes can never kill a live dump). */
   private def probe(conf: ReplConfig, file: String)(f: (Int, Array[Byte]) => Boolean): Unit = {
     val c = new ReplicationClient(conf.host, conf.port, conf.user, conf.password,
-      conf.serverId + 200001) // outside the dump-ordinal range (serverId+1..+100000)
+      conf.serverId + 200001, // outside the dump-ordinal range (serverId+1..+100000)
+      conf.tls)
     try {
       c.connect()
       c.negotiateChecksum()

@@ -104,7 +104,8 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
   @volatile private var closed = false
 
   private val client = new ReplicationClient(conf.host, conf.port, conf.user,
-    conf.password, conf.serverId + 1) // dump id ≠ the metadata connection's id
+    conf.password, conf.serverId + 1, // dump id ≠ the metadata connection's id
+    conf.tls)
 
   private val thread = new Thread(() => run(), s"graft-repl-dump-${conf.host}:${conf.port}")
   thread.setDaemon(true)

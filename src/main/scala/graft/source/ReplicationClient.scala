@@ -47,8 +47,13 @@ object MysqlWire {
   // capability flags (the subset this client speaks)
   val CLIENT_LONG_PASSWORD = 0x00000001L
   val CLIENT_PROTOCOL_41 = 0x00000200L
+  val CLIENT_SSL = 0x00000800L
   val CLIENT_SECURE_CONNECTION = 0x00008000L
   val CLIENT_PLUGIN_AUTH = 0x00080000L
+
+  /** MySQL's error for a plaintext connection to a
+    * `require_secure_transport=ON` server (the managed-MySQL default). */
+  val ER_SECURE_TRANSPORT_REQUIRED = 3159
 
   val BINLOG_DUMP_NON_BLOCK = 0x01
 
@@ -180,11 +185,86 @@ object MysqlWire {
     new MysqlServerError(leAt(p, 1, 2).toInt, errOf(p))
 }
 
+/** TLS posture for the replication channel — serializable (shipped inside
+  * [[ReplConfig]] to executors; the `SSLContext` is built lazily ON USE, it
+  * never crosses the wire). The public protocol's upgrade: the client sends a
+  * 32-byte SSL-request packet (the HandshakeResponse41 prefix with
+  * `CLIENT_SSL` set), the TLS handshake runs on the raw socket, and the full
+  * handshake response + everything after travels encrypted. Modes mirror the
+  * mysql client's `--ssl-mode`:
+  *
+  *  - `TlsConfig.Off` — plaintext (a `require_secure_transport=ON` server
+  *    refuses with ERR 3159; [[ReplicationClient.connect]] renders the fix);
+  *  - `enabled` with neither truststore nor trustAll — the JVM's default
+  *    trust anchors WITH hostname verification (`VERIFY_IDENTITY`): the
+  *    right default against a public-CA managed endpoint;
+  *  - `truststorePath` (PKCS12) — pin a private CA / self-signed server cert
+  *    (`VERIFY_CA` semantics: chain is verified against the pinned anchors;
+  *    hostname is not, since private-CA certs routinely lack the deployment
+  *    host's SAN);
+  *  - `trustAll` — no verification (dev only; still encrypted).
+  */
+case class TlsConfig(enabled: Boolean = false, trustAll: Boolean = false,
+                     truststorePath: String = "", truststorePassword: String = "")
+    extends Serializable {
+
+  private def context(): javax.net.ssl.SSLContext =
+    if (trustAll) {
+      val tm = new javax.net.ssl.X509TrustManager {
+        override def checkClientTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def checkServerTrusted(c: Array[java.security.cert.X509Certificate], a: String): Unit = ()
+        override def getAcceptedIssuers: Array[java.security.cert.X509Certificate] =
+          Array.empty
+      }
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, Array(tm), null)
+      ctx
+    } else if (truststorePath.nonEmpty) {
+      val ks = java.security.KeyStore.getInstance("PKCS12")
+      val is = new java.io.FileInputStream(truststorePath)
+      try ks.load(is, truststorePassword.toCharArray) finally is.close()
+      val tmf = javax.net.ssl.TrustManagerFactory
+        .getInstance(javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+      tmf.init(ks)
+      val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+      ctx.init(null, tmf.getTrustManagers, null)
+      ctx
+    } else javax.net.ssl.SSLContext.getDefault
+
+  /** Layer TLS over an already-connected socket (client mode) and run the
+    * handshake eagerly so certificate rejection surfaces HERE with a clear
+    * message, not as a generic IOException on the first later read. */
+  def wrap(plain: Socket, host: String, port: Int): javax.net.ssl.SSLSocket = {
+    val ssl = context().getSocketFactory
+      .createSocket(plain, host, port, true)
+      .asInstanceOf[javax.net.ssl.SSLSocket]
+    if (!trustAll && truststorePath.isEmpty) {
+      val params = ssl.getSSLParameters
+      params.setEndpointIdentificationAlgorithm("HTTPS")
+      ssl.setSSLParameters(params)
+    }
+    try { ssl.startHandshake(); ssl }
+    catch {
+      case e: javax.net.ssl.SSLException =>
+        throw new java.io.IOException(
+          s"TLS handshake with $host:$port failed: ${e.getMessage}. If the " +
+            "server uses a self-signed or private-CA certificate, pin it " +
+            "with tlsTruststore=<pkcs12 path> (+ tlsTruststorePassword), " +
+            "or tlsInsecure=true for dev.", e)
+    }
+  }
+}
+
+object TlsConfig {
+  val Off: TlsConfig = TlsConfig()
+}
+
 /** Minimal replication-protocol client. One instance = one connection = one
   * ordered event stream (the same single-stream shape as the reference's
   * canal loop). Not thread-safe; a DSv2 partition owns its client. */
 final class ReplicationClient(host: String, port: Int, user: String, password: String,
-                              serverId: Long) extends AutoCloseable {
+                              serverId: Long, tls: TlsConfig = TlsConfig.Off)
+    extends AutoCloseable {
   import MysqlWire._
 
   private var socket: Socket = _
@@ -214,10 +294,11 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     at += 4 // thread id
     val auth1 = java.util.Arrays.copyOfRange(hs, at, at + 8); at += 8
     at += 1 // filler
-    at += 2 // capability flags (lower) — this client always speaks 4.1+SECURE
+    var serverCaps = leAt(hs, at, 2); at += 2 // capability flags (lower)
     var nonce = auth1
     if (at < hs.length) {
-      at += 1 + 2 + 2 // charset, status, capability flags (upper)
+      at += 1 + 2 // charset, status
+      serverCaps |= leAt(hs, at, 2) << 16; at += 2 // capability flags (upper)
       val authLen = hs(at) & 0xff; at += 1
       at += 10 // reserved
       // auth-data part 2: max(13, authLen - 8) bytes, last is a NUL
@@ -227,7 +308,28 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     }
 
     val caps = CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 |
-      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+      CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH |
+      (if (tls.enabled) CLIENT_SSL else 0L)
+    var respSeq = seq + 1
+    if (tls.enabled) {
+      // CLIENT_SSL upgrade (public protocol): a 32-byte SSL-request packet —
+      // the HandshakeResponse41 prefix (caps with CLIENT_SSL, max packet,
+      // charset, 23 reserved zeros) and NO user/auth — then the TLS
+      // handshake on the raw socket; the full response follows encrypted.
+      if ((serverCaps & CLIENT_SSL) == 0)
+        throw new java.io.IOException(
+          s"$host:$port does not advertise CLIENT_SSL (the server was built " +
+            "or started without TLS support) but option tls=true was set; " +
+            "drop tls=true or enable TLS on the server")
+      val ssl = new java.io.ByteArrayOutputStream()
+      ssl.write(le(caps, 4)); ssl.write(le((1 << 24) - 1, 4)); ssl.write(33)
+      ssl.write(new Array[Byte](23))
+      writePacket(out, respSeq, ssl.toByteArray); respSeq += 1
+      socket = tls.wrap(socket, host, port)
+      socket.setSoTimeout(timeoutMs)
+      in = new BufferedInputStream(socket.getInputStream, 1 << 16)
+      out = new BufferedOutputStream(socket.getOutputStream, 1 << 14)
+    }
     val token = nativePasswordScramble(password, nonce)
     val b = new java.io.ByteArrayOutputStream()
     b.write(le(caps, 4)); b.write(le((1 << 24) - 1, 4)); b.write(33) // utf8
@@ -235,7 +337,7 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     b.write(user.getBytes(StandardCharsets.UTF_8)); b.write(0)
     b.write(token.length); b.write(token)
     b.write("mysql_native_password".getBytes(StandardCharsets.UTF_8)); b.write(0)
-    writePacket(out, seq + 1, b.toByteArray)
+    writePacket(out, respSeq, b.toByteArray)
 
     var (rseq, reply) = readPacketOrFail()
     // AuthSwitchRequest (0xfe + plugin name + fresh nonce): a MySQL 8 server
@@ -269,14 +371,23 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
           (next._2(0) & 0xff) == 0x01) {
         (next._2(1) & 0xff) match {
           case 0x03 => next = readPacketOrFail() // fast-auth success marker
+          case 0x04 if tls.enabled =>
+            // FULL auth over TLS — the standard path: the channel is already
+            // encrypted, so the NUL-terminated plaintext password goes
+            // straight down it (no RSA exchange), the server verifies
+            // against its stored SHA-256 digest and primes the cache.
+            writePacket(out, next._1 + 1,
+              password.getBytes(StandardCharsets.UTF_8) :+ 0.toByte)
+            next = readPacketOrFail()
           case 0x04 =>
             writePacket(out, next._1 + 1, Array(0x02.toByte)) // public key, please
             val (kseq, kpkt) = readPacketOrFail()
             if (isErr(kpkt)) throw new java.io.IOException(
               "caching_sha2_password full auth: the server refused to hand " +
-                s"out its RSA public key (${errOf(kpkt)}). Connect over TLS, " +
-                "prime the cache with one TLS login, or create the " +
-                "replication user WITH mysql_native_password")
+                s"out its RSA public key (${errOf(kpkt)}). Set option " +
+                "tls=true (full auth over TLS is the standard path), prime " +
+                "the cache with one TLS login, or create the replication " +
+                "user WITH mysql_native_password")
             require((kpkt(0) & 0xff) == 0x01 && kpkt.length > 1,
               "expected AuthMoreData carrying the RSA public key")
             val pem = new String(kpkt, 1, kpkt.length - 1, StandardCharsets.UTF_8)
@@ -288,7 +399,16 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
       }
       rseq = next._1; reply = next._2
     }
-    if (isErr(reply)) throw new java.io.IOException(s"auth failed: ${errOf(reply)}")
+    if (isErr(reply)) {
+      val ex = errEx(reply)
+      if (ex.code == ER_SECURE_TRANSPORT_REQUIRED && !tls.enabled)
+        throw new java.io.IOException(
+          s"$host:$port requires TLS (require_secure_transport=ON — the " +
+            s"managed-MySQL default): ${ex.getMessage}. Set option tls=true " +
+            "(and tlsTruststore=<pkcs12> if the server cert is not " +
+            "public-CA signed)", ex)
+      throw new java.io.IOException(s"auth failed: ${ex.getMessage}", ex)
+    }
     require(isOk(reply), "unexpected auth reply")
   }
 
@@ -512,8 +632,9 @@ object SchemaBootstrap {
   * file". */
 final class ReplicationBinlogReader(host: String, port: Int, user: String, password: String,
                                     serverId: Long, file: String, fromByte: Long,
-                                    untilByte: Long, seqBase: Long = 0L) extends BinlogReader {
-  private val client = new ReplicationClient(host, port, user, password, serverId)
+                                    untilByte: Long, seqBase: Long = 0L,
+                                    tls: TlsConfig = TlsConfig.Off) extends BinlogReader {
+  private val client = new ReplicationClient(host, port, user, password, serverId, tls)
   client.connect()
   client.negotiateChecksum()
   client.registerSlave()

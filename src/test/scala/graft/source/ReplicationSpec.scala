@@ -28,7 +28,15 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
                             sha2RefuseKey: Boolean = false,
                             /** Handshake server version — set a MariaDB
                               * string to emulate a MariaDB master. */
-                            serverVersion: String = "5.7.44-stub")
+                            serverVersion: String = "5.7.44-stub",
+                            /** Advertise CLIENT_SSL and accept the 32-byte
+                              * SSL-request upgrade (self-signed cert from
+                              * [[StubMysqlServer.tlsMaterial]]). */
+                            tlsSupport: Boolean = false,
+                            /** Refuse any PLAINTEXT HandshakeResponse with
+                              * ERR 3159, like `require_secure_transport=ON`
+                              * (implies TLS support, as on real servers). */
+                            requireSecureTransport: Boolean = false)
     extends AutoCloseable {
   import MysqlWire._
 
@@ -117,8 +125,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
 
   private def serve(s: Socket): Unit = {
     s.setSoTimeout(20000)
-    val in = new BufferedInputStream(s.getInputStream)
-    val out = new BufferedOutputStream(s.getOutputStream)
+    var in = new BufferedInputStream(s.getInputStream)
+    var out = new BufferedOutputStream(s.getOutputStream)
+    val sslCapable = tlsSupport || requireSecureTransport
 
     // ---- initial handshake v10
     val hs = new java.io.ByteArrayOutputStream()
@@ -127,7 +136,8 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
     hs.write(le(1, 4))           // thread id
     hs.write(nonce, 0, 8)        // auth-plugin-data part 1
     hs.write(0)                  // filler
-    hs.write(le(0x8203, 2))      // caps low: LONG_PASSWORD | PROTOCOL_41 | SECURE
+    // caps low: LONG_PASSWORD | PROTOCOL_41 | SECURE (+ SSL when capable)
+    hs.write(le(0x8203 | (if (sslCapable) 0x0800 else 0), 2))
     hs.write(33)                 // charset
     hs.write(le(2, 2))           // status
     hs.write(le(0x0008, 2))      // caps high: PLUGIN_AUTH (0x80000 >> 16)
@@ -137,8 +147,29 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
     hs.write("mysql_native_password".getBytes(UTF_8)); hs.write(0)
     writePacket(out, 0, hs.toByteArray)
 
+    // ---- first client packet: either the 32-byte SSL-request (CLIENT_SSL
+    // set, no user) → TLS handshake on the raw socket, response follows
+    // encrypted — or the plaintext HandshakeResponse41 itself
+    var (seq, resp) = readPacket(in)
+    var tlsActive = false
+    if (resp.length == 32 && (leAt(resp, 0, 4) & 0x0800) != 0) {
+      if (!sslCapable) return // a real server without SSL support just drops it
+      val ssl = StubMysqlServer.tlsMaterial.serverContext.getSocketFactory
+        .createSocket(s, null, true).asInstanceOf[javax.net.ssl.SSLSocket]
+      ssl.setUseClientMode(false)
+      ssl.startHandshake()
+      in = new BufferedInputStream(ssl.getInputStream)
+      out = new BufferedOutputStream(ssl.getOutputStream)
+      tlsActive = true
+      val p2 = readPacket(in)
+      seq = p2._1; resp = p2._2
+    } else if (requireSecureTransport) {
+      writePacket(out, seq + 1, errPkt(3159, "Connections using insecure " +
+        "transport are prohibited while --require_secure_transport=ON."))
+      return
+    }
+
     // ---- HandshakeResponse41: verify user's auth token
-    val (seq, resp) = readPacket(in)
     var at = 4 + 4 + 1 + 23
     val userStart = at
     while (resp(at) != 0) at += 1
@@ -153,33 +184,44 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
       val (seq2, switched) = readPacket(in)
       if (sha2FullAuth) {
         // cold cache: demand full authentication (0x01 0x04), then serve the
-        // RSA public-key exchange like a real MySQL 8 server
+        // RSA public-key exchange like a real MySQL 8 server — or, over TLS,
+        // verify the NUL-terminated plaintext password (the standard path:
+        // real servers accept it on any secure transport)
         writePacket(out, seq2 + 1, Array[Byte](0x01, 0x04))
         val (seq3, req) = readPacket(in)
-        if (req.length != 1 || (req(0) & 0xff) != 0x02) {
-          writePacket(out, seq3 + 1, errPkt(1045, "expected public key request"))
-          return
-        }
-        if (sha2RefuseKey) {
+        if (tlsActive && req.length > 1) {
+          val expected = password.getBytes(UTF_8) :+ 0.toByte
+          if (!java.util.Arrays.equals(req, expected)) {
+            writePacket(out, seq3 + 1, errPkt(1045, "Access denied"))
+            return
+          }
+          writePacket(out, seq3 + 1, ok)
+        } else {
+          if (req.length != 1 || (req(0) & 0xff) != 0x02) {
+            writePacket(out, seq3 + 1, errPkt(1045, "expected public key request"))
+            return
+          }
+          if (sha2RefuseKey) {
+            writePacket(out, seq3 + 1,
+              errPkt(1105, "Public key retrieval is not allowed"))
+            return
+          }
           writePacket(out, seq3 + 1,
-            errPkt(1105, "Public key retrieval is not allowed"))
-          return
+            Array(0x01.toByte) ++ publicKeyPem.getBytes(UTF_8))
+          val (seq4, encrypted) = readPacket(in)
+          val cipher = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
+          cipher.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
+          val plain = try cipher.doFinal(encrypted) catch {
+            case _: Exception =>
+              writePacket(out, seq4 + 1, errPkt(1045, "Access denied")); return
+          }
+          val expected = MysqlWire.sha2XorPassword(password, nonce2)
+          if (!java.util.Arrays.equals(plain, expected)) {
+            writePacket(out, seq4 + 1, errPkt(1045, "Access denied"))
+            return
+          }
+          writePacket(out, seq4 + 1, ok)
         }
-        writePacket(out, seq3 + 1,
-          Array(0x01.toByte) ++ publicKeyPem.getBytes(UTF_8))
-        val (seq4, encrypted) = readPacket(in)
-        val cipher = javax.crypto.Cipher.getInstance("RSA/ECB/OAEPWithSHA-1AndMGF1Padding")
-        cipher.init(javax.crypto.Cipher.DECRYPT_MODE, rsaKeys.getPrivate)
-        val plain = try cipher.doFinal(encrypted) catch {
-          case _: Exception =>
-            writePacket(out, seq4 + 1, errPkt(1045, "Access denied")); return
-        }
-        val expected = MysqlWire.sha2XorPassword(password, nonce2)
-        if (!java.util.Arrays.equals(plain, expected)) {
-          writePacket(out, seq4 + 1, errPkt(1045, "Access denied"))
-          return
-        }
-        writePacket(out, seq4 + 1, ok)
       } else {
       val expected2 = cachingSha2Scramble(password, nonce2)
       if (!java.util.Arrays.equals(switched, expected2)) {
@@ -396,6 +438,44 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
   override def close(): Unit = { running = false; server.close() }
 }
 
+object StubMysqlServer {
+  /** Self-signed server identity for the CLIENT_SSL tests: a keypair+cert in
+    * a PKCS12 keystore (the server's `SSLContext`) plus a truststore holding
+    * ONLY the cert — exactly what a user pins via the source's
+    * `tlsTruststore` option. Generated once per JVM with the JDK's own
+    * keytool (offline, deterministic availability: keytool ships with every
+    * JDK that runs these tests). */
+  final case class TlsMaterial(serverContext: javax.net.ssl.SSLContext,
+                               truststorePath: String, truststorePassword: String)
+
+  lazy val tlsMaterial: TlsMaterial = {
+    import scala.sys.process._
+    val dir = Files.createTempDirectory("graft_stub_tls")
+    val ks = dir.resolve("server.p12").toString
+    val cer = dir.resolve("server.cer").toString
+    val ts = dir.resolve("trust.p12").toString
+    val pass = "graft-stub-pass"
+    Seq("keytool", "-genkeypair", "-alias", "stub", "-keyalg", "RSA",
+      "-keysize", "2048", "-storetype", "PKCS12", "-keystore", ks,
+      "-storepass", pass, "-keypass", pass, "-dname", "CN=localhost",
+      "-validity", "3650").!!
+    Seq("keytool", "-exportcert", "-alias", "stub", "-keystore", ks,
+      "-storepass", pass, "-file", cer).!!
+    Seq("keytool", "-importcert", "-noprompt", "-alias", "stub",
+      "-storetype", "PKCS12", "-keystore", ts, "-storepass", pass,
+      "-file", cer).!!
+    val keyStore = java.security.KeyStore.getInstance("PKCS12")
+    val fis = new java.io.FileInputStream(ks)
+    try keyStore.load(fis, pass.toCharArray) finally fis.close()
+    val kmf = javax.net.ssl.KeyManagerFactory
+      .getInstance(javax.net.ssl.KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(keyStore, pass.toCharArray)
+    val ctx = javax.net.ssl.SSLContext.getInstance("TLS")
+    ctx.init(kmf.getKeyManagers, null, null)
+    TlsMaterial(ctx, ts, pass)
+  }
+}
+
 /** The live replication-protocol slice of S1: handshake + auth +
   * COM_REGISTER_SLAVE + COM_BINLOG_DUMP against a scripted stub server,
   * the socket reader's drop-in equivalence with the file reader, and the
@@ -549,6 +629,139 @@ class ReplicationSpec extends SparkSpec {
       val e = intercept[java.io.IOException] { c.connect() }
       assert(e.getMessage.contains("auth failed") && e.getMessage.contains("Access denied"))
       c.close()
+    } finally stub.close()
+  }
+
+  test("CLIENT_SSL upgrade: handshake, auth, metadata and the dump all run over " +
+    "TLS — stream identical to the plaintext run") {
+    val stub = new StubMysqlServer("secret-pw", tlsSupport = true)
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val tm = StubMysqlServer.tlsMaterial
+      val tls = TlsConfig(enabled = true, truststorePath = tm.truststorePath,
+        truststorePassword = tm.truststorePassword)
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 6402L, tls)
+      try {
+        c.connect()
+        assert(c.binaryLogs() === Seq(("binlog.000001", stub.files.head._2.length.toLong)))
+        c.registerSlave()
+      } finally c.close()
+      def drain(t: TlsConfig): Seq[(Long, String)] = {
+        val r = new ReplicationBinlogReader("127.0.0.1", stub.port, "repl", "secret-pw",
+          6403L, "binlog.000001", 0L, Long.MaxValue, tls = t)
+        try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList finally r.close()
+      }
+      val overTls = drain(tls)
+      val plaintext = drain(TlsConfig.Off) // tlsSupport still ACCEPTS plaintext
+      assert(overTls === plaintext, "the encrypted dump must equal the plaintext dump")
+      assert(overTls.size === 3, "two row statements + one alter")
+    } finally stub.close()
+  }
+
+  test("caching_sha2 FULL auth over TLS: the plaintext password goes down the " +
+    "encrypted channel (no RSA exchange) and the session is fully usable") {
+    val tm = StubMysqlServer.tlsMaterial
+    val tls = TlsConfig(enabled = true, truststorePath = tm.truststorePath,
+      truststorePassword = tm.truststorePassword)
+    val stub = new StubMysqlServer("secret-pw", sha2 = true, sha2FullAuth = true,
+      tlsSupport = true)
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 8L, tls)
+      try {
+        c.connect()
+        assert(c.binaryLogs().nonEmpty, "post-full-auth TLS session is fully usable")
+      } finally c.close()
+      // wrong password still fails at the server's compare, loudly
+      val bad = new ReplicationClient("127.0.0.1", stub.port, "repl", "nope", 8L, tls)
+      val e = intercept[java.io.IOException] { bad.connect() }
+      assert(e.getMessage.contains("auth failed"), e.getMessage)
+      bad.close()
+    } finally stub.close()
+  }
+
+  test("require_secure_transport=ON: plaintext is refused with the actionable " +
+    "fix (tls=true); the same server accepts a TLS connection") {
+    val stub = new StubMysqlServer("secret-pw", requireSecureTransport = true)
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val plain = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 1L)
+      val e = intercept[java.io.IOException] { plain.connect() }
+      assert(e.getMessage.contains("require_secure_transport") &&
+        e.getMessage.contains("tls=true"), s"actionable: ${e.getMessage}")
+      plain.close()
+      val tm = StubMysqlServer.tlsMaterial
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 1L,
+        TlsConfig(enabled = true, truststorePath = tm.truststorePath,
+          truststorePassword = tm.truststorePassword))
+      try {
+        c.connect()
+        assert(c.binaryLogs().nonEmpty)
+      } finally c.close()
+    } finally stub.close()
+  }
+
+  test("TLS trust: the default anchors reject a self-signed server cert with " +
+    "the pin-it hint; tlsInsecure (dev) accepts it") {
+    val stub = new StubMysqlServer("secret-pw", tlsSupport = true)
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val strict = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 1L,
+        TlsConfig(enabled = true))
+      val e = intercept[java.io.IOException] { strict.connect() }
+      assert(e.getMessage.contains("TLS handshake") &&
+        e.getMessage.contains("tlsTruststore"), s"actionable: ${e.getMessage}")
+      strict.close()
+      val dev = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 1L,
+        TlsConfig(enabled = true, trustAll = true))
+      try {
+        dev.connect()
+        assert(dev.binaryLogs().nonEmpty)
+      } finally dev.close()
+    } finally stub.close()
+  }
+
+  test("tls=true against a server without CLIENT_SSL fails before credentials " +
+    "leave the client") {
+    val stub = new StubMysqlServer("secret-pw") // no TLS support advertised
+    try {
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "secret-pw", 1L,
+        TlsConfig(enabled = true, trustAll = true))
+      val e = intercept[java.io.IOException] { c.connect() }
+      assert(e.getMessage.contains("does not advertise CLIENT_SSL"), e.getMessage)
+      c.close()
+    } finally stub.close()
+  }
+
+  test("DSv2 stream over TLS: tls/tlsTruststore options reach both the metadata " +
+    "and dump connections (server enforces require_secure_transport)") {
+    // requireSecureTransport makes the stub REJECT any plaintext connection,
+    // so a green drain proves every connection the source opens - the
+    // planner's listing AND each partition's dump - honored the options.
+    val stub = new StubMysqlServer("pw", requireSecureTransport = true)
+    val cp = tmp()
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      val tm = StubMysqlServer.tlsMaterial
+      val rows = scala.collection.mutable.ArrayBuffer[Long]()
+      val q = spark.readStream.format("graft-cdc")
+        .option("wireFormat", "replication")
+        .option("host", "127.0.0.1").option("port", stub.port.toString)
+        .option("user", "repl").option("password", "pw")
+        .option("serverId", "9100")
+        .option("tls", "true")
+        .option("tlsTruststore", tm.truststorePath)
+        .option("tlsTruststorePassword", tm.truststorePassword)
+        .load()
+        .writeStream
+        .option("checkpointLocation", cp.toString)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          rows ++= batch.collect().map(_.getLong(2)); ()
+        }
+        .start()
+      assert(q.awaitTermination(120000), s"stream did not drain: ${q.exception}")
+      assert(rows.size === 3, s"the fixture's three statements over TLS: $rows")
     } finally stub.close()
   }
 
