@@ -36,12 +36,30 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** events with ts normalized: ts_ns (raw), ts_us (µs long, oracle-exact), ts (timestamp). */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+  /** events with ts normalized: ts_ns (ns long), ts_us (µs long, oracle-exact), ts (timestamp).
+    *
+    * Two generations of the driver's testdata exist: TIMESTAMP(NANOS) (read as a raw
+    * ns Long under nanosAsLong) and TIMESTAMP(MICROS) (read natively as TIMESTAMP_NTZ).
+    * Both normalize to the same three columns; session TZ is UTC so the NTZ → TIMESTAMP
+    * cast's `unix_micros` matches DuckDB's `epoch_us(ts)` exactly.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as raw ns
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType | TimestampType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+      case other =>
+        throw new IllegalStateException(s"events.ts has unsupported type $other")
+    }
+  }
 }
 
 /** Deterministic numeric helpers: both engines do exact DECIMAL arithmetic, then a
