@@ -7,10 +7,16 @@ import org.apache.spark.sql.types._
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
   * Parity notes (vs the DuckDB oracle):
-  *  - `events.ts` is parquet TIMESTAMP(NANOS). Spark 4 cannot read it natively,
-  *    so we read it as a raw nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`)
-  *    and expose `ts_us` (µs, integer) + `ts` (TimestampType, µs). DuckDB reads the
-  *    same column as a µs-truncated TIMESTAMP, so `ts_us == epoch_us(ts)` exactly.
+  *  - Two generations of driver testdata exist for `events.ts`:
+  *    TIMESTAMP(NANOS) — which Spark 4 cannot read natively, so it is read as a
+  *    raw nanosecond Long under `spark.sql.legacy.parquet.nanosAsLong` — and
+  *    TIMESTAMP(MICROS)/NTZ, read natively as TIMESTAMP_NTZ. [[Tables.events]]
+  *    normalizes both to the same columns: `ts_ns` (ns long), `ts_us` (µs long)
+  *    and `ts` (TimestampType, µs). DuckDB reads either generation as a naive
+  *    µs TIMESTAMP, so `ts_us == epoch_us(ts)` exactly. Instant-semantics
+  *    TIMESTAMP(isAdjustedToUTC=true) parquet is rejected loudly: DuckDB would
+  *    read it as TIMESTAMPTZ and `date_trunc` results would then depend on the
+  *    oracle session's timezone, which this repo does not pin.
   *  - Money columns are 2-decimal doubles; aggregates go through DECIMAL so both
   *    engines do exact integer-scaled arithmetic (see [[Num]]).
   */
@@ -22,7 +28,8 @@ object Tables {
     require(
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "Set spark.sql.legacy.parquet.nanosAsLong=true at SparkSession build time " +
-        "(use graft.GraftSession.builder); events.parquet carries TIMESTAMP(NANOS).")
+        "(use graft.GraftSession.builder); legacy testdata generations carry " +
+        "events.ts as TIMESTAMP(NANOS) (the flag is a no-op for MICROS data).")
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
@@ -45,20 +52,30 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case LongType => // legacy TIMESTAMP(NANOS) read as raw ns
         raw
           .withColumnRenamed("ts", "ts_ns")
           .withColumn("ts_us", expr("ts_ns div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
-      case TimestampNTZType | TimestampType =>
+      case TimestampNTZType =>
         raw
           .withColumn("ts", col("ts").cast(TimestampType))
           .withColumn("ts_us", unix_micros(col("ts")))
           .withColumn("ts_ns", col("ts_us") * lit(1000L))
+      case TimestampType =>
+        // isAdjustedToUTC=true parquet: DuckDB reads this as TIMESTAMPTZ, so the
+        // oracle's date_trunc would depend on its session timezone. Refuse rather
+        // than silently break q16-style hash parity.
+        throw new IllegalStateException(
+          "events.ts is instant-semantics TIMESTAMP (isAdjustedToUTC=true); oracle " +
+            "parity requires TIMESTAMP_NTZ or legacy TIMESTAMP(NANOS) testdata.")
       case other =>
         throw new IllegalStateException(s"events.ts has unsupported type $other")
     }
+    // Canonical column order regardless of which generation was read: original
+    // positions with ts normalized in place, derived ts_us/ts_ns appended.
+    normalized.select("event_id", "ts", "user_id", "event_type", "value", "props", "ts_us", "ts_ns")
   }
 }
 

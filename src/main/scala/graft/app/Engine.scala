@@ -219,6 +219,13 @@ object Engine {
             java.nio.file.Files.createDirectories(snapDir)
             java.nio.file.Files.write(snapDir.resolve("_spooled"),
               Array.emptyByteArray)
+          } else {
+            // PIN-ONLY bootstrap: a previous snapshot attempt (crashed before
+            // its pin marker) may have left spool files / _spooled here. They
+            // belong to a DIFFERENT read-view moment than the pin being
+            // written below — scrub them so a later snapshot-enabled run
+            // cannot replay them as ghost rows.
+            graft.source.Snapshot.clearStaleDump(snapDir)
           }
           reg.saveTo(schemaFile)
           // marker written LAST, atomically: its existence == bootstrap done
@@ -337,9 +344,18 @@ object Engine {
       onReload = payload => cfg.reloadSinks.foreach(f => sinksRef.set(f(payload))),
       // CTRL_STATUS: active queries plus the live counters — the reference's
       // status surface never had rates; ours is the tcp.go:436 counter
-      // rendered engine-wide.
-      members = () => (spark.streams.active.map(q => s"${q.name} ${q.id}") :+
-        metrics.render).mkString("\n")))
+      // rendered engine-wide — plus gtid_executed from the engine query's
+      // last committed source offset (replication mode): the exact failover
+      // recovery value (`startGtid=`), surfaced where an operator looks
+      // first instead of buried in the checkpoint offset json.
+      members = () => {
+        val gtid = Option(query.lastProgress).toSeq
+          .flatMap(_.sources.toSeq).flatMap(s => Option(s.endOffset))
+          .flatMap(j => """"gtid"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(j).map(_.group(1)))
+          .lastOption
+        (spark.streams.active.map(q => s"${q.name} ${q.id}") :+
+          (metrics.render + gtid.fold("")(g => s" gtid_executed=$g"))).mkString("\n")
+      }))
 
     new Handle(query, control, pubsub, registry, sinksRef, metrics,
       teardown = () => spark.streams.removeListener(listener))

@@ -141,8 +141,36 @@ object Similarity {
     * sample (every `stride`-th id) of (id, vec, norm), metadata-scale by the
     * IVF contract. Norms are precomputed with the same left-fold double
     * arithmetic as [[l2norm]]. Shared by [[ivfTopK]] and [[semanticDedup]]. */
+  /** Hard ceiling on the driver-side centroid table: beyond this the
+    * "metadata-scale" contract is broken no matter what the caller intended
+    * — fail with the fix (a centroid COUNT) instead of an eventual driver
+    * OOM. 4M centroid structs ≈ low-GB at d=128, the defensible extreme. */
+  private val MaxCentroids: Long = 4L << 20
+
+  /** Derive the centroid stride from a COUNT contract: ONE metadata-scale
+    * aggregate (max id over the pruned id column) fixes
+    * stride ≈ idSpan / centroidCount, so the driver collect stays O(count)
+    * at ANY corpus size — the IVF index-header contract (a fixed stride is
+    * O(N/stride): unbounded at 100×). Deterministic: the same corpus always
+    * derives the same stride, hence the same cell structure. */
+  private def strideFor(candidates: DataFrame, centroidCount: Long,
+                        caller: String): Long = {
+    require(centroidCount > 0 && centroidCount <= MaxCentroids,
+      s"$caller: centroidCount must be in (0, $MaxCentroids], got $centroidCount")
+    val maxId = candidates.agg(max(col("id"))).head().getLong(0)
+    math.max(1L, (maxId + 1) / centroidCount)
+  }
+
   private def sampledCentroids(candidates: DataFrame, stride: Long,
                                caller: String): Seq[(Long, Seq[Float], Double)] = {
+    // clamp BEFORE collecting: the expected table size is maxId/stride — a
+    // metadata-scale pre-check that turns a would-be driver OOM at large N
+    // into an actionable error (carry the scale via `centroidCount`).
+    val maxId = candidates.agg(max(col("id"))).head().getLong(0)
+    require(maxId / stride + 1 <= MaxCentroids,
+      s"$caller: centroidStride=$stride over ids up to $maxId would collect " +
+        s"~${maxId / stride + 1} centroids (> $MaxCentroids) — pass " +
+        "centroidCount to derive a scale-proof stride instead")
     val centroids = candidates
       .filter(col("id") % stride === 0)
       .select(col("id"), col("vec"))
@@ -181,9 +209,14 @@ object Similarity {
   }
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              centroidStride: Long = 40, nProbe: Int = 3): DataFrame = {
+              centroidStride: Long = 40, nProbe: Int = 3,
+              /** When set, IGNORE `centroidStride` and derive it from this
+                * target count ([[strideFor]]) — the 100-TB calling
+                * convention: the index header stays O(count) at any N. */
+              centroidCount: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centArr = typedlit(sampledCentroids(candidates, centroidStride, "ivfTopK"))
+    val stride = centroidCount.fold(centroidStride)(strideFor(candidates, _, "ivfTopK"))
+    val centArr = typedlit(sampledCentroids(candidates, stride, "ivfTopK"))
     def nearestCells(vec: Column, n: Int): Column = nearestCellsCol(centArr, vec, n)
 
     // Inverted file: nearest cell per candidate — map-side only, no Exchange.
@@ -232,8 +265,11 @@ object Similarity {
     * Output: (id, keep_id, kept, cluster_size) — one row per input vector;
     * `kept` marks the representative (every non-duplicate is its own). */
   def semanticDedup(vecs: DataFrame, tau: Double,
-                    centroidStride: Long = 40): DataFrame = {
-    val (pairs, cleanup) = semanticPairsManaged(vecs, tau, centroidStride)
+                    centroidStride: Long = 40,
+                    centroidCount: Option[Long] = None,
+                    hotCellCap: Long = DefaultHotCellCap): DataFrame = {
+    val (pairs, cleanup) =
+      semanticPairsManaged(vecs, tau, centroidStride, centroidCount, hotCellCap)
     // Clusters.assign EXECUTES the CC rounds during the call (per-round
     // actions behind a lineage barrier); the returned frame references the
     // materialized stars, not the pair plan — the cells cache can go.
@@ -252,8 +288,20 @@ object Similarity {
     * actions), which hides this stage from the final query's executed
     * plan. */
   def semanticPairs(vecs: DataFrame, tau: Double,
-                    centroidStride: Long = 40): DataFrame =
-    semanticPairsManaged(vecs, tau, centroidStride)._1
+                    centroidStride: Long = 40,
+                    centroidCount: Option[Long] = None,
+                    hotCellCap: Long = DefaultHotCellCap): DataFrame =
+    semanticPairsManaged(vecs, tau, centroidStride, centroidCount, hotCellCap)._1
+
+  /** Per-salt-bucket row ceiling for the within-cell self-join: a cell of
+    * size s enumerates s² candidate pairs in ONE task when joined on the
+    * bare cell id — fine at the average (≈ stride) but quadratic on a hot
+    * cell (the FAISS imbalance problem: near-identical web boilerplate
+    * collapses into one cell). Cells above the cap are salted into
+    * ceil(s/cap) buckets, bounding per-task work at ~cap·s and spreading
+    * the quadratic across buckets; the PAIR SET is provably unchanged
+    * (each (a,b) meets exactly once, at a's salt). */
+  val DefaultHotCellCap: Long = 4096L
 
   /** [[semanticPairs]] plus the cleanup handle for the cached cell frame:
     * the per-row centroid argmax is the operator's dominant non-join cost,
@@ -261,17 +309,36 @@ object Similarity {
     * the full assignment twice (self-join children are independent
     * subtrees). Same managed-persist contract as [[Dedup.jaccardJoin]]. */
   def semanticPairsManaged(vecs: DataFrame, tau: Double,
-                           centroidStride: Long = 40): (DataFrame, () => Unit) = {
-    val centArr = typedlit(sampledCentroids(vecs, centroidStride, "semanticDedup"))
+                           centroidStride: Long = 40,
+                           centroidCount: Option[Long] = None,
+                           hotCellCap: Long = DefaultHotCellCap)
+      : (DataFrame, () => Unit) = {
+    require(hotCellCap > 0, s"hotCellCap must be positive, got $hotCellCap")
+    val stride =
+      centroidCount.fold(centroidStride)(strideFor(vecs, _, "semanticDedup"))
+    val centArr = typedlit(sampledCentroids(vecs, stride, "semanticDedup"))
     val cells = vecs.select(col("id"), col("vec"))
       .withColumn("cell", element_at(nearestCellsCol(centArr, col("vec"), 1), 1))
       .withColumn("nrm", l2norm(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cells.select(col("cell"), col("id").as("id_a"),
-      col("vec").as("va"), col("nrm").as("na"))
-    val b = cells.select(col("cell"), col("id").as("id_b"),
-      col("vec").as("vb"), col("nrm").as("nb"))
-    val pairs = a.join(b, "cell")
+    // Hot-cell handling: per-cell sizes are one cell-keyed aggregate over the
+    // cached frame (map-side partials, #cells rows — metadata-scale), then a
+    // BROADCAST back onto both sides. nsalt = ceil(size/cap); the A side
+    // takes one deterministic bucket (id mod nsalt), the B side replicates
+    // into all nsalt buckets, and the join key becomes (cell, salt): pair
+    // (a,b) meets exactly once — identical output, bounded per-task work.
+    val nsaltCol = ceil(col("csz").cast("double") / lit(hotCellCap.toDouble))
+      .cast("int")
+    val sized = cells.join(
+      broadcast(cells.groupBy("cell").agg(count(lit(1)).as("csz"))), "cell")
+      .withColumn("nsalt", greatest(lit(1), nsaltCol))
+    val a = sized.select(col("cell"), col("id").as("id_a"),
+      col("vec").as("va"), col("nrm").as("na"),
+      pmod(col("id"), col("nsalt")).cast("int").as("salt"))
+    val b = sized.select(col("cell"), col("id").as("id_b"),
+      col("vec").as("vb"), col("nrm").as("nb"),
+      explode(sequence(lit(0), col("nsalt") - 1)).as("salt"))
+    val pairs = a.join(b, Seq("cell", "salt"))
       .filter(col("id_a") < col("id_b") &&
         cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
       .select("id_a", "id_b")

@@ -99,9 +99,70 @@ object BinlogWire {
     (sid, gno)
   }
 
-  /** One mapped table: column wire types + their 16-bit metadata. */
+  /** One mapped table: column wire types + their 16-bit metadata — plus, when
+    * the master runs `binlog_row_metadata=FULL` (MySQL 8 optional metadata
+    * TLVs), column names, numeric signedness and ENUM/SET label lists, which
+    * make the TABLE_MAP alone sufficient for TYPED decode ([[toColMeta]]) —
+    * no live `SHOW FULL COLUMNS` fetch needed. */
   final case class TableMap(db: String, table: String, colTypes: Array[Int],
-                            colMeta: Array[Int])
+                            colMeta: Array[Int],
+                            colNames: Option[Array[String]] = None,
+                            unsignedCols: Option[Array[Boolean]] = None,
+                            enumValues: Map[Int, Seq[String]] = Map.empty,
+                            setValues: Map[Int, Seq[String]] = Map.empty) {
+
+    /** The column's decode-relevant type after unwrapping STRING(254)'s
+      * (real_type, length) multiplexing. */
+    private def realType(i: Int): Int = {
+      val t = colTypes(i)
+      if (t == TYPE_STRING) {
+        val real = colMeta(i) >> 8
+        if (real == TYPE_ENUM || real == TYPE_SET) real else t
+      } else t
+    }
+
+    /** [[graft.cdc.Decode.ColMeta]] synthesized from FULL optional metadata —
+      * defined iff the master sent COLUMN_NAME TLVs. The rawType strings
+      * carry exactly what [[graft.cdc.Decode.toJsonFragmentStatic]] dispatches
+      * on (prefix + unsigned marker), so envelopes decoded through this path
+      * are byte-identical to registry-driven decode. */
+    def toColMeta: Option[Seq[graft.cdc.Decode.ColMeta]] = colNames.map { names =>
+      require(names.length == colTypes.length,
+        s"FULL metadata names (${names.length}) vs columns (${colTypes.length})")
+      names.indices.map { i =>
+        val uns = unsignedCols.exists(_(i))
+        val base = realType(i) match {
+          case TYPE_TINY => "tinyint"
+          case TYPE_SHORT => "smallint"
+          case TYPE_INT24 => "mediumint"
+          case TYPE_LONG => "int"
+          case TYPE_LONGLONG => "bigint"
+          case TYPE_FLOAT => "float"
+          case TYPE_DOUBLE => "double"
+          case TYPE_DECIMAL | TYPE_NEWDECIMAL =>
+            s"decimal(${colMeta(i) & 0xff},${colMeta(i) >> 8})"
+          case TYPE_ENUM =>
+            enumValues.getOrElse(i, Nil).map(v => s"'$v'").mkString("enum(", ",", ")")
+          case TYPE_SET =>
+            setValues.getOrElse(i, Nil).map(v => s"'$v'").mkString("set(", ",", ")")
+          case TYPE_VARCHAR | TYPE_VAR_STRING => s"varchar(${colMeta(i)})"
+          case TYPE_STRING => s"char(${colMeta(i) & 0xff})"
+          case TYPE_BIT => s"bit(${(colMeta(i) >> 8) * 8 + (colMeta(i) & 0xff)})"
+          case TYPE_DATE => "date"
+          case TYPE_TIME | TYPE_TIME2 => "time"
+          case TYPE_DATETIME | TYPE_DATETIME2 => "datetime"
+          case TYPE_TIMESTAMP | TYPE_TIMESTAMP2 => "timestamp"
+          case TYPE_YEAR => "year"
+          case TYPE_JSON => "json"
+          case TYPE_TINY_BLOB | TYPE_MEDIUM_BLOB | TYPE_LONG_BLOB | TYPE_BLOB => "blob"
+          case TYPE_GEOMETRY => "geometry"
+          case other => s"type$other"
+        }
+        graft.cdc.Decode.ColMeta(names(i), if (uns) s"$base unsigned" else base,
+          uns, enumValues.getOrElse(i, Nil), setValues.getOrElse(i, Nil))
+      }
+    }
+  }
 
   // ------------------------------------------------------------------ cursors
 
@@ -167,8 +228,65 @@ object BinlogWire {
       }
       i += 1
     }
-    // trailing null-bits bitmap: (n+7)/8 — not needed for decode
-    (tableId, TableMap(db, table, types, meta))
+    // trailing null-bits bitmap, then (MySQL 8, binlog_row_metadata=FULL)
+    // optional metadata TLVs: type(1) length(lenenc) value. The CRC was
+    // stripped by the caller, so TLVs run to the end of the body.
+    c.skip((n + 7) / 8)
+    var names: Option[Array[String]] = None
+    var unsigned: Option[Array[Boolean]] = None
+    var enums = Map.empty[Int, Seq[String]]
+    var sets = Map.empty[Int, Seq[String]]
+    // group→column-index maps for the per-kind TLVs: SIGNEDNESS bits cover
+    // NUMERIC columns only, ENUM/SET label groups arrive in column order
+    def isNumeric(t: Int): Boolean = t match {
+      case TYPE_DECIMAL | TYPE_TINY | TYPE_SHORT | TYPE_INT24 | TYPE_LONG |
+           TYPE_LONGLONG | TYPE_NEWDECIMAL | TYPE_FLOAT | TYPE_DOUBLE => true
+      case _ => false
+    }
+    def realOf(i: Int): Int =
+      if (types(i) == TYPE_STRING) {
+        val r = meta(i) >> 8
+        if (r == TYPE_ENUM || r == TYPE_SET) r else types(i)
+      } else types(i)
+    val numericIdx = types.indices.filter(i => isNumeric(types(i)))
+    val enumIdx = types.indices.filter(i => realOf(i) == TYPE_ENUM)
+    val setIdx = types.indices.filter(i => realOf(i) == TYPE_SET)
+    while (c.remaining > 0) {
+      val tlv = c.u8()
+      val len = c.lenenc().toInt
+      val end = c.at + len
+      tlv match {
+        case 1 => // SIGNEDNESS: one bit per numeric column, MSB-first
+          val bits = c.take(len)
+          val u = new Array[Boolean](n)
+          numericIdx.zipWithIndex.foreach { case (ci, k) =>
+            if (k < bits.length * 8 && (bits(k >> 3) & (0x80 >> (k & 7))) != 0)
+              u(ci) = true
+          }
+          unsigned = Some(u)
+        case 4 => // COLUMN_NAME: lenenc-prefixed strings, one per column
+          val out = Array.newBuilder[String]
+          while (c.at < end) out += c.str(c.lenenc().toInt)
+          names = Some(out.result())
+        case 5 => // SET_STR_VALUE: per SET column, count + labels
+          var gi = 0
+          while (c.at < end && gi < setIdx.length) {
+            val cnt = c.lenenc().toInt
+            sets += (setIdx(gi) -> Seq.fill(cnt)(c.str(c.lenenc().toInt)))
+            gi += 1
+          }
+        case 6 => // ENUM_STR_VALUE: per ENUM column, count + labels
+          var gi = 0
+          while (c.at < end && gi < enumIdx.length) {
+            val cnt = c.lenenc().toInt
+            enums += (enumIdx(gi) -> Seq.fill(cnt)(c.str(c.lenenc().toInt)))
+            gi += 1
+          }
+        case _ => () // charsets, pk, visibility, geometry: not decode-relevant
+      }
+      c.at = end
+    }
+    (tableId, TableMap(db, table, types, meta, names, unsigned, enums, sets))
   }
 
   // -------------------------------------------------------------- value decode

@@ -173,6 +173,14 @@ class CdcScan(props: Map[String, String]) extends Scan {
     override def createReaderFactory(): PartitionReaderFactory = factory
   }
 
+  /** Option `gtidLocate`: how a `startGtid` first start finds its position —
+    * `probe` (default: client-side prologue probes, [[GtidLocator.locate]])
+    * or `server` (COM_BINLOG_DUMP_GTID auto-position,
+    * [[GtidLocator.locateAuto]]). */
+  private def serverLocate: Boolean =
+    props.get("gtidlocate").orElse(props.get("gtidLocate"))
+      .exists(_.equalsIgnoreCase("server"))
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     replication match {
       case Some(r)
@@ -184,11 +192,13 @@ class CdcScan(props: Map[String, String]) extends Scan {
             .map(ReplOffset.parse),
           bufferCap = opt("dumpBufferCap").getOrElse(10000L).toInt,
           heartbeatSecs = opt("heartbeatSecs").getOrElse(30L).toInt,
-          startGtid = props.get("startgtid").orElse(props.get("startGtid")))
+          startGtid = props.get("startgtid").orElse(props.get("startGtid")),
+          serverLocate = serverLocate)
       case Some(r) => new ReplMicroBatchStream(r, filter, opt("maxBytesPerTrigger"),
         startOffset = props.get("startoffset").orElse(props.get("startOffset"))
           .map(ReplOffset.parse),
-        startGtid = props.get("startgtid").orElse(props.get("startGtid")))
+        startGtid = props.get("startgtid").orElse(props.get("startGtid")),
+        serverLocate = serverLocate)
       case None =>
         new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
           mkReader = if (binary) Some(p =>
@@ -502,7 +512,11 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
                              * gtids as the stream runs — events are only seen
                              * on executors; use `connection=persistent` for
                              * continuously stamped offsets.) */
-                           startGtid: Option[String] = None)
+                           startGtid: Option[String] = None,
+                           /** `gtidLocate=server`: resolve `startGtid` via
+                             * the server's own COM_BINLOG_DUMP_GTID walk
+                             * instead of client-side prologue probes. */
+                           serverLocate: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   // Monotone size cache: closed files are immutable; only the ACTIVE (last)
@@ -529,11 +543,17 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
 
   /** Last known server identity (checkpoint-carried or observed live). */
   private var knownUuid: Option[String] = None
+  /** Last checkpoint-carried gtid_executed — surfaced in the lineage-mismatch
+    * error as the concrete `startGtid=` recovery value (mirrors
+    * `PersistentReplStream.lastGtid`): the operator already HOLDS the value
+    * in the failed checkpoint; withholding it from the message just makes
+    * them dig it out of the offset json by hand. */
+  private var knownGtid: Option[String] = None
 
   private def refresh(): Seq[(String, Long)] = synchronized {
     val (liveUuid, live) = conf.listWithUuid()
     BinlogLineage.check(sizes.keySet.toSet, knownUuid, live, liveUuid,
-      s"${conf.host}:${conf.port}", startGtidHint = None)
+      s"${conf.host}:${conf.port}", startGtidHint = knownGtid)
     knownUuid = liveUuid.orElse(knownUuid)
     seed(live)
     sizes.toSeq
@@ -544,18 +564,27 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
   override def initialOffset(): Offset = {
     val o = startOffset.map { o => seed(o.files); o }
       .orElse(startGtid.map { g =>
-        val located = GtidLocator.locate(conf, GtidSet.parse(g))
+        val set = GtidSet.parse(g)
+        val located =
+          if (serverLocate) GtidLocator.locateAuto(conf, set)
+          else GtidLocator.locate(conf, set)
         seed(located.files)
-        located.copy(gtid = Some(GtidSet.parse(g).toString))
+        located.copy(gtid = Some(set.toString))
       })
       .getOrElse(ReplOffset(0L, Nil))
-    synchronized { knownUuid = o.suuid.orElse(knownUuid) }
+    synchronized {
+      knownUuid = o.suuid.orElse(knownUuid)
+      knownGtid = o.gtid.orElse(knownGtid)
+    }
     o
   }
   override def deserializeOffset(json: String): Offset = {
     val o = ReplOffset.parse(json)
     seed(o.files) // restart: pin the checkpoint's sequence mapping FIRST
-    synchronized { knownUuid = o.suuid.orElse(knownUuid) }
+    synchronized {
+      knownUuid = o.suuid.orElse(knownUuid)
+      knownGtid = o.gtid.orElse(knownGtid)
+    }
     o
   }
 

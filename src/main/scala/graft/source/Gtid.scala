@@ -215,6 +215,79 @@ object GtidLocator {
     ReplOffset(bases.last, files) // everything executed: resume at the tail
   }
 
+  /** Server-side auto-position locate (option `gtidLocate=server`): ONE
+    * `COM_BINLOG_DUMP_GTID` connection asks the PRIMARY to choose the
+    * dump-start file for `executed` — replacing the newest→oldest prologue
+    * probing (O(#files) bounded dumps) with the server's own walk of its
+    * binlog index, including its `gtid_purged` bookkeeping: where the
+    * client-side probe diagnoses a purge by reading prologues, the server
+    * simply refuses with 1236 (ER_MASTER_FATAL_ERROR_READING_BINLOG), which
+    * surfaces here with the re-bootstrap instruction. The in-file refinement
+    * still runs client-side ([[firstUnexecuted]]): the server skips executed
+    * transactions while STREAMING, but this planner needs an exact (file,
+    * byte) offset every future dump can re-request — the chosen file's start
+    * would re-stream executed transactions. */
+  def locateAuto(conf: ReplConfig, executed: GtidSet): ReplOffset = {
+    val files = conf.listLogs()
+    require(files.nonEmpty, "empty binlog listing — is the binlog enabled?")
+    val bases = files.scanLeft(0L)(_ + _._2)
+    val chosen = serverChosenFile(conf, executed)
+    val startIdx = files.indexWhere(_._1 == chosen)
+    require(startIdx >= 0,
+      s"server chose dump file $chosen which its own listing lacks " +
+        s"(${files.map(_._1)}) — listing raced a purge; retry")
+    var idx = startIdx
+    while (idx < files.length) {
+      firstUnexecuted(conf, files(idx)._1, executed) match {
+        case Some(inFilePos) =>
+          return ReplOffset(bases(idx) + inFilePos, files,
+            gtid = Some(executed.toString))
+        case None => idx += 1
+      }
+    }
+    ReplOffset(bases.last, files, gtid = Some(executed.toString))
+  }
+
+  /** The file the server's auto-position walk picks for `executed`: issue a
+    * non-blocking GTID dump and read the artificial ROTATE (log_pos 0) that
+    * prefixes every dump — its body is pos(8) + file name. */
+  private def serverChosenFile(conf: ReplConfig, executed: GtidSet): String = {
+    val c = new ReplicationClient(conf.host, conf.port, conf.user, conf.password,
+      conf.serverId + 200002, // its own probe slot, never a live dump's id
+      conf.tls)
+    try {
+      c.connect()
+      // artificial events carry the negotiated checksum too — learn the
+      // server's format BEFORE dumping so the rotate's name length is exact
+      val checksummed = c.query("SELECT @@global.binlog_checksum").headOption
+        .flatMap(_.headOption.flatten).exists(_.equalsIgnoreCase("CRC32"))
+      c.negotiateChecksum()
+      c.registerSlave()
+      c.dumpGtid(executed, nonBlocking = true)
+      var ev = c.nextEvent()
+      while (ev != null) {
+        val etype = ev(4) & 0xff
+        if (etype == BinlogWire.ROTATE_EVENT && MysqlWire.leAt(ev, 13, 4) == 0) {
+          val nameLen = ev.length - 19 - 8 - (if (checksummed) 4 else 0)
+          require(nameLen > 0, s"malformed artificial rotate (${ev.length} bytes)")
+          return new String(ev, 19 + 8, nameLen, java.nio.charset.StandardCharsets.UTF_8)
+        }
+        ev = c.nextEvent()
+      }
+      throw new IllegalStateException(
+        s"GTID dump from ${conf.host}:${conf.port} ended without the " +
+          "artificial rotate naming its start file — cannot auto-position")
+    } catch {
+      case e: MysqlWire.MysqlServerError
+        if e.code == MysqlWire.ER_MASTER_FATAL_ERROR_READING_BINLOG =>
+        throw new IllegalStateException(
+          s"GTID auto-position resume impossible: ${conf.host}:${conf.port} " +
+            s"requires binlogs purged beyond startGtid=$executed (server: " +
+            s"${e.getMessage}). Re-bootstrap with a fresh snapshot instead " +
+            "of resuming.", e)
+    } finally c.close()
+  }
+
   /** One bounded probe dump: read the file's prologue up to its
     * PREVIOUS_GTIDS event. Files written before gtid_mode have none —
     * treated as the empty set (always a subset, matching MySQL's own

@@ -360,7 +360,11 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
                              * the only resume unit that survives a failover
                              * to a new primary. Only consulted when no
                              * checkpoint exists. */
-                           startGtid: Option[String] = None)
+                           startGtid: Option[String] = None,
+                           /** `gtidLocate=server`: resolve `startGtid` via
+                             * the server's own COM_BINLOG_DUMP_GTID walk
+                             * instead of client-side prologue probes. */
+                           serverLocate: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val sizes = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -402,9 +406,12 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
     val o = startOffset.map { o => seed(o.files); o }
       .orElse(startGtid.map { g =>
         // no checkpoint, GTID start: locate against the CURRENT primary
-        val located = GtidLocator.locate(conf, GtidSet.parse(g))
+        val set = GtidSet.parse(g)
+        val located =
+          if (serverLocate) GtidLocator.locateAuto(conf, set)
+          else GtidLocator.locate(conf, set)
         seed(located.files)
-        located.copy(gtid = Some(GtidSet.parse(g).toString))
+        located.copy(gtid = Some(set.toString))
       })
       .getOrElse(ReplOffset(0L, Nil))
     synchronized { lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid) }

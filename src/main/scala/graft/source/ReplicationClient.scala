@@ -43,6 +43,11 @@ object MysqlWire {
   val COM_QUERY = 0x03
   val COM_REGISTER_SLAVE = 0x15
   val COM_BINLOG_DUMP = 0x12
+  val COM_BINLOG_DUMP_GTID = 0x1e
+
+  /** The server's refusal when auto-position resume needs purged binlogs
+    * (ER_MASTER_FATAL_ERROR_READING_BINLOG carries the purged-gtids text). */
+  val ER_MASTER_FATAL_ERROR_READING_BINLOG = 1236
 
   // capability flags (the subset this client speaks)
   val CLIENT_LONG_PASSWORD = 0x00000001L
@@ -546,6 +551,28 @@ final class ReplicationClient(host: String, port: Int, user: String, password: S
     b.write(le(if (nonBlocking) BINLOG_DUMP_NON_BLOCK else 0, 2))
     b.write(le(serverId, 4))
     b.write(file.getBytes(StandardCharsets.UTF_8))
+    sendCommand(b.toByteArray)
+    dumping = true
+  }
+
+  /** COM_BINLOG_DUMP_GTID — auto-position: the SERVER chooses the dump start
+    * from the replica's executed set (`MASTER_AUTO_POSITION=1`'s wire form).
+    * Payload (public protocol): flags(2) server_id(4) name_len(4) name
+    * pos(8) data_len(4) data, with an EMPTY name + pos 4 meaning "you pick"
+    * and data = the [[GtidSet]] wire encoding. The server answers with an
+    * artificial ROTATE naming its chosen file, then streams, skipping
+    * transactions already in the set — or refuses with 1236 when required
+    * binlogs are purged. */
+  def dumpGtid(executed: GtidSet, nonBlocking: Boolean = true): Unit = {
+    val data = executed.encode
+    val b = new java.io.ByteArrayOutputStream()
+    b.write(COM_BINLOG_DUMP_GTID)
+    b.write(le(if (nonBlocking) BINLOG_DUMP_NON_BLOCK else 0, 2))
+    b.write(le(serverId, 4))
+    b.write(le(0, 4)) // empty file name: server-side auto-position
+    b.write(le(4L, 8))
+    b.write(le(data.length.toLong, 4))
+    b.write(data)
     sendCommand(b.toByteArray)
     dumping = true
   }

@@ -149,10 +149,26 @@ object Snapshot {
       : (Pinned, Seq[(String, String)], Seq[ReplicationClient]) = {
     require(workers >= 1, s"workers must be >= 1, got $workers")
     val locked = acquireFtwrl(c)
+    // The parallel dump's consistency PROOF is the FTWRL: all N worker read
+    // views open while writes are blocked, so they are the same moment. With
+    // the lock refused, N>1 views would open at DIFFERENT moments while
+    // writes continue — an internally inconsistent dump with no warning.
+    // Degrade to ONE worker transaction: a single MVCC read view is
+    // self-consistent (the same guarantee the serial unlocked fallback
+    // gives), it just loses the parallelism.
+    val effectiveWorkers =
+      if (locked || workers == 1) workers
+      else {
+        System.err.println(
+          s"[graft-snapshot] FTWRL refused (no RELOAD privilege): degrading " +
+            s"parallel bootstrap from $workers workers to 1 single-view " +
+            "transaction; grant RELOAD to restore parallel dump consistency")
+        1
+      }
     val opened = scala.collection.mutable.ArrayBuffer[ReplicationClient]()
     try {
       val pinned = readPin(c)
-      (1 to workers).foreach { _ =>
+      (1 to effectiveWorkers).foreach { _ =>
         val w = mkWorker()
         opened += w
         w.query("SET SESSION TRANSACTION ISOLATION LEVEL REPEATABLE READ")
@@ -213,6 +229,17 @@ object Snapshot {
     finally s.close()
   }
 
+  /** For a PIN-ONLY bootstrap (no data dump): remove any dump artifacts a
+    * previous snapshot attempt left in the directory — spool files AND the
+    * `_spooled` marker. The new pin invalidates an older dump's read view;
+    * leaving its files behind would let a later snapshot-enabled run replay
+    * them against this pin as ghost rows from a different moment. */
+  def clearStaleDump(spoolDir: Path): Unit = {
+    clearSpool(spoolDir)
+    if (Files.exists(spoolDir)) Files.deleteIfExists(spoolDir.resolve("_spooled"))
+    ()
+  }
+
   def dumpToSpoolParallel(tables: Seq[(String, String)],
                           workerConns: Seq[ReplicationClient],
                           spoolDir: Path, ts: Long,
@@ -247,7 +274,16 @@ object Snapshot {
                 val nChunks = math.min(((h - l) / chunkRows) + 1,
                   TableSeqStride / ChunkSeqStride)
                 val span = (h - l) / nChunks + 1
-                (0L until nChunks).foreach { ci =>
+                // A chunk holds at most `span` distinct integer keys, so
+                // span <= ChunkSeqStride proves its row count fits the seq
+                // range. A sparser key span than 4096 chunks can cover
+                // (> 2^40 keys) could pack more than 2^28 rows into one
+                // chunk if the keys cluster — dump such a table as a single
+                // unit (bounded by the documented 2^40-rows-per-table range)
+                // instead of risking seq collision with the next chunk.
+                if (span > ChunkSeqStride)
+                  units.add(DumpUnit(db, table, "", s"$db.$table.jsonl", base))
+                else (0L until nChunks).foreach { ci =>
                   val clo = l + ci * span
                   val chi = math.min(h, clo + span - 1)
                   units.add(DumpUnit(db, table,
@@ -279,10 +315,17 @@ object Snapshot {
         if (u == null) { Thread.sleep(5); u = units.poll() }
         else {
           var seq = u.seqBase
+          // Belt-and-braces for the creation-time span<=ChunkSeqStride proof:
+          // a unit whose row count exceeds its seq allotment would silently
+          // collide with the next chunk's (or table's) range — fail loudly.
+          val seqLimit = u.seqBase + (if (u.where.nonEmpty) ChunkSeqStride else TableSeqStride)
           val tmp = spoolDir.resolve(u.file + ".tmp")
           val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
           try {
             c.queryForeach(s"SELECT * FROM `${u.db}`.`${u.table}`${u.where}") { row =>
+              if (seq >= seqLimit) throw new IllegalStateException(
+                s"snapshot unit ${u.file} overflowed its stmt_seq range " +
+                  s"(${if (u.where.nonEmpty) ChunkSeqStride else TableSeqStride} rows)")
               val img = row.map(_.orNull).toArray
               w.write(BinlogWire.positionalLine(u.db, u.table, "insert", ts, seq,
                 Seq(img), null))

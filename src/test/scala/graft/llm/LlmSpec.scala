@@ -56,6 +56,52 @@ class LlmSpec extends SparkSpec {
       (3L, 2L, 0L, 2L), (4L, 4L, 1L, 1L), (5L, 0L, 0L, 3L)))
   }
 
+  test("IVF centroidCount contract: derived stride is deterministic and " +
+    "reproduces the explicit-stride cells exactly") {
+    val all = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = all.filter(col("id") % 100 === 0)
+    val maxId = all.agg(max(col("id"))).head().getLong(0)
+    // a count chosen so the derived stride lands EXACTLY on the explicit one:
+    // stride = (maxId+1)/count = 10 — same centroid set, same cells, same ranks
+    val count = (maxId + 1) / 10
+    def run(centroidCount: Option[Long]) =
+      Similarity.ivfTopK(q, all, k = 3, centroidStride = 10, nProbe = 2,
+        centroidCount = centroidCount)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val byCount1 = run(Some(count))
+    val byCount2 = run(Some(count))
+    assert(byCount1 === byCount2, "derived stride must be deterministic")
+    assert(byCount1 === run(None),
+      "count-derived stride must reproduce the explicit-stride result")
+  }
+
+  test("semantic dedup hot-cell cap: salting bounds per-task pair work " +
+    "without changing the pair set or the dedup result") {
+    import spark.implicits._
+    // one pathological cell: 60 near-identical vectors (web boilerplate
+    // collapsing into a single centroid cell) + a second normal cell
+    val hot = (0L until 60L).map(i => (i, Seq(1f, i.toFloat * 1e-4f)))
+    val other = Seq((100L, Seq(0f, 1f)), (101L, Seq(0.02f, 0.99f)))
+    val vecs = (hot ++ other).toDF("id", "vec")
+    def pairsWith(cap: Long): Seq[(Long, Long)] =
+      Similarity.semanticPairs(vecs, tau = 0.95, centroidStride = 50,
+        hotCellCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    val salted = pairsWith(8L)        // 60-row cell → 8 salt buckets
+    val unsalted = pairsWith(1L << 30) // effectively unsalted
+    assert(salted === unsalted, "salting must not change the pair set")
+    assert(salted.nonEmpty && salted.forall(p => p._1 < p._2))
+    // dedup result identical too (keep_id/cluster assignments ride the pairs)
+    def dedupWith(cap: Long) =
+      Similarity.semanticDedup(vecs, tau = 0.95, centroidStride = 50,
+        hotCellCap = cap)
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(dedupWith(8L) === dedupWith(1L << 30))
+  }
+
   test("repeated n-gram spans: planted boilerplate found and merged, unique text untouched") {
     import spark.implicits._
     val footer = (1 to 20).map(i => s"foot$i").mkString(" ") // 20-word shared footer

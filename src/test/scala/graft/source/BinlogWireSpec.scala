@@ -74,6 +74,51 @@ final class BinlogFixtureWriter(checksum: Boolean) {
     event(ts, TABLE_MAP_EVENT, b.toByteArray)
   }
 
+  /** TABLE_MAP carrying MySQL 8 `binlog_row_metadata=FULL` optional TLVs:
+    * SIGNEDNESS(1, MSB-first over numeric columns), COLUMN_NAME(4),
+    * SET_STR_VALUE(5), ENUM_STR_VALUE(6). */
+  def tableMapFull(ts: Long, tableId: Long, db: String, table: String,
+                   cols: Seq[(Int, Array[Byte])], names: Seq[String],
+                   unsignedNumeric: Seq[Boolean],
+                   enums: Seq[Seq[String]] = Nil,
+                   sets: Seq[Seq[String]] = Nil): Long = {
+    val b = new ByteArrayOutputStream()
+    b.write(le(tableId, 6)); b.write(le(0, 2))
+    val dbB = db.getBytes(StandardCharsets.UTF_8)
+    val tbB = table.getBytes(StandardCharsets.UTF_8)
+    b.write(dbB.length); b.write(dbB); b.write(0)
+    b.write(tbB.length); b.write(tbB); b.write(0)
+    b.write(cols.length)
+    cols.foreach { case (t, _) => b.write(t) }
+    val metaBytes = cols.flatMap(_._2).toArray
+    b.write(metaBytes.length); b.write(metaBytes)
+    b.write(Array.fill((cols.length + 7) / 8)(0.toByte)) // null-bits
+    def tlv(t: Int, v: Array[Byte]): Unit = { b.write(t); b.write(v.length); b.write(v) }
+    val bits = new Array[Byte]((unsignedNumeric.length + 7) / 8)
+    unsignedNumeric.zipWithIndex.foreach { case (u, k) =>
+      if (u) bits(k >> 3) = (bits(k >> 3) | (0x80 >> (k & 7))).toByte
+    }
+    if (unsignedNumeric.nonEmpty) tlv(1, bits)
+    val nb = new ByteArrayOutputStream()
+    names.foreach { nm =>
+      val x = nm.getBytes(StandardCharsets.UTF_8); nb.write(x.length); nb.write(x)
+    }
+    tlv(4, nb.toByteArray)
+    def groups(gs: Seq[Seq[String]]): Array[Byte] = {
+      val gb = new ByteArrayOutputStream()
+      gs.foreach { g =>
+        gb.write(g.length)
+        g.foreach { v =>
+          val x = v.getBytes(StandardCharsets.UTF_8); gb.write(x.length); gb.write(x)
+        }
+      }
+      gb.toByteArray
+    }
+    if (sets.nonEmpty) tlv(5, groups(sets))
+    if (enums.nonEmpty) tlv(6, groups(enums))
+    event(ts, TABLE_MAP_EVENT, b.toByteArray)
+  }
+
   /** One rows event (v2). Each image is a Seq of pre-encoded values
     * (None = NULL). All columns present. */
   def rows(ts: Long, etype: Int, tableId: Long, nCols: Int,
@@ -444,6 +489,69 @@ class BinlogWireSpec extends SparkSpec {
       "binary wire and JSON fixture must decode to identical envelopes")
     // and the drifted-in unsigned tinyint fix-up applied on the binary path:
     assert(fromBinary.map(_._4).contains("""{"data":{"age":250,"id":3,"name":"cat"}}"""))
+  }
+
+  test("binlog_row_metadata=FULL: TABLE_MAP TLVs alone reconstruct the schema; " +
+    "envelopes are identical to registry-driven decode") {
+    import spark.implicits._
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    val cols = Seq(
+      TYPE_LONG -> w.mNone,               // id   int, signed
+      TYPE_LONG -> w.mNone,               // cnt  int unsigned
+      TYPE_STRING -> w.mBe2(TYPE_ENUM, 1), // flag enum('ret_a','ret_n')
+      TYPE_STRING -> w.mBe2(TYPE_SET, 1),  // tags set('x','y','z')
+      TYPE_VARCHAR -> w.mLe2(40))          // name varchar(40)
+    w.tableMapFull(200L, 7L, "shop", "acct", cols,
+      names = Seq("id", "cnt", "flag", "tags", "name"),
+      unsignedNumeric = Seq(false, true),
+      enums = Seq(Seq("ret_a", "ret_n")),
+      sets = Seq(Seq("x", "y", "z")))
+    w.rows(200L, WRITE_ROWS_V2, 7L, 5, Seq(Seq(
+      w.vLong(1), w.vLong(-1), w.vEnum(2, 1), w.vSet(5L, 1), w.vVarchar("ann", 40))))
+
+    // 1. the TLVs reconstruct EXACTLY the ColMeta a live SHOW FULL COLUMNS
+    //    bootstrap would have registered — no server fetch involved
+    val bytes = w.bytes
+    var o = 4
+    var tm: TableMap = null
+    while (o + 19 <= bytes.length && tm == null) {
+      val size = MysqlWire.leAt(bytes, o + 9, 4).toInt
+      if ((bytes(o + 4) & 0xff) == TABLE_MAP_EVENT) {
+        val body = java.util.Arrays.copyOfRange(bytes, o + 19, o + size - 4) // - CRC
+        tm = parseTableMap(new Cursor(body, 0))._2
+      }
+      o += size
+    }
+    val full = tm.toColMeta.get
+    val registryMetas = Seq(
+      Decode.ColMeta("id", "int"),
+      Decode.ColMeta("cnt", "int unsigned", unsigned = true),
+      Decode.ColMeta("flag", "enum('ret_a','ret_n')",
+        enumValues = Seq("ret_a", "ret_n")),
+      Decode.ColMeta("tags", "set('x','y','z')", setValues = Seq("x", "y", "z")),
+      Decode.ColMeta("name", "varchar(40)"))
+    assert(full === registryMetas)
+
+    // 2. envelope parity: decode the same rows event under the TLV-derived
+    //    metas and the hand-registered ones — byte-identical envelopes,
+    //    including the unsigned fix-up and the ENUM/SET label projection
+    val lines = readAll(writeTmp(w.bytes)).map(_._2)
+    def envelopesWith(metas: Seq[Decode.ColMeta]): Seq[String] = {
+      val raw = lines.toDF("value")
+        .select(from_json(col("value"),
+          graft.streaming.CdcStream.rawPositionalSchema).as("r"))
+        .select("r.*")
+      val reg = new SchemaRegistry
+      reg.register("shop", "acct", metas)
+      reg.decodeBatch(raw).orderBy("stmt_seq")
+        .select(col("event")).collect().map(_.getString(0)).toSeq
+    }
+    val viaTlv = envelopesWith(full)
+    assert(viaTlv === envelopesWith(registryMetas))
+    assert(viaTlv.head.contains("\"cnt\":4294967295"), viaTlv.head)
+    assert(viaTlv.head.contains("\"flag\":\"ret_n\""), viaTlv.head)
+    assert(viaTlv.head.contains("\"tags\":\"x,z\""), viaTlv.head)
   }
 
   test("MariaDB dialect: MARIADB_GTID (0xa2) / ANNOTATE_ROWS (0xa0) interleaved " +

@@ -74,6 +74,12 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
     * SELECTs over it (the parallel snapshot's chunking surface). */
   @volatile var primaryKeys: Map[(String, String), String] = Map.empty
   val dumpRequests = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+  /** Canonical text of every COM_BINLOG_DUMP_GTID executed-set received. */
+  val gtidDumpRequests = new java.util.concurrent.CopyOnWriteArrayList[String]()
+  /** gtid_purged — a GTID dump needing anything outside the request's
+    * executed set that is inside this set gets ERR 1236, like a real master
+    * whose early binlogs are gone. */
+  @volatile var gtidPurged: GtidSet = GtidSet.Empty
   val registeredServerIds = new java.util.concurrent.CopyOnWriteArrayList[Long]()
   /** Every COM_QUERY sql, in arrival order — lock/pin ordering assertions. */
   val queriesSeen = new java.util.concurrent.CopyOnWriteArrayList[String]()
@@ -290,6 +296,9 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
             case Some(u) => resultset(Seq("@@server_uuid"), Seq(Seq(u)))
             case None => send(errPkt(1193, "Unknown system variable 'server_uuid'"))
           }
+          else if (up.contains("SELECT @@GLOBAL.BINLOG_CHECKSUM"))
+            // fixtures are written checksummed (BinlogFixtureWriter default)
+            resultset(Seq("@@global.binlog_checksum"), Seq(Seq("CRC32")))
           else if (up.contains("SHOW BINARY LOGS"))
             resultset(Seq("Log_name", "File_size"),
               files.map { case (n, b) => Seq(n, b.length.toString) })
@@ -429,6 +438,63 @@ final class StubMysqlServer(password: String, authSwitch: Boolean = false,
                 Thread.sleep(10)
               }
             }
+          }
+        case COM_BINLOG_DUMP_GTID =>
+          // flags(2)@1 serverId(4)@3 nameLen(4)@7 name pos(8) dataLen(4) data
+          val nameLen = leAt(p, 7, 4).toInt
+          val dataOff = 11 + nameLen + 8
+          val dataLen = leAt(p, dataOff, 4).toInt
+          val executed = GtidSet.decode(
+            java.util.Arrays.copyOfRange(p, dataOff + 4, dataOff + 4 + dataLen))
+          gtidDumpRequests.add(executed.toString)
+          var sq = 1
+          if (!gtidPurged.subsetOf(executed)) {
+            writePacket(out, sq, errPkt(1236,
+              "Master has purged binary logs containing GTIDs that the " +
+                "slave requires"))
+          } else {
+            // the server's auto-position walk: newest→oldest, first file
+            // whose PREVIOUS_GTIDS ⊆ executed serves as the start
+            def prologue(bytes: Array[Byte]): GtidSet = {
+              var o = 4
+              while (o + 19 <= bytes.length) {
+                val size = leAt(bytes, o + 9, 4).toInt
+                if ((bytes(o + 4) & 0xff) == BinlogWire.PREVIOUS_GTIDS_EVENT)
+                  return GtidSet.decode(bytes, o + 19)
+                o += size
+              }
+              GtidSet.Empty
+            }
+            val cur = files
+            val idx = cur.indices.reverse
+              .find(i => prologue(cur(i)._2).subsetOf(executed)).getOrElse(0)
+            val (chosenName, _) = cur(idx)
+            // artificial ROTATE (log_pos 0) naming the chosen file; fixture
+            // events are CRC32-checksummed, so artificial ones carry one too
+            val nameB = chosenName.getBytes(UTF_8)
+            val rot = new java.io.ByteArrayOutputStream()
+            rot.write(le(0, 4)); rot.write(BinlogWire.ROTATE_EVENT)
+            rot.write(le(1, 4)); rot.write(le(19 + 8 + nameB.length + 4, 4))
+            rot.write(le(0, 4)); rot.write(le(0, 2))
+            rot.write(le(4L, 8)); rot.write(nameB); rot.write(le(0, 4))
+            writePacket(out, sq, Array(0.toByte) ++ rot.toByteArray); sq += 1
+            // stream from the chosen file onward, then EOF (non-blocking);
+            // a real server SKIPS executed transactions while streaming —
+            // an optimization, not a contract, so the stub sends everything
+            var i = idx
+            while (i < cur.size) {
+              val bytes = cur(i)._2
+              var o = 4
+              while (o + 19 <= bytes.length) {
+                val size = leAt(bytes, o + 9, 4).toInt
+                writePacket(out, sq,
+                  Array(0.toByte) ++ java.util.Arrays.copyOfRange(bytes, o, o + size))
+                sq += 1
+                o += size
+              }
+              i += 1
+            }
+            writePacket(out, sq, eofPkt)
           }
         case _ => writePacket(out, 1, errPkt(1047, "unknown command"))
       }
@@ -1829,6 +1895,126 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("parallel bootstrap with FTWRL refused degrades to ONE single-view txn " +
+    "instead of N read views opened at different moments") {
+    import scala.jdk.CollectionConverters._
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      stub.primaryKeys = Map(("shop", "user") -> "id")
+      stub.tableData = Map(("shop", "user") ->
+        (1 to 10).map(i => Seq(Some(i.toString), Some(s"u$i"))))
+      // a server that denies RELOAD: without the lock, N>1 snapshot txns
+      // would each pin a DIFFERENT moment while writes continue — the dump
+      // must collapse to one self-consistent read view
+      stub.queryErrors = Map("FLUSH TABLES" ->
+        (1227, "Access denied; you need (at least one of) the RELOAD privilege(s)"))
+      val dir = tmp()
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      val n = try {
+        c.connect()
+        val (_, tables, conns) = Snapshot.pinParallel(c,
+          () => {
+            val w = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+            w.connect(); w
+          },
+          new graft.cdc.SchemaRegistry, workers = 4)
+        assert(conns.size === 1, s"degraded to one worker, got ${conns.size}")
+        Snapshot.dumpToSpoolParallel(tables, conns, dir, ts = 1000L, chunkRows = 4)
+      } finally c.close()
+      assert(n === 10, "the dump itself still completes")
+      val qs = stub.queriesSeen.asScala.toSeq.map(_.toUpperCase)
+      assert(qs.count(_.contains("CONSISTENT SNAPSHOT")) === 1,
+        s"exactly one read view without the lock: $qs")
+      assert(!qs.exists(_.contains("UNLOCK TABLES")),
+        "must not UNLOCK what it never locked")
+    } finally stub.close()
+  }
+
+  test("sparse integer PK whose span outruns the chunk seq range dumps as a " +
+    "whole-table unit instead of risking stmt_seq collision") {
+    import scala.jdk.CollectionConverters._
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "bigint(20)"), ("name", "varchar(40)")))
+      stub.primaryKeys = Map(("shop", "user") -> "id")
+      // key span 1 .. 2^41: with the chunk count capped at 4096, each chunk
+      // would cover ~2^29 keys > ChunkSeqStride (2^28) rows of seq budget
+      stub.tableData = Map(("shop", "user") -> Seq(
+        Seq(Some("1"), Some("lo")),
+        Seq(Some((1L << 41).toString), Some("hi"))))
+      val dir = tmp()
+      val c = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+      val n = try {
+        c.connect()
+        val (_, tables, conns) = Snapshot.pinParallel(c,
+          () => {
+            val w = new ReplicationClient("127.0.0.1", stub.port, "repl", "pw", 9L)
+            w.connect(); w
+          },
+          new graft.cdc.SchemaRegistry, workers = 2)
+        Snapshot.dumpToSpoolParallel(tables, conns, dir, ts = 1000L, chunkRows = 4)
+      } finally c.close()
+      assert(n === 2)
+      val names = {
+        val s = Files.list(dir)
+        try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+      }
+      assert(names.filter(_.endsWith(".jsonl")) === List("shop.user.jsonl"),
+        s"single whole-table unit, no chunk files: $names")
+      val seqs = Files.readAllLines(dir.resolve("shop.user.jsonl")).asScala
+        .map(l => "\"stmt_seq\":(-?\\d+)".r.findFirstMatchIn(l).get.group(1))
+      assert(seqs.distinct.size === seqs.size, "stmt_seqs unique")
+    } finally stub.close()
+  }
+
+  test("pin-only bootstrap scrubs spool artifacts a crashed snapshot attempt " +
+    "left behind, so they can never replay as ghost rows") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      stub.files = Seq(("binlog.000001", fixture().bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      // a previous snapshot attempt crashed AFTER spooling but BEFORE its pin
+      // marker: spool files + _spooled survive, their read-view moment lost
+      val snapDir = java.nio.file.Paths.get(s"$out/pos.bin.snapshot")
+      Files.createDirectories(snapDir)
+      Files.write(snapDir.resolve("shop.user.jsonl"),
+        ("""{"database":"shop","table":"user","action":"insert","ts":1,""" +
+          """"stmt_seq":-99,"rows":[["9","ghost"]]}""" + "\n").getBytes("UTF-8"))
+      Files.write(snapDir.resolve("_spooled"), Array.emptyByteArray)
+      def cfg(snap: Boolean) = graft.app.Engine.Config(
+        inputDir = "(unused-in-replication-mode)",
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+          "user" -> "repl", "password" -> "pw"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry),
+        snapshotOnBootstrap = snap)
+      // run 1: PIN-ONLY bootstrap — must scrub the stale dump with the new pin
+      val h = graft.app.Engine.start(spark, cfg(snap = false))
+      try assert(h.awaitTermination(120000)) finally h.stop()
+      assert(!Files.exists(snapDir.resolve("shop.user.jsonl")),
+        "stale spool file must not survive a pin-only bootstrap")
+      assert(!Files.exists(snapDir.resolve("_spooled")),
+        "stale _spooled marker must not survive either")
+      assert(readSinkLines(s"$out/all").forall(!_.contains("ghost")),
+        "the ghost rows never reach a sink")
+      // run 2: snapshot now requested over the pin-only bootstrap — fails
+      // loudly (no dump exists) rather than replaying the scrubbed ghosts
+      val e = intercept[IllegalStateException] {
+        graft.app.Engine.start(spark, cfg(snap = true))
+      }
+      assert(e.getMessage.contains("pin-only"), e.getMessage)
+    } finally stub.close()
+  }
+
   test("FTWRL refusal: privilege errors degrade to the unlocked pin, anything " +
     "else surfaces as the original failure") {
     import BinlogWire._
@@ -2125,13 +2311,15 @@ class ReplicationSpec extends SparkSpec {
 
   /** Drain a replication stream AvailableNow; returns emitted (pos, line). */
   private def gtidDrain(stub: StubMysqlServer, cp: Path, persistent: Boolean,
-                        startGtid: Option[String] = None): Seq[(Long, String)] = {
+                        startGtid: Option[String] = None,
+                        serverLocate: Boolean = false): Seq[(Long, String)] = {
     val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
     var r = spark.readStream.format("graft-cdc")
       .option("wireFormat", "replication")
       .option("host", "127.0.0.1").option("port", stub.port.toString)
       .option("user", "repl").option("password", "pw")
     if (persistent) r = r.option("connection", "persistent")
+    if (serverLocate) r = r.option("gtidLocate", "server")
     startGtid.foreach(g => r = r.option("startGtid", g))
     val q = r.load()
       .writeStream
@@ -2286,6 +2474,162 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("gtidLocate=server: COM_BINLOG_DUMP_GTID auto-position resumes on a " +
+    "purged new primary; purge past the replica fails loudly with the " +
+    "re-bootstrap instruction") {
+    val newP = new StubMysqlServer("pw")
+    val (cpA, cpB) = (tmp(), tmp())
+    try {
+      // a new primary that PURGED its first binlog (transactions 1-2); it
+      // retains 000002 (prologue 1-2, txns 3,4; real ROTATE chaining to the
+      // next file, as on a real server) and 000003 (prologue 1-4, txn 5)
+      newP.gtidPurged = GtidSet.parse(s"$SidA:1-2")
+      val f2 = gtidFixture(GtidSet.parse(s"$SidA:1-2"), SidA, Seq((3L, 3), (4L, 4)))
+      f2.event(999L, BinlogWire.ROTATE_EVENT,
+        MysqlWire.le(4L, 8) ++ "binlogB.000003".getBytes(UTF_8))
+      newP.files = Seq(
+        ("binlogB.000002", f2.bytes),
+        ("binlogB.000003",
+          gtidFixture(GtidSet.parse(s"$SidA:1-4"), SidA, Seq((5L, 5))).bytes))
+      // replica executed 1-3: the SERVER's walk must choose 000002 (its
+      // prologue 1-2 ⊆ 1-3; 000003's 1-4 is not), the client refinement
+      // lands on transaction 4 — only 4 and 5 stream
+      val executed = s"$SidA:1-3"
+      val got = gtidDrain(newP, cpA, persistent = true,
+        startGtid = Some(executed), serverLocate = true)
+      assert(got.size === 2, s"only the unexecuted transactions: $got")
+      assert(got.map(_._2).count(_.contains("\"u4\"")) === 1, s"$got")
+      assert(got.map(_._2).count(_.contains("\"u5\"")) === 1, s"$got")
+      assert(!got.exists(_._2.contains("\"u3\"")), "transaction 3 must not replay")
+      assert(lastOffsetGtid(cpA) === Some(s"$SidA:1-5"))
+      val walks = gtidDumpRequestsOf(newP)
+      assert(walks.nonEmpty && walks.forall(_ == executed),
+        s"every server-side walk carries the replica's executed set: $walks")
+      // the file choice came from the server, not a newest→oldest prologue
+      // probe walk: no probe ever touched the NEWER file the server rejected
+      assert(!newP.dumpRequests.asScala.exists(_._1 == "binlogB.000003"),
+        s"no client probe of the rejected file: ${newP.dumpRequests}")
+
+      // purge past the replica: executed={1} needs purged transaction 2 —
+      // the server refuses 1236 and the message says what to do
+      val e = intercept[Exception] {
+        gtidDrain(newP, cpB, persistent = true,
+          startGtid = Some(s"$SidA:1"), serverLocate = true)
+      }
+      assert(e.toString.contains("purged"), s"$e")
+      assert(e.toString.contains("Re-bootstrap"), s"$e")
+    } finally newP.close()
+  }
+
+  private def gtidDumpRequestsOf(s: StubMysqlServer): Seq[String] =
+    s.gtidDumpRequests.asScala.toSeq
+
+  test("CTRL_STATUS surfaces gtid_executed exactly as the stream's committed " +
+    "offsets carry it") {
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      stub.schemas = Map(("shop", "user") ->
+        Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      // pre-pin history: transaction 1 (the bootstrap pins PAST it)
+      stub.files = Seq(("binlog.000001",
+        gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1))).bytes))
+      val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+        inputDir = "(unused-in-replication-mode)",
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("replication"),
+        sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+          "user" -> "repl", "password" -> "pw", "connection" -> "persistent"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry),
+        controlPort = Some(0),
+        trigger = Trigger.ProcessingTime(200)))
+      try {
+        // post-pin: transactions 2 and 3 appended to the same file
+        stub.files = Seq(("binlog.000001",
+          gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1), (2L, 2), (3L, 3))).bytes))
+        val deadline = System.currentTimeMillis() + 60000
+        while (readSinkLines(s"$out/all").size < 2 &&
+          System.currentTimeMillis() < deadline) Thread.sleep(200)
+        assert(readSinkLines(s"$out/all").size === 2, "transactions 2,3 flowed")
+        // the committed offset stamps EXACTLY the post-pin transactions; the
+        // control plane must render that same set, verbatim
+        val port = handle.control.get.boundPort
+        val statusDeadline = System.currentTimeMillis() + 30000
+        var status = graft.streaming.ControlClient.showMembers(port)
+        while (!status.contains("gtid_executed=") &&
+          System.currentTimeMillis() < statusDeadline) {
+          Thread.sleep(200); status = graft.streaming.ControlClient.showMembers(port)
+        }
+        assert(status.contains(s"gtid_executed=$SidA:2-3"),
+          s"exact executed set in CTRL_STATUS: $status")
+      } finally handle.stop()
+    } finally stub.close()
+  }
+
+  test("GtidSet properties: coalesce invariant, subsetOf partial order, " +
+    "union join semantics, encode/decode/parse roundtrips") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def check(p: Prop): Unit = {
+      val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+      assert(r.passed, s"property failed: $r")
+    }
+    val sidGen: Gen[String] = Gen.oneOf(
+      "3e11fa47-71ca-11e1-9e33-c80aa9429562",
+      "859d2f3e-0000-1111-2222-000000000001",
+      "00000000-0000-0000-0000-0000000000aa")
+    val ivGen: Gen[(Long, Long)] = for {
+      lo <- Gen.chooseNum(1L, 500L)
+      len <- Gen.chooseNum(0L, 40L)
+    } yield (lo, lo + len)
+    val setGen: Gen[GtidSet] = for {
+      n <- Gen.chooseNum(0, 4)
+      parts <- Gen.listOfN(n, for {
+        sid <- sidGen; k <- Gen.chooseNum(1, 5); ivs <- Gen.listOfN(k, ivGen)
+      } yield sid -> ivs)
+    } yield parts.foldLeft(GtidSet.Empty) { case (acc, (sid, ivs)) =>
+      ivs.foldLeft(acc) { case (a, (lo, hi)) =>
+        (lo to hi).foldLeft(a)((s, g) => s.add(sid, g))
+      }
+    }
+    // coalesce invariant: sorted, disjoint, non-adjacent inclusive intervals
+    check(Prop.forAll(setGen) { s =>
+      s.intervals.values.forall { ivs =>
+        ivs.forall { case (lo, hi) => lo <= hi } &&
+          ivs.sliding(2).forall {
+            case Vector((_, h1), (l2, _)) => l2 > h1 + 1
+            case _ => true
+          }
+      }
+    })
+    // subsetOf is a partial order embedding containment: reflexive,
+    // antisymmetric (mutual subset ⇒ equal canonical text), and monotone
+    // under add
+    check(Prop.forAll(setGen) { s => s.subsetOf(s) })
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      !(a.subsetOf(b) && b.subsetOf(a)) || a.toString == b.toString
+    })
+    check(Prop.forAll(setGen, sidGen, Gen.chooseNum(1L, 600L)) { (s, sid, g) =>
+      val grown = s.add(sid, g)
+      s.subsetOf(grown) && grown.contains(sid, g)
+    })
+    // union is the least upper bound: contains both, and any common upper
+    // bound contains it
+    check(Prop.forAll(setGen, setGen) { (a, b) =>
+      val u = a.union(b)
+      a.subsetOf(u) && b.subsetOf(u)
+    })
+    check(Prop.forAll(setGen, setGen, setGen) { (a, b, c) =>
+      val ub = a.union(b).union(c) // c stands in for "any upper bound ⊇ a,b"
+      a.union(b).subsetOf(ub)
+    })
+    // roundtrips: wire encode↔decode and text render↔parse are identities
+    check(Prop.forAll(setGen) { s => GtidSet.decode(s.encode).toString == s.toString })
+    check(Prop.forAll(setGen) { s => GtidSet.parse(s.toString).toString == s.toString })
+  }
+
   test("GTID failover resume: file/pos resume fails LOUDLY on the new primary; " +
     "startGtid relocates exactly — no duplicates, no gaps") {
     val oldP = new StubMysqlServer("pw")
@@ -2350,6 +2694,9 @@ class ReplicationSpec extends SparkSpec {
         qb.awaitTermination(120000)
       }
       assert(exB.toString.contains("binlog sequence mismatch"), s"$exB")
+      assert(exB.toString.contains(s"startGtid=$executed"),
+        "per-batch refresh hands the operator the checkpoint's own gtid " +
+          s"as the recovery value too: $exB")
 
       // per-batch mode accepts the same start option
       val gotC = gtidDrain(newP, cpC, persistent = false, startGtid = Some(executed))
