@@ -163,14 +163,16 @@ object Similarity {
 
   private def sampledCentroids(candidates: DataFrame, stride: Long,
                                caller: String): Seq[(Long, Seq[Float], Double)] = {
-    // clamp BEFORE collecting: the expected table size is maxId/stride — a
-    // metadata-scale pre-check that turns a would-be driver OOM at large N
-    // into an actionable error (carry the scale via `centroidCount`).
-    val maxId = candidates.agg(max(col("id"))).head().getLong(0)
-    require(maxId / stride + 1 <= MaxCentroids,
-      s"$caller: centroidStride=$stride over ids up to $maxId would collect " +
-        s"~${maxId / stride + 1} centroids (> $MaxCentroids) — pass " +
-        "centroidCount to derive a scale-proof stride instead")
+    // clamp BEFORE collecting: count the matching ids first (one pruned
+    // id-column aggregate — metadata-cost) so a too-small stride at large N
+    // becomes an actionable error instead of an eventual driver OOM. An
+    // exact count, not maxId/stride: sparse id spaces (sharded/offset id
+    // ranges) would make the estimate fail spuriously.
+    val nCentroids = candidates.filter(col("id") % stride === 0).count()
+    require(nCentroids <= MaxCentroids,
+      s"$caller: centroidStride=$stride would collect $nCentroids centroids " +
+        s"(> $MaxCentroids) — pass centroidCount to derive a scale-proof " +
+        "stride instead")
     val centroids = candidates
       .filter(col("id") % stride === 0)
       .select(col("id"), col("vec"))
