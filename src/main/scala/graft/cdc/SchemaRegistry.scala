@@ -51,6 +51,29 @@ final class SchemaRegistry {
     }
   }
 
+  /** Apply a FULL-optional-metadata schema observation (MySQL 8
+    * `binlog_row_metadata=FULL` TABLE_MAP, surfaced by the decoder as an
+    * `action=schema` line): the stream itself carries the complete column
+    * list, so an UNREGISTERED table registers here zero-config (base
+    * version, every sequence — rows in the same batch BEFORE the map were
+    * written under the same schema by construction, the map precedes its
+    * rows), and a registered table whose current schema differs gains a new
+    * version effective from `sinceSeq` — drift handling with neither DDL
+    * parsing nor a server round-trip. Idempotent on (db, table, sinceSeq)
+    * like [[applyAlter]]; a repeated identical schema is a no-op. */
+  def applySchema(db: String, table: String, sinceSeq: Long,
+                  cols: Seq[Decode.ColMeta]): Unit = synchronized {
+    val key = (db, table)
+    tables.get(key) match {
+      case None => tables += key -> Vector(Version(1, Long.MinValue, cols))
+      case Some(vs) =>
+        val base = vs.takeWhile(_.sinceSeq < sinceSeq)
+        if (base.isEmpty || vs.exists(_.sinceSeq == sinceSeq) ||
+          base.last.cols == cols) ()
+        else tables += key -> (base :+ Version(base.size + 1, sinceSeq, cols))
+    }
+  }
+
   /** The schema live at `seq`, or None for an unregistered table. */
   def schemaAt(db: String, table: String, seq: Long): Option[Version] =
     synchronized(tables.get((db, table))).flatMap(_.reverseIterator.find(_.sinceSeq <= seq))
@@ -109,19 +132,30 @@ final class SchemaRegistry {
     // non-alter rows, so the payload collected is O(#DDL).
     val ctl = wellFormed.groupBy("database", "table")
       .agg(min("stmt_seq").as("lo"), max("stmt_seq").as("hi"),
-        collect_list(when(col("action") === "alter" && col("query").isNotNull,
-          struct(col("stmt_seq"), col("query")))).as("ddl"))
+        collect_list(when(
+          (col("action") === "alter" || col("action") === "schema") &&
+            col("query").isNotNull,
+          struct(col("stmt_seq"), col("action"), col("query")))).as("ddl"))
       .collect()
-    val alters = ctl.flatMap { r =>
+    val ddls = ctl.flatMap { r =>
       r.getSeq[org.apache.spark.sql.Row](4)
-        .map(d => (r.getString(0), r.getString(1), d.getLong(0), d.getString(1)))
+        .map(d => (r.getString(0), r.getString(1), d.getLong(0),
+          d.getString(1), d.getString(2)))
     }.sortBy(_._3)
-    alters.foreach { case (db, tbl, seq, ddl) => applyAlter(db, tbl, seq, ddl) }
+    ddls.foreach {
+      case (db, tbl, seq, "schema", payload) =>
+        // FULL-metadata observation: register/version from the stream itself
+        SchemaRegistry.decodeSchema(payload).foreach(applySchema(db, tbl, seq, _))
+      case (db, tbl, seq, _, ddl) => applyAlter(db, tbl, seq, ddl)
+    }
     val ranges: Map[(String, String), (Long, Long)] =
       ctl.map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
 
     require(registeredTables.nonEmpty, "SchemaRegistry.decodeBatch: no registered tables")
-    val base = wellFormed.drop("query")
+    // schema observations are control-plane only — they registered above and
+    // must not reach the envelope path (unlike alters, which DO emit an
+    // envelope: the reference surfaces DDL to subscribers)
+    val base = wellFormed.filter(col("action") =!= "schema").drop("query")
     val planned = planSlices(ranges)
     val slices = planned.map { case (db, tbl, v, untilSeq) =>
       val slice = base.filter(
@@ -235,6 +269,33 @@ object SchemaRegistry {
   /** One immutable schema version: live for sequences in
     * `[sinceSeq, nextVersion.sinceSeq)`. */
   final case class Version(version: Int, sinceSeq: Long, cols: Seq[Decode.ColMeta])
+
+  /** Text codec for a FULL-metadata schema observation
+    * (`binlog_row_metadata=FULL` TABLE_MAP → [[graft.source.BinlogWire.TableMap.toColMeta]])
+    * riding an `action=schema` positional line's `query` field:
+    * `graft-schema-v1|name,rawType,unsigned,enum;enum,set;set|…`, every
+    * field URL-escaped so the separators cannot occur unescaped. */
+  def encodeSchema(cols: Seq[Decode.ColMeta]): String = {
+    def e(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    cols.map(c => Seq(e(c.name), e(c.rawType), c.unsigned.toString,
+      c.enumValues.map(e).mkString(";"), c.setValues.map(e).mkString(";"))
+      .mkString(",")).mkString("graft-schema-v1|", "|", "")
+  }
+
+  /** Inverse of [[encodeSchema]]; None for anything that is not a v1 schema
+    * payload (defensive: the `query` field also carries ALTER DDL). */
+  def decodeSchema(s: String): Option[Seq[Decode.ColMeta]] =
+    if (s == null || !s.startsWith("graft-schema-v1|")) None
+    else {
+      def d(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+      Some(s.stripPrefix("graft-schema-v1|").split('|').toSeq.filter(_.nonEmpty)
+        .map { c =>
+          val f = c.split(",", -1)
+          Decode.ColMeta(d(f(0)), d(f(1)), f(2).toBoolean,
+            f(3).split(';').toSeq.filter(_.nonEmpty).map(d),
+            f(4).split(';').toSeq.filter(_.nonEmpty).map(d))
+        })
+    }
 
   sealed trait AlterOp
   /** `pos`: None = append (MySQL default), Some(None) = FIRST,

@@ -630,6 +630,12 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
 
   private var checksummed = false
   private val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
+  /** Last FULL-metadata schema emitted per table — a TABLE_MAP arrives
+    * before EVERY statement, so observations are deduped to changes; a
+    * duplicate emission (e.g. after a split/rotate re-creates the decoder)
+    * is harmless, the registry's applySchema is idempotent. */
+  private val emittedSchemas =
+    scala.collection.mutable.Map[(String, String), Seq[graft.cdc.Decode.ColMeta]]()
 
   /** Whether the FORMAT_DESCRIPTION declared CRC32 checksums — body tails of
     * subsequent events then carry 4 CRC bytes (the rotate payload parser
@@ -673,7 +679,17 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
       case TABLE_MAP_EVENT =>
         val (id, tm) = parseTableMap(c)
         tableMaps(id) = tm
-        null
+        // binlog_row_metadata=FULL: the map itself carries the complete
+        // column list — surface new/changed schemas as `action=schema`
+        // control lines so the registry registers and versions the table
+        // with NO live SHOW FULL COLUMNS fetch ([[SchemaRegistry.applySchema]]).
+        tm.toColMeta match {
+          case Some(cols) if !emittedSchemas.get((tm.db, tm.table)).contains(cols) =>
+            emittedSchemas((tm.db, tm.table)) = cols
+            positionalLine(tm.db, tm.table, "schema", ts, seqBase + eventStart,
+              null, graft.cdc.SchemaRegistry.encodeSchema(cols))
+          case _ => null
+        }
       case WRITE_ROWS_V1 | WRITE_ROWS_V2 | DELETE_ROWS_V1 | DELETE_ROWS_V2 |
            UPDATE_ROWS_V1 | UPDATE_ROWS_V2 =>
         rowsLine(c, etype, ts, eventStart)

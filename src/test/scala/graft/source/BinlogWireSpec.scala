@@ -554,6 +554,49 @@ class BinlogWireSpec extends SparkSpec {
     assert(viaTlv.head.contains("\"tags\":\"x,z\""), viaTlv.head)
   }
 
+  test("binlog_row_metadata=FULL end-to-end: an EMPTY registry self-registers " +
+    "from the stream and versions drift — no SHOW FULL COLUMNS anywhere") {
+    import spark.implicits._
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    val cols1 = Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40))
+    w.tableMapFull(10L, 5L, "shop", "user", cols1,
+      names = Seq("id", "name"), unsignedNumeric = Seq(false))
+    w.rows(10L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(1), w.vVarchar("ann", 40))))
+    // drift: a column appeared upstream (ALTER on the master) — with FULL
+    // metadata the NEXT map simply carries the new schema; no DDL line at all
+    val cols2 = Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone,
+      TYPE_VARCHAR -> w.mLe2(40))
+    w.tableMapFull(12L, 6L, "shop", "user", cols2,
+      names = Seq("id", "age", "name"), unsignedNumeric = Seq(false, true))
+    w.rows(12L, WRITE_ROWS_V2, 6L, 3, Seq(Seq(
+      w.vLong(2), w.vTiny(-6), w.vVarchar("bob", 40))))
+    val lines = readAll(writeTmp(w.bytes)).map(_._2)
+    assert(lines.count(_.contains("\"action\":\"schema\"")) === 2,
+      s"one observation per distinct schema: $lines")
+    val raw = lines.toDF("value")
+      .select(from_json(col("value"),
+        graft.streaming.CdcStream.rawPositionalSchema).as("r"))
+      .select("r.*")
+    val reg = new SchemaRegistry // EMPTY: no register() call anywhere
+    val out = reg.decodeBatch(raw).orderBy("stmt_seq")
+      .select("event_type", "event", "schema_version").collect()
+    assert(out.length === 2, "schema observations are control-plane only")
+    assert(out(0).getString(1).contains("""{"data":{"id":1,"name":"ann"}}"""),
+      out(0).getString(1))
+    assert(out(0).getInt(2) === 1)
+    // the drifted-in unsigned tinyint decodes under version 2's metadata
+    assert(out(1).getString(1).contains("""{"data":{"age":250,"id":2,"name":"bob"}}"""),
+      out(1).getString(1))
+    assert(out(1).getInt(2) === 2)
+    assert(reg.versionsOf("shop", "user").map(_.version) === Vector(1, 2))
+    // replaying the batch (at-least-once) re-derives the same versions
+    val replay = reg.decodeBatch(raw).orderBy("stmt_seq")
+      .select("event").collect().map(_.getString(0))
+    assert(replay.toSeq === out.map(_.getString(1)).toSeq)
+    assert(reg.versionsOf("shop", "user").size === 2, "idempotent on replay")
+  }
+
   test("MariaDB dialect: MARIADB_GTID (0xa2) / ANNOTATE_ROWS (0xa0) interleaved " +
     "with rows events decode to the SAME lines as a MySQL-flavored stream") {
     // MariaDB ≥10 masters emit their own GTID event before each transaction
