@@ -50,6 +50,60 @@ class EngineSpec extends SparkSpec {
     } finally handle.stop()
   }
 
+  test("binlog_row_metadata=FULL + EMPTY registry: the engine decodes typed " +
+    "envelopes zero-config from the stream alone, restart-durable") {
+    import graft.source.{BinlogFixtureWriter, BinlogWire}
+    import BinlogWire._
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    w.tableMapFull(10L, 5L, "shop", "acct",
+      Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)),
+      names = Seq("id", "age", "name"), unsignedNumeric = Seq(false, true))
+    w.rows(11L, WRITE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(1), w.vTiny(-6), w.vVarchar("ann", 40))))
+    Files.write(in.resolve("binlog.000001"), w.bytes)
+
+    val reg = new graft.cdc.SchemaRegistry // EMPTY: no register(), no server
+    def run(): Unit = {
+      val handle = Engine.start(spark, Engine.Config(
+        inputDir = in.toString,
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("binary"),
+        schemaRegistry = Some(reg)))
+      try assert(handle.awaitTermination(120000)) finally handle.stop()
+    }
+    run()
+    val lines = readSink(s"$out/all")
+    assert(lines.size === 1, s"one envelope, the schema line is control-plane: $lines")
+    assert(lines.head.contains("""{"data":{"age":250,"id":1,"name":"ann"}}"""),
+      s"typed decode (unsigned fix-up) with a never-registered schema: $lines")
+    assert(reg.versionsOf("shop", "acct").size === 1)
+
+    // restart + new traffic: the registry was persisted beside the pos cache,
+    // so the new rows decode without re-seeing the schema observation
+    w.rows(12L, WRITE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(2), w.vTiny(7), w.vVarchar("bob", 40))))
+    Files.write(in.resolve("binlog.000001"), w.bytes)
+    val reg2 = new graft.cdc.SchemaRegistry // fresh instance, like a restart
+    val handle2 = Engine.start(spark, Engine.Config(
+      inputDir = in.toString,
+      checkpointDir = cp.toString,
+      posFile = s"$out/pos.bin",
+      sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+      useDsv2Source = true,
+      wireFormat = Some("binary"),
+      schemaRegistry = Some(reg2)))
+    try assert(handle2.awaitTermination(120000)) finally handle2.stop()
+    val lines2 = readSink(s"$out/all")
+    assert(lines2.size === 2, s"restart appends only the new row: $lines2")
+    assert(lines2.exists(_.contains("""{"data":{"age":7,"id":2,"name":"bob"}}""")),
+      s"$lines2")
+  }
+
   test("P2 hot reload: CTRL_RELOAD swaps the sink set; the next batch fans out to it") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"), Seq(line("test", "city", 1)).asJava)
