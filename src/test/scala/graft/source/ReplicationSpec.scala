@@ -2091,6 +2091,54 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("ALTER-while-disconnected: FULL row metadata on the socket versions the " +
+    "drifted schema with no DDL statement ever observed") {
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      stub.schemas = Map(("shop", "user") ->
+        Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+      run() // bootstrap: pin + 2-column base schema from the server
+
+      // while the connector is DOWN the master runs
+      // `ALTER TABLE shop.user ADD COLUMN age tinyint unsigned` — the DDL
+      // lands BEHIND the pin of a dead stream... here simulated by the next
+      // traffic simply carrying the post-ALTER 3-column TABLE_MAP with FULL
+      // metadata TLVs (binlog_row_metadata=FULL), no QUERY event at all
+      w.tableMapFull(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)),
+        names = Seq("id", "age", "name"), unsignedNumeric = Seq(false, true))
+      w.rows(21L, WRITE_ROWS_V2, 5L, 3,
+        Seq(Seq(w.vLong(4), w.vTiny(-6), w.vVarchar("dru", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+
+      run() // resume: the TLV observation versions the schema mid-stream
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 1, s"the post-drift row, typed: $lines")
+      assert(lines.head.contains("""{"data":{"age":250,"id":4,"name":"dru"}}"""),
+        s"3-column decode incl. unsigned fix-up, with no ALTER seen: $lines")
+      import scala.jdk.CollectionConverters._
+      assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("ALTER")),
+        "sanity: no DDL flowed anywhere")
+    } finally stub.close()
+  }
+
   test("capstone: live replication socket -> DSv2 -> drift decode -> envelopes") {
     // the full reference pipeline (handler.go:58-71): connect as a replica,
     // dump the binlog, decode row images under schema drift, emit envelopes
