@@ -163,20 +163,23 @@ object Similarity {
 
   private def sampledCentroids(candidates: DataFrame, stride: Long,
                                caller: String): Seq[(Long, Seq[Float], Double)] = {
-    // clamp BEFORE collecting: count the matching ids first (one pruned
-    // id-column aggregate — metadata-cost) so a too-small stride at large N
-    // becomes an actionable error instead of an eventual driver OOM. An
-    // exact count, not maxId/stride: sparse id spaces (sharded/offset id
-    // ranges) would make the estimate fail spuriously.
-    val nCentroids = candidates.filter(col("id") % stride === 0).count()
-    require(nCentroids <= MaxCentroids,
-      s"$caller: centroidStride=$stride would collect $nCentroids centroids " +
-        s"(> $MaxCentroids) — pass centroidCount to derive a scale-proof " +
-        "stride instead")
-    val centroids = candidates
+    // clamped collect: LIMIT MaxCentroids+1 makes the clamp, the emptiness
+    // check and the data fetch ONE job — a too-small stride at large N
+    // becomes an actionable error instead of an eventual driver OOM, and
+    // under the cap the limit is a no-op so the set (hence the cells) is
+    // exactly the unclamped one. An exact check, not a maxId/stride
+    // estimate: sparse id spaces (sharded/offset ranges) would make the
+    // estimate fail spuriously.
+    val rows = candidates
       .filter(col("id") % stride === 0)
       .select(col("id"), col("vec"))
+      .limit((MaxCentroids + 1).toInt)
       .collect()
+    require(rows.length <= MaxCentroids,
+      s"$caller: centroidStride=$stride would collect more than " +
+        s"$MaxCentroids centroids — pass centroidCount to derive a " +
+        "scale-proof stride instead")
+    val centroids = rows
       .map { r =>
         val v = r.getSeq[Float](1)
         (r.getLong(0), v, math.sqrt(v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))
@@ -323,27 +326,43 @@ object Similarity {
       .withColumn("cell", element_at(nearestCellsCol(centArr, col("vec"), 1), 1))
       .withColumn("nrm", l2norm(col("vec")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Hot-cell handling: per-cell sizes are one cell-keyed aggregate over the
-    // cached frame (map-side partials, #cells rows — metadata-scale), then a
-    // BROADCAST back onto both sides. nsalt = ceil(size/cap); the A side
+    // Hot-cell handling, engaged only when a cell actually exceeds the cap:
+    // per-cell sizes are one cell-keyed aggregate over the cached frame
+    // (map-side partials, #cells rows — metadata-scale). The max-size probe
+    // is a tiny action on the persisted frame; in the common balanced case
+    // the join stays the bare cell-keyed self-join with ZERO salting
+    // overhead. When a cell is hot: nsalt = ceil(size/cap), the A side
     // takes one deterministic bucket (id mod nsalt), the B side replicates
     // into all nsalt buckets, and the join key becomes (cell, salt): pair
     // (a,b) meets exactly once — identical output, bounded per-task work.
-    val nsaltCol = ceil(col("csz").cast("double") / lit(hotCellCap.toDouble))
-      .cast("int")
-    val sized = cells.join(
-      broadcast(cells.groupBy("cell").agg(count(lit(1)).as("csz"))), "cell")
-      .withColumn("nsalt", greatest(lit(1), nsaltCol))
-    val a = sized.select(col("cell"), col("id").as("id_a"),
-      col("vec").as("va"), col("nrm").as("na"),
-      pmod(col("id"), col("nsalt")).cast("int").as("salt"))
-    val b = sized.select(col("cell"), col("id").as("id_b"),
-      col("vec").as("vb"), col("nrm").as("nb"),
-      explode(sequence(lit(0), col("nsalt") - 1)).as("salt"))
-    val pairs = a.join(b, Seq("cell", "salt"))
-      .filter(col("id_a") < col("id_b") &&
-        cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
-      .select("id_a", "id_b")
+    val sizes = cells.groupBy("cell").agg(count(lit(1)).as("csz"))
+    val maxRow = sizes.agg(max(col("csz"))).head()
+    val maxCell = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val pairs = if (maxCell <= hotCellCap) {
+      val a = cells.select(col("cell"), col("id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"))
+      val b = cells.select(col("cell"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"))
+      a.join(b, "cell")
+        .filter(col("id_a") < col("id_b") &&
+          cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+        .select("id_a", "id_b")
+    } else {
+      val nsaltCol = ceil(col("csz").cast("double") / lit(hotCellCap.toDouble))
+        .cast("int")
+      val sized = cells.join(broadcast(sizes), "cell")
+        .withColumn("nsalt", greatest(lit(1), nsaltCol))
+      val a = sized.select(col("cell"), col("id").as("id_a"),
+        col("vec").as("va"), col("nrm").as("na"),
+        pmod(col("id"), col("nsalt")).cast("int").as("salt"))
+      val b = sized.select(col("cell"), col("id").as("id_b"),
+        col("vec").as("vb"), col("nrm").as("nb"),
+        explode(sequence(lit(0), col("nsalt") - 1)).as("salt"))
+      a.join(b, Seq("cell", "salt"))
+        .filter(col("id_a") < col("id_b") &&
+          cosine(col("va"), col("vb"), col("na"), col("nb")) >= tau)
+        .select("id_a", "id_b")
+    }
     (pairs, () => { cells.unpersist(); () })
   }
 
