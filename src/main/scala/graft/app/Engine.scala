@@ -193,6 +193,20 @@ object Engine {
         // bottleneck for a 100 GB-per-table bootstrap.
         val snapWorkers =
           cfg.sourceOptions.get("snapshotWorkers").map(_.trim.toInt).getOrElse(1)
+        // `schemaFromStream=true`: skip the lock-window SHOW FULL COLUMNS
+        // walk entirely — the stream's binlog_row_metadata=FULL TABLE_MAPs
+        // register every table on first contact (SchemaRegistry.applySchema).
+        // The pin itself (FTWRL + SHOW MASTER STATUS) still runs: the stream
+        // must start at a write-blocked moment regardless of where schemas
+        // come from. Incompatible with a data snapshot: the spool's
+        // positional rows carry no TABLE_MAP, so they would have no schema
+        // to decode under.
+        val schemaFromStream = cfg.sourceOptions.get("schemaFromStream")
+          .exists(_.equalsIgnoreCase("true"))
+        require(!(schemaFromStream && cfg.snapshotOnBootstrap),
+          "schemaFromStream is incompatible with snapshotOnBootstrap: the " +
+            "snapshot spool decodes under registry schemas, which " +
+            "schemaFromStream defers to the live stream's TABLE_MAPs")
         val c = mkClient()
         try {
           c.connect()
@@ -206,8 +220,11 @@ object Engine {
                   .map(_.trim.toLong).getOrElse(1L << 20))
               p
             } else {
-              val (p, dumpTables) =
-                graft.source.Snapshot.pin(c, reg, withDataTxn = cfg.snapshotOnBootstrap)
+              val (p, dumpTables) = graft.source.Snapshot.pin(
+                c, reg, withDataTxn = cfg.snapshotOnBootstrap,
+                includeDb =
+                  if (schemaFromStream) _ => false
+                  else db => !graft.source.SchemaBootstrap.SystemDbs.contains(db))
               if (cfg.snapshotOnBootstrap)
                 graft.source.Snapshot.dumpToSpool(c, dumpTables, snapDir, ts)
               p

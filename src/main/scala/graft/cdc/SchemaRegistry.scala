@@ -151,7 +151,14 @@ final class SchemaRegistry {
     val ranges: Map[(String, String), (Long, Long)] =
       ctl.map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
 
-    require(registeredTables.nonEmpty, "SchemaRegistry.decodeBatch: no registered tables")
+    // An EMPTY registry is legal while nothing has arrived (schemaFromStream
+    // mode registers from the stream's own FULL-metadata observations) — but
+    // rows present with NOTHING registered is silent total data loss, the
+    // one thing this gate must never allow.
+    require(registeredTables.nonEmpty || ranges.isEmpty,
+      "SchemaRegistry.decodeBatch: batch holds rows but no table is " +
+        "registered and it carried no FULL-metadata schema observation — " +
+        "register schemas, or run the master with binlog_row_metadata=FULL")
     // schema observations are control-plane only — they registered above and
     // must not reach the envelope path (unlike alters, which DO emit an
     // envelope: the reference surfaces DDL to subscribers)
@@ -166,11 +173,15 @@ final class SchemaRegistry {
     }
     val out =
       if (slices.nonEmpty) slices.reduceLeft(_.unionAll(_))
-      else { // batch holds no registered-table rows: empty frame, right schema
-        val (db, tbl) = registeredTables.head
-        val v = versionsOf(db, tbl).head
-        EnvelopeBuilder.envelopesStatic(base.filter(lit(false)), v.cols)
-          .withColumn("schema_version", lit(v.version))
+      else { // batch holds no registered-table rows: empty frame, right schema.
+        // A placeholder column stands in when NOTHING is registered yet
+        // (schemaFromStream before first contact) — the envelope frame's
+        // SCHEMA does not depend on the column list, and it is empty anyway.
+        val cols = registeredTables.headOption
+          .map { case (db, tbl) => versionsOf(db, tbl).head.cols }
+          .getOrElse(Seq(Decode.ColMeta("_placeholder", "int")))
+        EnvelopeBuilder.envelopesStatic(base.filter(lit(false)), cols)
+          .withColumn("schema_version", lit(1))
       }
     (out, () => { cached.unpersist(); () })
   }

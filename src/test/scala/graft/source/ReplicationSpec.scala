@@ -2139,6 +2139,56 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("schemaFromStream: replication bootstrap issues NO schema queries at " +
+    "all — FULL row metadata carries every table on first contact") {
+    import BinlogWire._
+    import scala.jdk.CollectionConverters._
+    val stub = new StubMysqlServer("pw")
+    val (cp, out) = (tmp(), tmp())
+    try {
+      val w = fixture()
+      stub.files = Seq(("binlog.000001", w.bytes))
+      // the stub COULD answer SHOW FULL COLUMNS — the assertion is that the
+      // engine never asks
+      stub.schemas = Map(("shop", "user") ->
+        Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      def run(): Unit = {
+        val handle = graft.app.Engine.start(spark, graft.app.Engine.Config(
+          inputDir = "(unused-in-replication-mode)",
+          checkpointDir = cp.toString,
+          posFile = s"$out/pos.bin",
+          sinks = Seq(graft.streaming.CdcStream.SinkConfig("all", s"$out/all")),
+          useDsv2Source = true,
+          wireFormat = Some("replication"),
+          sourceOptions = Map("host" -> "127.0.0.1", "port" -> stub.port.toString,
+            "user" -> "repl", "password" -> "pw", "schemaFromStream" -> "true"),
+          schemaRegistry = Some(new graft.cdc.SchemaRegistry)))
+        try assert(handle.awaitTermination(120000)) finally handle.stop()
+      }
+      run() // bootstrap: pin only, zero schema traffic
+
+      assert(stub.queriesSeen.asScala.exists(_.toUpperCase.contains("MASTER STATUS")),
+        "the pin itself still runs")
+      assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("FULL COLUMNS")),
+        s"no schema fetch anywhere: ${stub.queriesSeen}")
+
+      // post-pin traffic: FULL-metadata TABLE_MAP + rows — first contact
+      // registers AND decodes in the same batch
+      w.tableMapFull(20L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)),
+        names = Seq("id", "name"), unsignedNumeric = Seq(false))
+      w.rows(21L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(7), w.vVarchar("eli", 40))))
+      stub.files = Seq(("binlog.000001", w.bytes))
+      run()
+      val lines = readSinkLines(s"$out/all")
+      assert(lines.size === 1, s"$lines")
+      assert(lines.head.contains("""{"data":{"id":7,"name":"eli"}}"""),
+        s"typed decode from stream-carried schema only: $lines")
+      assert(!stub.queriesSeen.asScala.exists(_.toUpperCase.contains("FULL COLUMNS")),
+        "still no schema fetch after the data flowed")
+    } finally stub.close()
+  }
+
   test("capstone: live replication socket -> DSv2 -> drift decode -> envelopes") {
     // the full reference pipeline (handler.go:58-71): connect as a replica,
     // dump the binlog, decode row images under schema drift, emit envelopes
