@@ -129,33 +129,27 @@ object Dedup {
                    numHashes: Int = 12, bands: Int = 4, threshold: Double = 0.5): DataFrame =
     nearDupPairsManaged(docs, idCol, textCol, numHashes, bands, threshold)._1
 
-  /** [[nearDupPairs]] plus a cleanup handle that unpersists the cached
-    * signature frame. Callers that run this repeatedly in one long-lived
-    * session (e.g. per-batch dedup) MUST invoke it after the consuming action;
-    * one-shot query/bench paths may ignore it (process exit / clearCache). */
-  def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int = 12, bands: Int = 4,
-                          threshold: Double = 0.5): (DataFrame, () => Unit) = {
+  /** (doc_id, mh: ARRAY<BIGINT>[numHashes]) MinHash signatures — the stage
+    * [[nearDupPairsManaged]] and [[incrementalNearDupManaged]] share, and the
+    * frame a pipeline PERSISTS as its dedup index (signatures, not text, are
+    * what an incremental dedup stores between batches).
+    *
+    * Signature stage in ROW form, fully codegen'd: word-order gram hashes
+    * via lead() windows, then numHashes min-aggregates — NOT the nested
+    * `transform(seq, h => array_min(transform(xs, …)))` HOF. The nested-HOF
+    * form runs in the interpreted expression path, and its per-JVM JIT
+    * profile is fragile: measured 1.5 s vs 13.8 s for IDENTICAL sweeps in
+    * different JVMs (both best-of-2 attempts slow — a sticky compilation
+    * mode, not GC/disk). Window+aggregate stays inside whole-stage codegen,
+    * which is immune to that and faster in the good case too.
+    * Arithmetic is value-identical to the oracle: gram = ((h1·31+h2)·31+h3)
+    * mod P over per-word hash-once md5 values; mh[h] = min((A_h·g + B_h)
+    * mod P). At scale: one keyed shuffle on doc_id (the window), the
+    * groupBy reuses that partitioning, per-row state is bounded (no
+    * collect_list arrays). Unpersisted — the caller owns caching. */
+  def minhashSigFrame(docs: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(numHashes % bands == 0,
-      s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
-        "compute minhashes the banding silently never reads, quietly loosening " +
-        "the LSH calibration the caller asked for")
-    val rows = numHashes / bands
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    // Signature stage in ROW form, fully codegen'd: word-order gram hashes
-    // via lead() windows, then numHashes min-aggregates — NOT the nested
-    // `transform(seq, h => array_min(transform(xs, …)))` HOF. The nested-HOF
-    // form runs in the interpreted expression path, and its per-JVM JIT
-    // profile is fragile: measured 1.5 s vs 13.8 s for IDENTICAL sweeps in
-    // different JVMs (both best-of-2 attempts slow — a sticky compilation
-    // mode, not GC/disk). Window+aggregate stays inside whole-stage codegen,
-    // which is immune to that and faster in the good case too.
-    // Arithmetic is value-identical to the oracle: gram = ((h1·31+h2)·31+h3)
-    // mod P over per-word hash-once md5 values; mh[h] = min((A_h·g + B_h)
-    // mod P). At scale: one keyed shuffle on doc_id (the window), the
-    // groupBy reuses that partitioning, per-row state is bounded (no
-    // collect_list arrays).
     val occ = docs.select(col(idCol).as("doc_id"),
       posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
     val dict = occ.select(col("__w")).distinct()
@@ -167,10 +161,7 @@ object Dedup {
       .withColumn("__h3", lead(col("__h"), 2).over(byDoc))
       .filter(col("__h3").isNotNull)
       .withColumn("__g", ((col("__h") * 31L + col("__h2")) * 31L + col("__h3")) % MinhashP)
-    // Persisted: the frame feeds both sides of the band self-join — without
-    // the cache the whole hash pipeline runs per use (measured 124 s → 12 s
-    // at sf0.1 even before word-level hashing).
-    val sig = gram.groupBy("doc_id")
+    gram.groupBy("doc_id")
       .agg(
         min((lit(12345L) * col("__g") + lit(7L)) % MinhashP).as("__m0"),
         (1 until numHashes).map(h =>
@@ -178,11 +169,33 @@ object Dedup {
             .as(s"__m$h")): _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(h => col(s"__m$h")): _*).as("mh"))
+  }
+
+  /** Exploded LSH band keys of a signature frame: (doc_id, b, bkey). */
+  private def bandFrame(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("doc_id"), explode(bandKeys(col("mh"), bands, rows)).as("band"))
+      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+
+  /** [[nearDupPairs]] plus a cleanup handle that unpersists the cached
+    * signature frame. Callers that run this repeatedly in one long-lived
+    * session (e.g. per-batch dedup) MUST invoke it after the consuming action;
+    * one-shot query/bench paths may ignore it (process exit / clearCache). */
+  def nearDupPairsManaged(docs: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
+        "compute minhashes the banding silently never reads, quietly loosening " +
+        "the LSH calibration the caller asked for")
+    val rows = numHashes / bands
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // Persisted: the frame feeds both sides of the band self-join — without
+    // the cache the whole hash pipeline runs per use (measured 124 s → 12 s
+    // at sf0.1 even before word-level hashing).
+    val sig = minhashSigFrame(docs, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val bandDf = sig
-      .select(col("doc_id"), explode(bandKeys(col("mh"), bands, rows)).as("band"))
-      .select(col("doc_id"), col("band.b").as("b"), col("band.bkey").as("bkey"))
+    val bandDf = bandFrame(sig, bands, rows)
 
     val cand = bandDf.as("x").join(bandDf.as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey") &&
@@ -204,6 +217,66 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
     (out, () => { sig.unpersist(); () })
+  }
+
+  /** INCREMENTAL near-dup dedup: probe a NEW BATCH of documents against an
+    * EXISTING corpus's MinHash band index — the index-reuse shape a
+    * continuously-ingesting pipeline runs per crawl drop. Unlike
+    * [[nearDupPairs]] (all same-corpus pairs), candidates here are strictly
+    * CROSS-SIDE: batch docs never pair with each other (within-batch dedup is
+    * a separate, much smaller [[nearDupPairs]] over the batch alone; after the
+    * drop the batch's signatures are appended to the index).
+    *
+    * Scale posture: the corpus side is touched ONLY through its signature /
+    * band frames — exactly what the stored index contains, so at 100 TB this
+    * reads the (small) index table, never the corpus text; corpus TEXT is
+    * fetched per matched id for the verify join only. The band join is keyed
+    * on (b, bkey); with a small batch AQE broadcasts the batch side, so the
+    * index is probed without shuffling it.
+    *
+    * Output: (batch_id, corpus_id, jac) — batch doc, its corpus near-dup,
+    * exact shingle Jaccard ≥ `threshold`. */
+  def incrementalNearDup(corpus: DataFrame, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         numHashes: Int = 12, bands: Int = 4,
+                         threshold: Double = 0.5): DataFrame =
+    incrementalNearDupManaged(corpus, batch, idCol, textCol, numHashes, bands,
+      threshold)._1
+
+  /** [[incrementalNearDup]] plus the cleanup handle for the cached batch
+    * signature frame (same managed-persist contract as [[jaccardJoin]]). */
+  def incrementalNearDupManaged(corpus: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                numHashes: Int = 12, bands: Int = 4,
+                                threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    // The corpus signature frame is NOT persisted: in the pipeline shape it
+    // is a stored index scan (one pass); only the batch side — small, read
+    // by both the band join and nothing else, but recomputed per band
+    // without the cache — is worth pinning.
+    val sigC = minhashSigFrame(corpus, idCol, textCol, numHashes)
+    val sigB = minhashSigFrame(batch, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandFrame(sigB, bands, rows).as("x")
+      .join(bandFrame(sigC, bands, rows).as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    val bText = batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"))
+    val cText = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
+    val out = cand
+      .join(bText, "batch_id")
+      .join(cText, "corpus_id")
+      .withColumn("sh_b", shingles(col("__tb")))
+      .withColumn("sh_c", shingles(col("__tc")))
+      .withColumn("jac",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jac"))
+    (out, () => { sigB.unpersist(); () })
   }
 
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the

@@ -89,4 +89,67 @@ object LanguageModel {
         expr("sum_nll_micro div n_bigrams").as("avg_nll_micro"))
     (out, () => { model.unpersist(); pairs.unpersist(); () })
   }
+
+  /** Per-(doc, bigram) multiplicities of a corpus: (doc_id, w1, w2, m) —
+    * one explode + one map-side-combinable groupBy. Unpersisted. */
+  private def pairsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+
+  /** CROSS-corpus LM scoring: score `scoreDocs` under a bigram model trained
+    * on `trainDocs` — the shape behind importance-weighted data selection
+    * (DSIR, Xie et al. 2023: weight = NLL under the raw model − NLL under the
+    * target model) and CCNet's "score the crawl under a Wikipedia LM".
+    *
+    * Differs from [[bigramNll]] (which scores the training corpus itself) in
+    * that scored bigrams may be ABSENT from the model: joins are LEFT, with
+    * add-α backoff — unseen (w1,w2) under a seen head scores (0+α)/(c1+αV);
+    * an unseen head scores α/(αV) = 1/V. `crossNll(docs, docs)` is
+    * value-identical to `bigramNll(docs)` (every bigram present ⇒ the left
+    * joins all match), a property the spec asserts.
+    *
+    * Scale posture: two corpus-scale keyed shuffles (the two pairs
+    * aggregates); the score side meets the model in ONE (w1,w2) join plus one
+    * (w1) heads join — both on already-aggregated keys, no broadcast hint
+    * (vocabulary size is corpus-dependent; AQE decides). Same integer-micros
+    * determinism contract as [[bigramNll]].
+    * Output: (doc_id, n_bigrams, avg_nll_micro). */
+  def crossNll(scoreDocs: DataFrame, trainDocs: DataFrame,
+               idCol: String, textCol: String, alpha: Double = 0.5): DataFrame =
+    crossNllManaged(scoreDocs, trainDocs, idCol, textCol, alpha)._1
+
+  /** [[crossNll]] plus the cleanup handle for the cached model frame. */
+  def crossNllManaged(scoreDocs: DataFrame, trainDocs: DataFrame,
+                      idCol: String, textCol: String,
+                      alpha: Double = 0.5): (DataFrame, () => Unit) = {
+    // train side: bigram counts need no doc dimension — aggregate straight
+    // to the model key (one shuffle), then heads/vocab derive from the
+    // persisted vocabulary-scale model frame
+    val model = pairsFrame(trainDocs, idCol, textCol)
+      .groupBy("w1", "w2").agg(sum("m").as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val heads = model.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = heads.agg(count(lit(1)).as("v"))
+
+    val p = (coalesce(col("c12"), lit(0L)).cast("double") + lit(alpha)) /
+      (coalesce(col("c1"), lit(0L)).cast("double") + lit(alpha) * col("v").cast("double"))
+    val termMicro = floor(-log(p) * lit(1000000.0) + lit(0.5))
+
+    val out = pairsFrame(scoreDocs, idCol, textCol)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(heads, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(sum(col("m")).cast("long").as("n_bigrams"),
+        sum(col("m") * termMicro).cast("long").as("sum_nll_micro"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_nll_micro div n_bigrams").as("avg_nll_micro"))
+    (out, () => { model.unpersist(); () })
+  }
 }

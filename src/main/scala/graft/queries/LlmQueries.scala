@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.llm.{Clusters, Decontam, Dedup, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Decontam, Dedup, KMeans, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1337,6 +1337,239 @@ object LlmQueries {
       |  (s.id = b.keep_id)::BIGINT AS kept
       |FROM scored s JOIN best b USING (cluster_id) ORDER BY s.id""".stripMargin
 
+  // ---------------------------------------------------------------- q58 kmeans
+
+  /** Deterministic integer k-means ([[KMeans.assignClusters]]): 2 Lloyd
+    * rounds from stride-40 seed centroids over the embeddings, all in exact
+    * micro-unit arithmetic — the corpus-bucketing step behind cluster-
+    * balanced selection. The oracle unrolls both rounds in SQL; every
+    * centroid component and every assignment must match bit-for-bit. */
+  private def q58(s: SparkSession, d: String): DataFrame =
+    KMeans.assignClusters(embeddingsAsIdVec(s, d), centroidStride = 40, iters = 2)
+      .orderBy("id")
+
+  private val q58Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id,
+      |    [floor(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT
+      |     for i in range(1, len(embedding)+1)] AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT id AS cell, qv AS cv FROM v WHERE id % 40 = 0),
+      |a1 AS (
+      |  SELECT id, qv, cell FROM (
+      |    SELECT v.id, v.qv, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c0 c) WHERE rn = 1),
+      |s1 AS (
+      |  SELECT cell, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+      |  FROM a1, LATERAL unnest(range(1, len(qv)+1)) t(i) GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+      |  FROM s1 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM c0 WHERE cell NOT IN (SELECT cell FROM s1)),
+      |a2 AS (
+      |  SELECT id, qv, cell FROM (
+      |    SELECT v.id, v.qv, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c1 c) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT cell, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+      |  FROM a2, LATERAL unnest(range(1, len(qv)+1)) t(i) GROUP BY cell, i),
+      |c2 AS (
+      |  SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+      |  FROM s2 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM c1 WHERE cell NOT IN (SELECT cell FROM s2)),
+      |af AS (
+      |  SELECT id, cell FROM (
+      |    SELECT v.id, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c2 c) WHERE rn = 1),
+      |sz AS (SELECT cell, count(*)::BIGINT AS n FROM af GROUP BY cell)
+      |SELECT af.id, af.cell AS cluster, sz.n AS cluster_size
+      |FROM af JOIN sz USING (cell) ORDER BY af.id""".stripMargin
+
+  // ---------------------------------------------------------------- q59 incremental dedup
+
+  /** Incremental near-dup dedup ([[Dedup.incrementalNearDup]]): a new-crawl
+    * batch (doc_id ≡ 0 mod 10) probed against the standing corpus's MinHash
+    * band index — candidates are strictly cross-side (the per-drop pipeline
+    * shape: the index is stored, the batch is small, batch-internal dedup is
+    * a separate pass). Oracle: the q22 signature machinery with the candidate
+    * join restricted to batch × corpus. */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val isBatch = col("doc_id") % 10 === 0
+    Dedup.incrementalNearDup(docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text")
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  private val q59Sql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |wh AS (
+      |  SELECT doc_id,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in w] AS whs
+      |  FROM words),
+      |xs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(whs) >= 3
+      |      THEN [((whs[i]*31 + whs[i+1])*31 + whs[i+2]) % 2147483647 for i in range(1, len(whs)-1)]
+      |      ELSE [] END AS xsv
+      |  FROM wh),
+      |sig AS (
+      |  SELECT x.doc_id, s.shingles,
+      |    [list_min([((h*1000003 + 12345) * v + (h*999983 + 7)) % 2147483647
+      |               for v in xsv]) for h in range(0, 12)] AS mh
+      |  FROM xs x JOIN sh s ON s.doc_id = x.doc_id WHERE len(xsv) > 0),
+      |bands AS (
+      |  SELECT doc_id, b, mh[3*b+1] || '|' || mh[3*b+2] || '|' || mh[3*b+3] AS bkey
+      |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+      |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+      |ver AS (
+      |  SELECT c.batch_id, c.corpus_id,
+      |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) AS jac
+      |  FROM cand c JOIN sig sa ON sa.doc_id = c.batch_id
+      |  JOIN sig sb ON sb.doc_id = c.corpus_id)
+      |SELECT batch_id, corpus_id, jac FROM ver WHERE jac >= 0.5
+      |ORDER BY batch_id, corpus_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60 pii scrub
+
+  /** PII scrub ([[TextAnalysis.piiScrub]]): q42's deterministic-dirt pattern
+    * widened to phones / IPv4s / card-shaped digit runs — each doc gets the
+    * same doc_id-derived PII appended, then both engines must mask it to the
+    * identical clean string, with per-kind redaction counts. */
+  private def q60(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(col("text"),
+      lit(" call +1555"), lpad((col("doc_id") % 10000000).cast("string"), 7, "0"),
+      lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+      lit(".0."), ((col("doc_id") * 7) % 256).cast("string"),
+      lit(" card 4111111111"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" visit https://ex.com/p/"), col("doc_id"), lit("  end"))
+    def nTok(tok: String) =
+      (size(split(col("clean"), tok, -1)) - 1).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.piiScrub(dirty).as("clean"))
+      .select(col("doc_id"), col("clean"),
+        length(col("clean")).cast("long").as("clean_chars"),
+        nTok("<phone>").as("n_phone"), nTok("<ip>").as("n_ip"),
+        nTok("<digits>").as("n_digits"))
+      .orderBy("doc_id")
+  }
+
+  private val q60Sql =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    text || ' call +1555' || lpad((doc_id % 10000000)::VARCHAR, 7, '0') ||
+      |    ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) ||
+      |    ' card 4111111111' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ||
+      |    ' visit https://ex.com/p/' || doc_id || '  end' AS t
+      |  FROM documents),
+      |clean AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |         regexp_replace(regexp_replace(t,
+      |      'https?://\S+', '<url>', 'g'),
+      |      '\S+@\S+\.\S+', '<email>', 'g'),
+      |      '\+\d{7,15}', '<phone>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g'),
+      |      '\b\d{13,19}\b', '<digits>', 'g'),
+      |      '\s+', ' ', 'g')) AS clean
+      |  FROM dirty)
+      |SELECT doc_id, clean, length(clean)::BIGINT AS clean_chars,
+      |  (len(string_split(clean, '<phone>')) - 1)::BIGINT AS n_phone,
+      |  (len(string_split(clean, '<ip>')) - 1)::BIGINT AS n_ip,
+      |  (len(string_split(clean, '<digits>')) - 1)::BIGINT AS n_digits
+      |FROM clean ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q61 dsir selection
+
+  /** DSIR-style importance selection ([[LanguageModel.crossNll]], Xie et al.
+    * 2023): every document scored under TWO bigram models — one trained on
+    * the target distribution (the `en` slice standing in for a curated
+    * reference corpus) and one on the raw corpus — and the top 200 by
+    * importance weight (raw NLL − target NLL, in micro-nats) selected.
+    * Unseen-bigram backoff makes the cross-corpus scoring well-defined; the
+    * top-k plans as TakeOrderedAndProject (distributed top-k, no global
+    * sort). */
+  private def q61(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val target = LanguageModel.crossNll(docs, docs.filter(col("lang") === "en"),
+        "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_micro").as("nll_target_micro"))
+    val raw = LanguageModel.crossNll(docs, docs, "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_micro").as("nll_raw_micro"))
+    raw.join(target, "doc_id")
+      .select(col("doc_id"), col("nll_target_micro"), col("nll_raw_micro"),
+        (col("nll_raw_micro") - col("nll_target_micro")).as("weight_micro"))
+      .orderBy(col("weight_micro").desc, col("doc_id"))
+      .limit(200)
+  }
+
+  private val q61Sql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM ws),
+      |pairs AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY 1, 2, 3),
+      |rmodel AS (SELECT w1, w2, sum(m)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      |rheads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM rmodel GROUP BY 1),
+      |rvocab AS (SELECT count(*)::BIGINT AS v FROM rheads),
+      |tdocs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+      |tmodel AS (
+      |  SELECT p.w1, p.w2, sum(p.m)::BIGINT AS c12
+      |  FROM pairs p JOIN tdocs USING (doc_id) GROUP BY 1, 2),
+      |theads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM tmodel GROUP BY 1),
+      |tvocab AS (SELECT count(*)::BIGINT AS v FROM theads),
+      |rterms AS (
+      |  SELECT p.doc_id, p.m,
+      |    floor(-ln((coalesce(mo.c12, 0) + 0.5) / (coalesce(h.c1, 0) + 0.5 * rvocab.v))
+      |      * 1000000 + 0.5)::BIGINT AS term
+      |  FROM pairs p
+      |  LEFT JOIN rmodel mo USING (w1, w2)
+      |  LEFT JOIN rheads h USING (w1)
+      |  CROSS JOIN rvocab),
+      |rnll AS (
+      |  SELECT doc_id, (sum(m * term) // sum(m))::BIGINT AS nll_raw_micro
+      |  FROM rterms GROUP BY doc_id),
+      |tterms AS (
+      |  SELECT p.doc_id, p.m,
+      |    floor(-ln((coalesce(mo.c12, 0) + 0.5) / (coalesce(h.c1, 0) + 0.5 * tvocab.v))
+      |      * 1000000 + 0.5)::BIGINT AS term
+      |  FROM pairs p
+      |  LEFT JOIN tmodel mo USING (w1, w2)
+      |  LEFT JOIN theads h USING (w1)
+      |  CROSS JOIN tvocab),
+      |tnll AS (
+      |  SELECT doc_id, (sum(m * term) // sum(m))::BIGINT AS nll_target_micro
+      |  FROM tterms GROUP BY doc_id)
+      |SELECT r.doc_id, t.nll_target_micro, r.nll_raw_micro,
+      |  (r.nll_raw_micro - t.nll_target_micro) AS weight_micro
+      |FROM rnll r JOIN tnll t USING (doc_id)
+      |ORDER BY weight_micro DESC, r.doc_id LIMIT 200""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1372,5 +1605,9 @@ object LlmQueries {
     QueryDef("q55_bigram_lm", q55, Some(q55Sql)),
     QueryDef("q56_semantic_dedup", q56, Some(q56Sql)),
     QueryDef("q57_semantic_curation", q57, Some(q57Sql)),
+    QueryDef("q58_kmeans", q58, Some(q58Sql)),
+    QueryDef("q59_incremental_dedup", q59, Some(q59Sql)),
+    QueryDef("q60_pii_scrub", q60, Some(q60Sql)),
+    QueryDef("q61_dsir_selection", q61, Some(q61Sql)),
   )
 }

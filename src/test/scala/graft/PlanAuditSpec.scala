@@ -27,7 +27,8 @@ class PlanAuditSpec extends SparkSpec {
     "q44_ann_quantized", // q44's approx pass broadcasts the query codes (bounded by design) with a != residual, like q23
     "q46_bm25", // 1-row corpus-stats frame cross-joined via explicit broadcast()
     "q55_bigram_lm", // 1-row vocabulary scalar cross-joined via explicit broadcast()
-    "q57_semantic_curation") // composes q55: same 1-row vocabulary cross-join
+    "q57_semantic_curation", // composes q55: same 1-row vocabulary cross-join
+    "q61_dsir_selection") // two crossNll passes: same 1-row vocabulary cross-join
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -290,5 +291,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"q34 re-grew the N×C expansion:\n$plan")
     assert(windows <= 1, s"q34 should window only for the final top-k, found $windows:\n$plan")
     assert(joins >= 1, "probe join must remain")
+  }
+
+  test("q58 kmeans assigns map-side: no window, no N×K join — only the size equi-join") {
+    // Assignment must be an argmin fold inside the projection (like q34's
+    // cell argmax), never a corpus × centroids expansion through a join or
+    // row_number window. The only join is the k-row cluster-size attach.
+    val plan = planOf("q58_kmeans")
+    assert(!"Window \\[".r.findAllIn(plan).hasNext, s"q58 grew a window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q58 expanded corpus × centroids:\n$plan")
+  }
+
+  test("q59 incremental dedup probes the index with keyed joins only") {
+    // Cross-side candidates come from the (b, bkey) equi-join; nothing may
+    // degenerate to a nested loop, and the index side must meet the batch
+    // only through hash-partitionable joins.
+    val plan = planOf("q59_incremental_dedup")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q59's band probe degraded to a nested loop:\n$plan")
+  }
+
+  test("q60 pii scrub is pure per-row: no join, no aggregate, one output sort") {
+    val plan = planOf("q60_pii_scrub")
+    assert(!plan.contains("Join"), s"q60 must be row-local, found a join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q60 must not aggregate:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q60 should shuffle only for the output ORDER BY, " +
+      s"found $exchanges:\n$plan")
+  }
+
+  test("q61 DSIR plans the selection as a distributed top-k") {
+    // orderBy(weight).limit(200) must become TakeOrderedAndProject — a
+    // global sort of the scored corpus would be the scale bug.
+    val plan = planOf("q61_dsir_selection")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q61's top-200 cut should plan as TakeOrderedAndProject:\n$plan")
   }
 }

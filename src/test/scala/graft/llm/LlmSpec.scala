@@ -295,4 +295,70 @@ class LlmSpec extends SparkSpec {
     assert(rows.forall(r => Set("en", "de", "fr", "es").contains(r.getString(0))))
     assert(rows.forall(r => r.getLong(1) >= 0 && r.getLong(1) <= 1000))
   }
+
+  test("incremental dedup equals the cross-side slice of full-corpus near-dup " +
+    "pairs, and never pairs batch docs with each other") {
+    val docs = Tables.documents(spark, d)
+    val isBatch = col("doc_id") % 10 === 0
+    val inc = Dedup.incrementalNearDup(docs.filter(!isBatch), docs.filter(isBatch),
+        "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.forall { case (b, c, _) => b % 10 == 0 && c % 10 != 0 },
+      "candidates must be strictly batch × corpus")
+    // signatures depend only on the doc's own text, so the cross-side slice
+    // of the full self-join must be EXACTLY the incremental result
+    val full = Dedup.nearDupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val wantCross = full.collect {
+      case (a, b, j) if a % 10 == 0 && b % 10 != 0 => (a, b, j)
+      case (a, b, j) if b % 10 == 0 && a % 10 != 0 => (b, a, j)
+    }
+    assert(inc.toSet === wantCross.toSet)
+    assert(inc.nonEmpty, "sf0.001's planted pairs should straddle the split")
+  }
+
+  test("crossNll(docs, docs) is value-identical to bigramNll(docs)") {
+    val docs = Tables.documents(spark, d)
+    val self = LanguageModel.crossNll(docs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val base = LanguageModel.bigramNll(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(self === base)
+  }
+
+  test("crossNll backoff: unseen bigrams and unseen heads score by add-α") {
+    import spark.implicits._
+    // train "a b a c": model c(a,b)=1, c(b,a)=1, c(a,c)=1; heads a=2, b=1; V=2
+    val train = Seq((10L, "a b a c")).toDF("doc_id", "text")
+    // score "a b z a": (a,b) seen; (b,z) unseen pair, seen head b;
+    // (z,a) unseen head z
+    val score = Seq((1L, "a b z a")).toDF("doc_id", "text")
+    val got = LanguageModel.crossNll(score, train, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def term(c12: Long, c1: Long): Long =
+      math.floor(-math.log((c12 + 0.5) / (c1 + 0.5 * 2)) * 1e6 + 0.5).toLong
+    val want = (term(1, 2) + term(0, 1) + term(0, 0)) / 3
+    assert(got === Array((1L, 3L, want)))
+  }
+
+  test("piiScrub masks phones, IPv4s and card-shaped digit runs; 20-digit runs " +
+    "and short runs pass through") {
+    import spark.implicits._
+    val got = Seq(
+      "call +15551234567 now",
+      "at 10.3.0.21 and 255.255.255.0",
+      "card 4111111111111111 ok",
+      "run 12345678901234567890 is 20 digits",
+      "short 123456 stays",
+      "mail a@b.com via https://x.io/y  z")
+      .toDF("t").select(TextAnalysis.piiScrub(col("t")).as("c"))
+      .collect().map(_.getString(0))
+    assert(got === Array(
+      "call <phone> now",
+      "at <ip> and <ip>",
+      "card <digits> ok",
+      "run 12345678901234567890 is 20 digits",
+      "short 123456 stays",
+      "mail <email> via <url> z"))
+  }
 }
