@@ -279,6 +279,72 @@ object Dedup {
     (out, () => { sigB.unpersist(); () })
   }
 
+  /** STREAMING [[incrementalNearDup]]: dedup-on-arrival — each micro-batch's
+    * documents are MinHash-signed ROW-LOCALLY and probed against the static
+    * corpus band index; near-dup pairs (batch_id, corpus_id, jac ≥ threshold)
+    * emit when the watermark passes the document's event time.
+    *
+    * Signature values are IDENTICAL to the batch path (same per-word hash,
+    * same mod-at-end gram combine, same permutation family — the spec
+    * asserts set equality with [[incrementalNearDup]] over the same data),
+    * but computed within the row via [[minhashSignature]]'s array form: a
+    * stream has no corpus-wide word dictionary to join, so the md5 runs once
+    * per word occurrence — the right cost model for arrival-rate data.
+    * Intermediate arrays sit behind Generate barriers (`explode(array(…))`)
+    * per [[wordHashFrame]]'s CollapseProject warning.
+    *
+    * State: the band join is stream-static (stateless); the only stateful
+    * stage is the watermark-bounded per-(doc, corpus-candidate) band dedup,
+    * mirroring [[graft.llm.Decontam.contaminationStream]]'s shape. */
+  def incrementalNearDupStream(batch: DataFrame, tsCol: String, idCol: String,
+      textCol: String, corpus: DataFrame, corpusIdCol: String,
+      corpusTextCol: String, numHashes: Int = 12, bands: Int = 4,
+      threshold: Double = 0.5, watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val corpusBands =
+      bandFrame(minhashSigFrame(corpus, corpusIdCol, corpusTextCol, numHashes),
+        bands, rows)
+        .withColumnRenamed("doc_id", "corpus_id")
+    val corpusText = corpus.select(col(corpusIdCol).as("corpus_id"),
+      col(corpusTextCol).as("__tc"))
+
+    val whsOf = transform(col("__ws"), w => shingleHash(w) % MinhashP)
+    val gramsOf = when(size(col("__whs")) >= 3,
+      transform(sequence(lit(0), size(col("__whs")) - 3),
+        i => ((element_at(col("__whs"), i + 1) * 31L
+          + element_at(col("__whs"), i + 2)) * 31L
+          + element_at(col("__whs"), i + 3)) % MinhashP))
+      .otherwise(array().cast("array<bigint>"))
+
+    batch
+      .select(col(tsCol).as("__ts"), col(idCol).as("doc_id"),
+        col(textCol).as("__tb"),
+        explode(array(split(lower(col(textCol)), " "))).as("__ws"))
+      .select(col("__ts"), col("doc_id"), col("__tb"),
+        explode(array(whsOf)).as("__whs"))
+      .select(col("__ts"), col("doc_id"), col("__tb"),
+        explode(array(gramsOf)).as("__gs"))
+      .filter(size(col("__gs")) > 0) // <3-word docs have no signature (batch parity)
+      .select(col("__ts"), col("doc_id"), col("__tb"),
+        explode(bandKeys(minhashSignature(col("__gs"), numHashes), bands, rows))
+          .as("band"))
+      .select(col("__ts"), col("doc_id"), col("__tb"),
+        col("band.b").as("b"), col("band.bkey").as("bkey"))
+      .withWatermark("__ts", watermarkDelay)
+      .join(corpusBands, Seq("b", "bkey")) // stream-static: stateless probe
+      .groupBy(col("__ts"), col("doc_id"), col("__tb"), col("corpus_id"))
+      .agg(count(lit(1)).as("__nbands")) // candidate dedup, watermark-bounded
+      .join(corpusText, "corpus_id") // static text fetch, candidates only
+      .withColumn("jac",
+        size(array_intersect(shingles(col("__tb")), shingles(col("__tc"))))
+          .cast("double") /
+          size(array_union(shingles(col("__tb")), shingles(col("__tc")))))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_id").as("batch_id"), col("corpus_id"), col("jac"))
+  }
+
   /** EXACT n-gram Jaccard similarity join via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; published, widely
     * reimplemented). Unlike [[nearDupPairs]] (MinHash — probabilistic recall),

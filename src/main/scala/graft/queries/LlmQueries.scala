@@ -1570,6 +1570,84 @@ object LlmQueries {
       |FROM rnll r JOIN tnll t USING (doc_id)
       |ORDER BY weight_micro DESC, r.doc_id LIMIT 200""".stripMargin
 
+  // ---------------------------------------------------------------- q62 cluster-balanced sample
+
+  /** Cluster-balanced subsample (capstone: q58's k-means × q41's portable
+    * sampling): keep ⌈20%⌉ of every k-means cluster, members chosen by
+    * seeded md5 order — the diversity-preserving downsample a curation
+    * pipeline runs instead of uniform sampling (uniform keeps the corpus's
+    * topic skew; per-cluster quotas keep the tails). One window keyed on the
+    * cluster id is the only shuffle beyond q58's own machinery. */
+  private def q62(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = KMeans.assignClusters(embeddingsAsIdVec(s, d),
+      centroidStride = 40, iters = 2)
+    val w = Window.partitionBy("cluster").orderBy(col("__h"), col("id"))
+    clusters
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit("q62"), col("id"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      // rk ≤ ⌈size/5⌉ ⟺ 5·rk ≤ size + 4 (exact integers, no division)
+      .filter(col("rk") * 5 <= col("cluster_size") + 4)
+      .select(col("id"), col("cluster"), col("cluster_size"), col("rk"))
+      .orderBy("id")
+  }
+
+  private val q62Sql =
+    """WITH v AS (
+      |  SELECT vec_id AS id,
+      |    [floor(embedding[i]::DOUBLE * 1000000 + 0.5)::BIGINT
+      |     for i in range(1, len(embedding)+1)] AS qv
+      |  FROM embeddings),
+      |c0 AS (SELECT id AS cell, qv AS cv FROM v WHERE id % 40 = 0),
+      |a1 AS (
+      |  SELECT id, qv, cell FROM (
+      |    SELECT v.id, v.qv, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c0 c) WHERE rn = 1),
+      |s1 AS (
+      |  SELECT cell, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+      |  FROM a1, LATERAL unnest(range(1, len(qv)+1)) t(i) GROUP BY cell, i),
+      |c1 AS (
+      |  SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+      |  FROM s1 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM c0 WHERE cell NOT IN (SELECT cell FROM s1)),
+      |a2 AS (
+      |  SELECT id, qv, cell FROM (
+      |    SELECT v.id, v.qv, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c1 c) WHERE rn = 1),
+      |s2 AS (
+      |  SELECT cell, i, sum(qv[i])::BIGINT AS s, count(*)::BIGINT AS n
+      |  FROM a2, LATERAL unnest(range(1, len(qv)+1)) t(i) GROUP BY cell, i),
+      |c2 AS (
+      |  SELECT cell, list((s - ((s % n) + n) % n) // n ORDER BY i) AS cv
+      |  FROM s2 GROUP BY cell
+      |  UNION ALL
+      |  SELECT cell, cv FROM c1 WHERE cell NOT IN (SELECT cell FROM s2)),
+      |af AS (
+      |  SELECT id, cell FROM (
+      |    SELECT v.id, c.cell,
+      |      row_number() OVER (PARTITION BY v.id ORDER BY
+      |        list_sum([(v.qv[i]-c.cv[i])*(v.qv[i]-c.cv[i])
+      |                  for i in range(1, len(v.qv)+1)]), c.cell) AS rn
+      |    FROM v, c2 c) WHERE rn = 1),
+      |sz AS (SELECT cell, count(*)::BIGINT AS n FROM af GROUP BY cell),
+      |hx AS (
+      |  SELECT af.id, af.cell, sz.n,
+      |    ('0x' || substr(md5('q62:' || af.id), 1, 15))::BIGINT AS h
+      |  FROM af JOIN sz USING (cell)),
+      |rk AS (
+      |  SELECT id, cell, n,
+      |    row_number() OVER (PARTITION BY cell ORDER BY h, id)::BIGINT AS rk
+      |  FROM hx)
+      |SELECT id, cell AS cluster, n AS cluster_size, rk
+      |FROM rk WHERE rk * 5 <= n + 4 ORDER BY id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1609,5 +1687,6 @@ object LlmQueries {
     QueryDef("q59_incremental_dedup", q59, Some(q59Sql)),
     QueryDef("q60_pii_scrub", q60, Some(q60Sql)),
     QueryDef("q61_dsir_selection", q61, Some(q61Sql)),
+    QueryDef("q62_cluster_sample", q62, Some(q62Sql)),
   )
 }

@@ -321,6 +321,14 @@ class PlanAuditSpec extends SparkSpec {
       s"found $exchanges:\n$plan")
   }
 
+  test("q62 cluster-balanced sample: exactly one window, keyed on the cluster") {
+    val plan = planOf("q62_cluster_sample")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1, s"q62 should window once (per-cluster rank), found $windows:\n$plan")
+    assert("windowspecdefinition\\(cluster#".r.findFirstIn(plan).isDefined,
+      s"q62's window must partition on the cluster id:\n$plan")
+  }
+
   test("q61 DSIR plans the selection as a distributed top-k") {
     // orderBy(weight).limit(200) must become TakeOrderedAndProject — a
     // global sort of the scored corpus would be the scale bug.

@@ -79,6 +79,19 @@ class KMeansSpec extends SparkSpec {
       s"the starved cell should win back the exact-seed points: $out")
   }
 
+  test("cluster-balanced sample (q62) keeps exactly ceil(size/5) per cluster") {
+    val q62 = graft.SparkEntry.queries("q62_cluster_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q62.groupBy(_._2).foreach { case (cluster, kept) =>
+      val size = kept.head._3
+      val want = (size + 4) / 5
+      assert(kept.length == want,
+        s"cluster $cluster (size $size) kept ${kept.length}, want $want")
+      assert(kept.map(_._4).sorted.toSeq == (1L to want),
+        s"cluster $cluster ranks must be 1..$want")
+    }
+  }
+
   test("deterministic: two runs produce identical assignments") {
     val vecs = Tables.embeddings(spark, d)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -88,6 +88,49 @@ class StreamingAggsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: row-local signatures probe the static band " +
+    "index, exact pair parity with the batch operator") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (101L, "pack my box with five dozen liquor jugs right now today"),
+      (102L, "entirely different corpus content sits here for the test run")
+    ).toDF("doc_id", "text")
+    val batchDocs = Seq(
+      // near-dup of 100 (one word appended -> shingle jaccard ~0.9)
+      (1L, "the quick brown fox jumps over the lazy dog tonight again please"),
+      (2L, "no relation to anything stored in the standing corpus index"),
+      (3L, "too short")) // <3 words: no signature, must pass through silently
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = graft.llm.Dedup.incrementalNearDupStream(
+        in.toDF().toDF("ts", "doc_id", "text"), "ts", "doc_id", "text",
+        corpus, "doc_id", "text", watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(batchDocs.map { case (id, t) => (ts(0), id, t) }: _*)
+      q.processAllAvailable()
+      // two clean flush batches advance + apply the watermark (see decontam)
+      in.addData((ts(120), 999L, "zz1 zz2 zz3 zz4"))
+      q.processAllAvailable()
+      in.addData((ts(121), 998L, "zz5 zz6 zz7 zz8"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("incdedup")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter(_._1 < 900).toSet
+      val batch = graft.llm.Dedup.incrementalNearDup(
+          corpus, batchDocs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch.map(t => (t._1, t._2)) === Set((1L, 100L)),
+        s"batch fixture sanity (planted pair recovered, nothing else): $batch")
+      assert(streamed === batch,
+        s"stream/batch parity broken:\nstream=$streamed\nbatch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming decontamination: stream-static n-gram probe, parity with the batch report") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
