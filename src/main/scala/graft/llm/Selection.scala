@@ -209,4 +209,52 @@ object Selection {
           .otherwise(expr("rank * 1000000 div weight")))
       .select(col("source"), col("id"), col("rank"), col("coord"))
   }
+
+  /** EXACT global score-quantile cut without a global sort — the "keep the
+    * best `pct`% of the corpus by LM score" thresholding step. The k-th
+    * smallest integer score (k = ⌈pct·N/100⌉, duplicates counted) is found
+    * by the classic two-level decomposition:
+    *
+    *  1. ONE aggregate buckets scores into ≤ `maxBuckets` equal-width ranges
+    *     (width derived from min/max — one metadata-scale pre-aggregate);
+    *     bucket counts collect to the driver (≤ maxBuckets rows);
+    *  2. the driver's cumulative sum locates the bucket holding position k;
+    *  3. a distributed top-k (`orderBy.limit` → TakeOrdered) runs on THAT
+    *     BUCKET'S rows only — a 1/maxBuckets slice of the corpus — and its
+    *     max is the exact threshold.
+    *
+    * Kept = `score <= threshold` (ties at the threshold all kept — ≥ k rows,
+    * deterministic). Integer scores only (the repo's micros contract):
+    * equality and bucket arithmetic must be exact for the oracle to agree.
+    * Output: (id, score, thr) for kept documents. */
+  def quantileCut(scored: DataFrame, idCol: String, scoreCol: String,
+                  pct: Int, maxBuckets: Int = 4096): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
+    val base = scored.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
+    val stats = base.agg(count(lit(1)).as("n"), min("score").as("lo"),
+      max("score").as("hi")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "quantileCut: empty input")
+    val (lo, hi) = (stats.getLong(1), stats.getLong(2))
+    val k = (pct.toLong * n + 99) / 100
+    val width = math.max(1L, (hi - lo) / maxBuckets + 1)
+    val counts = base
+      .groupBy(expr(s"(score - $lo) div $width").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // driver cumsum over ≤ maxBuckets rows: find the bucket holding rank k
+    var cum = 0L
+    var target = -1L
+    var before = 0L
+    counts.iterator.takeWhile(_ => target < 0).foreach { case (b, c) =>
+      if (cum + c >= k) { target = b; before = cum } else cum += c
+    }
+    val kInBucket = (k - before).toInt
+    // exact k'-th smallest within the one target bucket: distributed top-k
+    val thr = base
+      .filter(expr(s"(score - $lo) div $width") === target)
+      .orderBy("score").limit(kInBucket)
+      .agg(max("score")).head().getLong(0)
+    base.filter(col("score") <= thr).withColumn("thr", lit(thr))
+  }
 }

@@ -1648,6 +1648,51 @@ object LlmQueries {
       |SELECT id, cell AS cluster, n AS cluster_size, rk
       |FROM rk WHERE rk * 5 <= n + 4 ORDER BY id""".stripMargin
 
+  // ---------------------------------------------------------------- q63 quantile cut
+
+  /** Exact global score-quantile threshold ([[Selection.quantileCut]]): keep
+    * the best 30% of the corpus by q55's LM score, with the k-th-smallest
+    * threshold found by bucket decomposition + a one-bucket distributed
+    * top-k — never a corpus-wide sort. Oracle computes the same k-th
+    * smallest via a row_number window (affordable at oracle scale). */
+  private def q63(s: SparkSession, d: String): DataFrame = {
+    val nll = LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("avg_nll_micro"))
+    Selection.quantileCut(nll, "doc_id", "avg_nll_micro", pct = 30)
+      .select(col("id").as("doc_id"), col("score"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  private val q63Sql =
+    """WITH ws AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, unnest(w[1:len(w) - 1]) AS w1, unnest(w[2:len(w)]) AS w2
+      |  FROM ws),
+      |pairs AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS m FROM bg GROUP BY 1, 2, 3),
+      |model AS (
+      |  SELECT w1, w2, sum(m)::BIGINT AS c12 FROM pairs GROUP BY 1, 2),
+      |heads AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM model GROUP BY 1),
+      |vocab AS (SELECT count(*)::BIGINT AS v FROM heads),
+      |terms AS (
+      |  SELECT p.doc_id, p.m,
+      |    floor(-ln((mo.c12 + 0.5) / (h.c1 + 0.5 * vocab.v)) * 1000000 + 0.5)::BIGINT AS term
+      |  FROM pairs p
+      |  JOIN model mo USING (w1, w2)
+      |  JOIN heads h USING (w1)
+      |  CROSS JOIN vocab),
+      |nll AS (
+      |  SELECT doc_id, (sum(m * term) // sum(m))::BIGINT AS score
+      |  FROM terms GROUP BY doc_id),
+      |nn AS (SELECT count(*)::BIGINT AS n FROM nll),
+      |kk AS (SELECT (30 * n + 99) // 100 AS k FROM nn),
+      |ranked AS (SELECT score, row_number() OVER (ORDER BY score) AS rn FROM nll),
+      |thr AS (SELECT score AS thr FROM ranked JOIN kk ON rn = k)
+      |SELECT n.doc_id, n.score, t.thr FROM nll n CROSS JOIN thr t
+      |WHERE n.score <= t.thr ORDER BY n.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1688,5 +1733,6 @@ object LlmQueries {
     QueryDef("q60_pii_scrub", q60, Some(q60Sql)),
     QueryDef("q61_dsir_selection", q61, Some(q61Sql)),
     QueryDef("q62_cluster_sample", q62, Some(q62Sql)),
+    QueryDef("q63_quantile_cut", q63, Some(q63Sql)),
   )
 }

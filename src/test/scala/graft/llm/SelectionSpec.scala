@@ -257,4 +257,29 @@ class SelectionSpec extends SparkSpec {
     }
     assert(got.toSeq === exp)
   }
+
+  test("quantileCut finds the exact k-th smallest: naive sorted oracle, " +
+    "duplicate-heavy scores, tiny buckets, full-keep edge") {
+    import spark.implicits._
+    // seeded scores with heavy duplication (mod 17 collapses many values)
+    val rows = (1L to 400L).map { id =>
+      val h = graft.llm.Dedup.MinhashP
+      (id, ((id * 1000003L + 7L) % h) % 17L * 1000L + (id % 3L))
+    }
+    def naive(pct: Int): (Long, Set[Long]) = {
+      val sorted = rows.map(_._2).sorted
+      val k = (pct.toLong * rows.size + 99) / 100
+      val thr = sorted(k.toInt - 1)
+      (thr, rows.filter(_._2 <= thr).map(_._1).toSet)
+    }
+    for (pct <- Seq(1, 30, 50, 100); buckets <- Seq(2, 7, 4096)) {
+      val got = Selection.quantileCut(rows.toDF("id", "s"), "id", "s", pct,
+          maxBuckets = buckets)
+        .collect().map(r => (r.getLong(0), r.getLong(2)))
+      val (thr, keep) = naive(pct)
+      assert(got.forall(_._2 == thr), s"pct=$pct buckets=$buckets: wrong threshold " +
+        s"${got.headOption.map(_._2)}, want $thr")
+      assert(got.map(_._1).toSet === keep, s"pct=$pct buckets=$buckets: wrong keep set")
+    }
+  }
 }
