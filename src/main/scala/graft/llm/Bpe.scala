@@ -1,0 +1,106 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Byte-pair-encoding merge training (Sennrich et al., ACL 2016) — the
+  * tokenizer-construction step of a training-data pipeline, distributed.
+  *
+  * Trains on the WORD-FREQUENCY DICTIONARY, the standard formulation every
+  * real BPE trainer uses: pair statistics are weighted by word counts, so
+  * the corpus is scanned ONCE (one map-side-combinable groupBy to build the
+  * dictionary) and every merge iteration runs on the vocabulary-scale frame
+  * — Heaps' law puts the vocabulary at ~K·N^0.5, so at 100 TB the per-round
+  * work is a few GB regardless of corpus size.
+  *
+  * Per round: adjacent-symbol pair counts (explode + weighted groupBy —
+  * map-side combined), ONE driver-collected top pair (count DESC, then
+  * lexicographic — fully deterministic tie-break), then the merge applied to
+  * every word's symbol array as a greedy left-to-right fold (a per-row
+  * `aggregate` with an array accumulator — the BPE greedy semantics:
+  * "aaaa" under (a,a) becomes ["aa","aa"]). Rounds are separated by the
+  * same flat-`LogicalRDD` lineage barrier [[Clusters]] uses: each round
+  * references the previous round's expressions, and without the barrier the
+  * analyzed plan nests one fold per round.
+  */
+object Bpe {
+
+  /** Greedy left-to-right application of ONE merge (a, b) to a symbol
+    * array: scan the symbols, and whenever the accumulator's last element
+    * is `a` and the current symbol is `b`, replace the last element with
+    * `a+b`. A merged token never re-merges within the same pass (standard
+    * BPE single-pass greedy). */
+  private def mergeOnce(sym: Column, a: String, b: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 &&
+            element_at(acc, -1) === lit(a) && s === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(s))))
+
+  /** The word-frequency dictionary with initial character symbols:
+    * (w, n, sym). One corpus-scale shuffle; everything after is
+    * vocabulary-scale. */
+  private def dictionary(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(lower(col(textCol)), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .withColumn("sym", array_remove(split(col("w"), ""), ""))
+
+  /** Learn `numMerges` BPE merges from the corpus. Returns the merge list
+    * in training order — the tokenizer artifact (apply them in order to
+    * encode). Stops early if no adjacent pair remains. Deterministic:
+    * integer counts, total (count DESC, a, b) tie-break. */
+  def trainMerges(docs: DataFrame, textCol: String, numMerges: Int): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = docs.sparkSession
+    var vocab = dictionary(docs, textCol).persist(StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (merges.length < numMerges && !exhausted) {
+      // weighted adjacent-pair counts: vocabulary-scale explode, map-side
+      // combined groupBy; ONE row to the driver
+      val top = vocab
+        .select(col("n"), explode(when(size(col("sym")) >= 2,
+          transform(sequence(lit(0), size(col("sym")) - 2),
+            i => struct(element_at(col("sym"), i + 1).as("a"),
+              element_at(col("sym"), i + 2).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((a, b))
+        val round = vocab.withColumn("sym", mergeOnce(col("sym"), a, b))
+        // flat-LogicalRDD lineage barrier (see Clusters): constant per-round
+        // plan size; the persisted RDD backs execution either way
+        val next = spark.createDataFrame(round.rdd, round.schema)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count() // materialize before dropping the previous round
+        vocab.unpersist()
+        vocab = next
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq
+  }
+
+  /** Encode a text column with a learned merge list: per-word character
+    * symbols folded through the merges IN TRAINING ORDER, words flattened
+    * left to right. Pure per-row expression work (no shuffle); expression
+    * depth grows with the merge count, so this is the right shape for the
+    * bounded merge lists a test/spec uses — production encoders apply the
+    * learned table in native tokenizer code, not in the engine. */
+  def encode(text: Column, merges: Seq[(String, String)]): Column = {
+    val words = split(lower(text), " ")
+    flatten(transform(words, w => {
+      val sym0 = array_remove(split(w, ""), "")
+      merges.foldLeft(sym0) { case (s, (a, b)) => mergeOnce(s, a, b) }
+    }))
+  }
+}
