@@ -304,11 +304,70 @@ object CdcQueries {
       |SELECT stmt_seq, schema_version, event_type, event FROM ev
       |ORDER BY stmt_seq""".stripMargin
 
+  // -------------------------------------------- q64/q65: CDC apply (replica)
+
+  /** Deterministic per-key change stream derived from `orders`: ~okey/1000
+    * changes per key in `seq` = okey order; every okey%10==7 change is a
+    * delete. Shared contract with the oracle CTE below. */
+  private def changesFromOrders(s: SparkSession, d: String): DataFrame = {
+    val okey = col("o_orderkey")
+    Tables.orders(s, d).select(
+      (okey % 1000).as("pk"), okey.as("seq"),
+      col("o_orderstatus").as("status"), (okey % 100).as("qty"))
+  }
+
+  private val oracleChanges =
+    """WITH c AS (
+      |  SELECT o_orderkey%1000 AS pk, o_orderkey AS seq,
+      |         o_orderstatus AS status, o_orderkey%100 AS qty
+      |  FROM orders),
+      |""".stripMargin
+
+  /** CDC apply, SCD1: materialize the replica's current state — latest change
+    * per key wins, a winning delete tombstones the key ([[graft.cdc.Apply]]).
+    * One PK shuffle with a map-side-combined max_by; no window, no sort. */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    graft.cdc.Apply.latestState(changesFromOrders(s, d), Seq("pk"), "seq",
+        pmod(col("seq"), lit(10)) === 7)
+      .withColumnRenamed("seq", "last_seq")
+      .orderBy("pk")
+
+  private val q64Sql = oracleChanges +
+    """m AS (SELECT pk, max(seq) AS last_seq FROM c GROUP BY pk)
+      |SELECT c.pk, m.last_seq, c.status, c.qty
+      |FROM c JOIN m ON c.pk = m.pk AND c.seq = m.last_seq
+      |WHERE c.seq % 10 <> 7
+      |ORDER BY c.pk""".stripMargin
+
+  /** CDC apply, SCD2: change history with validity intervals — each upsert is
+    * valid from its own seq until the key's next change (upsert supersedes,
+    * delete closes); open interval ⇒ current. Key-partitioned window, never a
+    * global sort. Restricted to a quarter of the key space so the verify-time
+    * result stays compare-sized; the window shape is identical at any width. */
+  private def q65(s: SparkSession, d: String): DataFrame =
+    graft.cdc.Apply.history(
+        changesFromOrders(s, d).filter(col("pk") < 250), Seq("pk"), "seq",
+        pmod(col("seq"), lit(10)) === 7)
+      .select(col("pk"), col("valid_from"), col("valid_to"), col("is_current"),
+        col("status"), col("qty"))
+      .orderBy("pk", "valid_from")
+
+  private val q65Sql = oracleChanges +
+    """h AS (
+      |  SELECT c.*, lead(seq) OVER (PARTITION BY pk ORDER BY seq) AS valid_to
+      |  FROM c WHERE pk < 250)
+      |SELECT pk, seq AS valid_from, valid_to, (valid_to IS NULL) AS is_current,
+      |       status, qty
+      |FROM h WHERE seq % 10 <> 7
+      |ORDER BY pk, valid_from""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q17_envelope", q17, Some(q17Sql)),
     QueryDef("q18_update_pairs", q18, Some(q18Sql)),
     QueryDef("q19_decode", q19, Some(q19Sql)),
     QueryDef("q20_topic_filter", q20, Some(q20Sql)),
     QueryDef("q32_schema_drift", q32, Some(q32Sql)),
+    QueryDef("q64_cdc_apply", q64, Some(q64Sql)),
+    QueryDef("q65_cdc_history", q65, Some(q65Sql)),
   )
 }
