@@ -361,6 +361,42 @@ object CdcQueries {
       |FROM h WHERE seq % 10 <> 7
       |ORDER BY pk, valid_from""".stripMargin
 
+  /** CDC incremental aggregate maintenance (IVM deltas): the change stream's
+    * net effect on per-status (count, sum(qty)) — before-images at −1,
+    * after-images at +1, so group-moving updates debit one group and credit
+    * the other — without ever scanning the replica ([[graft.cdc.Apply
+    * .deltaAggregate]]). Updates move okey%4==0 rows to status 'X' and bump
+    * qty by okey%7; inserts/deletes per the usual okey%10 split. */
+  private def q66(s: SparkSession, d: String): DataFrame = {
+    val okey = col("o_orderkey")
+    val status = col("o_orderstatus")
+    val qty = okey % 100
+    def img(st: Column, q: Column): Column = struct(st.as("status"), q.as("qty"))
+    val before = when(okey % 10 >= 6, img(status, qty)) // null before-image on insert
+    val after = when(okey % 10 < 6, img(status, qty))   // insert keeps the base image
+      .when(okey % 10 < 9,
+        img(when(okey % 4 === 0, lit("X")).otherwise(status), qty + okey % 7)) // null on delete
+    val changes = Tables.orders(s, d).select(before.as("before"), after.as("after"))
+    graft.cdc.Apply.deltaAggregate(changes, Seq("status"), "qty").orderBy("status")
+  }
+
+  private val q66Sql =
+    """WITH b AS (
+      |  SELECT o_orderstatus AS status, o_orderkey%100 AS qty,
+      |         CASE WHEN o_orderkey%4=0 THEN 'X' ELSE o_orderstatus END AS status2,
+      |         o_orderkey%100 + o_orderkey%7 AS qty2,
+      |         o_orderkey%10 AS m
+      |  FROM orders),
+      |contrib AS (
+      |  SELECT status, -1 AS sign, qty FROM b WHERE m >= 6
+      |  UNION ALL
+      |  SELECT status, 1, qty FROM b WHERE m < 6
+      |  UNION ALL
+      |  SELECT status2, 1, qty2 FROM b WHERE m >= 6 AND m < 9)
+      |SELECT status, sum(sign)::BIGINT AS rows_delta,
+      |       sum(sign*qty)::BIGINT AS qty_delta
+      |FROM contrib GROUP BY status ORDER BY status""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q17_envelope", q17, Some(q17Sql)),
     QueryDef("q18_update_pairs", q18, Some(q18Sql)),
@@ -369,5 +405,6 @@ object CdcQueries {
     QueryDef("q32_schema_drift", q32, Some(q32Sql)),
     QueryDef("q64_cdc_apply", q64, Some(q64Sql)),
     QueryDef("q65_cdc_history", q65, Some(q65Sql)),
+    QueryDef("q66_cdc_delta_agg", q66, Some(q66Sql)),
   )
 }
