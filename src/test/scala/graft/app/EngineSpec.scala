@@ -104,6 +104,75 @@ class EngineSpec extends SparkSpec {
       s"$lines2")
   }
 
+  test("replica capstone: binlog bytes -> engine decode -> Apply.latestState " +
+    "== the master's final state, across an engine restart") {
+    import graft.source.{BinlogFixtureWriter, BinlogWire}
+    import BinlogWire._
+    import org.apache.spark.sql.functions._
+    val (in, cp, out) = (tmp(), tmp(), tmp())
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    w.tableMapFull(10L, 5L, "shop", "acct",
+      Seq(TYPE_LONG -> w.mNone, TYPE_TINY -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)),
+      names = Seq("id", "age", "name"), unsignedNumeric = Seq(false, false))
+    // run-1 traffic: insert 1,2; update 1; delete 2; insert 3
+    w.rows(11L, WRITE_ROWS_V2, 5L, 3, Seq(
+      Seq(w.vLong(1), w.vTiny(30), w.vVarchar("ann", 40)),
+      Seq(w.vLong(2), w.vTiny(20), w.vVarchar("bob", 40))))
+    w.rows(12L, UPDATE_ROWS_V2, 5L, 3, Seq(
+      Seq(w.vLong(1), w.vTiny(30), w.vVarchar("ann", 40)),
+      Seq(w.vLong(1), w.vTiny(31), w.vVarchar("anne", 40))))
+    w.rows(13L, DELETE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(2), w.vTiny(20), w.vVarchar("bob", 40))))
+    w.rows(14L, WRITE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(3), w.vTiny(25), w.vVarchar("cat", 40))))
+    Files.write(in.resolve("binlog.000001"), w.bytes)
+
+    def run(): Unit = {
+      val handle = Engine.start(spark, Engine.Config(
+        inputDir = in.toString,
+        checkpointDir = cp.toString,
+        posFile = s"$out/pos.bin",
+        sinks = Seq(CdcStream.SinkConfig("all", s"$out/all")),
+        useDsv2Source = true,
+        wireFormat = Some("binary"),
+        schemaRegistry = Some(new graft.cdc.SchemaRegistry))) // FULL metadata registers from the stream
+      try assert(handle.awaitTermination(120000)) finally handle.stop()
+    }
+    run()
+
+    // run-2 traffic lands AFTER a restart: update 3; delete 1; re-insert 2
+    w.rows(15L, UPDATE_ROWS_V2, 5L, 3, Seq(
+      Seq(w.vLong(3), w.vTiny(25), w.vVarchar("cat", 40)),
+      Seq(w.vLong(3), w.vTiny(26), w.vVarchar("cathy", 40))))
+    w.rows(16L, DELETE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(1), w.vTiny(31), w.vVarchar("anne", 40))))
+    w.rows(17L, WRITE_ROWS_V2, 5L, 3,
+      Seq(Seq(w.vLong(2), w.vTiny(40), w.vVarchar("ben", 40))))
+    Files.write(in.resolve("binlog.000001"), w.bytes)
+    run()
+
+    // the delivered envelope stream (both runs' sink files), parsed back into
+    // a change frame and applied: the replica must equal the master's state
+    val envs = spark.createDataset(readSink(s"$out/all"))(
+      org.apache.spark.sql.Encoders.STRING).toDF("value")
+    val changes = envs.select(
+      get_json_object(col("value"), "$.event_index").cast("long").as("seq"),
+      get_json_object(col("value"), "$.event_type").as("action"),
+      coalesce(get_json_object(col("value"), "$.event.data.new_data.id"),
+        get_json_object(col("value"), "$.event.data.id")).cast("long").as("pk"),
+      coalesce(get_json_object(col("value"), "$.event.data.new_data.age"),
+        get_json_object(col("value"), "$.event.data.age")).cast("long").as("age"),
+      coalesce(get_json_object(col("value"), "$.event.data.new_data.name"),
+        get_json_object(col("value"), "$.event.data.name")).as("name"))
+    val replica = graft.cdc.Apply.latestState(
+        changes, Seq("pk"), "seq", col("action") === "delete")
+      .select("pk", "age", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(replica === Set((2L, 40L, "ben"), (3L, 26L, "cathy")),
+      s"replica after insert/update/delete/reinsert across a restart: $replica")
+  }
+
   test("P2 hot reload: CTRL_RELOAD swaps the sink set; the next batch fans out to it") {
     val (in, cp, out) = (tmp(), tmp(), tmp())
     Files.write(in.resolve("bin.0001"), Seq(line("test", "city", 1)).asJava)
