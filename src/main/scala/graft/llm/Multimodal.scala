@@ -88,6 +88,30 @@ object Multimodal {
     }
   }
 
+  /** 40-bit composite perceptual hash over a [[MediaTensor]] frame — the
+    * media-dedup fingerprint real image pipelines compute after decode+resize
+    * (aHash/dHash family, e.g. for near-identical frame collapse in web-scale
+    * image corpora). Integer-exact by construction (floor comparisons, no
+    * float mean), so the value is engine-portable:
+    *
+    *  - bits 0–15  aHash:  pixel > grid average (as `16·p[j] > Σp`)
+    *  - bits 16–30 dHash:  neighbor gradient `p[j] > p[j+1]`
+    *  - bits 31–38 histogram shape: bin above uniform (`8·h[b] > n`)
+    *  - bit  39    payload-length parity
+    *
+    * Row-local expression work — the dedup itself is then a hash groupBy
+    * (exact) or a banded Hamming join (near), both already-bucketed shapes. */
+  def perceptualHash(tensors: DataFrame): DataFrame =
+    tensors
+      .withColumn("psum", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
+      .withColumn("nb", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
+      .withColumn("phash", expr(
+        """aggregate(sequence(0, 15), 0L, (a, j) -> a + IF(pixels[j] * 16 > psum, shiftleft(1L, j), 0L))
+          | + aggregate(sequence(0, 14), 0L, (a, j) -> a + IF(pixels[j] > pixels[j + 1], shiftleft(1L, j + 16), 0L))
+          | + aggregate(sequence(0, 7), 0L, (a, j) -> a + IF(hist[j] * 8 > nb, shiftleft(1L, j + 31), 0L))
+          | + shiftleft(nb % 2, 39)""".stripMargin))
+      .drop("psum", "nb")
+
   /** Batched resize + feature-extract, same shape as [[decodeBatched]]: one
     * transformer per partition, streamed over the iterator. */
   def transformBatched(media: DataFrame, mk: () => MediaTransformer): Dataset[MediaTensor] = {

@@ -1693,6 +1693,90 @@ object LlmQueries {
       |SELECT n.doc_id, n.score, t.thr FROM nll n CROSS JOIN thr t
       |WHERE n.score <= t.thr ORDER BY n.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q67 media phash
+
+  /** Perceptual-hash media dedup: a fixed-size THUMBNAIL crop (first 128
+    * payload bytes — the length-normalization every real perceptual hash
+    * performs before hashing) → q29b's resize tensor → 40-bit aHash/dHash
+    * composite ([[Multimodal.perceptualHash]], integer-exact) → exact-bucket
+    * duplicate-group sizes via a hash-keyed window. Near-identical media
+    * (shared prefix) collapse to one bucket; the near-dup variant is a banded
+    * Hamming join over the same hash (q30's machinery); the exact bucket is
+    * the oracle-checkable core. */
+  private def q67(s: SparkSession, d: String): DataFrame = {
+    val media = Tables.documents(s, d)
+      .select(col("doc_id").as("id"), col("text").substr(1, 128).cast("binary").as("content"))
+    val tensors = Multimodal.transformBatched(media, () => new Multimodal.StubTransformer).toDF()
+    val hashed = Multimodal.perceptualHash(tensors).select(col("id").as("doc_id"), col("phash"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("phash")
+    hashed.withColumn("n_same", count(lit(1)).over(w)).orderBy("doc_id")
+  }
+
+  private val q67Sql =
+    """WITH tn AS (
+      |  SELECT doc_id, substr(text, 1, 128) AS t FROM documents),
+      |px AS (
+      |  SELECT doc_id,
+      |    [ord(substr(t, (i*octet_length(t::BLOB))//16 + 1, 1)) for i in range(0, 16)] AS p,
+      |    [list_sum([CASE WHEN ord(substr(t, k, 1))//32 = b THEN 1 ELSE 0 END
+      |       for k in range(1, length(t)+1)])::BIGINT for b in range(0, 8)] AS h,
+      |    octet_length(t::BLOB)::BIGINT AS nb
+      |  FROM tn),
+      |ph AS (
+      |  SELECT doc_id,
+      |    list_sum([CASE WHEN p[j+1] * 16 > list_sum(p) THEN (1::BIGINT << j) ELSE 0::BIGINT END for j in range(0, 16)])
+      |  + list_sum([CASE WHEN p[j+1] > p[j+2] THEN (1::BIGINT << (j+16)) ELSE 0::BIGINT END for j in range(0, 15)])
+      |  + list_sum([CASE WHEN h[b+1] * 8 > nb THEN (1::BIGINT << (b+31)) ELSE 0::BIGINT END for b in range(0, 8)])
+      |  + ((nb % 2) << 39) AS phash
+      |  FROM px)
+      |SELECT doc_id, phash::BIGINT AS phash, COUNT(*) OVER (PARTITION BY phash) AS n_same
+      |FROM ph ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q68 bpe encode
+
+  /** The learned BPE artifact applied at corpus scale ([[graft.llm.Bpe
+    * .encode]]): per-word greedy merge fold over a FIXED merge list (training
+    * itself is driver-looped and BpeSpec-verified; encoding is the per-row
+    * production path). The list exercises merge ORDER: (th,e) consumes the
+    * (t,h) output. Text is pre-cleaned to [a-z ] so the oracle's delimited
+    * string-replace rendition is collision-free at any scale. */
+  private val bpeMerges = Seq(("t", "h"), ("th", "e"), ("e", "r"),
+    ("i", "n"), ("a", "n"), ("o", "n"))
+
+  private def q68(s: SparkSession, d: String): DataFrame = {
+    import graft.llm.Bpe
+    val clean = regexp_replace(lower(col("text")), "[^a-z ]", "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), Bpe.encode(clean, bpeMerges).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("toks")).as("encoded"))
+      .orderBy("doc_id")
+  }
+
+  private val q68Sql =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    [x for x in string_split(regexp_replace(lower(text), '[^a-z ]', '', 'g'), ' ')
+      |     if length(x) > 0] AS words
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id,
+      |    flatten([string_split(trim(
+      |        replace(replace(replace(replace(replace(replace(
+      |          '<' || array_to_string([substr(x, i, 1) for i in range(1, length(x)+1)], '><') || '>',
+      |          '<t><h>', '<th>'),
+      |          '<th><e>', '<the>'),
+      |          '<e><r>', '<er>'),
+      |          '<i><n>', '<in>'),
+      |          '<a><n>', '<an>'),
+      |          '<o><n>', '<on>'),
+      |        '<>'), '><')
+      |     for x in words]) AS toks
+      |  FROM w)
+      |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+      |       array_to_string(toks, ' ') AS encoded
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1734,5 +1818,7 @@ object LlmQueries {
     QueryDef("q61_dsir_selection", q61, Some(q61Sql)),
     QueryDef("q62_cluster_sample", q62, Some(q62Sql)),
     QueryDef("q63_quantile_cut", q63, Some(q63Sql)),
+    QueryDef("q67_media_phash", q67, Some(q67Sql)),
+    QueryDef("q68_bpe_encode", q68, Some(q68Sql)),
   )
 }

@@ -252,6 +252,24 @@ class LlmSpec extends SparkSpec {
     assert(batched === mirror)
   }
 
+  test("perceptual hash: hand-computed bits on a crafted payload; equal media ⇒ equal hash") {
+    import spark.implicits._
+    // content = bytes 0..15: grid is the identity, psum=120 → aHash bits are
+    // exactly p[j] > 7.5 ⇒ bits 8..15 (0xFF00); ascending ⇒ dHash 0; all 16
+    // bytes land in histogram bin 0 (16·8 > 16 ⇒ bit 31); n=16 even ⇒ parity 0
+    val media = Seq((1L, (0 until 16).map(_.toByte).toArray),
+      (2L, (0 until 16).map(_.toByte).toArray), // identical media, different id
+      (3L, (0 until 16).map(i => (15 - i).toByte).toArray)) // descending: dHash all 15 bits
+      .toDF("id", "content")
+    val t = Multimodal.transformBatched(media, () => new Multimodal.StubTransformer).toDF()
+    val got = Multimodal.perceptualHash(t)
+      .select("id", "phash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) === (0xFF00L + (1L << 31)))
+    assert(got(2L) === got(1L), "identical payload bytes must collapse to one bucket")
+    // descending: aHash bits 0..7 (big values first), dHash bits 16..30 all set
+    assert(got(3L) === (0xFFL + (0x7FFFL << 16) + (1L << 31)))
+  }
+
   test("row-local fingerprint column equals the frame-level fingerprint op") {
     val docs = Tables.documents(spark, d)
     val frame = TextAnalysis.fingerprints(docs, "doc_id", "text")
