@@ -101,7 +101,11 @@ object Multimodal {
     *
     * Row-local expression work — the dedup itself is then a hash groupBy
     * (exact) or a banded Hamming join (near), both already-bucketed shapes. */
-  def perceptualHash(tensors: DataFrame): DataFrame =
+  def perceptualHash(tensors: DataFrame): DataFrame = {
+    require(Seq("pixels", "hist").forall(tensors.columns.contains),
+      s"perceptualHash expects a MediaTensor frame (pixels, hist); got: ${tensors.columns.mkString(", ")}")
+    require(!tensors.columns.exists(Set("psum", "nb", "phash")),
+      "perceptualHash reserves column names psum/nb/phash")
     tensors
       .withColumn("psum", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
       .withColumn("nb", expr("aggregate(hist, 0L, (a, x) -> a + x)"))
@@ -111,6 +115,7 @@ object Multimodal {
           | + aggregate(sequence(0, 7), 0L, (a, j) -> a + IF(hist[j] * 8 > nb, shiftleft(1L, j + 31), 0L))
           | + shiftleft(nb % 2, 39)""".stripMargin))
       .drop("psum", "nb")
+  }
 
   /** Batched resize + feature-extract, same shape as [[decodeBatched]]: one
     * transformer per partition, streamed over the iterator. */
