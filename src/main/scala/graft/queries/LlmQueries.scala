@@ -1745,9 +1745,10 @@ object LlmQueries {
 
   private def q68(s: SparkSession, d: String): DataFrame = {
     import graft.llm.Bpe
-    val clean = regexp_replace(lower(col("text")), "[^a-z ]", "")
-    Tables.documents(s, d)
-      .select(col("doc_id"), Bpe.encode(clean, bpeMerges).as("toks"))
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      regexp_replace(lower(col("text")), "[^a-z ]", "").as("clean"))
+    // batched imperative encode (the corpus-scale path; ≡ Bpe.encode, BpeSpec)
+    Bpe.encodeBatched(docs, "clean", bpeMerges, "toks")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
       .orderBy("doc_id")

@@ -79,4 +79,15 @@ class BpeSpec extends SparkSpec {
     }
     assert(got.toSeq === want.toSeq)
   }
+
+  test("encodeBatched (imperative corpus path) ≡ the expression form, per doc") {
+    val docs = Tables.documents(spark, d).select(col("doc_id"), col("text")).limit(100)
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "r"), ("a", "n"))
+    val expr = docs.select(col("doc_id"), Bpe.encode(col("text"), merges).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    val batched = Bpe.encodeBatched(docs, "text", merges, "toks")
+      .select("doc_id", "toks")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    assert(batched === expr)
+  }
 }
