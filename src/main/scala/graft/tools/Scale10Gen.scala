@@ -46,7 +46,18 @@ object Scale10Gen {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"""{"scaled":"$out","docs10x":true,"emb10x":true}""")
+    // orders 10×: PK-offset replicas (unique o_orderkey per replica) — scale
+    // evidence for the orders-derived CDC tiers (q17/q18 envelope pipeline,
+    // q64–q66 apply/IVM). The apply-tier key space (okey % 1000) stays fixed,
+    // so 10× data = 10× change-history depth per key, the realistic shape.
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    orders.crossJoin(broadcast(reps))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * lit(1000000000L))
+      .drop("rep")
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    println(s"""{"scaled":"$out","docs10x":true,"emb10x":true,"orders10x":true}""")
     spark.stop()
   }
 }
