@@ -67,4 +67,58 @@ object Sketch {
           .otherwise((col("k_used") - 1).cast("double") / (col("h_k") / lit(Two60)))
           .as("est_ndv"))
   }
+
+  // -------------------------------------------------- Count–Min frequency sketch
+
+  /** Count–Min sketch (Cormode & Muthukrishnan 2005): approximate per-key
+    * frequencies in `d · w` counters regardless of key cardinality. The
+    * companion to KMV's "how many distinct?": CM answers "how often does THIS
+    * key occur?" without per-key state — the tool for token/domain/n-gram
+    * frequency at corpus scale, where an exact per-key count is itself a
+    * 10^10-row frame. One-sided error: `est ≥ true` always (collisions only
+    * ADD), and `est ≤ true + (e/w)·N` with probability `1 − e^−d`.
+    *
+    * Same portability stance as [[Bloom]] vs Spark's `count_min_sketch`
+    * built-in: row `r`'s counter index is `(h1 + r·h2) mod w` over the
+    * md5-derived pair both engines compute identically, so every estimate —
+    * including every collision — is reproducible by the SQL oracle.
+    *
+    * The sketch is a FRAME (r, pos, cnt), ≤ d·w rows: map-side partial
+    * aggregation caps each partition's shuffle contribution at d·w counter
+    * rows no matter how many input rows it holds, and merging two sketches
+    * (days, shards, clusters) is `UNION ALL → sum` on the same bounded key
+    * space. */
+  private def checkCms(d: Int, w: Int): Unit = {
+    require(d > 0 && d <= 16, s"cms depth d must be in [1, 16], got $d")
+    require(w > 0 && w <= (1 << 30), s"cms width w must be in [1, 2^30], got $w")
+  }
+
+  private def cmsPosArray(c: Column, d: Int, w: Int): Column = {
+    val h1 = hash60(c)
+    val h2 = Bloom.hash60b(c)
+    array((0 until d).map(r => (h1 % w + lit(r.toLong) * (h2 % w)) % w): _*)
+  }
+
+  /** Build the (r, pos, cnt) sketch frame over `valueCol` occurrences. */
+  def cmsBuild(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame = {
+    checkCms(d, w)
+    df.select(posexplode(cmsPosArray(valueCol, d, w)).as(Seq("r", "pos")))
+      .groupBy("r", "pos").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query estimates for a (small, bounded-by-construction) probe set:
+    * min over the d rows of the probed counters, 0 when a counter was never
+    * touched. The sketch side is ≤ d·w rows, so AQE broadcasts it — probing
+    * never shuffles the probe frame. Output: (valueColName, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, valueColName: String,
+                  d: Int, w: Int): DataFrame = {
+    checkCms(d, w)
+    probes
+      .select(col(valueColName).as("__v"),
+        posexplode(cmsPosArray(col(valueColName), d, w)).as(Seq("r", "pos")))
+      .join(sketch, Seq("r", "pos"), "left")
+      .groupBy(col("__v"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .withColumnRenamed("__v", valueColName)
+  }
 }

@@ -111,20 +111,27 @@ object Decontam {
     * word dictionary. Value-identical to [[ngramHashesMod]] over
     * [[Dedup.wordHashFrame]] output (the dictionary never changes the hash, a
     * word's value is content-deterministic md5 mod P; it only amortizes the
-    * md5 over occurrences). Cost: one md5 per (gram, position) pair — n× the
-    * dictionary path's hashing — which is the right trade exactly where this
-    * is used: a streaming micro-batch, where the dictionary's corpus-wide
-    * distinct aggregate is not expressible without adding a stateful stage.
+    * md5 over occurrences vs this form's one md5 per word PER ROW). The
+    * right trade exactly where this is used: a streaming micro-batch (the
+    * dictionary's corpus-wide distinct aggregate would add a stateful
+    * stage) and row-local sketch probes (q70 — a dictionary join would
+    * reintroduce the shuffle the sketch exists to avoid).
     * `words` MUST be a materialized attribute (see the re-evaluation trap in
     * [[Dedup.wordHashFrame]]: an inline `split` would be re-evaluated per
-    * `element_at`, turning O(len·n) into O(len²·n)). */
+    * `element_at`, turning O(len·n) into O(len²·n)). The per-word hashes are
+    * let-bound to a lambda variable INSIDE the expression (a bound value —
+    * immune to CollapseProject re-inlining), so md5 runs once per word, not
+    * once per (gram, position): the inlined form measured ~8× slower at n=8
+    * with identical output. */
   def ngramHashesDirect(words: Column, n: Int, p: Long = DecontamP): Column = {
-    def wh(w: Column): Column = Dedup.shingleHash(w) % MinhashP
-    when(size(words) >= n,
-      transform(sequence(lit(0), size(words) - n),
-        i => (1 until n).foldLeft(wh(element_at(words, i + 1)))(
-          (acc, j) => (acc * 31L + wh(element_at(words, i + j + 1))) % p)))
-      .otherwise(array().cast("array<bigint>"))
+    def let(value: Column, body: Column => Column): Column =
+      element_at(transform(array(value), body), 1)
+    let(transform(words, w => Dedup.shingleHash(w) % MinhashP), whs =>
+      when(size(whs) >= n,
+        transform(sequence(lit(0), size(whs) - n),
+          i => (1 until n).foldLeft(element_at(whs, i + 1))(
+            (acc, j) => (acc * 31L + element_at(whs, i + j + 1)) % p)))
+        .otherwise(array().cast("array<bigint>")))
   }
 
   /** Streaming SPAN-level decontamination scrub: the stream-static form of

@@ -257,4 +257,33 @@ object Selection {
       .agg(max("score")).head().getLong(0)
     base.filter(col("score") <= thr).withColumn("thr", lit(thr))
   }
+
+  /** Per-domain document cap — the Common-Crawl-style anti-SEO policy: no
+    * single web domain may contribute more than `cap` documents, the kept
+    * `cap` chosen by seeded deterministic hash order (not crawl order, which
+    * over-represents whatever the crawler saw first). Combined with
+    * [[graft.llm.TextAnalysis.urlHost]] this is the "cap every domain at N
+    * pages" step big-corpus recipes apply before any quality filter.
+    *
+    * Scale shape: rank-by-hash within domain is a `row_number` window keyed
+    * on the domain, and the `pos <= cap` filter sits DIRECTLY on it, which
+    * Spark's InferWindowGroupLimit rewrites into a per-key top-k
+    * (WindowGroupLimit): every map task keeps at most `cap` rows per domain
+    * BEFORE the shuffle, so a 10^8-page megadomain contributes `cap` rows
+    * per upstream partition to the exchange, not 10^8 — the skew a plain
+    * window would die on is bounded by construction. Hash ties break by id;
+    * the order is total and engine-portable ([[Dedup.shingleHash]]).
+    *
+    * Output: the surviving rows + `pos` (1-based rank within domain). */
+  def domainCap(docs: DataFrame, domainCol: String, idCol: String,
+                cap: Int, seed: String): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val byDomain = Window.partitionBy(col(domainCol))
+      .orderBy(col("__h"), col(idCol))
+    docs
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit(seed), col(idCol))))
+      .withColumn("pos", row_number().over(byDomain).cast("long"))
+      .filter(col("pos") <= cap)
+      .drop("__h")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.functions.Sketch
 import graft.llm.{Clusters, Decontam, Dedup, KMeans, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -1778,6 +1779,236 @@ object LlmQueries {
       |       array_to_string(toks, ' ') AS encoded
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q69 domain cap
+
+  /** Per-domain document cap ([[Selection.domainCap]] over
+    * [[TextAnalysis.urlHost]]): the Common-Crawl anti-SEO policy — every doc
+    * gets its deterministic doc_id-derived URL (q42's dirt pattern; the
+    * quadratic-residue domain index gives a skewed, realistic domain size
+    * distribution), the host is extracted, and no domain keeps more than 10
+    * documents, chosen by seeded hash order. The `pos <= cap` filter rides
+    * directly on the row_number window so Spark plans a per-key top-k
+    * (WindowGroupLimit — megadomain skew bounded before the shuffle;
+    * asserted in PlanAuditSpec). */
+  private def q69(s: SparkSession, d: String): DataFrame = {
+    val url = concat(lit("https://d"),
+      ((col("doc_id") * col("doc_id")) % 23).cast("string"),
+      lit(".example."),
+      when(col("doc_id") % 3 === 0, lit("com"))
+        .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net")),
+      lit("/p/"), col("doc_id").cast("string"))
+    val withDomain = Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.urlHost(url).as("domain"))
+    Selection.domainCap(withDomain, "domain", "doc_id", cap = 10, seed = "q69")
+      .select("doc_id", "domain", "pos")
+      .orderBy("doc_id")
+  }
+
+  private val q69Sql =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    'https://d' || ((doc_id * doc_id) % 23) || '.example.' ||
+      |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+      |    '/p/' || doc_id AS url
+      |  FROM documents),
+      |dm AS (
+      |  SELECT doc_id,
+      |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS domain
+      |  FROM u),
+      |h AS (
+      |  SELECT doc_id, domain,
+      |    ('0x' || substr(md5('q69:' || doc_id), 1, 15))::BIGINT AS hh
+      |  FROM dm),
+      |r AS (
+      |  SELECT doc_id, domain,
+      |    row_number() OVER (PARTITION BY domain ORDER BY hh, doc_id)::BIGINT AS pos
+      |  FROM h)
+      |SELECT doc_id, domain, pos FROM r WHERE pos <= 10 ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q70 bloom decontam
+
+  /** Bloom-filter decontamination ([[graft.functions.Bloom]]): q45's
+    * benchmark-overlap question answered through an m-bit membership sketch
+    * instead of the exact broadcast set — the form that still works when the
+    * build side is terabytes (Dolma-style seen-hash dedup). The filter is
+    * built over the benchmark split's 8-gram hashes (one pass, per-partition
+    * bitset partials, OR-merge), then every corpus document counts its
+    * grams that probe positive — row-local, no join, no shuffle of the
+    * corpus side; false positives are deterministic (integer double hashing
+    * over the md5-derived gram hashes — [[graft.functions.Bloom
+    * .buildFromHashes]]'s pre-hashed fast path) so the oracle reproduces
+    * them bit-for-bit. Unlike q45 the report covers
+    * EVERY corpus document (n_hits = 0 rows included): the sketch makes
+    * "probe everything" free, where the exact join only materializes hits. */
+  private def q70(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Bloom
+    val m = 1 << 20; val k = 3; val n = 8
+    val docs = Tables.documents(s, d)
+    val isBench = substring(md5(col("doc_id").cast("string")), 1, 1).isin("0", "1")
+    val grams = Decontam.ngramHashesDirect(split(lower(col("text")), " "), n)
+    val bits = Bloom.buildFromHashes(
+      docs.filter(isBench).select(explode(grams).as("ng")), col("ng"), m, k)
+    docs.filter(!isBench)
+      .select(col("doc_id"), array_distinct(grams).as("ngs"))
+      .select(col("doc_id"), size(col("ngs")).cast("long").as("n_ngrams"),
+        size(filter(col("ngs"), g => Bloom.mightContainHash(bits, g, m, k)))
+          .cast("long").as("n_hits"))
+      .withColumn("hit_permille", when(col("n_ngrams") > 0,
+        expr("n_hits * 1000 div n_ngrams")).otherwise(lit(0L)))
+      .orderBy("doc_id")
+  }
+
+  private val q70Sql =
+    """WITH marked AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws,
+      |    substr(md5(doc_id::VARCHAR), 1, 1) IN ('0','1') AS is_bench
+      |  FROM documents),
+      |wh AS (
+      |  SELECT doc_id, is_bench,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM marked),
+      |g AS (
+      |  SELECT doc_id, is_bench,
+      |    CASE WHEN len(whs) >= 8 THEN [
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717) for i in range(1, len(whs)-6)]
+      |    ELSE [] END AS ngs
+      |  FROM wh),
+      |bpos AS (
+      |  SELECT DISTINCT (ng % 1048576 + r.r * (((ng >> 29) % 1048576) | 1)) % 1048576 AS p
+      |  FROM (SELECT DISTINCT unnest(ngs) AS ng FROM g WHERE is_bench),
+      |       (SELECT unnest(range(0, 3)) AS r) r),
+      |corpus AS (
+      |  SELECT doc_id, list_distinct(ngs) AS ngs FROM g WHERE NOT is_bench),
+      |cg AS (
+      |  SELECT doc_id, unnest(ngs) AS ng FROM corpus),
+      |cpos AS (
+      |  SELECT doc_id, ng, r.r AS r,
+      |    (ng % 1048576 + r.r * (((ng >> 29) % 1048576) | 1)) % 1048576 AS p
+      |  FROM cg, (SELECT unnest(range(0, 3)) AS r) r),
+      |hit AS (
+      |  SELECT doc_id, ng, bool_and(b.p IS NOT NULL) AS is_hit
+      |  FROM cpos c LEFT JOIN bpos b USING (p)
+      |  GROUP BY doc_id, ng),
+      |agg AS (
+      |  SELECT doc_id, sum(CASE WHEN is_hit THEN 1 ELSE 0 END)::BIGINT AS n_hits
+      |  FROM hit GROUP BY doc_id)
+      |SELECT c.doc_id, len(c.ngs)::BIGINT AS n_ngrams,
+      |  coalesce(a.n_hits, 0)::BIGINT AS n_hits,
+      |  CASE WHEN len(c.ngs) > 0
+      |       THEN (coalesce(a.n_hits, 0) * 1000) // len(c.ngs)
+      |       ELSE 0 END::BIGINT AS hit_permille
+      |FROM corpus c LEFT JOIN agg a USING (doc_id)
+      |ORDER BY c.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q71 cms freq
+
+  /** Count–Min token frequencies ([[Sketch.cmsBuild]]/[[Sketch.cmsEstimate]]):
+    * the corpus's word occurrences compressed into a 3×256 counter sketch,
+    * then every vocabulary word's frequency estimated from it and compared
+    * against the exact count. `overcount = est − exact ≥ 0` is the sketch's
+    * one-sided guarantee, and every collision is md5-deterministic, so the
+    * oracle reproduces each estimate exactly. The probe set is the VOCAB
+    * (bounded by the language, not the corpus — the q46 bounded-probe rule);
+    * the sketch frame is ≤ d·w rows, so the probe join broadcasts. */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val cd = 3; val cw = 256
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+    val sketch = Sketch.cmsBuild(words, col("word"), cd, cw)
+    val exact = words.groupBy("word").agg(count(lit(1)).as("exact"))
+    Sketch.cmsEstimate(sketch, exact.select("word"), "word", cd, cw)
+      .join(exact, "word")
+      .select(col("word"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overcount"))
+      .orderBy("word")
+  }
+
+  private val q71Sql =
+    """WITH ws AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |wnz AS (SELECT word FROM ws WHERE length(word) > 0),
+      |exact AS (SELECT word, count(*)::BIGINT AS exact FROM wnz GROUP BY word),
+      |hsh AS (
+      |  SELECT DISTINCT word,
+      |    ('0x' || substr(md5(word), 1, 15))::BIGINT AS h1,
+      |    (('0x' || substr(md5(word), 17, 15))::BIGINT | 1) AS h2
+      |  FROM wnz),
+      |occ AS (SELECT w.word, h.h1, h.h2 FROM wnz w JOIN hsh h USING (word)),
+      |cnt AS (
+      |  SELECT r.r AS r, (h1 % 256 + r.r * (h2 % 256)) % 256 AS p,
+      |    count(*)::BIGINT AS cnt
+      |  FROM occ, (SELECT unnest(range(0, 3)) AS r) r GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT e.word, e.exact, r.r AS r,
+      |    (h.h1 % 256 + r.r * (h.h2 % 256)) % 256 AS p
+      |  FROM exact e JOIN hsh h USING (word),
+      |       (SELECT unnest(range(0, 3)) AS r) r),
+      |est AS (
+      |  SELECT word, exact, min(coalesce(c.cnt, 0))::BIGINT AS est
+      |  FROM probe pr LEFT JOIN cnt c ON pr.r = c.r AND pr.p = c.p
+      |  GROUP BY word, exact)
+      |SELECT word, est, exact, (est - exact)::BIGINT AS overcount
+      |FROM est ORDER BY word""".stripMargin
+
+  // ---------------------------------------------------------------- q72 quality classifier
+
+  /** Hashed-linear quality-classifier inference
+    * ([[TextAnalysis.hashedLinearScore]]): every document scored under a
+    * 4096-bucket linear model, keep = positive score — the classifier-based
+    * quality filter (CCNet/GPT-3 shape) next to the rule-based (q26) and
+    * LM-based (q55) ones. The catalog model's micro-weights are md5-seeded
+    * (a stand-in for trained weights — inference is what's under test, and
+    * the seeded form lets DuckDB derive the identical model); scoring is
+    * row-local, so the oracle's bucket-join formulation must agree on every
+    * word's bucket, collision included. */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val weights = seededMicroWeights("w", 4096)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.hashedLinearScore(col("text"), weights).as("score_micro"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+      .withColumn("keep", col("score_micro") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stand-in model: w[b] = md5_60("w:" || b) % P % 2001 − 1000
+    * (micro-weights in [−1000, 1000]), the exact formula q72Sql's weights CTE
+    * mirrors. */
+  def seededMicroWeights(seed: String, dim: Int): Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { b =>
+      md.reset()
+      val hex = md.digest(s"$seed:$b".getBytes("UTF-8"))
+        .map(x => f"${x & 0xff}%02x").mkString
+      (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L % 2001L) - 1000L
+    }.toArray
+  }
+
+  private val q72Sql =
+    """WITH wt AS (
+      |  SELECT b,
+      |    (('0x' || substr(md5('w:' || b), 1, 15))::BIGINT % 2147483647 % 2001) - 1000 AS w
+      |  FROM (SELECT unnest(range(0, 4096)) AS b)),
+      |ws AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |bx AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(word), 1, 15))::BIGINT % 2147483647 % 4096 AS b
+      |  FROM ws),
+      |sc AS (
+      |  SELECT doc_id, sum(w.w)::BIGINT AS score_micro, count(*)::BIGINT AS n_words
+      |  FROM bx JOIN wt w USING (b) GROUP BY doc_id)
+      |SELECT doc_id, score_micro, n_words, score_micro > 0 AS keep
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -1821,5 +2052,9 @@ object LlmQueries {
     QueryDef("q63_quantile_cut", q63, Some(q63Sql)),
     QueryDef("q67_media_phash", q67, Some(q67Sql)),
     QueryDef("q68_bpe_encode", q68, Some(q68Sql)),
+    QueryDef("q69_domain_cap", q69, Some(q69Sql)),
+    QueryDef("q70_bloom_decontam", q70, Some(q70Sql)),
+    QueryDef("q71_cms_freq", q71, Some(q71Sql)),
+    QueryDef("q72_quality_classifier", q72, Some(q72Sql)),
   )
 }

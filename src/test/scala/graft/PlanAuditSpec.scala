@@ -337,4 +337,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"q61's top-200 cut should plan as TakeOrderedAndProject:\n$plan")
   }
+
+  test("q69 domain cap: the pos<=cap filter becomes a per-key top-k " +
+    "(WindowGroupLimit), so megadomain skew is bounded before the shuffle") {
+    val plan = planOf("q69_domain_cap")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q69's cap must plan as WindowGroupLimit, not a full per-domain sort:\n$plan")
+    assert(!plan.contains("Join"), s"q69 needs no join:\n$plan")
+  }
+
+  test("q70 bloom probe is row-local: no join, no aggregate below the output sort") {
+    // the probe is k bit-tests against the literal bit array — the corpus
+    // side must not shuffle or join for membership (that is the point of
+    // carrying the sketch instead of the exact benchmark set)
+    val plan = planOf("q70_bloom_decontam")
+    assert(!plan.contains("Join"), s"q70's probe must not join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q70's probe must not aggregate:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q70 should shuffle only for the output ORDER BY, " +
+      s"found $exchanges:\n$plan")
+  }
+
+  test("q71 cms: sketch and probe joins are broadcast — the d·w counter frame " +
+    "and the vocab probe never sort-merge") {
+    val plan = planOf("q71_cms_freq")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q71's joins are metadata-scale and must broadcast:\n$plan")
+    assert(plan.contains("HashAggregate"), s"q71 builds the sketch by aggregation:\n$plan")
+  }
+
+  test("q72 classifier inference is row-local: model rides as a literal — " +
+    "no join, no aggregate, only the output sort shuffles") {
+    val plan = planOf("q72_quality_classifier")
+    assert(!plan.contains("Join"), s"q72 must not join (the model is broadcast data):\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q72 must not aggregate:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q72 should shuffle only for the output ORDER BY, " +
+      s"found $exchanges:\n$plan")
+  }
 }

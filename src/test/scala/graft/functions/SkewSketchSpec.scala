@@ -56,4 +56,92 @@ class SkewSketchSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(viaPartials === naive)
   }
+
+  test("Bloom: no false negatives; false positives deterministic and near fill^k") {
+    val m = 4096; val k = 3
+    val build = spark.range(500).select(concat(lit("key"), col("id")).as("v"))
+    val bits = Bloom.build(build, col("v"), m, k)
+    assert(build.filter(!Bloom.mightContain(bits, col("v"), m, k)).count() === 0L,
+      "a bloom filter must never reject an inserted key")
+    // bit-identical rebuild regardless of partitioning
+    val bits2 = Bloom.build(build.repartition(13), col("v"), m, k)
+    assert(bits.toSeq === bits2.toSeq, "filter content must be partition-independent")
+    // false positives: present at this load factor, near theory, and the
+    // SAME keys on every probe (md5 double hashing — no engine randomness)
+    val probe = spark.range(10000).select(concat(lit("other"), col("id")).as("v"))
+    def fps() = probe.filter(Bloom.mightContain(bits, col("v"), m, k))
+      .collect().map(_.getString(0)).sorted.toSeq
+    val fp1 = fps()
+    assert(fp1 === fps(), "false positives must be deterministic")
+    val expect = math.pow(Bloom.fillRatio(bits), k) * 10000
+    assert(fp1.nonEmpty && fp1.size <= expect * 3 + 10,
+      s"fp count ${fp1.size} should be positive and near the fill^k bound $expect")
+  }
+
+  test("Bloom: OR-merging two shard filters equals the filter over the union") {
+    val m = 1024; val k = 4
+    val a = spark.range(0, 300).select(col("id").cast("string").as("v"))
+    val b = spark.range(300, 700).select(col("id").cast("string").as("v"))
+    val merged = Bloom.build(a, col("v"), m, k).zip(Bloom.build(b, col("v"), m, k))
+      .map { case (x, y) => x | y }
+    val whole = Bloom.build(a.union(b), col("v"), m, k)
+    assert(merged.toSeq === whole.toSeq,
+      "sketch union must be the bitwise OR — filters compose across shards/days")
+  }
+
+  test("Bloom pre-hashed path: no false negatives, partition-independent, " +
+    "expression probe agrees with the build's imperative arithmetic") {
+    val m = 2048; val k = 3
+    // well-mixed non-negative 58-bit hashes, the ngramHashesMod shape
+    val hs = spark.range(400)
+      .select((Sketch.hash60(col("id")) % 288230376151711717L).as("h"))
+    val bits = Bloom.buildFromHashes(hs, col("h"), m, k)
+    assert(bits.toSeq === Bloom.buildFromHashes(hs.repartition(7), col("h"), m, k).toSeq)
+    assert(hs.filter(!Bloom.mightContainHash(bits, col("h"), m, k)).count() === 0L,
+      "expression probe must accept every inserted hash (no false negatives ⇒ " +
+        "probe and build compute identical positions)")
+    // negatives mostly rejected at this load factor
+    val others = spark.range(400, 5400)
+      .select((Sketch.hash60(col("id")) % 288230376151711717L).as("h"))
+    val fp = others.filter(Bloom.mightContainHash(bits, col("h"), m, k)).count()
+    val bound = math.pow(Bloom.fillRatio(bits), k) * 5000 * 3 + 10
+    assert(fp <= bound, s"fp count $fp exceeds the fill^k bound $bound")
+    // negative hash violates the pre-hashed contract LOUDLY
+    val ex = intercept[org.apache.spark.SparkException] {
+      Bloom.buildFromHashes(spark.range(1).select(lit(-5L).as("h")), col("h"), m, k)
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("CMS: one-sided (est >= exact), exact without collisions, merge = counter sum") {
+    val cd = 3; val cw = 512
+    val words = spark.range(10000)
+      .select(concat(lit("w"), col("id") % 37).as("v"))
+    val sketch = Sketch.cmsBuild(words, col("v"), cd, cw)
+    assert(sketch.count() <= cd.toLong * cw, "sketch frame is bounded by d*w")
+    val exact = words.groupBy("v").agg(count(lit(1)).as("exact"))
+    val est = Sketch.cmsEstimate(sketch, exact.select("v"), "v", cd, cw)
+      .join(exact, "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length === 37)
+    assert(est.forall { case (_, e, x) => e >= x }, "count-min never undercounts")
+    // 37 keys into 512 counters x 3 rows: the min row is collision-free
+    assert(est.forall { case (_, e, x) => e === x },
+      s"expected exact estimates at this occupancy: ${est.filter(t => t._2 != t._3).toSeq}")
+    // a crowded width FORCES collisions and still never undercounts
+    val tiny = Sketch.cmsBuild(words, col("v"), cd, 8)
+    val estT = Sketch.cmsEstimate(tiny, exact.select("v"), "v", cd, 8)
+      .join(exact, "v").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(estT.forall { case (e, x) => e >= x })
+    assert(estT.exists { case (e, x) => e > x }, "8 counters for 37 keys must collide")
+    // shard merge: union-sum of two half-corpus sketches == whole-corpus sketch
+    val h1 = words.filter(col("v") <= "w2"); val h2 = words.filter(col("v") > "w2")
+    val mergedSketch = Sketch.cmsBuild(h1, col("v"), cd, cw)
+      .union(Sketch.cmsBuild(h2, col("v"), cd, cw))
+      .groupBy("r", "pos").agg(sum("cnt").as("cnt"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("r", "pos").collect().map(_.toSeq.map(_.toString)).toSeq
+    assert(rows(mergedSketch) === rows(sketch),
+      "sketches must merge by counter-wise sum")
+  }
 }

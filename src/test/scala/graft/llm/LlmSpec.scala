@@ -379,4 +379,27 @@ class LlmSpec extends SparkSpec {
       "short 123456 stays",
       "mail <email> via <url> z"))
   }
+
+  test("hashedLinearScore: sum of the words' bucket weights, collisions and " +
+    "repeats included — against a driver-side mirror") {
+    import spark.implicits._
+    val dim = 64 // small dim forces real bucket collisions
+    val weights = graft.queries.LlmQueries.seededMicroWeights("w", dim)
+    def bucket(word: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(word.getBytes("UTF-8")).map(x => f"${x & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2147483647L) % dim).toInt
+    }
+    val docs = Seq(
+      (1L, "alpha beta alpha"), // repeated word counts twice
+      (2L, "gamma"),
+      (3L, "delta epsilon zeta eta theta iota kappa"))
+    val got = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.hashedLinearScore(col("text"), weights).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val want = docs.map { case (id, t) =>
+      (id, t.split(" ").map(w => weights(bucket(w))).foldLeft(0L)(_ + _))
+    }
+    assert(got.toSeq === want)
+  }
 }

@@ -282,4 +282,37 @@ class SelectionSpec extends SparkSpec {
       assert(got.map(_._1).toSet === keep, s"pct=$pct buckets=$buckets: wrong keep set")
     }
   }
+
+  test("domainCap: at most cap per domain, small domains intact, seeded order, " +
+    "plans a per-key top-k (WindowGroupLimit)") {
+    import spark.implicits._
+    // skewed domains: domain d_j holds ~ 400/(j+1) docs (zipf-ish)
+    val rows = (1L to 600L).map(id => (id, s"d${id % 7}.example.com"))
+    val df = rows.toDF("doc_id", "domain")
+    val capped = Selection.domainCap(df, "domain", "doc_id", cap = 30, seed = "s")
+    val byDomain = capped.groupBy("domain").agg(count(lit(1)).as("n"),
+        max("pos").as("maxPos")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val trueSizes = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    trueSizes.foreach { case (dom, sz) =>
+      val (kept, maxPos) = byDomain(dom)
+      assert(kept === math.min(sz, 30L), s"$dom: kept $kept of $sz at cap 30")
+      assert(maxPos === kept, s"$dom: pos must be dense 1..kept")
+    }
+    // deterministic: same kept set on re-run and under repartitioning
+    def keptIds(d: org.apache.spark.sql.DataFrame) =
+      Selection.domainCap(d, "domain", "doc_id", cap = 30, seed = "s")
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptIds(df) === keptIds(df.repartition(17)))
+    // a different seed keeps a different (but equally-sized) set
+    val other = Selection.domainCap(df, "domain", "doc_id", cap = 30, seed = "t")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(other.size === keptIds(df).size)
+    assert(other !== keptIds(df))
+    // the pos <= cap filter must ride the window as a per-key top-k:
+    // map tasks then keep at most cap rows per domain BEFORE the shuffle
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"expected InferWindowGroupLimit to bound the window:\n$plan")
+  }
 }
