@@ -59,6 +59,7 @@ object BinlogWire {
     * `@master_heartbeat_period` is set — liveness only, never written to a
     * binlog file. */
   val HEARTBEAT_EVENT = 27
+  val ROWS_QUERY_EVENT = 29
   /** One per transaction under gtid_mode=ON: flags(1) + source uuid(16) +
     * transaction number(8 LE), ahead of the transaction's events. */
   val GTID_EVENT = 33
@@ -625,11 +626,21 @@ object BinlogWire {
   * FORMAT_DESCRIPTION event declared it, and renders emitted statements as
   * positional JSON lines. Framing (where the 19-byte header + body come
   * from: file bytes vs OK-wrapped packets) stays in the readers. */
-final class BinlogEventDecoder(seqBase: Long, source: String) {
+final class BinlogEventDecoder(seqBase: Long, source: String,
+                               attachRowsQuery: Boolean = false) {
   import BinlogWire._
 
   private var checksummed = false
   private val tableMaps = scala.collection.mutable.Map[Long, TableMap]()
+  /** The pending ROWS_QUERY_EVENT text (binlog_rows_query_log_events=ON):
+    * MySQL logs the ORIGINAL SQL statement once per row-logged statement,
+    * just before its TABLE_MAP. When `attachRowsQuery` is on, subsequent
+    * rows lines carry it in the `query` field (normally null on rows lines —
+    * the Debezium-style provenance enrichment) until the next statement's
+    * ROWS_QUERY overwrites it or the transaction's XID clears it. Default
+    * OFF: the positional stream is byte-identical to a server that does not
+    * log the event. */
+  private var pendingRowsQuery: String = null
   /** Last FULL-metadata schema emitted per table — a TABLE_MAP arrives
     * before EVERY statement, so observations are deduped to changes; a
     * duplicate emission (e.g. after a split/rotate re-creates the decoder)
@@ -694,6 +705,7 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
            UPDATE_ROWS_V1 | UPDATE_ROWS_V2 =>
         rowsLine(c, etype, ts, eventStart)
       case QUERY_EVENT =>
+        pendingRowsQuery = null // a new statement context (BEGIN/DDL) scopes it out
         c.skip(4 + 4) // thread_id, exec_time
         val dbLen = c.u8()
         c.skip(2) // error code
@@ -706,7 +718,15 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
           val qdb = Option(m.group(1)).getOrElse(db)
           positionalLine(qdb, m.group(2), "alter", ts, seqBase + eventStart, null, query)
         } else null
-      case _ => null // ROTATE/XID/others: framing only
+      case ROWS_QUERY_EVENT =>
+        // body: 1 ignorable length byte (the text may exceed 255 and always
+        // runs to the event's end), then the statement text
+        if (attachRowsQuery) { c.skip(1); pendingRowsQuery = c.str(c.remaining) }
+        null
+      case XID_EVENT =>
+        pendingRowsQuery = null // transaction committed: provenance scope ends
+        null
+      case _ => null // ROTATE/others: framing only
     }
   }
 
@@ -734,7 +754,8 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
       case DELETE_ROWS_V1 | DELETE_ROWS_V2 => "delete"
       case _ => "update"
     }
-    positionalLine(tm.db, tm.table, action, ts, seqBase + eventStart, images.result(), null)
+    positionalLine(tm.db, tm.table, action, ts, seqBase + eventStart,
+      images.result(), pendingRowsQuery)
   }
 }
 
@@ -754,12 +775,13 @@ final class BinlogEventDecoder(seqBase: Long, source: String) {
   * ordering depend on (a rotate to a new file must not reset sequences,
   * exactly like `mysql.Position` pairs file+offset). */
 final class BinaryBinlogReader(file: String, fromByte: Long, untilByte: Long,
-                               seqBase: Long = 0L) extends BinlogReader {
+                               seqBase: Long = 0L, attachRowsQuery: Boolean = false)
+    extends BinlogReader {
   import BinlogWire._
 
   private val in = new BufferedInputStream(Files.newInputStream(Paths.get(file)), 1 << 16)
   private var pos: Long = 0L
-  private val decoder = new BinlogEventDecoder(seqBase, file)
+  private val decoder = new BinlogEventDecoder(seqBase, file, attachRowsQuery)
   locally {
     val magic = readN(4)
     require(magic != null && java.util.Arrays.equals(magic, Magic),

@@ -142,8 +142,17 @@ class CdcScan(props: Map[String, String]) extends Scan {
           enabled = sopt("tls").exists(_.equalsIgnoreCase("true")),
           trustAll = sopt("tlsInsecure").exists(_.equalsIgnoreCase("true")),
           truststorePath = sopt("tlsTruststore").getOrElse(""),
-          truststorePassword = sopt("tlsTruststorePassword").getOrElse(""))))
+          truststorePassword = sopt("tlsTruststorePassword").getOrElse("")),
+        attachRowsQuery = rowsQueryAttach))
     else None
+
+  /** Option `rowsQueryAttach=true`: when the master logs
+    * `binlog_rows_query_log_events`, carry each statement's ORIGINAL SQL
+    * (ROWS_QUERY_EVENT) in the rows lines' `query` field — provenance for
+    * audit pipelines. Off by default: the stream is byte-identical to a
+    * server that does not log the event. */
+  private def rowsQueryAttach: Boolean =
+    sopt("rowsQueryAttach").exists(_.equalsIgnoreCase("true"))
 
   override def readSchema(): StructType = CdcSource.schema
   override def description(): String =
@@ -154,8 +163,13 @@ class CdcScan(props: Map[String, String]) extends Scan {
 
   private def factory: CdcReaderFactory = replication match {
     case Some(r) => new CdcReaderFactory(p => r.mkReader(p))
-    case None if binary => new CdcReaderFactory(p =>
-      new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
+    case None if binary =>
+      // local copy: the reader lambda ships to executors and must not
+      // capture `this` (CdcScan holds the non-serializable props map)
+      val rq = rowsQueryAttach
+      new CdcReaderFactory(p =>
+        new BinaryBinlogReader(p.file, p.fromByte, p.untilByte,
+          seqBase = p.globalBase, attachRowsQuery = rq))
     case None => new CdcReaderFactory
   }
 
@@ -200,9 +214,11 @@ class CdcScan(props: Map[String, String]) extends Scan {
         startGtid = props.get("startgtid").orElse(props.get("startGtid")),
         serverLocate = serverLocate)
       case None =>
+        val rq = rowsQueryAttach // serializable local, not a `this` capture
         new CdcMicroBatchStream(dir, filter, opt("maxBytesPerTrigger"), splitBytes,
           mkReader = if (binary) Some(p =>
-            new BinaryBinlogReader(p.file, p.fromByte, p.untilByte, seqBase = p.globalBase))
+            new BinaryBinlogReader(p.file, p.fromByte, p.untilByte,
+              seqBase = p.globalBase, attachRowsQuery = rq))
           else None)
     }
 }
@@ -393,7 +409,8 @@ case class CdcInputPartition(file: String, fromByte: Long, untilByte: Long,
   * reader factory ships it to executors, where each partition dials its own
   * bounded dump. */
 case class ReplConfig(host: String, port: Int, user: String, password: String,
-                      serverId: Long, tls: TlsConfig = TlsConfig.Off)
+                      serverId: Long, tls: TlsConfig = TlsConfig.Off,
+                      attachRowsQuery: Boolean = false)
     extends Serializable {
   /** Metadata-only listing (SHOW BINARY LOGS) — the replication analogue of
     * [[CdcSource.listFiles]]: O(#files) over the wire, never event bytes.
@@ -422,7 +439,7 @@ case class ReplConfig(host: String, port: Int, user: String, password: String,
   def mkReader(p: CdcInputPartition): BinlogReader =
     new ReplicationBinlogReader(host, port, user, password,
       serverId + 1 + (p.ordinal % 100000), p.file, p.fromByte, p.untilByte,
-      seqBase = p.globalBase, tls = tls)
+      seqBase = p.globalBase, tls = tls, attachRowsQuery = attachRowsQuery)
 }
 
 /** Failover detection for position-based resume. A checkpointed global

@@ -125,7 +125,7 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
       var file = file0
       var base = base0
       var lastEnd = math.max(4L, inFile0)
-      var decoder = new BinlogEventDecoder(base, s"${conf.host}:${conf.port}/$file")
+      var decoder = new BinlogEventDecoder(base, s"${conf.host}:${conf.port}/$file", conf.attachRowsQuery)
 
       while (!closed) {
         val ev = client.nextEvent()
@@ -155,7 +155,7 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
           file = c.str(nameLen)
           lastEnd = 4L
           record(file, 4L)
-          decoder = new BinlogEventDecoder(base, s"${conf.host}:${conf.port}/$file")
+          decoder = new BinlogEventDecoder(base, s"${conf.host}:${conf.port}/$file", conf.attachRowsQuery)
           advance(base + 4) // a file start is a valid dump position
           progressed(base + 4)
         } else if (etype == BinlogWire.HEARTBEAT_EVENT) {

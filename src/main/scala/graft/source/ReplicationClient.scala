@@ -660,13 +660,14 @@ object SchemaBootstrap {
 final class ReplicationBinlogReader(host: String, port: Int, user: String, password: String,
                                     serverId: Long, file: String, fromByte: Long,
                                     untilByte: Long, seqBase: Long = 0L,
-                                    tls: TlsConfig = TlsConfig.Off) extends BinlogReader {
+                                    tls: TlsConfig = TlsConfig.Off,
+                                    attachRowsQuery: Boolean = false) extends BinlogReader {
   private val client = new ReplicationClient(host, port, user, password, serverId, tls)
   client.connect()
   client.negotiateChecksum()
   client.registerSlave()
   client.dump(file, math.max(4L, fromByte))
-  private val decoder = new BinlogEventDecoder(seqBase, s"$host:$port/$file")
+  private val decoder = new BinlogEventDecoder(seqBase, s"$host:$port/$file", attachRowsQuery)
   private var done = false
 
   /** 64-bit end position of the last real event seen. The header's log_pos

@@ -160,6 +160,17 @@ final class BinlogFixtureWriter(checksum: Boolean) {
   /** XID transaction-commit marker. */
   def xid(ts: Long, id: Long): Long = event(ts, XID_EVENT, le(id, 8))
 
+  /** ROWS_QUERY_EVENT (binlog_rows_query_log_events=ON): one length byte
+    * (capped at 255 — the text always runs to the event end regardless) +
+    * the original statement text. */
+  def rowsQuery(ts: Long, sql: String): Long = {
+    val b = new ByteArrayOutputStream()
+    val sqlB = sql.getBytes(StandardCharsets.UTF_8)
+    b.write(math.min(sqlB.length, 255))
+    b.write(sqlB)
+    event(ts, ROWS_QUERY_EVENT, b.toByteArray)
+  }
+
   def query(ts: Long, db: String, sql: String): Long = {
     val b = new ByteArrayOutputStream()
     val dbB = db.getBytes(StandardCharsets.UTF_8)
@@ -739,5 +750,41 @@ class BinlogWireSpec extends SparkSpec {
     assert(got.map(_._1) === Seq(1000L + off1, 1000L + off2),
       "pos = globalBase + event offset; each event owned by exactly one split")
     assert(got.map(_._2).distinct === Seq("d.t"))
+  }
+
+  test("ROWS_QUERY provenance: attached rows lines carry the original SQL " +
+    "for every rows event of the statement, scope ends at XID, and the " +
+    "default decoder's stream is unchanged") {
+    val sql = "INSERT INTO orders SELECT * FROM staging WHERE day = '2024-01-01'"
+    def fixture(): BinlogFixtureWriter = {
+      val w = new BinlogFixtureWriter(checksum = true) // CRC strip must precede the text parse
+      w.fde()
+      val cols = Seq(TYPE_LONG -> w.mNone)
+      w.query(9L, "shop", "BEGIN")
+      w.rowsQuery(10L, sql)
+      w.tableMap(10L, 7L, "shop", "orders", cols)
+      w.rows(11L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w.vLong(1))))
+      w.rows(12L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w.vLong(2)))) // split statement: 2nd event, same SQL
+      w.xid(13L, 1L)
+      w.tableMap(14L, 7L, "shop", "orders", cols)
+      w.rows(15L, WRITE_ROWS_V2, 7L, 1, Seq(Seq(w.vLong(3)))) // next txn logged without ROWS_QUERY
+      w
+    }
+    val p = writeTmp(fixture().bytes)
+    val att = {
+      val r = new BinaryBinlogReader(p.toString, 0L, Long.MaxValue, 0L, attachRowsQuery = true)
+      try Iterator.continually(r.nextLine()).takeWhile(_ != null).toList finally r.close()
+    }
+    assert(att.size === 3)
+    assert(att(0)._2.contains("\"query\":\"" + BinlogWire.jsonEscape(sql) + "\"") &&
+      att(1)._2.contains("\"query\":\"" + BinlogWire.jsonEscape(sql) + "\""),
+      s"both rows events of the statement must carry the SQL:\n${att.map(_._2)}")
+    assert(!att(2)._2.contains("\"query\""),
+      "the post-XID statement has no pending ROWS_QUERY and must not inherit one")
+    // default decoder: lines identical except the absent query field
+    val off = readAll(p)
+    assert(off.size === 3 && off.forall(!_._2.contains("\"query\"")))
+    assert(off.map(l => rowsOf(l._2)) === att.map(l => rowsOf(l._2)),
+      "attaching provenance must not perturb the decoded row images")
   }
 }

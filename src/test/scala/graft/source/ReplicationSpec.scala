@@ -831,6 +831,51 @@ class ReplicationSpec extends SparkSpec {
     } finally stub.close()
   }
 
+  test("rowsQueryAttach over the live socket: ROWS_QUERY provenance reaches the " +
+    "DSv2 rows, and the option off leaves the stream untouched") {
+    import BinlogWire._
+    val sql = "UPDATE shop.user SET name = 'zoe' WHERE id = 4"
+    val w = new BinlogFixtureWriter(checksum = true)
+    w.fde()
+    w.query(9L, "shop", "BEGIN")
+    w.rowsQuery(10L, sql)
+    w.tableMap(10L, 5L, "shop", "user",
+      Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+    w.rows(11L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(4), w.vVarchar("zoe", 40))))
+    w.xid(12L, 1L)
+    val stub = new StubMysqlServer("pw")
+    try {
+      stub.files = Seq(("binlog.000001", w.bytes))
+      def drain(attach: Boolean): Seq[String] = {
+        val cp = tmp()
+        val got = scala.collection.mutable.ArrayBuffer[String]()
+        val q = spark.readStream.format("graft-cdc")
+          .option("wireFormat", "replication")
+          .option("host", "127.0.0.1").option("port", stub.port.toString)
+          .option("user", "repl").option("password", "pw")
+          .option("serverId", if (attach) "9300" else "9400")
+          .option("rowsQueryAttach", attach.toString)
+          .load()
+          .writeStream
+          .option("checkpointLocation", cp.toString)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            got ++= batch.collect().map(_.getString(0)); ()
+          }
+          .start()
+        assert(q.awaitTermination(120000), s"stream did not drain: ${q.exception}")
+        got.toSeq
+      }
+      val attached = drain(attach = true)
+      assert(attached.size === 1)
+      assert(attached.head.contains("\"query\":\"" + BinlogWire.jsonEscape(sql) + "\""),
+        s"the rows line must carry the original SQL: $attached")
+      val plain = drain(attach = false)
+      assert(plain.size === 1 && !plain.head.contains("\"query\""),
+        s"default stream must not carry provenance: $plain")
+    } finally stub.close()
+  }
+
   test("socket reader is a drop-in for the file reader: identical (pos, line) stream") {
     val w = fixture()
     val dir = tmp()
