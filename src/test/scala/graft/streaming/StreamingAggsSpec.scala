@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode, split, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 /** Event-time streaming semantics: watermarked window counts (late data past
@@ -335,5 +336,46 @@ class StreamingAggsSpec extends SparkSpec {
       assert(q.lastProgress.stateOperators.nonEmpty,
         "the join must run as a stateful symmetric hash join")
     } finally q.stop()
+  }
+
+  test("continuous Count-Min maintenance: per-micro-batch sketches union-sum " +
+    "into a running sketch that equals the whole-corpus build") {
+    // The sketch-merge law (SkewSketchSpec) applied where it matters at
+    // 100 TB: a stream maintains token frequencies by folding each
+    // micro-batch's bounded d*w sketch into the running one — state is the
+    // sketch frame, never per-key counts. foreachBatch is the right harness:
+    // the fold is a deterministic batch aggregate, not row-wise state.
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    import graft.functions.Sketch
+    val cd = 3; val cw = 128
+    val batches = Seq(
+      Seq("alpha beta alpha", "gamma beta"),
+      Seq("alpha gamma gamma delta"),
+      Seq("beta beta epsilon"))
+    var running: org.apache.spark.sql.DataFrame = null
+    val in = MemoryStream[String]
+    val q = in.toDF().toDF("text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val words = batch.select(explode(split(col("text"), " ")).as("w"))
+        val s = Sketch.cmsBuild(words, col("w"), cd, cw)
+        running = if (running == null) s
+          else running.union(s).groupBy("r", "pos").agg(sum("cnt").as("cnt"))
+        running = running.localCheckpoint(true) // fold result, lineage cut
+        ()
+      }.start()
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val allWords = batches.flatten.flatMap(_.split(" "))
+    val whole = Sketch.cmsBuild(allWords.toDF("w"), col("w"), cd, cw)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("r", "pos").collect().map(_.toSeq.map(_.toString)).toSeq
+    assert(rows(running) === rows(whole),
+      "folded per-batch sketches must equal the one-shot corpus sketch")
+    // and the folded sketch answers point queries with the true counts here
+    val est = Sketch.cmsEstimate(running, Seq("beta").toDF("w"), "w", cd, cw)
+      .collect().head.getLong(1)
+    assert(est === allWords.count(_ == "beta").toLong)
   }
 }
