@@ -1,0 +1,63 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate STRING matching at join scale — the typo-tolerant lookup a
+  * corpus pipeline needs for vocabulary normalization, entity linking and
+  * query-log cleanup. The naive form is a cross join with `levenshtein`,
+  * O(N·M) distance computations; the scale form here is the SymSpell-style
+  * deletion neighborhood (public algorithm, Garbe 2012): every string
+  * generates its ≤k-character-deletion variants, candidates are the pairs
+  * sharing a variant (a keyed equi-join), and only candidates pay the exact
+  * Levenshtein verify.
+  *
+  * LOSSLESS for plain Levenshtein distance ≤ k: any edit script of ≤ k
+  * substitutions/insertions/deletions can be factored through deleting the
+  * touched positions from both sides, so every true pair shares a variant
+  * (spec-proven against brute force). Distances and variants are pure
+  * string functions — DuckDB computes identical results (`levenshtein` has
+  * the same unit-cost semantics in both engines).
+  *
+  * Scale shape: the join key is the variant string — N·(len choose ≤k) keys
+  * instead of N·M pairs. Skew caveat (documented, not silent): VERY short
+  * strings generate near-universal variants ("at" → "a" collides with every
+  * word containing... deleting to "a"), so a production run over raw tokens
+  * bands the join by length (|len(a) − len(b)| ≤ k is implied by the
+  * distance bound and applied as a cheap candidate filter here) and
+  * typically floors the indexed length at ~3. */
+object Fuzzy {
+
+  /** All variants of `c` reachable by deleting UP TO `k` characters
+    * (including `c` itself), distinct. k is small (1 or 2 in practice). */
+  def deletionVariants(c: Column, k: Int): Column = {
+    require(k >= 1 && k <= 3, s"deletion depth k must be in [1,3], got $k")
+    def oneDeletions(w: Column): Column =
+      transform(sequence(lit(1), length(w)),
+        i => concat(w.substr(lit(1), i - 1), w.substr(i + 1, length(w))))
+    (1 to k).foldLeft(array(c)) { (acc, _) =>
+      array_distinct(concat(acc, flatten(transform(acc, oneDeletions(_)))))
+    }
+  }
+
+  /** All (left, right) pairs with `levenshtein(left, right) <= maxDist`,
+    * found via the deletion-neighborhood candidate join + exact verify.
+    * Inputs are single-column frames of DISTINCT strings (dedupe first —
+    * occurrences would multiply candidates for nothing). Output:
+    * (left, right, dist), one row per matching pair. */
+  def fuzzyJoin(left: DataFrame, leftCol: String,
+                right: DataFrame, rightCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 3, s"maxDist must be in [1,3], got $maxDist")
+    val lv = left.select(col(leftCol).as("left"),
+      explode(deletionVariants(col(leftCol), maxDist)).as("__var"))
+    val rv = right.select(col(rightCol).as("right"),
+      explode(deletionVariants(col(rightCol), maxDist)).as("__var"))
+    lv.join(rv, "__var")
+      // length band is implied by the distance bound: prune candidates
+      // before the (more expensive) exact verify
+      .filter(abs(length(col("left")) - length(col("right"))) <= maxDist)
+      .select("left", "right").distinct()
+      .withColumn("dist", levenshtein(col("left"), col("right")))
+      .filter(col("dist") <= maxDist)
+  }
+}

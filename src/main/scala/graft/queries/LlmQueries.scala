@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.Sketch
-import graft.llm.{Clusters, Decontam, Dedup, KMeans, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
+import graft.llm.{Clusters, Decontam, Dedup, Fuzzy, Graph, KMeans, LanguageModel, Multimodal, Retrieval, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -2009,6 +2009,95 @@ object LlmQueries {
       |SELECT doc_id, score_micro, n_words, score_micro > 0 AS keep
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q73 fuzzy join
+
+  /** Typo-tolerant vocabulary match ([[Fuzzy.fuzzyJoin]], SymSpell deletion
+    * neighborhood): every vocab word ≥ 4 chars spawns a deterministic
+    * misspelling (middle character dropped), and each misspelling finds all
+    * vocabulary words within Levenshtein distance 1 — through the keyed
+    * variant join, never a cross join. The oracle brute-forces the same
+    * distance predicate (affordable at oracle scale), so agreement proves
+    * the neighborhood candidates are lossless. */
+  private def q73(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("word"))
+      .filter(length(col("word")) >= 3).distinct()
+    val half = expr("length(word) div 2").cast("int")
+    val probes = vocab.filter(length(col("word")) >= 4)
+      .select(concat(col("word").substr(lit(1), half),
+        col("word").substr(half + 2, length(col("word")))).as("probe"))
+      .distinct()
+    Fuzzy.fuzzyJoin(probes, "probe", vocab, "word", maxDist = 1)
+      .select(col("left").as("probe"), col("right").as("word"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("probe", "word")
+  }
+
+  private val q73Sql =
+    """WITH w AS (
+      |  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word FROM documents),
+      |v AS (SELECT word FROM w WHERE length(word) >= 3),
+      |p AS (
+      |  SELECT DISTINCT
+      |    substr(word, 1, length(word) // 2) || substr(word, length(word) // 2 + 2) AS probe
+      |  FROM v WHERE length(word) >= 4),
+      |m AS (
+      |  SELECT p.probe, v.word, levenshtein(p.probe, v.word) AS dist
+      |  FROM p CROSS JOIN v)
+      |SELECT probe, word, dist::BIGINT AS dist FROM m
+      |WHERE dist <= 1 ORDER BY probe, word""".stripMargin
+
+  // ---------------------------------------------------------------- q74 pagerank
+
+  /** Link-graph PageRank ([[Graph.pageRank]]): each document links to three
+    * deterministic doc_id-derived targets (the testdata carries no link
+    * column — same derived-field pattern as q42/q60/q69), and 3 damped
+    * iterations run in exact integer micro-units. The oracle unrolls the
+    * same three iterations in CTEs; integer `div`/`//` agree on the
+    * non-negative values, so ranks match bit-for-bit. */
+  private def q74(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"))
+    val n = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val edges = docs
+      .select(col("doc_id").as("src"),
+        explode(array(lit(7L), lit(13L), lit(31L))).as("k"))
+      .select(col("src"), ((col("src") * col("k") + col("k")) % n).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    Graph.pageRank(edges, iterations = 3)
+      .select(col("id").as("doc_id"), col("rank_micro"))
+      .orderBy("doc_id")
+  }
+
+  private val q74Sql =
+    """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |e AS (
+      |  SELECT src, (src * k + k) % nn.n AS dst
+      |  FROM (SELECT doc_id AS src, unnest([7, 13, 31]) AS k FROM documents)
+      |  CROSS JOIN nn
+      |  WHERE (src * k + k) % nn.n <> src),
+      |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
+      |c1 AS (
+      |  SELECT e.dst AS id, sum(r0.r // d.deg)::BIGINT AS s
+      |  FROM e JOIN deg d USING (src) JOIN r0 ON r0.id = e.src GROUP BY e.dst),
+      |r1 AS (
+      |  SELECT n.id, (150000 + (850000 * coalesce(c1.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM nodes n LEFT JOIN c1 USING (id)),
+      |c2 AS (
+      |  SELECT e.dst AS id, sum(r1.r // d.deg)::BIGINT AS s
+      |  FROM e JOIN deg d USING (src) JOIN r1 ON r1.id = e.src GROUP BY e.dst),
+      |r2 AS (
+      |  SELECT n.id, (150000 + (850000 * coalesce(c2.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM nodes n LEFT JOIN c2 USING (id)),
+      |c3 AS (
+      |  SELECT e.dst AS id, sum(r2.r // d.deg)::BIGINT AS s
+      |  FROM e JOIN deg d USING (src) JOIN r2 ON r2.id = e.src GROUP BY e.dst),
+      |r3 AS (
+      |  SELECT n.id, (150000 + (850000 * coalesce(c3.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM nodes n LEFT JOIN c3 USING (id))
+      |SELECT id AS doc_id, r AS rank_micro FROM r3 ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -2056,5 +2145,7 @@ object LlmQueries {
     QueryDef("q70_bloom_decontam", q70, Some(q70Sql)),
     QueryDef("q71_cms_freq", q71, Some(q71Sql)),
     QueryDef("q72_quality_classifier", q72, Some(q72Sql)),
+    QueryDef("q73_fuzzy_join", q73, Some(q73Sql)),
+    QueryDef("q74_pagerank", q74, Some(q74Sql)),
   )
 }

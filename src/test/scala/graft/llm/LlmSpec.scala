@@ -380,6 +380,63 @@ class LlmSpec extends SparkSpec {
       "mail <email> via <url> z"))
   }
 
+  test("fuzzyJoin: deletion-neighborhood candidates are LOSSLESS vs brute-force " +
+    "levenshtein at k=1 and k=2; variants hand-case") {
+    import spark.implicits._
+    val vs = Fuzzy.deletionVariants(col("w"), 1)
+    val got = Seq("abc").toDF("w").select(vs).collect().head.getSeq[String](0).sorted
+    assert(got === Seq("ab", "abc", "ac", "bc"), s"variants of abc: $got")
+    // seeded word soup with planted near-misses of several edit kinds
+    val words = Seq("spark", "spork", "sprk", "sparkk", "shark", "sharks",
+      "table", "tale", "tables", "cable", "stable", "batch", "catch", "match",
+      "window", "widow", "windows", "shuffle", "shuffl", "scuffle").distinct
+    val left = words.toDF("a"); val right = words.toDF("b")
+    for (k <- Seq(1, 2)) {
+      val fuzzy = Fuzzy.fuzzyJoin(left, "a", right, "b", maxDist = k)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+      val brute = (for {
+        x <- words; y <- words
+        d = {
+          val dp = Array.tabulate(x.length + 1, y.length + 1)((i, j) => i + j)
+          for (i <- 1 to x.length; j <- 1 to y.length)
+            dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+              dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+          dp(x.length)(y.length)
+        }
+        if d <= k
+      } yield (x, y, d)).toSet
+      assert(fuzzy === brute, s"k=$k: neighborhood join must equal brute force")
+    }
+  }
+
+  test("pageRank: exact integer iterations match a driver-side reference; " +
+    "partition-independent; dangling node keeps teleport-only rank") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 1 cycle, 4 -> 1 feeder, 5 dangling (dst-only via 1 -> 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 5L))
+    def reference(iters: Int): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val sums = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) / deg(e._1)).sum
+        }
+        r = nodes.map(n => n -> (150000L + 850000L * sums.getOrElse(n, 0L) / 1000000L)).toMap
+      }
+      r
+    }
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.pageRank(edges.toDF("src", "dst").repartition(parts), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(3), s"parts=$parts")
+    }
+    // node 5 has no inlinks' contributions only FROM 1; no outlinks at all —
+    // its mass leaks (documented convention), its own rank still gets 1's flow
+    val r3 = reference(3)
+    assert(r3(5L) > 150000L, "dst-only node receives contributions")
+  }
+
   test("hashedLinearScore: sum of the words' bucket weights, collisions and " +
     "repeats included — against a driver-side mirror") {
     import spark.implicits._
