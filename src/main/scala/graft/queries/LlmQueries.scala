@@ -2049,11 +2049,15 @@ object LlmQueries {
 
   // ---------------------------------------------------------------- q74 pagerank
 
-  /** Link-graph PageRank ([[Graph.pageRank]]): each document links to three
-    * deterministic doc_id-derived targets (the testdata carries no link
-    * column — same derived-field pattern as q42/q60/q69), and 3 damped
-    * iterations run in exact integer micro-units. The oracle unrolls the
-    * same three iterations in CTEs; integer `div`/`//` agree on the
+  /** Link-graph PageRank ([[Graph.pageRank]]): each document links to up to
+    * three deterministic doc_id-derived targets (the testdata carries no
+    * link column — same derived-field pattern as q42/q60/q69; the QUADRATIC
+    * target map and the `(src+k) % 4` edge drop make the graph irregular:
+    * varying in-degrees, out-degrees 0–3 including genuinely dangling
+    * nodes, so the ranks actually spread — a linear map would be three
+    * permutations and PageRank would collapse to uniform). 3 damped
+    * iterations in exact integer micro-units; the oracle unrolls the same
+    * three iterations in CTEs; integer `div`/`//` agree on the
     * non-negative values, so ranks match bit-for-bit. */
   private def q74(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
@@ -2061,7 +2065,9 @@ object LlmQueries {
     val edges = docs
       .select(col("doc_id").as("src"),
         explode(array(lit(7L), lit(13L), lit(31L))).as("k"))
-      .select(col("src"), ((col("src") * col("k") + col("k")) % n).as("dst"))
+      .filter((col("src") + col("k")) % 4 =!= 0)
+      .select(col("src"),
+        ((col("src") * col("src") + col("k") * col("src") + col("k")) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
     Graph.pageRank(edges, iterations = 3)
       .select(col("id").as("doc_id"), col("rank_micro"))
@@ -2071,10 +2077,10 @@ object LlmQueries {
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
-      |  SELECT src, (src * k + k) % nn.n AS dst
+      |  SELECT src, (src * src + k * src + k) % nn.n AS dst
       |  FROM (SELECT doc_id AS src, unnest([7, 13, 31]) AS k FROM documents)
       |  CROSS JOIN nn
-      |  WHERE (src * k + k) % nn.n <> src),
+      |  WHERE (src + k) % 4 <> 0 AND (src * src + k * src + k) % nn.n <> src),
       |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
       |r0 AS (SELECT id, 1000000::BIGINT AS r FROM nodes),
