@@ -90,6 +90,118 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Learn `numMerges` BPE merges — the PRODUCTION training path. Bit-
+    * identical to [[trainMerges]] (same weighted pair counts, same
+    * (count DESC, a, b) tie-break, same greedy merge application; proven in
+    * BpeSpec) but runs O(1) Spark jobs total instead of one aggregate +
+    * collect + materialization PER MERGE: a real 32k–50k-merge tokenizer
+    * under [[trainMerges]] is tens of thousands of sequential driver
+    * round-trips — days of fixed scheduling overhead at ANY corpus size.
+    *
+    * Shape: ONE corpus-scale map-side-combined groupBy builds the
+    * word-frequency dictionary; the dictionary is collected to the driver
+    * under the same loud metadata-scale clamp contract as the k-means seed
+    * collect (`KMeans.scala` — Heaps' law puts the vocabulary at ~K·N^0.5,
+    * a few million entries even at 100 TB, and the clamp REFUSES rather than
+    * silently truncates); then the classic incremental trainer (Sennrich
+    * et al. 2016, `learn_bpe`) runs driver-side: pair counts maintained
+    * incrementally via an inverted pair→words index, best pair selected
+    * from a lazy-deletion max-heap, only words containing the merged pair
+    * rewritten. Per-merge cost is O(occurrences), not O(vocabulary), and
+    * zero Spark jobs. */
+  def trainMergesFast(docs: DataFrame, textCol: String, numMerges: Int,
+                      maxVocab: Int = 1 << 22): Seq[(String, String)] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    // the ONE corpus-scale job: dictionary groupBy, clamped collect
+    val dictRows = dictionary(docs, textCol).select("w", "n")
+      .limit(maxVocab + 1).collect()
+    require(dictRows.length <= maxVocab,
+      s"trainMergesFast: word dictionary exceeds maxVocab=$maxVocab entries — " +
+        "the driver-side trainer requires a metadata-scale vocabulary " +
+        "(Heaps' law normally guarantees this; raise maxVocab only with " +
+        "driver memory to match, or pre-filter rare words)")
+    trainFromDictionary(
+      dictRows.map(r => (r.getString(0), r.getLong(1))), numMerges)
+  }
+
+  /** The driver-side incremental BPE loop over a (word, count) dictionary.
+    * Exposed package-private so BpeSpec can parity-test it directly. */
+  private[llm] def trainFromDictionary(dict: Array[(String, Long)],
+                                       numMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    type Pair = (String, String)
+    val words: Array[mutable.ArrayBuffer[String]] =
+      dict.map { case (w, _) => mutable.ArrayBuffer.from(w.map(_.toString)) }
+    val freq: Array[Long] = dict.map(_._2)
+
+    val pairCount = mutable.HashMap.empty[Pair, Long]
+    val pairWords = mutable.HashMap.empty[Pair, mutable.HashSet[Int]]
+    def addOcc(p: Pair, n: Long, idx: Int): Unit = {
+      pairCount.updateWith(p) { c => Some(c.getOrElse(0L) + n) }
+      pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += idx
+    }
+    for (i <- words.indices; j <- 0 until words(i).length - 1)
+      addOcc((words(i)(j), words(i)(j + 1)), freq(i), i)
+
+    // lazy-deletion max-heap: max count first, then LEXICOGRAPHICALLY
+    // SMALLEST (a, b) — the same total tie-break as the distributed
+    // `orderBy(c DESC, a, b)`. An entry is valid iff its stored count still
+    // equals the live count; every count change pushes a fresh entry.
+    val ord: Ordering[(Long, String, String)] = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val ca = y._2.compareTo(x._2)
+          if (ca != 0) ca else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    pairCount.foreach { case ((a, b), c) => heap.enqueue((c, a, b)) }
+
+    val merges = mutable.ArrayBuffer.empty[Pair]
+    while (merges.length < numMerges && heap.nonEmpty) {
+      val (c, a, b) = heap.dequeue()
+      if (pairCount.get((a, b)).contains(c)) { // live entry
+        merges += ((a, b))
+        val merged = a + b
+        val touched = mutable.HashSet.empty[Pair]
+        // rewrite only the words that contain the pair (index may hold
+        // stale members — words rewritten since they were indexed — so
+        // re-verify adjacency during the greedy pass)
+        for (i <- pairWords.getOrElse((a, b), mutable.HashSet.empty)) {
+          val sym = words(i); val n = freq(i)
+          val out = mutable.ArrayBuffer.empty[String]
+          var changed = false
+          for (s <- sym) {
+            if (out.nonEmpty && out.last == a && s == b) {
+              out(out.length - 1) = merged; changed = true
+            } else out += s
+          }
+          if (changed) {
+            def bump(p: Pair, d: Long): Unit = {
+              val nc = pairCount.getOrElse(p, 0L) + d
+              if (nc <= 0L) { pairCount.remove(p); pairWords.remove(p) }
+              else pairCount.update(p, nc)
+              touched += p
+            }
+            for (j <- 0 until sym.length - 1) bump((sym(j), sym(j + 1)), -n)
+            for (j <- 0 until out.length - 1) {
+              val p = (out(j), out(j + 1))
+              bump(p, n)
+              pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+            }
+            words(i) = out
+          }
+        }
+        pairCount.remove((a, b)); pairWords.remove((a, b))
+        for (p <- touched; lc <- pairCount.get(p)) heap.enqueue((lc, p._1, p._2))
+      } // else: stale heap entry, discard
+    }
+    merges.toSeq
+  }
+
   /** Encode a text column with a learned merge list: per-word character
     * symbols folded through the merges IN TRAINING ORDER, words flattened
     * left to right. Pure per-row expression work (no shuffle); expression

@@ -55,6 +55,42 @@ class BpeSpec extends SparkSpec {
     assert(got === refTrain(texts, 8))
   }
 
+  test("trainMergesFast ≡ driver reference over 120 merges (incremental heap loop)") {
+    val docs = Tables.documents(spark, d)
+    val texts = docs.select("text").collect().map(_.getString(0)).toSeq
+    val fast = Bpe.trainMergesFast(docs, "text", 120)
+    val ref = refTrain(texts, 120)
+    assert(fast.length === ref.length)
+    // pinpoint the first divergence if any (full-seq compare is unreadable)
+    fast.zip(ref).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g === w, s"first divergence at merge $i: got $g want $w")
+    }
+  }
+
+  test("trainMergesFast ≡ trainMerges (the distributed cross-check form, 10 merges)") {
+    val docs = Tables.documents(spark, d).limit(120)
+    assert(Bpe.trainMergesFast(docs, "text", 10) === Bpe.trainMerges(docs, "text", 10))
+  }
+
+  test("trainMergesFast: ties break (count DESC, a, b); exhaustion stops early") {
+    import spark.implicits._
+    // "ab" and "cd" both have pair count 2 → (a,b) wins lexicographically
+    val docs = Seq("ab cd", "ab cd").toDF("text")
+    val m = Bpe.trainMergesFast(docs, "text", 50)
+    assert(m.head === (("a", "b")))
+    // single-char words exhaust: every word eventually collapses to 1 symbol
+    assert(m.length < 50, s"must stop when no adjacent pair remains: $m")
+  }
+
+  test("trainMergesFast refuses a dictionary over maxVocab — loud clamp, no truncation") {
+    import spark.implicits._
+    val docs = Seq("w1 w2 w3 w4 w5 w6 w7 w8").toDF("text")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.trainMergesFast(docs, "text", 2, maxVocab = 5)
+    }
+    assert(e.getMessage.contains("maxVocab"), e.getMessage)
+  }
+
   test("encode applies merges greedily left-to-right (aaaa -> aa aa; aaa -> aa a)") {
     import spark.implicits._
     val out = Seq("aaaa aaa ab").toDF("t")
