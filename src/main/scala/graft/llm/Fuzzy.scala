@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   * the same unit-cost semantics in both engines).
   *
   * Scale shape: the join key is the variant string — N·(len choose ≤k) keys
-  * instead of N·M pairs. Skew caveat (documented, not silent): VERY short
-  * strings generate near-universal variants ("at" → "a" collides with every
-  * word containing... deleting to "a"), so a production run over raw tokens
-  * bands the join by length (|len(a) − len(b)| ≤ k is implied by the
-  * distance bound and applied as a cheap candidate filter here) and
-  * typically floors the indexed length at ~3. */
+  * instead of N·M pairs. Skew guard (ENFORCED, not advisory): VERY short
+  * strings generate near-universal variants (every length-1 string deletes
+  * to "", a single bucket holding the whole corpus — exactly the hot-key
+  * explosion the neighborhood join exists to avoid), so both sides are
+  * floored at `minIndexLen` characters BEFORE the variant explode. Strings
+  * below the floor are excluded from the join by contract — a caller that
+  * genuinely needs them lowers `minIndexLen` explicitly and accepts the
+  * bucket-size consequence. The post-join length band (|len(a) − len(b)| ≤
+  * k, implied by the distance bound) stays as the cheap candidate filter. */
 object Fuzzy {
 
   /** All variants of `c` reachable by deleting UP TO `k` characters
@@ -43,15 +46,23 @@ object Fuzzy {
   /** All (left, right) pairs with `levenshtein(left, right) <= maxDist`,
     * found via the deletion-neighborhood candidate join + exact verify.
     * Inputs are single-column frames of DISTINCT strings (dedupe first —
-    * occurrences would multiply candidates for nothing). Output:
-    * (left, right, dist), one row per matching pair. */
+    * occurrences would multiply candidates for nothing). Strings shorter
+    * than `minIndexLen` on EITHER side are excluded from the join entirely
+    * (the skew guard above); the default of 3 matches standard SymSpell
+    * practice. Output: (left, right, dist), one row per matching pair. */
   def fuzzyJoin(left: DataFrame, leftCol: String,
-                right: DataFrame, rightCol: String, maxDist: Int): DataFrame = {
+                right: DataFrame, rightCol: String, maxDist: Int,
+                minIndexLen: Int = 3): DataFrame = {
     require(maxDist >= 1 && maxDist <= 3, s"maxDist must be in [1,3], got $maxDist")
-    val lv = left.select(col(leftCol).as("left"),
-      explode(deletionVariants(col(leftCol), maxDist)).as("__var"))
-    val rv = right.select(col(rightCol).as("right"),
-      explode(deletionVariants(col(rightCol), maxDist)).as("__var"))
+    require(minIndexLen >= 1, s"minIndexLen must be >= 1, got $minIndexLen")
+    // skew guard: floor the indexed string length on BOTH sides before the
+    // variant explode — sub-floor strings are excluded by contract (scaladoc)
+    val lv = left.filter(length(col(leftCol)) >= minIndexLen)
+      .select(col(leftCol).as("left"),
+        explode(deletionVariants(col(leftCol), maxDist)).as("__var"))
+    val rv = right.filter(length(col(rightCol)) >= minIndexLen)
+      .select(col(rightCol).as("right"),
+        explode(deletionVariants(col(rightCol), maxDist)).as("__var"))
     lv.join(rv, "__var")
       // length band is implied by the distance bound: prune candidates
       // before the (more expensive) exact verify

@@ -409,6 +409,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("fuzzyJoin skew guard: sub-minIndexLen strings are excluded pre-explode; " +
+    "the guard bounds the hottest variant bucket") {
+    import spark.implicits._
+    // 40 length-1/2 strings + a few normal words; every length-1 string
+    // deletes to "", so WITHOUT the guard one bucket holds them all
+    val shorts = (('a' to 't').map(_.toString) ++ ('a' to 't').map(c => s"$c$c")).toSeq
+    val words = shorts ++ Seq("spark", "spork", "table", "tale")
+    val df = words.toDF("w")
+
+    // default guard (minIndexLen=3): no short string appears on either side
+    val guarded = Fuzzy.fuzzyJoin(df, "w", df.toDF("w"), "w", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(guarded.forall { case (a, b) => a.length >= 3 && b.length >= 3 },
+      s"short strings must be excluded: ${guarded.filter(p => p._1.length < 3 || p._2.length < 3)}")
+    assert(guarded.contains(("spark", "spork")) && guarded.contains(("table", "tale")))
+
+    // bucket-size bound: max rows per variant key is small under the guard,
+    // corpus-sized without it (the "" bucket alone holds every 1-char string)
+    def maxBucket(minLen: Int): Long = df
+      .filter(length(col("w")) >= minLen)
+      .select(explode(Fuzzy.deletionVariants(col("w"), 1)).as("v"))
+      .groupBy("v").count().agg(max("count")).collect().head.getLong(0)
+    val unguarded = maxBucket(1)
+    val bounded = maxBucket(3)
+    assert(unguarded >= shorts.length / 2,
+      s"fixture must exhibit the hot bucket without the guard: $unguarded")
+    assert(bounded <= 4, s"guarded max variant bucket must stay O(1): $bounded")
+
+    // lowering the floor is an explicit opt-in that restores short pairs
+    val optIn = Fuzzy.fuzzyJoin(df, "w", df.toDF("w"), "w", maxDist = 1, minIndexLen = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(optIn.contains(("a", "aa")), "opt-in floor must admit short strings")
+  }
+
   test("pageRank: exact integer iterations match a driver-side reference; " +
     "partition-independent; dangling node keeps teleport-only rank") {
     import spark.implicits._
