@@ -113,6 +113,38 @@ object Bloom {
     }.reduce(_ && _)
   }
 
+  /** Derive (m, k) for an expected `n` build keys at `targetFp` false-positive
+    * rate — the standard Bloom sizing (m = ⌈−n·ln p / ln²2⌉, k = round(m/n·ln 2)),
+    * with m rounded up to a multiple of 64. REFUSES (does not clamp) when the
+    * derived m exceeds the 2^30 engine ceiling: a silently-undersized filter
+    * saturates and flags everything, which at 100 TB means 100% contamination
+    * with no error — the loud failure here is the feature. */
+  def sizeFor(n: Long, targetFp: Double): (Int, Int) = {
+    require(n > 0, s"bloom sizeFor: n must be positive, got $n")
+    require(targetFp > 0 && targetFp < 1, s"bloom sizeFor: targetFp must be in (0,1), got $targetFp")
+    val ln2 = math.log(2)
+    val mRaw = math.ceil(-n * math.log(targetFp) / (ln2 * ln2))
+    val m = (((mRaw.toLong + 63) / 64) * 64)
+    require(m <= (1 << 30),
+      s"bloom sizeFor: n=$n at fp=$targetFp needs m=$m bits > 2^30 engine ceiling — " +
+        "shard the filter (build per partition range and OR-merge) or relax targetFp")
+    val k = math.max(1, math.min(16, math.round(m.toDouble / n * ln2).toInt))
+    (m.toInt, k)
+  }
+
+  /** Loud saturation refusal: throws when the built filter's observed
+    * false-positive rate (fill^k) exceeds `maxFp`. Call after [[build]] /
+    * [[buildFromHashes]] when `m` was chosen ahead of the data — a fixed m
+    * that was right at SF 1 silently becomes a flag-everything filter at SF
+    * 100, and the only honest behaviors are resize or refuse. */
+  def requireUnsaturated(bits: Array[Long], k: Int, maxFp: Double = 0.05): Unit = {
+    val fill = fillRatio(bits)
+    val fp = math.pow(fill, k)
+    require(fp <= maxFp,
+      f"bloom filter saturated: fill=$fill%.3f, k=$k ⇒ fp≈$fp%.3f > $maxFp%.3f — " +
+        s"resize with Bloom.sizeFor(n, targetFp) (m=${bits.length * 64} bits is too small for this build side)")
+  }
+
   /** Fraction of set bits ∈ [0,1] — the filter's fill ratio, from which the
     * false-positive rate is fill^k. Exposed so callers can assert their
     * chosen `m` still fits the data (a saturated filter flags everything —
@@ -164,8 +196,15 @@ object Bloom {
     checkParams(m, k)
     require(bits.length == m / 64, s"bit array must hold $m bits, got ${bits.length * 64}")
     val bitsLit = typedlit(bits.toSeq)
-    val base = h % m
-    val step = (call_function("shiftright", h, lit(29)) % m).bitwiseOR(lit(1L))
+    // pmod + unsigned shift: identical to the build arithmetic for the
+    // contractual h >= 0, and WELL-DEFINED (positions in [0, m), membership
+    // simply false-or-fp) for a negative probe hash — the plain %/shiftright
+    // form produced a negative array index there, which element_at resolves
+    // from the END of the array: silent wrong membership, the worst failure
+    // mode. The build side throws on negatives; the probe side can't (it
+    // runs per-row inside codegen), so defined-and-harmless is the contract.
+    val base = pmod(h, lit(m.toLong))
+    val step = pmod(call_function("shiftrightunsigned", h, lit(29)), lit(m.toLong)).bitwiseOR(lit(1L))
     (0 until k).map { i =>
       val p = (base + lit(i.toLong) * step) % m
       val word = element_at(bitsLit,

@@ -99,10 +99,17 @@ object Sketch {
     array((0 until d).map(r => (h1 % w + lit(r.toLong) * (h2 % w)) % w): _*)
   }
 
-  /** Build the (r, pos, cnt) sketch frame over `valueCol` occurrences. */
+  /** Build the (r, pos, cnt) sketch frame over `valueCol` occurrences.
+    * NULL keys are EXCLUDED (mirroring [[Bloom.build]]'s null filter): a
+    * null's md5 is null, so its position array is null — without the filter
+    * those occurrences polluted the frame as never-matchable rows and
+    * silently vanished from every estimate. Callers who need a null count
+    * take it directly (`count(col.isNull)`); a sketch is for the non-null
+    * key space. */
   def cmsBuild(df: DataFrame, valueCol: Column, d: Int, w: Int): DataFrame = {
     checkCms(d, w)
-    df.select(posexplode(cmsPosArray(valueCol, d, w)).as(Seq("r", "pos")))
+    df.where(valueCol.isNotNull)
+      .select(posexplode(cmsPosArray(valueCol, d, w)).as(Seq("r", "pos")))
       .groupBy("r", "pos").agg(count(lit(1)).as("cnt"))
   }
 
@@ -114,6 +121,7 @@ object Sketch {
                   d: Int, w: Int): DataFrame = {
     checkCms(d, w)
     probes
+      .where(col(valueColName).isNotNull)
       .select(col(valueColName).as("__v"),
         posexplode(cmsPosArray(col(valueColName), d, w)).as(Seq("r", "pos")))
       .join(sketch, Seq("r", "pos"), "left")

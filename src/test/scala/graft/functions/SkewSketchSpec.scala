@@ -113,6 +113,66 @@ class SkewSketchSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("Bloom.sizeFor: derived (m, k) hits the target fp empirically; ceiling refused") {
+    val n = 2000
+    val (m, k) = Bloom.sizeFor(n, targetFp = 0.01)
+    assert(m % 64 === 0 && k >= 1)
+    val build = spark.range(n).select(concat(lit("key"), col("id")).as("v"))
+    val bits = Bloom.build(build, col("v"), m, k)
+    // design-point fill is ~0.5; observed fp on 20k non-members near 1%
+    val probes = 20000
+    val fp = spark.range(probes).select(concat(lit("zz"), col("id")).as("v"))
+      .filter(Bloom.mightContain(bits, col("v"), m, k)).count()
+    assert(fp <= probes * 0.01 * 3 + 10, s"observed fp $fp/$probes far over the 1% target")
+    assert(fp.toDouble / probes >= 0.0005 || fp == 0, "sanity: rate is a rate")
+    // the sized build passes the saturation gate its fixed-m cousins can fail
+    Bloom.requireUnsaturated(bits, k, maxFp = 0.05)
+    // a build side beyond the 2^30 engine ceiling is refused, not clamped
+    val e = intercept[IllegalArgumentException] { Bloom.sizeFor(1L << 40, 0.01) }
+    assert(e.getMessage.contains("2^30"), e.getMessage)
+  }
+
+  test("Bloom.requireUnsaturated refuses a saturated fixed-m build loudly") {
+    val m = 64; val k = 4 // 64 bits for 500 keys: saturated by construction
+    val bits = Bloom.build(
+      spark.range(500).select(col("id").cast("string").as("v")), col("v"), m, k)
+    val e = intercept[IllegalArgumentException] { Bloom.requireUnsaturated(bits, k) }
+    assert(e.getMessage.contains("saturated") && e.getMessage.contains("sizeFor"),
+      e.getMessage)
+  }
+
+  test("Bloom.mightContainHash: negative probe hash is defined (pmod), not an " +
+    "end-of-array read; h >= 0 results unchanged vs build arithmetic") {
+    val m = 2048; val k = 3
+    val hs = spark.range(300)
+      .select((Sketch.hash60(col("id")) % 288230376151711717L).as("h"))
+    val bits = Bloom.buildFromHashes(hs, col("h"), m, k)
+    // a negative probe must evaluate to a Boolean, never error, never read
+    // bits from the end of the array via a negative element_at index
+    val negProbe = spark.range(1000).select((-col("id") - 1).as("h"))
+      .filter(Bloom.mightContainHash(bits, col("h"), m, k)).count()
+    assert(negProbe >= 0L) // evaluation itself is the assertion (no throw)
+    // contractual h >= 0 probes are byte-for-byte the build arithmetic:
+    // still zero false negatives after the pmod/unsigned-shift change
+    assert(hs.filter(!Bloom.mightContainHash(bits, col("h"), m, k)).count() === 0L)
+  }
+
+  test("CMS: null keys are excluded from build and probe (documented contract)") {
+    import spark.implicits._
+    val d = 4; val w = 512
+    val withNulls = Seq(Some("a"), Some("a"), None, Some("b"), None).toDF("v")
+    val clean = Seq("a", "a", "b").toDF("v")
+    val s1 = Sketch.cmsBuild(withNulls, col("v"), d, w).orderBy("r", "pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val s2 = Sketch.cmsBuild(clean, col("v"), d, w).orderBy("r", "pos")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(s1 === s2, "null occurrences must not pollute the sketch frame")
+    // a null probe row yields no estimate row (not a phantom 0-estimate)
+    val est = Sketch.cmsEstimate(Sketch.cmsBuild(withNulls, col("v"), d, w),
+      Seq(Some("a"), None).toDF("v"), "v", d, w).collect()
+    assert(est.map(r => r.getString(0) -> r.getLong(1)).toSeq === Seq("a" -> 2L))
+  }
+
   test("CMS: one-sided (est >= exact), exact without collisions, merge = counter sum") {
     val cd = 3; val cw = 512
     val words = spark.range(10000)
