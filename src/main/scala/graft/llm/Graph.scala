@@ -17,8 +17,20 @@ import org.apache.spark.storage.StorageLevel
   * out(u))) div 10^6, all in BIGINT (`div` truncation — identical to
   * DuckDB's `//` floor for these non-negative values). Dangling nodes
   * (out-degree 0) leak their mass — the simplest deterministic convention;
-  * the oracle mirrors it. Overflow bound: d · Σ contributions stays under
-  * 2^63 for any graph with fewer than ~10^12 nodes.
+  * the oracle mirrors it.
+  *
+  * Overflow bound (hub-dominated worst case, i.e. real web graphs): the
+  * total rank mass is ≤ N·10^6 micro-units, and a mega-hub can receive
+  * almost all of it in one node's incoming sum `s`, so the `d·s` multiply
+  * wraps signed 64-bit when s > 2^63/d ≈ 1.08·10^13 (d = 0.85·10^6) —
+  * reached around N ≈ 10^7 nodes on a star graph. NOT 10^12: that earlier
+  * claim divided the bound by the damping factor once too often. The
+  * multiply is therefore guarded per-row with a loud `raise_error` —
+  * codegen-cheap (one comparison per node per iteration), no extra driver
+  * action, and it fails at the exact overflowing node instead of producing
+  * silently wrapped ranks. (The SUM itself would need ~10^13 hub in-edges
+  * to wrap, five orders beyond the guarded multiply, so the guard fires
+  * first on any reachable input.)
   *
   * Scale shape: one out-degree aggregate up front; each iteration is ONE
   * rank-keyed equi-join (edges ⋈ ranks on src) + ONE dst-keyed sum with
@@ -54,10 +66,18 @@ object Graph {
       val sums = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst").as("id"), expr("rank_micro div deg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
+      // loud overflow guard: s beyond 2^63/d would wrap the multiply
+      val sLimit = if (dampingMicro == 0L) Long.MaxValue else Long.MaxValue / dampingMicro
+      val sSafe = when(coalesce(col("s"), lit(0L)) <= sLimit, coalesce(col("s"), lit(0L)))
+        .otherwise(raise_error(format_string(
+          s"pageRank 64-bit overflow: node %s incoming sum %s exceeds 2^63/dampingMicro=$sLimit " +
+            "micro-units — rescale ranks or reduce graph mass (hub-dominated graph past ~10^7 nodes)",
+          col("id").cast("string"), col("s").cast("string"))).cast("long"))
       ranks = nodes.join(sums, Seq("id"), "left")
+        .withColumn("_s_safe", sSafe)
         .select(col("id"),
           (lit(teleport) +
-            expr(s"($dampingMicro * coalesce(s, 0L)) div 1000000")).as("rank_micro"))
+            expr(s"($dampingMicro * _s_safe) div 1000000")).as("rank_micro"))
     }
     (ranks, () => { withDeg.unpersist(); nodes.unpersist(); () })
   }

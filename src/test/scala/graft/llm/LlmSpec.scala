@@ -471,6 +471,30 @@ class LlmSpec extends SparkSpec {
     assert(r3(5L) > 150000L, "dst-only node receives contributions")
   }
 
+  test("pageRank mega-hub: exact below the overflow bound, LOUD raise_error above it") {
+    import spark.implicits._
+    // star graph: K spokes all pointing at hub 0; after one iteration the
+    // hub's rank is teleport + d·K·10^6 div 10^6 = 150000 + 850000·K
+    val k = 5000L
+    val star = spark.range(1, k + 1).select(col("id").as("src"), lit(0L).as("dst"))
+    val (ranks, release) = Graph.pageRankManaged(star, 1)
+    try {
+      val hub = ranks.filter(col("id") === 0L).collect().head.getLong(1)
+      assert(hub === 150000L + 850000L * k, s"hub rank exact at K=$k: $hub")
+    } finally release()
+    // past s > 2^63/d ≈ 1.085e13 (≈10.9M unit-degree spokes at rank 10^6)
+    // the d·s multiply would silently wrap; the guard must throw instead
+    val big = spark.range(1, 11_000_001L).select(col("id").as("src"), lit(0L).as("dst"))
+    val (ranksBig, releaseBig) = Graph.pageRankManaged(big, 1)
+    try {
+      val e = intercept[Exception] { ranksBig.filter(col("id") === 0L).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("pageRank 64-bit overflow")),
+        s"expected the loud overflow guard, got: ${msgs(e).mkString(" | ")}")
+    } finally releaseBig()
+  }
+
   test("hashedLinearScore: sum of the words' bucket weights, collisions and " +
     "repeats included — against a driver-side mirror") {
     import spark.implicits._
