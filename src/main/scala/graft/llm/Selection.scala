@@ -274,10 +274,17 @@ object Selection {
     * window would die on is bounded by construction. Hash ties break by id;
     * the order is total and engine-portable ([[Dedup.shingleHash]]).
     *
-    * Output: the surviving rows + `pos` (1-based rank within domain). */
+    * Output: the surviving rows + `pos` (1-based rank within domain).
+    * `pos` is a RESERVED output name and `__h` a reserved scratch name:
+    * inputs already carrying either are refused loudly — the alternative
+    * silently overwrote a caller's column with the rank. */
   def domainCap(docs: DataFrame, domainCol: String, idCol: String,
                 cap: Int, seed: String): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
+    for (reserved <- Seq("__h", "pos"))
+      require(!docs.columns.contains(reserved),
+        s"domainCap reserves column name '$reserved' (rank scratch/output) — " +
+          s"rename the input column first (have: ${docs.columns.mkString(", ")})")
     val byDomain = Window.partitionBy(col(domainCol))
       .orderBy(col("__h"), col(idCol))
     docs

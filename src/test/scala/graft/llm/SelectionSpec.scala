@@ -315,4 +315,18 @@ class SelectionSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected InferWindowGroupLimit to bound the window:\n$plan")
   }
+
+  test("domainCap refuses inputs carrying the reserved __h/pos column names") {
+    import spark.implicits._
+    val withPos = Seq((1L, "a.com", 9L)).toDF("doc_id", "domain", "pos")
+    val e1 = intercept[IllegalArgumentException] {
+      Selection.domainCap(withPos, "domain", "doc_id", cap = 5, seed = "s")
+    }
+    assert(e1.getMessage.contains("'pos'"), e1.getMessage)
+    val withH = Seq((1L, "a.com", 9L)).toDF("doc_id", "domain", "__h")
+    val e2 = intercept[IllegalArgumentException] {
+      Selection.domainCap(withH, "domain", "doc_id", cap = 5, seed = "s")
+    }
+    assert(e2.getMessage.contains("'__h'"), e2.getMessage)
+  }
 }
