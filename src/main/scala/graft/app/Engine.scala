@@ -101,6 +101,44 @@ object Engine {
     }
   }
 
+  /** The analytics-tier counterpart of [[start]]: the SAME input wiring
+    * (DSv2 source with admission control / source-side table filter, or the
+    * plain file stream) but the query body is a caller-supplied STATEFUL
+    * streaming transform — e.g. [[graft.streaming.Analytics.replicaStream]]
+    * (SCD1 replica) or [[graft.streaming.Analytics.runningAggregates]]
+    * (continuous IVM) — running as ONE streaming query with its own
+    * checkpoint. Stateful operators cannot live inside the delivery query's
+    * `foreachBatch`; in Spark's model they are their own query. Run a
+    * delivery query ([[start]]) and any number of analytics queries over
+    * the same input directory, each with its own checkpoint.
+    *
+    * Returns the transformed STREAMING frame; attach the sink with
+    * `writeStream` (Update mode for the Apply-tier operators). For
+    * O(#keys)-beyond-heap state, set the RocksDB state-store provider on
+    * the session before starting — see `ApplySpec`/`EngineSpec`. */
+  def analyticsStream(spark: SparkSession, cfg: Config)
+                     (transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    require(cfg.wireFormat.isEmpty && cfg.schemaRegistry.isEmpty,
+      "Engine.analyticsStream reads the generic entries wire form — the " +
+        "positional/binary forms decode through the delivery engine " +
+        "(Config.schemaRegistry); point analytics at its sink or use " +
+        "entries-form input")
+    val raw =
+      if (cfg.useDsv2Source) {
+        var r = spark.readStream.format("graft-cdc").option("path", cfg.inputDir)
+        cfg.tableFilter.foreach(f => r = r.option("tableFilter", f))
+        cfg.maxBytesPerTrigger.foreach(n => r = r.option("maxBytesPerTrigger", n.toString))
+        cfg.sourceOptions.foreach { case (k, v) => r = r.option(k, v) }
+        r.load()
+          .select(from_json(col("value"), CdcStream.rawSchema).as("r"))
+          .select("r.*")
+          .filter(col("database").isNotNull && col("table").isNotNull &&
+            col("action").isNotNull)
+      } else CdcStream.readRaw(spark, cfg.inputDir)
+    transform(raw)
+  }
+
   /** Start the engine: stream → envelopes → fan-out to configured sinks +
     * any connected TCP subscribers; control service wired to the query. */
   def start(spark: SparkSession, cfg: Config): Handle = {

@@ -86,10 +86,16 @@ object CdcSource {
   def listFiles(dir: String): Seq[(Path, Long)] = {
     val d = Paths.get(dir)
     if (!Files.exists(d)) return Seq.empty
-    Files.list(d).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map(p => p -> Files.size(p))
+    // Files.list holds an open directory fd until closed — this runs on
+    // EVERY offset poll, so a leak here EMFILEs a ProcessingTime-tailing
+    // engine within hours (observed: ~600 polls exhausted the test ulimit)
+    val s = Files.list(d)
+    val names =
+      try s.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("."))
+        .toSeq
+      finally s.close()
+    names.sortBy(_.getFileName.toString).map(p => p -> Files.size(p))
   }
 }
 

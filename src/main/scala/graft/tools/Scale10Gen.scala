@@ -19,6 +19,10 @@ object Scale10Gen {
     val spark = graft.GraftSession.get()
     val reps = spark.range(0, 10).select(col("id").as("rep"))
 
+    // documents 10× also scales the DERIVED-INPUT tiers: q73's fuzzy-join
+    // vocabulary (every distinct text token) and q74's link graph (edges are
+    // a deterministic function of doc_id — 10× documents ⇒ 10× nodes/edges,
+    // so the graph/fuzzy tier gets its 10× reading from this same set).
     val docs = spark.read.parquet(s"$src/documents.parquet")
     docs.crossJoin(broadcast(reps))
       .withColumn("doc_id", col("doc_id") + col("rep") * lit(100000000L))
