@@ -397,6 +397,42 @@ object CdcQueries {
       |       sum(sign*qty)::BIGINT AS qty_delta
       |FROM contrib GROUP BY status ORDER BY status""".stripMargin
 
+  // -------------------------------------------------- q75: analytics tier changes
+
+  /** The streaming-analytics tier's change parser ([[graft.streaming
+    * .Analytics.tableChanges]]) in its batch-equivalent form: wire statements
+    * → typed per-row change records (packed seq, delete flag, before/after
+    * images parsed against the table schema) — the exact frame
+    * `replicaStream`/`runningAggregates` consume. The oracle reconstructs
+    * the same records straight from the derivation contract, so agreement
+    * proves the whole envelope-JSON → get_json_object → from_json round
+    * trip plus the (stmt_seq << 20) + pair_pos packing. Restricted to one
+    * table (the tier's per-table contract). */
+  private def q75(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType), StructField("status", StringType)))
+    graft.streaming.Analytics.tableChanges(rawFromOrders(s, d), "shop", "orders_1", schema)
+      .select(col("seq"), col("deleted"),
+        col("before.id").as("b_id"), col("before.name").as("b_name"),
+        col("before.status").as("b_status"),
+        col("after.id").as("a_id"), col("after.name").as("a_name"),
+        col("after.status").as("a_status"))
+      .orderBy("seq")
+  }
+
+  private val q75Sql = oracleEnvs +
+    """SELECT (okey*1048576 + j)::BIGINT AS seq,
+      |  (action='delete') AS deleted,
+      |  CASE WHEN action IN ('update','delete') THEN okey*10+j END::BIGINT AS b_id,
+      |  CASE WHEN action IN ('update','delete') THEN 'ord'||okey||'_'||j END AS b_name,
+      |  CASE WHEN action IN ('update','delete') THEN status END AS b_status,
+      |  CASE WHEN action IN ('insert','update') THEN okey*10+j END::BIGINT AS a_id,
+      |  CASE WHEN action IN ('insert','update') THEN 'ord'||okey||'_'||j END AS a_name,
+      |  CASE WHEN action='update' THEN 'U' WHEN action='insert' THEN status END AS a_status
+      |FROM img WHERE tbl='orders_1'
+      |ORDER BY seq""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q17_envelope", q17, Some(q17Sql)),
     QueryDef("q18_update_pairs", q18, Some(q18Sql)),
@@ -406,5 +442,6 @@ object CdcQueries {
     QueryDef("q64_cdc_apply", q64, Some(q64Sql)),
     QueryDef("q65_cdc_history", q65, Some(q65Sql)),
     QueryDef("q66_cdc_delta_agg", q66, Some(q66Sql)),
+    QueryDef("q75_analytics_changes", q75, Some(q75Sql)),
   )
 }
