@@ -16,8 +16,9 @@ import org.apache.spark.storage.StorageLevel
   * Per iteration: rank'(v) = (10^6 − d) + (d · Σ_{u→v} (rank(u) div
   * out(u))) div 10^6, all in BIGINT (`div` truncation — identical to
   * DuckDB's `//` floor for these non-negative values). Dangling nodes
-  * (out-degree 0) leak their mass — the simplest deterministic convention;
-  * the oracle mirrors it.
+  * (out-degree 0) leak their mass by default — the simplest deterministic
+  * convention; the oracle mirrors it — or, with `redistributeDangling`,
+  * are redistributed mass-conservingly (integer share per node).
   *
   * Overflow bound (hub-dominated worst case, i.e. real web graphs): the
   * total rank mass is ≤ N·10^6 micro-units, and a mega-hub can receive
@@ -45,9 +46,31 @@ object Graph {
 
   /** PageRank over a directed (src, dst) edge list; extra columns ignored.
     * Returns (id, rank_micro) for every node appearing as a src or dst.
-    * Call the returned `release` when the result has been consumed. */
+    * Call the returned `release` when the result has been consumed.
+    *
+    * `redistributeDangling = true` switches the dangling convention from
+    * mass LEAK (the default, mirrored by the q74 oracle) to the classic
+    * mass-conserving redistribution: each round, the summed rank of
+    * out-degree-0 nodes is divided (integer `div`, truncating) by the node
+    * count and the share added to EVERY node's incoming sum before damping.
+    * Still exact-integer and partition-independent; the redistribution adds
+    * one anti-join + two 1-row aggregates per round (lazy — broadcast into
+    * the rank update, never a driver action). */
   def pageRankManaged(edges: DataFrame, iterations: Int,
-                      dampingMicro: Long = 850000L): (DataFrame, () => Unit) = {
+                      dampingMicro: Long = 850000L,
+                      redistributeDangling: Boolean = false): (DataFrame, () => Unit) = {
+    val (last, _, release) =
+      pageRankFrames(edges, iterations, dampingMicro, redistributeDangling)
+    (last, release)
+  }
+
+  /** The shared iteration loop: returns the final ranks, the PREVIOUS
+    * round's ranks (same lazy lineage — retaining the frame costs nothing),
+    * and the cache release. */
+  private def pageRankFrames(edges: DataFrame, iterations: Int,
+                             dampingMicro: Long,
+                             redistributeDangling: Boolean)
+      : (DataFrame, DataFrame, () => Unit) = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1,100], got $iterations")
     require(dampingMicro >= 0L && dampingMicro <= 1000000L,
@@ -60,30 +83,64 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val srcs = withDeg.select(col("src").as("id")).distinct()
+    val nodeCount = nodes.agg(count(lit(1)).as("__n"))
     val teleport = 1000000L - dampingMicro
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    var prevRanks = ranks
     for (_ <- 1 to iterations) {
+      prevRanks = ranks
       val sums = withDeg.join(ranks, col("src") === col("id"))
         .select(col("dst").as("id"), expr("rank_micro div deg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
+      // per-node share of this round's dangling mass (1-row frame, broadcast)
+      val base = nodes.join(sums, Seq("id"), "left")
+      val withShare =
+        if (!redistributeDangling) base.withColumn("__share", lit(0L))
+        else base.crossJoin(broadcast(
+          ranks.join(srcs, Seq("id"), "left_anti")
+            .agg(coalesce(sum("rank_micro"), lit(0L)).as("__dmass"))
+            .crossJoin(nodeCount)
+            .select(expr("__dmass div __n").as("__share"))))
       // loud overflow guard: s beyond 2^63/d would wrap the multiply
       val sLimit = if (dampingMicro == 0L) Long.MaxValue else Long.MaxValue / dampingMicro
-      val sSafe = when(coalesce(col("s"), lit(0L)) <= sLimit, coalesce(col("s"), lit(0L)))
+      val sIn = coalesce(col("s"), lit(0L)) + col("__share")
+      val sSafe = when(sIn <= sLimit, sIn)
         .otherwise(raise_error(format_string(
           s"pageRank 64-bit overflow: node %s incoming sum %s exceeds 2^63/dampingMicro=$sLimit " +
             "micro-units — rescale ranks or reduce graph mass (hub-dominated graph past ~10^7 nodes)",
           col("id").cast("string"), col("s").cast("string"))).cast("long"))
-      ranks = nodes.join(sums, Seq("id"), "left")
+      ranks = withShare
         .withColumn("_s_safe", sSafe)
         .select(col("id"),
           (lit(teleport) +
             expr(s"($dampingMicro * _s_safe) div 1000000")).as("rank_micro"))
     }
-    (ranks, () => { withDeg.unpersist(); nodes.unpersist(); () })
+    (ranks, prevRanks, () => { withDeg.unpersist(); nodes.unpersist(); () })
   }
 
   /** [[pageRankManaged]] for one-shot use (caches released on session GC). */
   def pageRank(edges: DataFrame, iterations: Int,
-               dampingMicro: Long = 850000L): DataFrame =
-    pageRankManaged(edges, iterations, dampingMicro)._1
+               dampingMicro: Long = 850000L,
+               redistributeDangling: Boolean = false): DataFrame =
+    pageRankManaged(edges, iterations, dampingMicro, redistributeDangling)._1
+
+  /** [[pageRankManaged]] plus a CONVERGENCE CERTIFICATE: a 1-row frame
+    * `(max_abs_delta_micro)` — the largest per-node |rank − previous-round
+    * rank| — so a caller can assert "converged to within ε" as data instead
+    * of trusting an iteration count. Cost: consuming the certificate
+    * evaluates the (N−1)-round lineage alongside the N-round one (both over
+    * the SAME persisted edge/degree frame — no extra parquet passes);
+    * callers who consume ranks AND certificate should persist `ranks`
+    * first or accept the recompute. */
+  def pageRankCertified(edges: DataFrame, iterations: Int,
+                        dampingMicro: Long = 850000L,
+                        redistributeDangling: Boolean = false)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val (last, prev, release) =
+      pageRankFrames(edges, iterations, dampingMicro, redistributeDangling)
+    val cert = last.join(prev.withColumnRenamed("rank_micro", "__prev"), Seq("id"))
+      .agg(max(abs(col("rank_micro") - col("__prev"))).as("max_abs_delta_micro"))
+    (last, cert, release)
+  }
 }

@@ -471,6 +471,53 @@ class LlmSpec extends SparkSpec {
     assert(r3(5L) > 150000L, "dst-only node receives contributions")
   }
 
+  test("pageRank dangling redistribution: mass-conserving, exact vs driver " +
+    "reference; convergence certificate matches and shrinks") {
+    import spark.implicits._
+    // 1 -> 2 -> 3 -> 1 cycle, 4 -> 1 feeder, 5 dangling (via 1 -> 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L), (1L, 5L))
+    def reference(iters: Int, redistribute: Boolean): Map[Long, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (_ <- 1 to iters) {
+        val sums = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) / deg(e._1)).sum
+        }
+        val share =
+          if (!redistribute) 0L
+          else nodes.filterNot(deg.contains).map(r).sum / nodes.size
+        r = nodes.map(n =>
+          n -> (150000L + 850000L * (sums.getOrElse(n, 0L) + share) / 1000000L)).toMap
+      }
+      r
+    }
+    for (parts <- Seq(1, 5)) {
+      val got = Graph.pageRank(edges.toDF("src", "dst").repartition(parts), 4,
+          redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(4, redistribute = true), s"parts=$parts")
+    }
+    // redistribution conserves what the leak convention loses: node 5's
+    // mass returns to the graph, so total rank mass is strictly higher
+    val leakTotal = reference(4, redistribute = false).values.sum
+    val consTotal = reference(4, redistribute = true).values.sum
+    assert(consTotal > leakTotal, s"conserving $consTotal vs leaking $leakTotal")
+
+    // certificate: exact vs the reference delta, and non-increasing with
+    // more iterations on this convergent graph
+    def cert(iters: Int): Long = {
+      val (_, c, release) = Graph.pageRankCertified(edges.toDF("src", "dst"), iters)
+      try c.collect().head.getLong(0) finally release()
+    }
+    val refDelta = { // |r4 - r3| max under the default leak convention
+      val (r3, r4) = (reference(3, false), reference(4, false))
+      r4.map { case (n, v) => math.abs(v - r3(n)) }.max
+    }
+    assert(cert(4) === refDelta, s"certificate must equal the reference delta")
+    assert(cert(8) <= cert(4), "delta must not grow with iterations here")
+  }
+
   test("pageRank mega-hub: exact below the overflow bound, LOUD raise_error above it") {
     import spark.implicits._
     // star graph: K spokes all pointing at hub 0; after one iteration the
