@@ -125,6 +125,75 @@ object Graph {
                redistributeDangling: Boolean = false): DataFrame =
     pageRankManaged(edges, iterations, dampingMicro, redistributeDangling)._1
 
+  /** Exact bounded-depth HARMONIC CENTRALITY — the other link-graph quality
+    * signal web-corpus recipes actually use (Common Crawl publishes harmonic
+    * centrality as its primary host ranking): H_R(v) = Σ_{u, 0 < dist(u→v) ≤ R}
+    * 1/dist(u→v), over shortest directed distances. Exact and integer-only:
+    * the unit is 1/60 (60 = lcm(1..6)), so a node at distance d contributes
+    * `60/d` exactly — no floats, bit-identical at any partitioning and in
+    * the DuckDB oracle. Self-distances are excluded (dist(v,v)=0 by
+    * definition).
+    *
+    * Shape: BFS frontier labeling — level d's frontier is the DISTINCT
+    * (u, v) pairs first reachable in exactly d hops (an equi-join of the
+    * previous frontier with the edge list, anti-joined against everything
+    * seen). Each level is one join + distinct + anti-join, all hash
+    * shuffles on the pair key; frontiers/seen-set are persisted because
+    * each level rescans them.
+    *
+    * Scale contract (be honest about what "exact" costs): the seen-set
+    * materializes every within-R ball, O(Σ_v |ball_R(v)|) pairs — fine for
+    * bounded R on sparse corpus graphs (out-degree ~links-per-doc), and the
+    * right price when the result must be reproducible/oracle-checkable. On
+    * a dense web graph at R ≥ 4 the balls approach N² and the exact form is
+    * the wrong tool — that regime belongs to register-sketch neighborhood
+    * estimation (HyperBall, Boldi & Vigna 2013), which trades the oracle
+    * contract for O(N·2^p) state. */
+  def harmonicCentralityManaged(edges: DataFrame, maxDepth: Int)
+      : (DataFrame, () => Unit) = {
+    require(maxDepth >= 1 && maxDepth <= 6,
+      s"maxDepth must be in [1,6] (unit is 1/60 = 1/lcm(1..6)), got $maxDepth")
+    require(edges.columns.length >= 2,
+      s"harmonicCentrality needs (src, dst) columns, got ${edges.columns.toSeq}")
+    val scale = 60L
+    // reachability ignores edge multiplicity: dedupe up front
+    val e = edges.select(edges.columns.take(2).map(col): _*).toDF("src", "dst")
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
+    var frontier = e.filter(col("src") =!= col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += frontier
+    var seen = frontier
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](
+      frontier.groupBy("v").agg((count(lit(1)) * lit(scale)).as("w")))
+    for (d <- 2 to maxDepth) {
+      // frontier derives from e — alias both sides so the self-join lineage
+      // resolves unambiguously
+      val expanded = frontier.as("f").join(e.as("g"), col("f.v") === col("g.src"))
+        .select(col("f.u").as("u"), col("g.dst").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = expanded.join(seen, Seq("u", "v"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += next
+      levels += next.groupBy("v").agg((count(lit(1)) * lit(scale / d)).as("w"))
+      seen = seen.union(next).persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += seen
+      frontier = next
+    }
+    val har = levels.reduce(_ union _).groupBy("v").agg(sum("w").as("harmonic_x60"))
+    val out = nodes.join(har, nodes("id") === har("v"), "left")
+      .select(col("id"), coalesce(col("harmonic_x60"), lit(0L)).as("harmonic_x60"))
+    (out, () => { persisted.foreach(_.unpersist()); () })
+  }
+
+  /** [[harmonicCentralityManaged]] for one-shot use. */
+  def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame =
+    harmonicCentralityManaged(edges, maxDepth)._1
+
   /** [[pageRankManaged]] plus a CONVERGENCE CERTIFICATE: a 1-row frame
     * `(max_abs_delta_micro)` — the largest per-node |rank − previous-round
     * rank| — so a caller can assert "converged to within ε" as data instead

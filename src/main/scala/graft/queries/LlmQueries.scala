@@ -2059,20 +2059,60 @@ object LlmQueries {
     * iterations in exact integer micro-units; the oracle unrolls the same
     * three iterations in CTEs; integer `div`/`//` agree on the
     * non-negative values, so ranks match bit-for-bit. */
-  private def q74(s: SparkSession, d: String): DataFrame = {
+  /** The deterministic doc_id-derived link graph shared by q74/q76 (see the
+    * q74 scaladoc for why the quadratic target map). Edge MULTIPLICITY is
+    * preserved (PageRank weights by it; reachability ops dedupe internally). */
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"))
     val n = docs.agg(max("doc_id")).head().getLong(0) + 1
-    val edges = docs
+    docs
       .select(col("doc_id").as("src"),
         explode(array(lit(7L), lit(13L), lit(31L))).as("k"))
       .filter((col("src") + col("k")) % 4 =!= 0)
       .select(col("src"),
         ((col("src") * col("src") + col("k") * col("src") + col("k")) % n).as("dst"))
       .filter(col("src") =!= col("dst"))
-    Graph.pageRank(edges, iterations = 3)
+  }
+
+  private def q74(s: SparkSession, d: String): DataFrame =
+    Graph.pageRank(linkEdges(s, d), iterations = 3)
       .select(col("id").as("doc_id"), col("rank_micro"))
       .orderBy("doc_id")
-  }
+
+  // ---------------------------------------------------------------- q76 harmonic centrality
+
+  /** Exact depth-3 harmonic centrality over the same derived link graph
+    * ([[Graph.harmonicCentrality]]): each node's score is Σ 60/dist over
+    * every node that reaches it within 3 hops (integer 1/60 units — exact,
+    * engine-portable). The oracle unrolls the same three BFS levels with
+    * DISTINCT/EXCEPT set algebra, so agreement proves the frontier labeling
+    * assigns every pair its true shortest distance. */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    Graph.harmonicCentrality(linkEdges(s, d), maxDepth = 3)
+      .select(col("id").as("doc_id"), col("harmonic_x60"))
+      .orderBy("doc_id")
+
+  private val q76Sql =
+    """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |e0 AS (
+      |  SELECT src, (src * src + k * src + k) % nn.n AS dst
+      |  FROM (SELECT doc_id AS src, unnest([7, 13, 31]) AS k FROM documents)
+      |  CROSS JOIN nn
+      |  WHERE (src + k) % 4 <> 0 AND (src * src + k * src + k) % nn.n <> src),
+      |e AS (SELECT DISTINCT src, dst FROM e0),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |d1 AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+      |x2 AS (SELECT DISTINCT d1.u, e.dst AS v FROM d1 JOIN e ON d1.v = e.src WHERE d1.u <> e.dst),
+      |d2 AS (SELECT u, v FROM x2 EXCEPT SELECT u, v FROM d1),
+      |x3 AS (SELECT DISTINCT d2.u, e.dst AS v FROM d2 JOIN e ON d2.v = e.src WHERE d2.u <> e.dst),
+      |d3 AS (SELECT u, v FROM x3 EXCEPT SELECT u, v FROM d1 EXCEPT SELECT u, v FROM d2),
+      |w AS (
+      |  SELECT v, 60 AS w FROM d1
+      |  UNION ALL SELECT v, 30 FROM d2
+      |  UNION ALL SELECT v, 20 FROM d3)
+      |SELECT n.id AS doc_id, coalesce(sum(w), 0)::BIGINT AS harmonic_x60
+      |FROM nodes n LEFT JOIN w ON w.v = n.id
+      |GROUP BY n.id ORDER BY doc_id""".stripMargin
 
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
@@ -2153,5 +2193,6 @@ object LlmQueries {
     QueryDef("q72_quality_classifier", q72, Some(q72Sql)),
     QueryDef("q73_fuzzy_join", q73, Some(q73Sql)),
     QueryDef("q74_pagerank", q74, Some(q74Sql)),
+    QueryDef("q76_harmonic", q76, Some(q76Sql)),
   )
 }

@@ -471,6 +471,28 @@ class LlmSpec extends SparkSpec {
     assert(r3(5L) > 150000L, "dst-only node receives contributions")
   }
 
+  test("harmonicCentrality: exact shortest-distance weights on a hand fixture; " +
+    "parallel edges deduped; partition-independent; self excluded") {
+    import spark.implicits._
+    // 1→2 (twice: parallel edge), 1→3 shortcut, 2→3, 3→4, 4→2 cycle
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 2L))
+    // shortest distances (u≠v): 1→2:1, 1→3:1, 1→4:2; 2→3:1, 2→4:2;
+    // 3→4:1, 3→2:2; 4→2:1, 4→3:2. Unit 1/60 ⇒ d1=60, d2=30, d3=20.
+    val expect3 = Map(1L -> 0L, 2L -> 150L, 3L -> 150L, 4L -> 120L)
+    for (parts <- Seq(1, 7)) {
+      val got = Graph.harmonicCentrality(edges.toDF("src", "dst").repartition(parts), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expect3, s"parts=$parts")
+    }
+    // depth 1: only direct links count — and the duplicate 1→2 counts ONCE
+    val got1 = Graph.harmonicCentrality(edges.toDF("src", "dst"), 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 === Map(1L -> 0L, 2L -> 120L, 3L -> 120L, 4L -> 60L))
+    // the 2→3→4→2 cycle returns to its origin in 3 hops: self excluded means
+    // node 2's score gains nothing from itself (150 above already proves it —
+    // 60(from 1) + 60(from 4) + 30(from 3) with no +20 self term)
+  }
+
   test("pageRank dangling redistribution: mass-conserving, exact vs driver " +
     "reference; convergence certificate matches and shrinks") {
     import spark.implicits._
