@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -193,6 +193,116 @@ object Graph {
   /** [[harmonicCentralityManaged]] for one-shot use. */
   def harmonicCentrality(edges: DataFrame, maxDepth: Int): DataFrame =
     harmonicCentralityManaged(edges, maxDepth)._1
+
+  // ------------------------------------------------------------- HyperBall
+
+  /** Build-a-rank chain: leading-position rank of `w` within `bits` bits —
+    * 1 if the top bit is set, …, `bits + 1` if w = 0 (the HLL register
+    * value). Pure integer comparisons (a when-chain the codegen flattens);
+    * no float log, so ranks are exact on any engine. */
+  private def clzRank(w: Column, bits: Int): Column =
+    (1 to bits).foldRight(lit(bits + 1): Column) { (r, tail) =>
+      // rank r ⇔ w's highest set bit is bit (bits − r)
+      when(w >= (1L << (bits - r)), lit(r)).otherwise(tail)
+    }
+
+  /** Register-wise max — the HLL/HyperBall union. Commutative/associative,
+    * so partial aggregation applies and results are partition-independent. */
+  private val regMax: org.apache.spark.sql.expressions.Aggregator[Seq[Int], Array[Int], Seq[Int]] =
+    new org.apache.spark.sql.expressions.Aggregator[Seq[Int], Array[Int], Seq[Int]] {
+      def zero: Array[Int] = Array.emptyIntArray
+      private def mergeInto(b: Array[Int], a: Seq[Int]): Array[Int] =
+        if (b.isEmpty) a.toArray
+        else { var i = 0; while (i < b.length) { if (a(i) > b(i)) b(i) = a(i); i += 1 }; b }
+      def reduce(b: Array[Int], a: Seq[Int]): Array[Int] = mergeInto(b, a)
+      def merge(x: Array[Int], y: Array[Int]): Array[Int] =
+        if (x.isEmpty) y else mergeInto(x, y)
+      def finish(b: Array[Int]): Seq[Int] = b.toSeq
+      def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+      def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+    }
+
+  /** HyperBall (Boldi & Vigna 2013): APPROXIMATE harmonic centrality for the
+    * dense/deep regime where [[harmonicCentralityManaged]]'s exact pair
+    * materialization is the wrong tool. Per node, a 2^p-register HLL sketch
+    * of its in-ball; per round, every edge (u → v) merges u's ball into v's
+    * — ONE equi-join + ONE register-wise-max aggregate over O(N·2^p) state,
+    * independent of ball sizes. H(v) ≈ Σ_d (|B_d| − |B_{d−1}|)/d from the
+    * per-round HLL estimates (linear-counting small-range correction, the
+    * relevant regime at bounded depth).
+    *
+    * Determinism: registers derive from [[graft.functions.Sketch.hash60]]
+    * (md5) via exact integer rank extraction — the REGISTERS are
+    * bit-identical at any partitioning (the max-merge is commutative); the
+    * float estimator is a pure function of them, so estimates are
+    * reproducible too (just not oracle-hash-checkable — this operator's
+    * contract is error-bounded approximation, spec-verified against the
+    * exact form; keep q76 for exactness).
+    *
+    * Returns (id, harmonic_est DOUBLE, ball_est DOUBLE = |B_maxDepth|). */
+  def hyperBallHarmonicManaged(edges: DataFrame, maxDepth: Int, p: Int = 10)
+      : (DataFrame, () => Unit) = {
+    require(maxDepth >= 1 && maxDepth <= 16,
+      s"maxDepth must be in [1,16], got $maxDepth")
+    require(p >= 4 && p <= 14, s"register exponent p must be in [4,14], got $p")
+    val m = 1 << p
+    val rankBits = 60 - p
+    val e = edges.select(edges.columns.take(2).map(col): _*).toDF("src", "dst")
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    val regMaxUdaf = udaf(regMax)
+
+    // B_0(v) = {v}: one register set per node from its own hash
+    val h = graft.functions.Sketch.hash60(col("id"))
+    val idx = pmod(h, lit(m.toLong)).cast("int")
+    val rank = clzRank(call_function("shiftrightunsigned", h, lit(p)), rankBits)
+    var balls = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct()
+      .select(col("id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          j => when(j === idx, rank).otherwise(lit(0))).as("regs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    persisted += balls
+
+    // HLL estimate from a register array — native expressions only. Raw
+    // harmonic-mean estimate with the linear-counting small-range branch.
+    def estimate(regs: Column): Column = {
+      val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
+        else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+      val raw = lit(alpha * m * m) /
+        aggregate(regs, lit(0.0d), (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
+      val zeros = size(filter(regs, r => r === 0)).cast("double")
+      when(raw <= 2.5 * m && zeros > 0, lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        .otherwise(raw)
+    }
+
+    val estFrames = scala.collection.mutable.ArrayBuffer[DataFrame](
+      balls.select(col("id"), estimate(col("regs")).as("e0")))
+    for (d <- 1 to maxDepth) {
+      val contrib = e.join(balls, e("src") === balls("id"))
+        .select(e("dst").as("id"), balls("regs").as("regs"))
+      val merged = contrib.union(balls.select(col("id"), col("regs")))
+        .groupBy("id").agg(regMaxUdaf(col("regs")).as("regs"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += merged
+      balls = merged
+      estFrames += balls.select(col("id"), estimate(col("regs")).as(s"e$d"))
+    }
+    val joined = estFrames.reduce((a, b) => a.join(b, Seq("id")))
+    val harmonic = (1 to maxDepth).map(d =>
+        greatest(col(s"e$d") - col(s"e${d - 1}"), lit(0.0d)) / lit(d.toDouble))
+      .reduce(_ + _)
+    val out = joined.select(col("id"), harmonic.as("harmonic_est"),
+      col(s"e$maxDepth").as("ball_est"))
+    (out, () => { persisted.foreach(_.unpersist()); () })
+  }
+
+  /** [[hyperBallHarmonicManaged]] for one-shot use. */
+  def hyperBallHarmonic(edges: DataFrame, maxDepth: Int, p: Int = 10): DataFrame =
+    hyperBallHarmonicManaged(edges, maxDepth, p)._1
 
   /** [[pageRankManaged]] plus a CONVERGENCE CERTIFICATE: a 1-row frame
     * `(max_abs_delta_micro)` — the largest per-node |rank − previous-round

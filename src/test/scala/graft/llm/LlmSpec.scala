@@ -493,6 +493,55 @@ class LlmSpec extends SparkSpec {
     // 60(from 1) + 60(from 4) + 30(from 3) with no +20 self term)
   }
 
+  test("hyperBallHarmonic: error-bounded vs exact harmonic centrality; " +
+    "registers partition-independent") {
+    import spark.implicits._
+    // deterministic quadratic-map graph, 400 nodes, out-degree ≤ 3 — big
+    // enough for meaningful ball sizes, small enough for an exact reference
+    val n = 400L
+    val edges = (0L until n).flatMap { src =>
+      Seq(7L, 13L, 31L).collect {
+        case k if (src + k) % 4 != 0 && (src * src + k * src + k) % n != src =>
+          (src, (src * src + k * src + k) % n)
+      }
+    }
+    val depth = 4
+    // driver-side exact reference: BFS over reversed adjacency
+    val preds = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    def exactHarmonic(v: Long): Double = {
+      var ball = Set(v); var frontier = Set(v); var h = 0.0
+      for (d <- 1 to depth) {
+        val next = frontier.flatMap(x => preds.getOrElse(x, Set.empty)) -- ball - v
+        h += next.size.toDouble / d
+        ball ++= next; frontier = next
+      }
+      h
+    }
+    val df = edges.toDF("src", "dst")
+    val (est, release) = Graph.hyperBallHarmonicManaged(df, depth, p = 10)
+    try {
+      val got = est.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size === n)
+      // p=10 (1024 registers) in the linear-counting regime: tight per-node
+      // agreement; assert mean relative error under 5% and worst under 20%
+      val errs = (0L until n).map { v =>
+        val ex = exactHarmonic(v)
+        if (ex == 0.0) { assert(got(v) <= 1.0, s"node $v: exact 0, est ${got(v)}"); 0.0 }
+        else math.abs(got(v) - ex) / ex
+      }
+      assert(errs.sum / errs.size < 0.05, f"mean rel err ${errs.sum / errs.size}%.4f")
+      assert(errs.max < 0.20, f"worst rel err ${errs.max}%.4f")
+
+      // determinism: identical estimates under a different partitioning
+      // (registers are exact integers; max-merge is order-free)
+      val (est2, release2) = Graph.hyperBallHarmonicManaged(df.repartition(13), depth, p = 10)
+      try {
+        val got2 = est2.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got2 === got, "estimates must be bit-identical across partitionings")
+      } finally release2()
+    } finally release()
+  }
+
   test("pageRank dangling redistribution: mass-conserving, exact vs driver " +
     "reference; convergence certificate matches and shrinks") {
     import spark.implicits._
