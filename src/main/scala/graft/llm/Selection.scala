@@ -258,6 +258,69 @@ object Selection {
     base.filter(col("score") <= thr).withColumn("thr", lit(thr))
   }
 
+  /** Weight-proportional SYSTEMATIC sampling (PPS): pick exactly `k`
+    * documents (with multiplicity) with probability proportional to an
+    * integer weight — the fixed-budget importance subsample step (e.g.
+    * DSIR/quality-weighted corpus selection), with NO RNG: documents are
+    * laid end-to-end on a weight line in seeded-hash order and a systematic
+    * grid of k points with stride `W div k` (grid phase = seeded hash mod
+    * stride) picks the document whose interval contains each point. All
+    * integer arithmetic — reproducible across engines, retries and
+    * partitionings; a document heavier than the stride is legitimately
+    * picked more than once (`n_picks` carries the multiplicity — the PPS
+    * contract; Σ n_picks = k exactly).
+    *
+    * Scale shape: the global weight prefix-sum decomposes over seeded hash
+    * buckets exactly like [[packSequences]] — per-bucket sums (metadata-
+    * sized frame) prefix-summed for base offsets, per-document cumulation
+    * within buckets; the grid parameters ride a broadcast 1-row frame. No
+    * corpus-wide window, no driver action.
+    *
+    * Zero/negative-weight documents are excluded (they own no interval).
+    * REFUSES (raise_error) when total weight < k — a stride of zero has no
+    * meaningful grid and silently returning fewer picks would corrupt a
+    * fixed-budget pipeline. Output: (id, w, n_picks), n_picks ≥ 1. */
+  def weightedSystematic(docs: DataFrame, idCol: String, weightCol: String,
+                         k: Long, seed: String, buckets: Int = 4096): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val base = docs.select(col(idCol).as("id"), col(weightCol).cast("long").as("w"))
+      .filter(col("w") >= 1)
+      .withColumn("__h", Dedup.shingleHash(concat_ws(":", lit(seed), col("id"))))
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+    val counts = base.groupBy("__b").agg(sum("w").as("__n"))
+    val byBucket = Window.orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("__off", sum(col("__n")).over(byBucket) - col("__n"))
+      .select(col("__b"), col("__off"))
+    // grid parameters: 1-row broadcast. stride = W div k; phase g0 < stride
+    val grid = counts.agg(sum("__n").as("__W"))
+      .select(col("__W"),
+        when(expr(s"__W div $k") >= 1, expr(s"__W div $k"))
+          .otherwise(raise_error(format_string(
+            s"weightedSystematic: total weight %s < k=$k — no grid stride; " +
+              "lower k or supply heavier weights", col("__W").cast("string")))
+            .cast("long")).as("__stride"))
+      .select(col("__stride"),
+        pmod(Dedup.shingleHash(lit(seed)), col("__stride")).as("__g0"))
+    val withinBucket = Window.partitionBy("__b").orderBy(col("__h"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq("__b"))
+      .withColumn("cum", col("__off") + sum(col("w")).over(withinBucket))
+      .withColumn("gstart", col("cum") - col("w"))
+      .crossJoin(broadcast(grid))
+      // picks(x) = #grid points < x = clamp(ceil((x − g0)/stride), 0, k)
+      .withColumn("__pc", least(greatest(
+        expr("(cum - __g0 + __stride - 1) div __stride"), lit(0L)), lit(k)))
+      .withColumn("__pg", least(greatest(
+        expr("(gstart - __g0 + __stride - 1) div __stride"), lit(0L)), lit(k)))
+      .withColumn("n_picks", col("__pc") - col("__pg"))
+      .filter(col("n_picks") > 0)
+      .select(col("id"), col("w"), col("n_picks"))
+  }
+
   /** Per-domain document cap — the Common-Crawl-style anti-SEO policy: no
     * single web domain may contribute more than `cap` documents, the kept
     * `cap` chosen by seeded deterministic hash order (not crawl order, which

@@ -2144,6 +2144,48 @@ object LlmQueries {
       |  FROM nodes n LEFT JOIN c3 USING (id))
       |SELECT id AS doc_id, r AS rank_micro FROM r3 ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q77 pps sample
+
+  /** Fixed-budget importance subsample ([[graft.llm.Selection
+    * .weightedSystematic]]): exactly 200 picks distributed over the corpus
+    * proportionally to document token counts — systematic PPS on a seeded
+    * weight line, no RNG, all-integer. The oracle replays the identical
+    * grid arithmetic over the same (bucket, hash, id) global order, so
+    * agreement proves the bucket-decomposed prefix sum equals the flat
+    * cumulative sum AND the grid-interval counting. */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    graft.llm.Selection.weightedSystematic(
+        Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("toks")),
+        "doc_id", "toks", k = 200L, seed = "q77")
+      .select(col("id").as("doc_id"), col("w"), col("n_picks"))
+      .orderBy("doc_id")
+
+  private val q77Sql =
+    """WITH w0 AS (
+      |  SELECT doc_id AS id, len(string_split(text, ' '))::BIGINT AS w FROM documents),
+      |w1 AS (
+      |  SELECT id, w, ('0x' || substr(md5('q77:' || id), 1, 15))::BIGINT AS hh
+      |  FROM w0 WHERE w >= 1),
+      |w2 AS (SELECT id, w, hh, hh % 4096 AS b FROM w1),
+      |c AS (
+      |  SELECT id, w,
+      |    sum(w) OVER (ORDER BY b, hh, id ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+      |  FROM w2),
+      |g AS (SELECT (sum(w) // 200)::BIGINT AS stride FROM w2),
+      |g2 AS (
+      |  SELECT stride,
+      |    ('0x' || substr(md5('q77'), 1, 15))::BIGINT % stride AS g0
+      |  FROM g),
+      |p AS (
+      |  SELECT c.id, c.w,
+      |    least(greatest((c.cum - g2.g0 + g2.stride - 1) // g2.stride, 0), 200)
+      |    - least(greatest((c.cum - c.w - g2.g0 + g2.stride - 1) // g2.stride, 0), 200)
+      |      ::BIGINT AS n_picks
+      |  FROM c CROSS JOIN g2)
+      |SELECT id AS doc_id, w, n_picks FROM p WHERE n_picks > 0
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -2194,5 +2236,6 @@ object LlmQueries {
     QueryDef("q73_fuzzy_join", q73, Some(q73Sql)),
     QueryDef("q74_pagerank", q74, Some(q74Sql)),
     QueryDef("q76_harmonic", q76, Some(q76Sql)),
+    QueryDef("q77_pps_sample", q77, Some(q77Sql)),
   )
 }

@@ -316,6 +316,31 @@ class SelectionSpec extends SparkSpec {
       s"expected InferWindowGroupLimit to bound the window:\n$plan")
   }
 
+  test("weightedSystematic: exactly k picks, PPS multiplicity for heavy docs, " +
+    "partition-independent, refuses W < k") {
+    import spark.implicits._
+    // one massive doc among many light ones: it must absorb several grid hits
+    val docs = ((1L to 50L).map(i => (i, 10L)) :+ (99L, 1000L)).toDF("doc_id", "toks")
+    def run(df: org.apache.spark.sql.DataFrame, k: Long) =
+      Selection.weightedSystematic(df, "doc_id", "toks", k, seed = "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val picks = run(docs, 30L)
+    assert(picks.map(_._3).sum === 30L, s"sum of n_picks must be exactly k: ${picks.toSeq}")
+    // W = 1500, stride = 50: the 1000-weight doc spans ≥ 19 grid points
+    val heavy = picks.find(_._1 == 99L).map(_._3).getOrElse(0L)
+    assert(heavy >= 19L && heavy <= 21L, s"heavy doc multiplicity: $heavy")
+    // every pick count is proportional-ish: light docs get 0 or 1
+    assert(picks.filter(_._1 != 99L).forall(_._3 === 1L), s"${picks.toSeq}")
+    // deterministic across partitionings
+    assert(run(docs.repartition(7), 30L).sortBy(_._1).toSeq === picks.sortBy(_._1).toSeq)
+    // refusal: total weight below k has no grid
+    val tiny = Seq((1L, 3L), (2L, 4L)).toDF("doc_id", "toks")
+    val e = intercept[Exception] { run(tiny, 100L) }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("weightedSystematic")), msgs(e).mkString(" | "))
+  }
+
   test("domainCap refuses inputs carrying the reserved __h/pos column names") {
     import spark.implicits._
     val withPos = Seq((1L, "a.com", 9L)).toDF("doc_id", "domain", "pos")
