@@ -29,7 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "q55_bigram_lm", // 1-row vocabulary scalar cross-joined via explicit broadcast()
     "q57_semantic_curation", // composes q55: same 1-row vocabulary cross-join
     "q61_dsir_selection", // two crossNll passes: same 1-row vocabulary cross-join
-    "q63_quantile_cut") // composes q55's scoring: same 1-row vocabulary cross-join
+    "q63_quantile_cut", // composes q55's scoring: same 1-row vocabulary cross-join
+    "q77_pps_sample") // 1-row grid-parameter frame (stride, phase) cross-joined via explicit broadcast()
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
