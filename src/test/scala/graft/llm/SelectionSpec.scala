@@ -341,6 +341,26 @@ class SelectionSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("weightedSystematic")), msgs(e).mkString(" | "))
   }
 
+  test("weightedSystematic property: sum of n_picks = k for random weights/k") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 40)
+      ws <- Gen.listOfN(n, Gen.chooseNum(1L, 50L))
+      k <- Gen.chooseNum(1L, math.max(1L, ws.sum)) // k ≤ W: stride ≥ 1
+    } yield (ws, k)
+    // few Spark rounds (each is a real job): 30 cases is plenty to cover
+    // phase/stride/remainder interactions
+    val p = Prop.forAll(caseGen) { case (ws, k) =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "toks")
+      val picks = Selection.weightedSystematic(df, "doc_id", "toks", k, seed = "prop")
+        .agg(sum("n_picks")).collect().head.getLong(0)
+      picks == k
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+    assert(r.passed, s"exact-k property failed: $r")
+  }
+
   test("domainCap refuses inputs carrying the reserved __h/pos column names") {
     import spark.implicits._
     val withPos = Seq((1L, "a.com", 9L)).toDF("doc_id", "domain", "pos")
