@@ -2186,6 +2186,43 @@ object LlmQueries {
       |SELECT id AS doc_id, w, n_picks FROM p WHERE n_picks > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78 phrase blocklist
+
+  /** Multi-phrase blocklist scan ([[graft.functions.PhraseMatch]], Aho–
+    * Corasick): every document counted against a fixed phrase list in ONE
+    * automaton pass — the form that stays O(text) when the blocklist grows
+    * to 10k phrases, where q51's regex chain is per-pattern. The list
+    * exercises the automaton's hard cases: overlapping occurrences
+    * ("table table" in "table table table"), nested phrases ("able" inside
+    * "table"), shared prefixes ("scan" / "scan slow"). Match semantics are
+    * ALL occurrences (overlap included) at every position — exactly what
+    * the oracle replays with a position comprehension, so agreement proves
+    * the goto/fail/output construction. */
+  private val q78Phrases = Seq(
+    "table", "able", "scan", "scan slow", "fast", "value", "a ", " a",
+    "table table", "row")
+
+  private def q78(s: SparkSession, d: String): DataFrame =
+    graft.functions.PhraseMatch.countMatches(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "text", q78Phrases, "m")
+      .select(col("doc_id"), col("m_n").as("n_matches"),
+        col("m_distinct").as("n_phrases"))
+      .orderBy("doc_id")
+
+  private val q78Sql =
+    """WITH ph AS (
+      |  SELECT unnest(['table', 'able', 'scan', 'scan slow', 'fast', 'value',
+      |                 'a ', ' a', 'table table', 'row']) AS p),
+      |hits AS (
+      |  SELECT d.doc_id, ph.p,
+      |    len([i FOR i IN range(1, len(d.text) - strlen(ph.p) + 2)
+      |         IF substr(d.text, i, strlen(ph.p)) = ph.p])::BIGINT AS c
+      |  FROM documents d CROSS JOIN ph)
+      |SELECT doc_id, sum(c)::BIGINT AS n_matches,
+      |  sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_phrases
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -2237,5 +2274,6 @@ object LlmQueries {
     QueryDef("q74_pagerank", q74, Some(q74Sql)),
     QueryDef("q76_harmonic", q76, Some(q76Sql)),
     QueryDef("q77_pps_sample", q77, Some(q77Sql)),
+    QueryDef("q78_phrase_blocklist", q78, Some(q78Sql)),
   )
 }
