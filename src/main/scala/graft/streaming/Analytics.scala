@@ -40,6 +40,10 @@ object Analytics {
     * shuffles), so it composes under any downstream stateful operator. */
   def tableChanges(raw: DataFrame, database: String, table: String,
                    imageSchema: StructType): DataFrame = {
+    for (reserved <- Seq("seq", "deleted", "before", "after", "__img"))
+      require(!imageSchema.fieldNames.contains(reserved),
+        s"tableChanges reserves output/scratch column name '$reserved' — " +
+          s"rename the image field (have: ${imageSchema.fieldNames.mkString(", ")})")
     val env = graft.cdc.EnvelopeBuilder.envelopes(raw)
       // only these two columns reach the filter, so Catalyst pushes it below
       // the event-JSON projection: other tables' statements are never rendered
@@ -63,8 +67,19 @@ object Analytics {
     // individually); documented for auditability.
     def topImage(p: Column): Column =
       struct(imageSchema.fieldNames.toSeq.map(f => p.getField(f).as(f)): _*)
+    // the packed seq must stay injective: stmt_seq beyond 2^43 or a
+    // statement beyond 2^20 row images would silently collide seqs — the
+    // Apply tier's uniqueness contract — so both wrap cases fail loudly
+    val seqSafe = when(col("stmt_seq").between(0L, (1L << 43) - 1) &&
+        col("pair_pos") < (1 << 20),
+        shiftleft(col("stmt_seq"), 20) + col("pair_pos"))
+      .otherwise(raise_error(format_string(
+        "Analytics.tableChanges: seq packing out of range (stmt_seq=%s, pair_pos=%s) — " +
+          "the (stmt_seq << 20) + pair_pos encoding holds stmt_seq < 2^43 and " +
+          "< 2^20 row images per statement",
+        col("stmt_seq").cast("string"), col("pair_pos").cast("string"))).cast("long"))
     env.select(
-      (shiftleft(col("stmt_seq"), 20) + col("pair_pos")).as("seq"),
+      seqSafe.as("seq"),
       (col("event_type") === "delete").as("deleted"),
       col("event_type"), parsed.as("__d"))
       .select(

@@ -610,6 +610,19 @@ class EngineSpec extends SparkSpec {
         s"restarted replica: new key 3 emitted, stale key-1 change IGNORED " +
           s"by state carried across restart: $rep2")
       assert(rep2.toSet === Set((3L, (5L << 20), "A", 4L, false)), s"$rep2")
+
+      // contract guards: reserved image field names and seq-packing range
+      // are refused loudly, not silently miscomputed
+      val badSchema = StructType(Seq(StructField("seq", LongType),
+        StructField("v", LongType)))
+      val eGuard = intercept[IllegalArgumentException] {
+        Analytics.tableChanges(spark.range(1).toDF("x").selectExpr(
+          "'d' AS database", "'t' AS table", "'insert' AS action",
+          "0L AS ts", "0L AS stmt_seq",
+          "CAST(NULL AS ARRAY<ARRAY<STRUCT<k:STRING,v:STRING>>>) AS rows"),
+          "d", "t", badSchema)
+      }
+      assert(eGuard.getMessage.contains("reserves"), eGuard.getMessage)
     } finally {
       prior.fold(spark.conf.unset(rocksKey))(v => spark.conf.set(rocksKey, v))
     }
