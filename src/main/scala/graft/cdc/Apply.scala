@@ -120,6 +120,29 @@ object Apply {
     require(changes.schema(deleteCol).dataType == org.apache.spark.sql.types.BooleanType,
       s"latestStateStream: '$deleteCol' must be BOOLEAN, got " +
         changes.schema(deleteCol).dataType)
+    // The grouping key is built from each key field's JVM rendering
+    // (encodeKey). That is only value-based for atomic types — an
+    // ArrayType/MapType/StructType key field surfaces as a JVM object whose
+    // toString may be identity-based, which would fragment state per row
+    // object (equal keys land in different groups; tombstones never suppress).
+    // BinaryType is the one non-toString-safe atomic we support: encodeKey
+    // hex-encodes it. Everything else non-atomic is refused loudly.
+    keyCols.foreach { k =>
+      import org.apache.spark.sql.types._
+      val ok = changes.schema(k).dataType match {
+        case StringType | BooleanType | ByteType | ShortType | IntegerType |
+             LongType | FloatType | DoubleType | DateType | TimestampType |
+             TimestampNTZType | BinaryType => true
+        case _: DecimalType => true
+        case _ => false // Array/Map/Struct, intervals, …
+      }
+      require(ok,
+        s"latestStateStream: key column '$k' has non-atomic type " +
+          s"${changes.schema(k).dataType} — its JVM rendering is not " +
+          "value-based, so equal keys would fragment into distinct state " +
+          "entries. Project the key to an atomic type (e.g. to_json for " +
+          "structs, hex for nested binary) before applying.")
+    }
     val spark = changes.sparkSession
     val payload = changes.columns.filterNot(c => keyCols.contains(c) || c == seqCol || c == deleteCol)
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -165,20 +188,32 @@ object Apply {
   /** Injective string encoding of the first `n` fields of a row, used as the
     * streaming state-store grouping key. Each non-null part is emitted as
     * "<len>:<chars>" over its String.valueOf rendering; null parts emit the
-    * single marker "N". The encoding is prefix-free — every part's extent is
-    * declared by its own length — so distinct composite keys can never
+    * single marker "N"; binary parts (Array[Byte] — e.g. a MySQL BINARY(16)
+    * UUID PK, whose JVM toString is identity-based and would fragment state
+    * per row object) emit "B<hexlen>:<hex>" over their value-based hex
+    * rendering. The encoding is prefix-free — every part's extent is declared
+    * by its own length, and the three part shapes start with disjoint
+    * characters (digit / 'N' / 'B') — so distinct composite keys can never
     * concatenate to the same string, null never collides with the string
-    * "null" (which encodes as "4:null"), and embedded separators/spaces in
-    * values are harmless. */
+    * "null" (which encodes as "4:null"), binary 0x31 never collides with the
+    * string "1", and embedded separators/spaces in values are harmless. */
   private[cdc] def encodeKey(r: Row, n: Int): String = {
     val sb = new java.lang.StringBuilder(16 * n)
     var i = 0
     while (i < n) {
-      val v = r.get(i)
-      if (v == null) sb.append('N')
-      else {
-        val s = String.valueOf(v)
-        sb.append(s.length).append(':').append(s)
+      r.get(i) match {
+        case null => sb.append('N')
+        case b: Array[Byte] =>
+          sb.append('B').append(b.length * 2).append(':')
+          var j = 0
+          while (j < b.length) {
+            sb.append(Character.forDigit((b(j) >> 4) & 0xF, 16))
+              .append(Character.forDigit(b(j) & 0xF, 16))
+            j += 1
+          }
+        case v =>
+          val s = String.valueOf(v)
+          sb.append(s.length).append(':').append(s)
       }
       i += 1
     }

@@ -124,6 +124,12 @@ object Bloom {
     require(targetFp > 0 && targetFp < 1, s"bloom sizeFor: targetFp must be in (0,1), got $targetFp")
     val ln2 = math.log(2)
     val mRaw = math.ceil(-n * math.log(targetFp) / (ln2 * ln2))
+    // Compare as Double BEFORE converting to Long: for astronomically large n
+    // mRaw.toLong saturates at Long.MaxValue and the +63 below wraps negative,
+    // which would sail past the m <= 2^30 check and return garbage (m, k).
+    require(mRaw <= (1 << 30).toDouble,
+      s"bloom sizeFor: n=$n at fp=$targetFp needs ~${mRaw} bits > 2^30 engine ceiling — " +
+        "shard the filter (build per partition range and OR-merge) or relax targetFp")
     val m = (((mRaw.toLong + 63) / 64) * 64)
     require(m <= (1 << 30),
       s"bloom sizeFor: n=$n at fp=$targetFp needs m=$m bits > 2^30 engine ceiling — " +

@@ -49,7 +49,15 @@ object Fuzzy {
     * occurrences would multiply candidates for nothing). Strings shorter
     * than `minIndexLen` on EITHER side are excluded from the join entirely
     * (the skew guard above); the default of 3 matches standard SymSpell
-    * practice. Output: (left, right, dist), one row per matching pair. */
+    * practice. Output: (left, right, dist), one row per matching pair.
+    *
+    * CONTRACT CHANGE (round 12): `minIndexLen` defaults to 3 where earlier
+    * rounds indexed every string. Callers that relied on sub-3-char matches
+    * must pass `minIndexLen = 1` explicitly — and accept the skew that
+    * motivated the floor: a 1-char string's deletion neighborhood contains
+    * "" and collides with every other short string's, producing a
+    * quadratic bucket. Counting the excluded rows would force an extra
+    * scan/action on a lazy plan, so exclusion is documented, not logged. */
   def fuzzyJoin(left: DataFrame, leftCol: String,
                 right: DataFrame, rightCol: String, maxDist: Int,
                 minIndexLen: Int = 3): DataFrame = {

@@ -53,9 +53,13 @@ object Graph {
     * mass-conserving redistribution: each round, the summed rank of
     * out-degree-0 nodes is divided (integer `div`, truncating) by the node
     * count and the share added to EVERY node's incoming sum before damping.
-    * Still exact-integer and partition-independent; the redistribution adds
-    * one anti-join + two 1-row aggregates per round (lazy — broadcast into
-    * the rank update, never a driver action). */
+    * "Mass-conserving" holds up to integer truncation: the per-node share is
+    * `dangling_mass div N`, so each round drops the division remainder —
+    * at most N−1 micro-units per round (< 1 millionth of one node's unit
+    * rank), deterministic, and bounded by iterations·(N−1) total; asserted
+    * in GraphSpec. Still exact-integer and partition-independent; the
+    * redistribution adds one anti-join + two 1-row aggregates per round
+    * (lazy — broadcast into the rank update, never a driver action). */
   def pageRankManaged(edges: DataFrame, iterations: Int,
                       dampingMicro: Long = 850000L,
                       redistributeDangling: Boolean = false): (DataFrame, () => Unit) = {
@@ -109,7 +113,10 @@ object Graph {
         .otherwise(raise_error(format_string(
           s"pageRank 64-bit overflow: node %s incoming sum %s exceeds 2^63/dampingMicro=$sLimit " +
             "micro-units — rescale ranks or reduce graph mass (hub-dominated graph past ~10^7 nodes)",
-          col("id").cast("string"), col("s").cast("string"))).cast("long"))
+          // format sIn — the value actually compared against sLimit — not the
+          // pre-share nullable col("s"), which would print a misleading value
+          // (e.g. "null") when the overflow came from s + __share
+          col("id").cast("string"), sIn.cast("string"))).cast("long"))
       ranks = withShare
         .withColumn("_s_safe", sSafe)
         .select(col("id"),

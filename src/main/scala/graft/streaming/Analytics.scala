@@ -40,7 +40,11 @@ object Analytics {
     * shuffles), so it composes under any downstream stateful operator. */
   def tableChanges(raw: DataFrame, database: String, table: String,
                    imageSchema: StructType): DataFrame = {
-    for (reserved <- Seq("seq", "deleted", "before", "after", "__img"))
+    // new_data/old_data are reserved too: the merged from_json schema below
+    // appends both as nested-image fields, so an image field with either name
+    // would produce a duplicate-field struct and ambiguous getField resolution
+    for (reserved <- Seq("seq", "deleted", "before", "after", "__img",
+        "new_data", "old_data"))
       require(!imageSchema.fieldNames.contains(reserved),
         s"tableChanges reserves output/scratch column name '$reserved' — " +
           s"rename the image field (have: ${imageSchema.fieldNames.mkString(", ")})")

@@ -623,6 +623,21 @@ class EngineSpec extends SparkSpec {
           "d", "t", badSchema)
       }
       assert(eGuard.getMessage.contains("reserves"), eGuard.getMessage)
+      // new_data/old_data are reserved too: the merged from_json schema
+      // appends both, so an image field with either name would build a
+      // duplicate-field struct with ambiguous getField resolution
+      for (nm <- Seq("new_data", "old_data")) {
+        val clash = StructType(Seq(StructField(nm, LongType),
+          StructField("v", LongType)))
+        val eClash = intercept[IllegalArgumentException] {
+          Analytics.tableChanges(spark.range(1).toDF("x").selectExpr(
+            "'d' AS database", "'t' AS table", "'insert' AS action",
+            "0L AS ts", "0L AS stmt_seq",
+            "CAST(NULL AS ARRAY<ARRAY<STRUCT<k:STRING,v:STRING>>>) AS rows"),
+            "d", "t", clash)
+        }
+        assert(eClash.getMessage.contains(nm), eClash.getMessage)
+      }
     } finally {
       prior.fold(spark.conf.unset(rocksKey))(v => spark.conf.set(rocksKey, v))
     }

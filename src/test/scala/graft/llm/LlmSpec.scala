@@ -575,6 +575,29 @@ class LlmSpec extends SparkSpec {
     val consTotal = reference(4, redistribute = true).values.sum
     assert(consTotal > leakTotal, s"conserving $consTotal vs leaking $leakTotal")
 
+    // "mass-conserving" is exact UP TO integer truncation (the scaladoc
+    // contract): each round's share is dangling_mass div N, so the division
+    // remainder — at most N−1 micro-units per round — is dropped. Assert the
+    // bound on every round of the driver reference (which the Spark result
+    // above matches bit-for-bit).
+    {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      var r = nodes.map(_ -> 1000000L).toMap
+      for (round <- 1 to 4) {
+        val sums = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) / deg(e._1)).sum
+        }
+        val dangling = nodes.filterNot(deg.contains).map(r).sum
+        val drop = dangling - (dangling / nodes.size) * nodes.size
+        assert(drop >= 0 && drop <= nodes.size - 1,
+          s"round $round truncation drop $drop outside [0, N-1]")
+        val share = dangling / nodes.size
+        r = nodes.map(n =>
+          n -> (150000L + 850000L * (sums.getOrElse(n, 0L) + share) / 1000000L)).toMap
+      }
+    }
+
     // certificate: exact vs the reference delta, and non-increasing with
     // more iterations on this convergent graph
     def cert(iters: Int): Long = {
