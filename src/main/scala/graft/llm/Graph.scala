@@ -251,6 +251,57 @@ object Graph {
     * Returns (id, harmonic_est DOUBLE, ball_est DOUBLE = |B_maxDepth|). */
   def hyperBallHarmonicManaged(edges: DataFrame, maxDepth: Int, p: Int = 10)
       : (DataFrame, () => Unit) = {
+    val (balls, release) = ballLoop(edges, maxDepth, p)
+    val m = 1 << p
+
+    // HLL estimate from a register array — native expressions only. Raw
+    // harmonic-mean estimate with the linear-counting small-range branch.
+    def estimate(regs: Column): Column = {
+      val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
+        else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+      val raw = lit(alpha * m * m) /
+        aggregate(regs, lit(0.0d), (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
+      val zeros = size(filter(regs, r => r === 0)).cast("double")
+      when(raw <= 2.5 * m && zeros > 0, lit(m.toDouble) * log(lit(m.toDouble) / zeros))
+        .otherwise(raw)
+    }
+
+    val estFrames = balls.zipWithIndex.map { case (b, d) =>
+      b.select(col("id"), estimate(col("regs")).as(s"e$d"))
+    }
+    val joined = estFrames.reduce((a, b) => a.join(b, Seq("id")))
+    val harmonic = (1 to maxDepth).map(d =>
+        greatest(col(s"e$d") - col(s"e${d - 1}"), lit(0.0d)) / lit(d.toDouble))
+      .reduce(_ + _)
+    val out = joined.select(col("id"), harmonic.as("harmonic_est"),
+      col(s"e$maxDepth").as("ball_est"))
+    (out, release)
+  }
+
+  /** The EXACT-INTEGER face of HyperBall, built for oracle gating: the final
+    * depth-`maxDepth` register state per node, reduced to two BIGINTs — the
+    * register SUM and the zero-register count (the linear-counting
+    * numerator). The registers are pure integer functions of the in-ball
+    * membership set (md5-derived index/rank, commutative max-merge), so both
+    * columns are bit-identical at any partitioning AND reproducible by an
+    * independent engine from the same reachability sets — unlike the float
+    * estimate, which stays spec-only. Same plan shape and cost as the
+    * estimator: one equi-join + one register-max aggregate per depth over
+    * O(N·2^p) state. */
+  def hyperBallRegistersManaged(edges: DataFrame, maxDepth: Int, p: Int = 10)
+      : (DataFrame, () => Unit) = {
+    val (balls, release) = ballLoop(edges, maxDepth, p)
+    val out = balls.last.select(col("id"),
+      aggregate(col("regs"), lit(0L), (acc, r) => acc + r.cast("long")).as("reg_sum"),
+      size(filter(col("regs"), r => r === 0)).cast("long").as("zero_regs"))
+    (out, release)
+  }
+
+  /** The shared HyperBall iteration: per-depth ball register frames
+    * B_0 … B_maxDepth (each persisted — every depth is rescanned by the
+    * next and consumed by the caller) and the cache release. */
+  private def ballLoop(edges: DataFrame, maxDepth: Int, p: Int)
+      : (Seq[DataFrame], () => Unit) = {
     require(maxDepth >= 1 && maxDepth <= 16,
       s"maxDepth must be in [1,16], got $maxDepth")
     require(p >= 4 && p <= 14, s"register exponent p must be in [4,14], got $p")
@@ -273,22 +324,8 @@ object Graph {
           j => when(j === idx, rank).otherwise(lit(0))).as("regs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     persisted += balls
-
-    // HLL estimate from a register array — native expressions only. Raw
-    // harmonic-mean estimate with the linear-counting small-range branch.
-    def estimate(regs: Column): Column = {
-      val alpha = if (m == 16) 0.673 else if (m == 32) 0.697
-        else if (m == 64) 0.709 else 0.7213 / (1 + 1.079 / m)
-      val raw = lit(alpha * m * m) /
-        aggregate(regs, lit(0.0d), (acc, r) => acc + pow(lit(2.0d), -r.cast("double")))
-      val zeros = size(filter(regs, r => r === 0)).cast("double")
-      when(raw <= 2.5 * m && zeros > 0, lit(m.toDouble) * log(lit(m.toDouble) / zeros))
-        .otherwise(raw)
-    }
-
-    val estFrames = scala.collection.mutable.ArrayBuffer[DataFrame](
-      balls.select(col("id"), estimate(col("regs")).as("e0")))
-    for (d <- 1 to maxDepth) {
+    val perDepth = scala.collection.mutable.ArrayBuffer[DataFrame](balls)
+    for (_ <- 1 to maxDepth) {
       val contrib = e.join(balls, e("src") === balls("id"))
         .select(e("dst").as("id"), balls("regs").as("regs"))
       val merged = contrib.union(balls.select(col("id"), col("regs")))
@@ -296,20 +333,18 @@ object Graph {
         .persist(StorageLevel.MEMORY_AND_DISK)
       persisted += merged
       balls = merged
-      estFrames += balls.select(col("id"), estimate(col("regs")).as(s"e$d"))
+      perDepth += balls
     }
-    val joined = estFrames.reduce((a, b) => a.join(b, Seq("id")))
-    val harmonic = (1 to maxDepth).map(d =>
-        greatest(col(s"e$d") - col(s"e${d - 1}"), lit(0.0d)) / lit(d.toDouble))
-      .reduce(_ + _)
-    val out = joined.select(col("id"), harmonic.as("harmonic_est"),
-      col(s"e$maxDepth").as("ball_est"))
-    (out, () => { persisted.foreach(_.unpersist()); () })
+    (perDepth.toSeq, () => { persisted.foreach(_.unpersist()); () })
   }
 
   /** [[hyperBallHarmonicManaged]] for one-shot use. */
   def hyperBallHarmonic(edges: DataFrame, maxDepth: Int, p: Int = 10): DataFrame =
     hyperBallHarmonicManaged(edges, maxDepth, p)._1
+
+  /** [[hyperBallRegistersManaged]] for one-shot use. */
+  def hyperBallRegisters(edges: DataFrame, maxDepth: Int, p: Int = 10): DataFrame =
+    hyperBallRegistersManaged(edges, maxDepth, p)._1
 
   /** [[pageRankManaged]] plus a CONVERGENCE CERTIFICATE: a 1-row frame
     * `(max_abs_delta_micro)` — the largest per-node |rank − previous-round

@@ -2114,6 +2114,54 @@ object LlmQueries {
       |FROM nodes n LEFT JOIN w ON w.v = n.id
       |GROUP BY n.id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q79 hyperball registers
+
+  /** HyperBall's EXACT-INTEGER register state, oracle-gated
+    * ([[Graph.hyperBallRegisters]]): the depth-3 in-ball HLL registers per
+    * node over the shared link graph, reduced to the per-node register SUM
+    * and zero-register count — both pure integer functions of the reachable
+    * set (md5-derived index/rank, commutative max-merge), so DuckDB
+    * reproduces them bit-for-bit from the same reachability closure. This
+    * gives the dense-regime scale path the same oracle gate as the exact
+    * q76 form; the float estimate stays spec-verified (error bound vs
+    * exact), as estimator floats are not portable. p=6 ⇒ 64 registers,
+    * rank bits 54: rank(u) = 55 − bitlength(h(u) div 64), index = h % 64. */
+  private def q79(s: SparkSession, d: String): DataFrame =
+    Graph.hyperBallRegisters(linkEdges(s, d), maxDepth = 3, p = 6)
+      .select(col("id").as("doc_id"), col("reg_sum"), col("zero_regs"))
+      .orderBy("doc_id")
+
+  private val q79Sql =
+    """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |e0 AS (
+      |  SELECT src, (src * src + k * src + k) % nn.n AS dst
+      |  FROM (SELECT doc_id AS src, unnest([7, 13, 31]) AS k FROM documents)
+      |  CROSS JOIN nn
+      |  WHERE (src + k) % 4 <> 0 AND (src * src + k * src + k) % nn.n <> src),
+      |e AS (SELECT DISTINCT src, dst FROM e0),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |r1 AS (SELECT DISTINCT src AS u, dst AS v FROM e),
+      |r2 AS (SELECT DISTINCT r1.u, e.dst AS v FROM r1 JOIN e ON r1.v = e.src),
+      |r3 AS (SELECT DISTINCT r2.u, e.dst AS v FROM r2 JOIN e ON r2.v = e.src),
+      |reach AS (
+      |  SELECT id AS u, id AS v FROM nodes
+      |  UNION SELECT u, v FROM r1
+      |  UNION SELECT u, v FROM r2
+      |  UNION SELECT u, v FROM r3),
+      |h AS (
+      |  SELECT id, ('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM nodes),
+      |pernode AS (
+      |  SELECT r.v AS id, h.h % 64 AS idx,
+      |    max(CASE WHEN (h.h // 64) = 0 THEN 55
+      |             ELSE 55 - length(bin(h.h // 64)) END) AS rk
+      |  FROM reach r JOIN h ON h.id = r.u
+      |  GROUP BY r.v, h.h % 64)
+      |SELECT n.id AS doc_id, coalesce(sum(rk), 0)::BIGINT AS reg_sum,
+      |  (64 - count(p.idx))::BIGINT AS zero_regs
+      |FROM nodes n LEFT JOIN pernode p ON p.id = n.id
+      |GROUP BY n.id ORDER BY doc_id""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2275,5 +2323,6 @@ object LlmQueries {
     QueryDef("q76_harmonic", q76, Some(q76Sql)),
     QueryDef("q77_pps_sample", q77, Some(q77Sql)),
     QueryDef("q78_phrase_blocklist", q78, Some(q78Sql)),
+    QueryDef("q79_hyperball_regs", q79, Some(q79Sql)),
   )
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
+import scala.jdk.CollectionConverters._
 
 /** The realtime-analytics tier: the engine's wire stream declared as ONE
   * Spark streaming query — raw statements → per-row typed change records →
@@ -74,16 +75,8 @@ object Analytics {
     // the packed seq must stay injective: stmt_seq beyond 2^43 or a
     // statement beyond 2^20 row images would silently collide seqs — the
     // Apply tier's uniqueness contract — so both wrap cases fail loudly
-    val seqSafe = when(col("stmt_seq").between(0L, (1L << 43) - 1) &&
-        col("pair_pos") < (1 << 20),
-        shiftleft(col("stmt_seq"), 20) + col("pair_pos"))
-      .otherwise(raise_error(format_string(
-        "Analytics.tableChanges: seq packing out of range (stmt_seq=%s, pair_pos=%s) — " +
-          "the (stmt_seq << 20) + pair_pos encoding holds stmt_seq < 2^43 and " +
-          "< 2^20 row images per statement",
-        col("stmt_seq").cast("string"), col("pair_pos").cast("string"))).cast("long"))
     env.select(
-      seqSafe.as("seq"),
+      packedSeq.as("seq"),
       (col("event_type") === "delete").as("deleted"),
       col("event_type"), parsed.as("__d"))
       .select(
@@ -93,6 +86,128 @@ object Analytics {
         when(col("event_type") === "update", col("__d.new_data"))
           .when(col("event_type") === "insert", topImage(col("__d"))).as("after"))
   }
+
+  /** One replicated table for the multi-table plan: identity, row-image
+    * schema, and primary-key columns (all must be image fields). */
+  final case class TableSpec(database: String, table: String,
+                             imageSchema: StructType, keyCols: Seq[String]) {
+    require(keyCols.nonEmpty, s"$database.$table: keyCols must be non-empty")
+    private val fields = imageSchema.fieldNames.toSeq
+    require(keyCols.forall(fields.contains),
+      s"$database.$table: keyCols not in imageSchema: " +
+        keyCols.filterNot(fields.contains).mkString(", "))
+  }
+
+  /** Typed change records for MANY tables from ONE pass over the wire
+    * stream — the multi-table answer to the reference's router, which fans
+    * one binlog stream to every consumer (`handler.go:91-97`) instead of
+    * re-reading it per table. N independent [[tableChanges]] queries read
+    * and explode the source N times and keep N checkpoints; this plan runs
+    * the envelope explode ONCE, filters to the replicated table set (a
+    * pushdown-friendly disjunction over two scan columns), and parses every
+    * event exactly once against the MERGED image schema — the union of all
+    * tables' fields (absent fields parse to null; a field name claimed by
+    * two tables at different types is refused loudly, since one merged
+    * from_json column can only carry one type).
+    *
+    * Output: (`database`, `table`, `seq`, `deleted`, `before`, `after`)
+    * where before/after are merged-schema structs — a consumer selects its
+    * table's fields; fields of other tables are null there. Narrow
+    * expressions only, exactly like the single-table form. */
+  def multiTableChanges(raw: DataFrame, specs: Seq[TableSpec]): DataFrame = {
+    require(specs.nonEmpty, "multiTableChanges: at least one TableSpec")
+    val ids = specs.map(sp => (sp.database, sp.table))
+    require(ids.distinct.size == ids.size,
+      s"multiTableChanges: duplicate (database, table): " +
+        ids.diff(ids.distinct).mkString(", "))
+    // merged image schema: first-seen field order, loud type-conflict refusal
+    import org.apache.spark.sql.types.StructField
+    val merged = scala.collection.mutable.LinkedHashMap[String, StructField]()
+    for (sp <- specs; f <- sp.imageSchema.fields) merged.get(f.name) match {
+      case None => merged(f.name) = f.copy(nullable = true)
+      case Some(prev) => require(prev.dataType == f.dataType,
+        s"multiTableChanges: field '${f.name}' is ${prev.dataType} in one " +
+          s"table and ${f.dataType} in ${sp.database}.${sp.table} — the merged " +
+          "from_json schema can carry one type per name; rename one field")
+    }
+    val mergedSchema = StructType(merged.values.toSeq)
+    for (reserved <- Seq("seq", "deleted", "before", "after", "__img", "__key",
+        "new_data", "old_data", "database", "table"))
+      require(!mergedSchema.fieldNames.contains(reserved),
+        s"multiTableChanges reserves output/scratch column name '$reserved' — " +
+          s"rename the image field (have: ${mergedSchema.fieldNames.mkString(", ")})")
+
+    val tableMatch = specs.map(sp =>
+      col("database") === sp.database && col("table") === sp.table).reduce(_ || _)
+    val env = graft.cdc.EnvelopeBuilder.envelopes(raw)
+      .filter(tableMatch)
+      .filter(col("event_type").isin("insert", "update", "delete"))
+    val dataSchema = StructType(mergedSchema.fields ++
+      Seq(StructField("new_data", mergedSchema), StructField("old_data", mergedSchema)))
+    val parsed = from_json(col("event"), StructType(Seq(StructField("data", dataSchema))))
+      .getField("data")
+    def topImage(p: Column): Column =
+      struct(mergedSchema.fieldNames.toSeq.map(f => p.getField(f).as(f)): _*)
+    env.select(
+      col("database"), col("table"),
+      packedSeq.as("seq"),
+      (col("event_type") === "delete").as("deleted"),
+      col("event_type"), parsed.as("__d"))
+      .select(
+        col("database"), col("table"), col("seq"), col("deleted"),
+        when(col("event_type") === "update", col("__d.old_data"))
+          .when(col("event_type") === "delete", topImage(col("__d"))).as("before"),
+        when(col("event_type") === "update", col("__d.new_data"))
+          .when(col("event_type") === "insert", topImage(col("__d"))).as("after"))
+  }
+
+  /** Streaming SCD1 replicas of MANY tables in ONE stateful query:
+    * [[multiTableChanges]] → [[graft.cdc.Apply.latestStateStream]] keyed by
+    * `(database, table, __key)`, where `__key` is the table's primary-key
+    * tuple rendered as JSON (`to_json` with `ignoreNullFields=false`, so a
+    * null key field stays distinct from an absent one) — per-table key
+    * WIDTHS and names may differ freely because the key travels as one
+    * value column. One source scan, one checkpoint, one state store holding
+    * every table's live keys; output rows carry (database, table, __key,
+    * seq, merged payload, _deleted) — split by `table` at the sink.
+    *
+    * Trade-off vs N single-table queries (documented in COVERAGE.md): one
+    * query cannot be rate-limited or restarted per table, and the merged
+    * payload widens state-output rows by the other tables' (null) fields;
+    * in exchange the wire stream is read and parsed once instead of N
+    * times and there is exactly one stateful shuffle. */
+  def multiReplicaStream(raw: DataFrame, specs: Seq[TableSpec]): Dataset[Row] = {
+    val changes = multiTableChanges(raw, specs)
+      .withColumn("__img", coalesce(col("after"), col("before")))
+    val keyJson = specs.map { sp =>
+      (col("database") === sp.database && col("table") === sp.table,
+        to_json(struct(sp.keyCols.map(k => col(s"__img.$k").as(k)): _*),
+          Map("ignoreNullFields" -> "false").asJava))
+    }.foldRight(lit(null).cast("string")) { case ((cond, json), tail) =>
+      when(cond, json).otherwise(tail)
+    }
+    val mergedFields = changes.schema("before").dataType
+      .asInstanceOf[StructType].fieldNames.toSeq
+    val keyed = changes
+      .withColumn("__key", keyJson)
+      .select(Seq(col("database"), col("table"), col("__key"),
+        col("seq"), col("deleted")) ++
+        mergedFields.map(f => col(s"__img.$f").as(f)): _*)
+    graft.cdc.Apply.latestStateStream(keyed,
+      Seq("database", "table", "__key"), "seq", "deleted")
+  }
+
+  /** The shared `(stmt_seq << 20) + pair_pos` packing with its loud
+    * range guard (see [[tableChanges]]'s column docs). */
+  private def packedSeq: Column =
+    when(col("stmt_seq").between(0L, (1L << 43) - 1) &&
+        col("pair_pos") < (1 << 20),
+        shiftleft(col("stmt_seq"), 20) + col("pair_pos"))
+      .otherwise(raise_error(format_string(
+        "Analytics: seq packing out of range (stmt_seq=%s, pair_pos=%s) — " +
+          "the (stmt_seq << 20) + pair_pos encoding holds stmt_seq < 2^43 and " +
+          "< 2^20 row images per statement",
+        col("stmt_seq").cast("string"), col("pair_pos").cast("string"))).cast("long"))
 
   /** Streaming SCD1 replica of one table: [[tableChanges]] →
     * [[graft.cdc.Apply.latestStateStream]]. Emits, per micro-batch, each

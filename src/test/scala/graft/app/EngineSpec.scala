@@ -611,6 +611,69 @@ class EngineSpec extends SparkSpec {
           s"by state carried across restart: $rep2")
       assert(rep2.toSet === Set((3L, (5L << 20), "A", 4L, false)), s"$rep2")
 
+      // multi-table: BOTH replicated tables in ONE stateful query over ONE
+      // pass of the same wire stream (the router shape — handler.go:91-97)
+      val userSchema = StructType(Seq(StructField("uid", LongType),
+        StructField("name", StringType)))
+      def ustmt(action: String, seq: Long, rows: String): String =
+        s"""{"database":"test","table":"user","action":"$action","ts":9,"stmt_seq":$seq,"rows":$rows}"""
+      def uimg(uid: Long, name: String): String =
+        s"""[{"k":"uid","v":"$uid"},{"k":"name","v":"$Q$name$Q"}]"""
+      Files.write(in.resolve("bin.0003"), Seq(
+        stmt("insert", 6, s"[${img(9, "C", 3)}]"),
+        ustmt("insert", 7, s"[${uimg(1, "ann")}]"),
+        ustmt("update", 8, s"[${uimg(1, "ann")},${uimg(1, "bea")}]"),
+        ustmt("delete", 9, s"[${uimg(1, "bea")}]")).asJava)
+      val specs = Seq(
+        Analytics.TableSpec("test", "acct", schema, Seq("id")),
+        Analytics.TableSpec("test", "user", userSchema, Seq("uid")))
+
+      // single pass: the one streaming query reads the source exactly once
+      val multiDf = Analytics.multiReplicaStream(
+        spark.readStream.schema(graft.streaming.CdcStream.rawSchema)
+          .json(in.toString), specs)
+      // (flatMapGroupsWithState adds an empty LocalRelation leaf for its
+      // initial state — count the STREAMING relations, i.e. source scans)
+      val sourceScans = multiDf.queryExecution.analyzed.collectLeaves().count(
+        _.getClass.getName.contains("StreamingRelation"))
+      assert(sourceScans === 1,
+        "multi-table replica must scan the wire stream exactly once")
+
+      val cpMulti = tmp()
+      val multi = runCollect(raw => Analytics.multiReplicaStream(raw, specs), cpMulti)
+        .map(_._2)
+      val byTable = multi.groupBy(_.getString(1))
+      // acct rows: full history replayed into the fresh checkpoint — the
+      // CURRENT state per key is the highest-seq emission
+      val acctFinal = byTable("acct")
+        .groupBy(r => r.getString(2)).map(_._2.maxBy(_.getLong(3))).toSeq
+        .map(r => (r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(9)))
+      // key 1: stale Z-replay ignored → current is stmt-2 update (B, 8);
+      // key 2: delete tombstone; key 3: stmt-5 update; key 9: new insert
+      assert(acctFinal.toSet === Set(
+        ("""{"id":1}""", 2L << 20, 1L, false),
+        ("""{"id":2}""", 3L << 20, -1L, true),
+        ("""{"id":3}""", 5L << 20, 3L, false),
+        ("""{"id":9}""", 6L << 20, 9L, false)), s"acct: $acctFinal")
+      // user key 1 ends deleted; its payload fields (incl. acct's) null
+      val userFinal = byTable("user").maxBy(_.getLong(3))
+      assert(userFinal.getString(2) === """{"uid":1}""")
+      assert(userFinal.getLong(3) === (9L << 20) && userFinal.getBoolean(9),
+        s"user tombstone: $userFinal")
+
+      // merged-schema type conflict is refused loudly
+      val clashSchema = StructType(Seq(StructField("uid", LongType),
+        StructField("grp", LongType))) // grp is STRING in acct
+      val eType = intercept[IllegalArgumentException] {
+        Analytics.multiTableChanges(
+          spark.readStream.schema(graft.streaming.CdcStream.rawSchema)
+            .json(in.toString),
+          Seq(Analytics.TableSpec("test", "acct", schema, Seq("id")),
+            Analytics.TableSpec("test", "user", clashSchema, Seq("uid"))))
+      }
+      assert(eType.getMessage.contains("grp"), eType.getMessage)
+
       // contract guards: reserved image field names and seq-packing range
       // are refused loudly, not silently miscomputed
       val badSchema = StructType(Seq(StructField("seq", LongType),
