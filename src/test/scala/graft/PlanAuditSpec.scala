@@ -376,4 +376,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges <= 1, s"q72 should shuffle only for the output ORDER BY, " +
       s"found $exchanges:\n$plan")
   }
+
+  test("q79 hyperball registers: one equi-join + one partial-able register-max " +
+    "aggregate per depth, no window — state O(N·2^p), never ball-sized") {
+    val plan = planOf("q79_hyperball_regs")
+    assert(!plan.contains("Window"), s"q79 must not window:\n$plan")
+    // ONE ball-merge join per depth. The printed tree inlines each persisted
+    // depth-(d−1) ball subtree TWICE (once under the edge-contrib join, once
+    // under the self-union), so depth d's single join prints 2^(3−d) times:
+    // 4 + 2 + 1 = 7 textual occurrences for 3 actual joins — at runtime the
+    // persist collapses every duplicate to one InMemoryTableScan.
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins === 7, s"q79 should join once per depth (3 joins, printed " +
+      s"2^(3-d)× each = 7), found $joins:\n$plan")
+    // the register-max UDAF must plan with a partial (map-side) stage — the
+    // commutative merge is what keeps the shuffle O(N·2^p), not O(pairs)
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"q79 register-max should be a typed aggregate:\n$plan")
+    assert(plan.contains("partial_"), s"q79 aggregate must have a partial stage:\n$plan")
+  }
 }
