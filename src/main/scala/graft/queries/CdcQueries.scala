@@ -433,6 +433,50 @@ object CdcQueries {
       |FROM img WHERE tbl='orders_1'
       |ORDER BY seq""".stripMargin
 
+  // -------------------------------------------------- q80: multi-table changes
+
+  /** The multi-table analytics plan's change parser ([[graft.streaming
+    * .Analytics.multiTableChanges]]) in batch-equivalent form: ONE pass over
+    * the wire statements yields typed change records for TWO tables at once
+    * — per-row (database, table) routing, packed seq, delete flag, and
+    * before/after images parsed against the MERGED schema (orders_0's spec
+    * declares (id, name), orders_2's (id, status); the union (id, name,
+    * status) governs the single from_json, so every field present in the
+    * event parses for every table — the merged-schema contract). orders_1
+    * is NOT in the spec set, so its statements must be filtered out.
+    * Agreement proves routing, filtering, the one-parse merged read, and
+    * the seq packing, table-mixed. */
+  private def q80(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val id = StructField("id", LongType)
+    val name = StructField("name", StringType)
+    val status = StructField("status", StringType)
+    val specs = Seq(
+      graft.streaming.Analytics.TableSpec("shop", "orders_0",
+        StructType(Seq(id, name)), Seq("id")),
+      graft.streaming.Analytics.TableSpec("shop", "orders_2",
+        StructType(Seq(id, status)), Seq("id")))
+    graft.streaming.Analytics.multiTableChanges(rawFromOrders(s, d), specs)
+      .select(col("table"), col("seq"), col("deleted"),
+        col("before.id").as("b_id"), col("before.name").as("b_name"),
+        col("before.status").as("b_status"),
+        col("after.id").as("a_id"), col("after.name").as("a_name"),
+        col("after.status").as("a_status"))
+      .orderBy("table", "seq")
+  }
+
+  private val q80Sql = oracleEnvs +
+    """SELECT tbl AS "table", (okey*1048576 + j)::BIGINT AS seq,
+      |  (action='delete') AS deleted,
+      |  CASE WHEN action IN ('update','delete') THEN okey*10+j END::BIGINT AS b_id,
+      |  CASE WHEN action IN ('update','delete') THEN 'ord'||okey||'_'||j END AS b_name,
+      |  CASE WHEN action IN ('update','delete') THEN status END AS b_status,
+      |  CASE WHEN action IN ('insert','update') THEN okey*10+j END::BIGINT AS a_id,
+      |  CASE WHEN action IN ('insert','update') THEN 'ord'||okey||'_'||j END AS a_name,
+      |  CASE WHEN action='update' THEN 'U' WHEN action='insert' THEN status END AS a_status
+      |FROM img WHERE tbl IN ('orders_0','orders_2')
+      |ORDER BY "table", seq""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q17_envelope", q17, Some(q17Sql)),
     QueryDef("q18_update_pairs", q18, Some(q18Sql)),
@@ -443,5 +487,6 @@ object CdcQueries {
     QueryDef("q65_cdc_history", q65, Some(q65Sql)),
     QueryDef("q66_cdc_delta_agg", q66, Some(q66Sql)),
     QueryDef("q75_analytics_changes", q75, Some(q75Sql)),
+    QueryDef("q80_multi_changes", q80, Some(q80Sql)),
   )
 }

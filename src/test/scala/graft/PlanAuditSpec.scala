@@ -377,6 +377,20 @@ class PlanAuditSpec extends SparkSpec {
       s"found $exchanges:\n$plan")
   }
 
+  test("q80 multi-table changes: ONE pass — no join, no aggregate, a single " +
+    "from_json over the merged schema, only the output sort shuffles") {
+    val plan = planOf("q80_multi_changes")
+    assert(!plan.contains("Join"), s"q80 must be one narrow pass, found a join:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"q80 must not aggregate:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"q80 should shuffle only for the output ORDER BY, " +
+      s"found $exchanges exchanges:\n$plan")
+    // the multi-table contract: every event parsed exactly once — one
+    // from_json over the merged schema, not one per table
+    val parses = "from_json".r.findAllIn(plan).size
+    assert(parses <= 1, s"q80 must parse each event once, found $parses from_json:\n$plan")
+  }
+
   test("q79 hyperball registers: one equi-join + one partial-able register-max " +
     "aggregate per depth, no window — state O(N·2^p), never ball-sized") {
     val plan = planOf("q79_hyperball_regs")
