@@ -662,6 +662,23 @@ class EngineSpec extends SparkSpec {
       assert(userFinal.getLong(3) === (9L << 20) && userFinal.getBoolean(9),
         s"user tombstone: $userFinal")
 
+      // RESTART the multi-table query on the same checkpoint: per-(table,
+      // key) state must carry over — a stale acct change is suppressed by
+      // state, a delete must not resurrect, and a fresh user key emits
+      Files.write(in.resolve("bin.0004"), Seq(
+        stmt("insert", 1, s"[${img(1, "STALE", 0)}]"), // seq 1<<20 < stored 2<<20
+        ustmt("insert", 4, s"[${uimg(1, "ghost")}]"),  // 4<<20 < tombstone 9<<20
+        ustmt("insert", 10, s"[${uimg(2, "cat")}]")).asJava)
+      val multi2 = runCollect(raw => Analytics.multiReplicaStream(raw, specs), cpMulti)
+        .map(_._2)
+      val keys2 = multi2.map(r => (r.getString(1), r.getString(2))).toSet
+      assert(keys2 === Set(("user", """{"uid":2}""")),
+        s"restart: only the genuinely-new user key may emit (stale acct and " +
+          s"pre-tombstone user changes are suppressed by carried state): $multi2")
+      val cat = multi2.head
+      assert(cat.getLong(3) === (10L << 20) && !cat.getBoolean(9) &&
+        cat.getString(8) === "cat", s"user 2: $cat")
+
       // merged-schema type conflict is refused loudly
       val clashSchema = StructType(Seq(StructField("uid", LongType),
         StructField("grp", LongType))) // grp is STRING in acct
