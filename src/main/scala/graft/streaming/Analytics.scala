@@ -103,8 +103,8 @@ object Analytics {
     * one binlog stream to every consumer (`handler.go:91-97`) instead of
     * re-reading it per table. N independent [[tableChanges]] queries read
     * and explode the source N times and keep N checkpoints; this plan runs
-    * the envelope explode ONCE, filters to the replicated table set (a
-    * pushdown-friendly disjunction over two scan columns), and parses every
+    * the envelope explode ONCE, filters to the replicated table set (one
+    * hash-set membership probe over the two routing columns), and parses every
     * event exactly once against the MERGED image schema — the union of all
     * tables' fields (absent fields parse to null; a field name claimed by
     * two tables at different types is refused loudly, since one merged
@@ -137,8 +137,19 @@ object Analytics {
         s"multiTableChanges reserves output/scratch column name '$reserved' — " +
           s"rename the image field (have: ${mergedSchema.fieldNames.mkString(", ")})")
 
-    val tableMatch = specs.map(sp =>
-      col("database") === sp.database && col("table") === sp.table).reduce(_ || _)
+    // Table-set membership as ONE hash-set probe per row, not a T-term
+    // disjunction (T string-compares per row hurts at hundreds of replicated
+    // tables; isin over >10 literals compiles to InSet). The pair is encoded
+    // NUL-separated — injective because MySQL identifiers cannot contain
+    // NUL, so ("a.b","c") never collides with ("a","b.c") the way the
+    // dotted topic key would. Still references only the two routing columns,
+    // so Catalyst pushes the filter below the envelope-JSON projection.
+    specs.foreach(sp => require(
+      !sp.database.contains('\u0000') && !sp.table.contains('\u0000'),
+      s"multiTableChanges: NUL in identifier '${sp.database}'.'${sp.table}'"))
+    val pairKeys = specs.map(sp => sp.database + "\u0000" + sp.table)
+    val tableMatch = concat(col("database"), lit("\u0000"), col("table"))
+      .isin(pairKeys: _*)
     val env = graft.cdc.EnvelopeBuilder.envelopes(raw)
       .filter(tableMatch)
       .filter(col("event_type").isin("insert", "update", "delete"))
@@ -175,7 +186,11 @@ object Analytics {
     * query cannot be rate-limited or restarted per table, and the merged
     * payload widens state-output rows by the other tables' (null) fields;
     * in exchange the wire stream is read and parsed once instead of N
-    * times and there is exactly one stateful shuffle. */
+    * times and there is exactly one stateful shuffle. The per-table key
+    * projection is a T-branch when-chain evaluated only on matched rows;
+    * Spark splits oversized codegen automatically, but past a few hundred
+    * tables prefer sharding the spec set across a few queries (which also
+    * restores per-shard restart isolation). */
   def multiReplicaStream(raw: DataFrame, specs: Seq[TableSpec]): Dataset[Row] = {
     val changes = multiTableChanges(raw, specs)
       .withColumn("__img", coalesce(col("after"), col("before")))
