@@ -196,7 +196,12 @@ object Apply {
     * characters (digit / 'N' / 'B') — so distinct composite keys can never
     * concatenate to the same string, null never collides with the string
     * "null" (which encodes as "4:null"), binary 0x31 never collides with the
-    * string "1", and embedded separators/spaces in values are harmless. */
+    * string "1", and embedded separators/spaces in values are harmless.
+    *
+    * Float/double key caveat: -0.0 and 0.0 (and distinct NaN payloads)
+    * encode DISTINCTLY here, while SQL grouping normalizes them equal — a
+    * float PK is pathological, but if you have one, normalize it (or cast
+    * to string) upstream; prefer integer/string/binary keys. */
   private[cdc] def encodeKey(r: Row, n: Int): String = {
     val sb = new java.lang.StringBuilder(16 * n)
     var i = 0

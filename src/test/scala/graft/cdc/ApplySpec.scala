@@ -209,6 +209,36 @@ class ApplySpec extends SparkSpec {
     assert(r.passed, s"encodeKey injectivity property failed: $r")
   }
 
+  test("encodeKey property: injective over random MIXED string/binary/null composites") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import org.apache.spark.sql.Row
+    // parts drawn from the adversarial alphabet PLUS byte arrays whose bytes
+    // spell look-alike ASCII (digits, ':', 'B', 'N') — the exact shapes the
+    // three-way (digit/'N'/'B') prefix coding must keep apart
+    val strGen: Gen[Any] = Gen.oneOf(
+      Gen.const(null),
+      Gen.listOf(Gen.oneOf('0', '1', '9', ':', 'N', 'B', 'a')).map(_.mkString))
+    val binGen: Gen[Any] =
+      Gen.listOf(Gen.oneOf(Seq[Byte](0x30, 0x31, 0x39, 0x3A, 0x42, 0x4E, 0x00, -1)))
+        .map(_.toArray)
+    val keyGen: Gen[List[Any]] = for {
+      n <- Gen.chooseNum(1, 4)
+      parts <- Gen.listOfN(n, Gen.oneOf(strGen, binGen))
+    } yield parts
+    def canon(p: Any): Any = p match {
+      case b: Array[Byte] => ("bin", b.toSeq) // value equality for arrays
+      case s => ("str", s)
+    }
+    val p = Prop.forAll(keyGen, keyGen) { (a, b) =>
+      val sameWidth = a.length == b.length
+      val ea = Apply.encodeKey(Row.fromSeq(a), a.length)
+      val eb = Apply.encodeKey(Row.fromSeq(b), b.length)
+      !sameWidth || ((a.map(canon) == b.map(canon)) == (ea == eb))
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(r.passed, s"mixed-type encodeKey injectivity failed: $r")
+  }
+
   test("deltaAggregate: signed before/after contributions, group-moving update") {
     import spark.implicits._
     // (before(status,qty), after(status,qty)): insert A+5, update A6→B8 (moves
