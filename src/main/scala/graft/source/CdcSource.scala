@@ -280,12 +280,30 @@ case class ReplOffset(pos: Long, files: Seq[(String, Long)],
                         * every file we knew" (continue) from "a different
                         * primary after failover" (fail loudly, point at
                         * startGtid). None for MariaDB / legacy checkpoints. */
-                      suuid: Option[String] = None) extends Offset {
+                      suuid: Option[String] = None,
+                      /** Transaction open (GTID header seen, commit marker
+                        * not yet) at `pos`, as `sid:gno`. Offsets are
+                        * emitted-event ends and can land inside a
+                        * transaction; a restart dumping from there never
+                        * re-sees the header, so without this carry the
+                        * commit marker would fold nothing and the id would
+                        * hole `gtid` permanently. The persistent reader
+                        * re-seeds it and the re-dumped marker folds it
+                        * exactly (binlog transactions never interleave).
+                        * Absent in pre-pending checkpoints; parsing
+                        * tolerates both directions. */
+                      pending: Option[String] = None) extends Offset {
+  /** `pending` as (sid, gno) — the uuid never contains ':'. */
+  def pendingPair: Option[(String, Long)] = pending.map { s =>
+    val i = s.lastIndexOf(':')
+    (s.substring(0, i), s.substring(i + 1).toLong)
+  }
   override def json(): String = {
     val fs = files.map { case (n, s) => s"""["$n",$s]""" }.mkString(",")
     val g = gtid.fold("")(g => s""","gtid":"$g"""")
     val u = suuid.fold("")(u => s""","suuid":"$u"""")
-    s"""{"pos":$pos$g$u,"files":[$fs]}"""
+    val p = pending.fold("")(p => s""","pending":"$p"""")
+    s"""{"pos":$pos$g$u$p,"files":[$fs]}"""
   }
 }
 
@@ -293,11 +311,16 @@ object ReplOffset {
   private val pairRe = """\["([^"]+)",(\d+)\]""".r
   private val gtidRe = """"gtid"\s*:\s*"([^"]*)"""".r
   private val suuidRe = """"suuid"\s*:\s*"([^"]*)"""".r
+  private val pendingRe = """"pending"\s*:\s*"([^"]*)"""".r
   def parse(json: String): ReplOffset =
     ReplOffset(CdcOffset.parsePos(json),
       pairRe.findAllMatchIn(json).map(m => (m.group(1), m.group(2).toLong)).toSeq,
       gtidRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty),
-      suuidRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty))
+      suuidRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty),
+      pendingRe.findFirstMatchIn(json).map(_.group(1)).filter(_.nonEmpty))
+
+  def encodePending(p: Option[(String, Long)]): Option[String] =
+    p.map { case (sid, gno) => s"$sid:$gno" }
   /** Accepts this stream's own offsets and (for compatibility with
     * checkpoints written before sizes were carried) a bare CdcOffset. */
   def posOf(o: Offset): Long = o match {
@@ -308,6 +331,11 @@ object ReplOffset {
 
   def gtidOf(o: Offset): Option[String] = o match {
     case r: ReplOffset => r.gtid
+    case _ => None
+  }
+
+  def pendingOf(o: Offset): Option[String] = o match {
+    case r: ReplOffset => r.pending
     case _ => None
   }
 }
@@ -634,7 +662,11 @@ class ReplMicroBatchStream(conf: ReplConfig, filter: Option[String],
     }
     ReplOffset(math.max(from, until), files,
       gtid = ReplOffset.gtidOf(start), // carried, not re-stamped (see ctor doc)
-      suuid = synchronized(knownUuid))
+      suuid = synchronized(knownUuid),
+      // carried like gtid: a pending id whose commit has since passed is
+      // still correct to fold later (commit ≤ any later offset pos); a
+      // persistent-mode restart re-seeds it position-matched
+      pending = ReplOffset.pendingOf(start))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

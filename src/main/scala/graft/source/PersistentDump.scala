@@ -65,7 +65,14 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
                                    * the streamed GTID events accumulate onto,
                                    * exactly how a real replica maintains its
                                    * own executed set. */
-                                 gtid0: GtidSet = GtidSet.Empty) extends AutoCloseable {
+                                 gtid0: GtidSet = GtidSet.Empty,
+                                 /** Transaction open at `startPos` (from the
+                                   * checkpoint): its GTID header is BEHIND
+                                   * the dump start, so without this seed its
+                                   * re-dumped commit marker would fold
+                                   * nothing and the id would hole the stamp
+                                   * forever. */
+                                 pending0: Option[(String, Long)] = None) extends AutoCloseable {
 
   /** (lineGlobalStartPos, safeEndPosAfterIt, fileName, line). `safe` is a
     * position a future COM_BINLOG_DUMP may start from: the end of this
@@ -95,11 +102,27 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
     * promised at position P is stamped with EXACTLY the transactions whose
     * commit landed at-or-before P — never a later transaction's id, which a
     * failover resume would then wrongly skip. Snapshots are pruned with the
-    * buffer on commit. */
+    * buffer on commit.
+    *
+    * Each snapshot ALSO records the transaction open at that position
+    * (`pending`): promised offsets are emitted-event ends and can land
+    * INSIDE a transaction (after a row event, before its XID; after a DDL
+    * query, before the next header that folds it). An offset committed
+    * there and restarted from would re-dump past the transaction's GTID
+    * header — without the carried pending id the commit marker would fold
+    * nothing and the id would be missing from every later stamp (a
+    * permanent hole that makes a failover resume re-request — or with
+    * other holes mis-claim — history). The checkpoint carries the pending
+    * id back in ([[ReplOffset.pending]]), `pending0` re-seeds it, and the
+    * re-dumped commit marker folds it exactly: binlog transactions never
+    * interleave, so the first marker after a mid-transaction start always
+    * belongs to the seeded transaction. */
   private var gtidApplied: GtidSet = gtid0
-  private var gtidPending: Option[(String, Long)] = None
-  private val gtidSnaps = new java.util.TreeMap[Long, String]()
-  if (!gtid0.isEmpty) gtidSnaps.put(startPos, gtid0.toString)
+  private var gtidPending: Option[(String, Long)] = pending0
+  private final case class Snap(applied: GtidSet, pending: Option[(String, Long)])
+  private val gtidSnaps = new java.util.TreeMap[Long, Snap]()
+  if (!gtid0.isEmpty || pending0.isDefined)
+    gtidSnaps.put(startPos, Snap(gtid0, pending0))
   private var failure: Throwable = _
   @volatile private var closed = false
 
@@ -189,10 +212,17 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
                 // a new transaction header proves the previous one is fully
                 // streamed — fold a pending id that had no XID (DDL) here
                 gtidFold(base + eventStart)
-                gtidPending = Some(BinlogWire.parseGtid(body))
+                lock.synchronized {
+                  gtidPending = Some(BinlogWire.parseGtid(body))
+                  // snapshot the OPEN transaction at the header's end: any
+                  // offset promised inside the transaction body floors here
+                  // and carries the pending id to its checkpoint
+                  gtidSnaps.put(base + end, Snap(gtidApplied, gtidPending))
+                }
               } else if (etype == BinlogWire.PREVIOUS_GTIDS_EVENT) {
                 lock.synchronized {
                   gtidApplied = gtidApplied.union(GtidSet.decode(body))
+                  gtidSnaps.put(base + end, Snap(gtidApplied, gtidPending))
                 }
               } else if (etype == BinlogWire.XID_EVENT) {
                 gtidFold(base + end) // commit marker: the txn is applied HERE
@@ -240,17 +270,21 @@ final class PersistentDumpReader(conf: ReplConfig, startPos: Long,
   private def gtidFold(at: Long): Unit = lock.synchronized {
     gtidPending.foreach { case (sid, gno) =>
       gtidApplied = gtidApplied.add(sid, gno)
-      gtidSnaps.put(at, gtidApplied.toString)
+      gtidSnaps.put(at, Snap(gtidApplied, None))
     }
     gtidPending = None
   }
 
-  /** gtid_executed as of global position `pos` — the largest snapshot at or
-    * below it (None before any transaction has committed and no seed was
-    * given). */
-  def gtidAt(pos: Long): Option[String] = lock.synchronized {
-    Option(gtidSnaps.floorEntry(pos)).map(_.getValue)
-  }
+  /** (gtid_executed, open transaction) as of global position `pos` — the
+    * largest snapshot at or below it (None before any gtid activity when no
+    * seed was given). The applied set is None while still empty. */
+  def gtidStateAt(pos: Long): Option[(Option[String], Option[(String, Long)])] =
+    lock.synchronized {
+      Option(gtidSnaps.floorEntry(pos)).map { e =>
+        val s = e.getValue
+        (if (s.applied.isEmpty) None else Some(s.applied.toString), s.pending)
+      }
+    }
 
   /** The dump's view of the file sequence — listing-at-dial plus every file
     * it has streamed through, sizes as far as seen. */
@@ -374,6 +408,16 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
   /** Latest known executed set (start option / checkpoint / reader), so an
     * offset is never stamped with LESS than what an earlier one carried. */
   private var lastGtid: Option[String] = None
+  /** Transaction open at the latest stamped offset (reader-exact when a
+    * snapshot covers the position). */
+  private var lastPending: Option[(String, Long)] = None
+  /** Restored offsets by position: the reader must be seeded with the gtid
+    * state of the offset it dials FROM. Seeding the pending id from a
+    * mismatched (later) offset would fold it at the wrong marker and
+    * over-claim a still-open transaction — the skip-on-failover direction —
+    * so pending is only ever taken position-matched. */
+  private val restoredAt =
+    scala.collection.mutable.Map[Long, (Option[String], Option[(String, Long)])]()
   /** Last known server identity (checkpoint-carried or observed at dial). */
   private var knownUuid: Option[String] = None
 
@@ -396,8 +440,12 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
           s"${conf.host}:${conf.port}", startGtidHint = lastGtid)
       knownUuid = liveUuid.orElse(knownUuid)
       seed(live) // ONE metadata listing, at dial time only
+      val at = restoredAt.get(startPos)
       reader = new PersistentDumpReader(conf, startPos, sizes.toSeq, bufferCap,
-        heartbeatSecs, gtid0 = lastGtid.map(GtidSet.parse).getOrElse(GtidSet.Empty))
+        heartbeatSecs,
+        gtid0 = at.flatMap(_._1).orElse(lastGtid)
+          .map(GtidSet.parse).getOrElse(GtidSet.Empty),
+        pending0 = at.flatMap(_._2))
     }
     reader
   }
@@ -414,14 +462,20 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
         located.copy(gtid = Some(set.toString))
       })
       .getOrElse(ReplOffset(0L, Nil))
-    synchronized { lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid) }
+    synchronized {
+      lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid)
+      restoredAt(o.pos) = (o.gtid, o.pendingPair)
+    }
     o
   }
 
   override def deserializeOffset(json: String): Offset = {
     val o = ReplOffset.parse(json)
     seed(o.files)
-    synchronized { lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid) }
+    synchronized {
+      lastGtid = o.gtid.orElse(lastGtid); knownUuid = o.suuid.orElse(knownUuid)
+      restoredAt(o.pos) = (o.gtid, o.pendingPair)
+    }
     o
   }
 
@@ -455,10 +509,15 @@ class PersistentReplStream(conf: ReplConfig, filter: Option[String],
     }
     seed(r.fileSizes()) // checkpoints carry the dump's own file view
     val end = math.max(from, until)
-    val (g, u) = synchronized {
-      lastGtid = r.gtidAt(end).orElse(lastGtid); (lastGtid, knownUuid)
+    val (g, u, p) = synchronized {
+      r.gtidStateAt(end) match {
+        case Some((applied, pending)) =>
+          lastGtid = applied.orElse(lastGtid); lastPending = pending
+        case None => // no gtid activity at-or-below end; carry what we know
+      }
+      (lastGtid, knownUuid, lastPending)
     }
-    ReplOffset(end, synchronized(sizes.toSeq), g, u)
+    ReplOffset(end, synchronized(sizes.toSeq), g, u, ReplOffset.encodePending(p))
   }
 
   override def prepareForTriggerAvailableNow(): Unit =

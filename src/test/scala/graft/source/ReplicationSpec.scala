@@ -2512,16 +2512,96 @@ class ReplicationSpec extends SparkSpec {
     rows.toSeq.sortBy(_._1)
   }
 
+  test("offset committed INSIDE a transaction carries the pending gtid and " +
+    "the restart folds it — no hole in the stamped set") {
+    // The drain's final offset lands after the last emitted event. End the
+    // fixture after transaction 2's row event but BEFORE its XID: the
+    // committed offset is mid-transaction, its stamp is sid:1, and the
+    // re-dump from it never re-sees transaction 2's GTID header. Without
+    // the carried pending id, the restarted reader's fold at the XID is a
+    // no-op and every later stamp holes gno 2 forever (sid:1:3-…).
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1)))
+      w.gtid(110L, SidA, 2L)
+      w.tableMap(110L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(110L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(2), w.vVarchar("u2", 40))))
+      // no xid yet: transaction 2 is open at the drain's final offset
+      stub.files = Seq(("binlog.000001", w.bytes))
+      assert(gtidDrain(stub, cp, persistent = true).size === 2)
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1"),
+        "an open transaction must NOT be claimed in the executed set")
+      assert(lastOffsetPending(cp) === Some(s"$SidA:2"),
+        "the open transaction rides the offset as pending")
+      // commit lands, plus one more whole transaction; the restart dials
+      // from the mid-transaction offset (header of 2 is behind it)
+      w.xid(110L, 2L)
+      w.gtid(120L, SidA, 3L)
+      w.tableMap(120L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40)))
+      w.rows(120L, WRITE_ROWS_V2, 5L, 2, Seq(Seq(w.vLong(3), w.vVarchar("u3", 40))))
+      w.xid(120L, 3L)
+      stub.files = Seq(("binlog.000001", w.bytes))
+      assert(gtidDrain(stub, cp, persistent = true).nonEmpty)
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1-3"),
+        "the re-dumped XID must fold the carried pending id — no hole at 2")
+      assert(lastOffsetPending(cp) === None, "nothing open at the final offset")
+    } finally stub.close()
+  }
+
+  test("offset committed after a DDL but before the next header carries the " +
+    "DDL's pending gtid — the restart's next header folds it") {
+    // DDL transactions have no XID: their id folds at the NEXT header. A
+    // drain ending right after the DDL's query event commits an offset
+    // whose re-dump starts past the DDL's own GTID header — the pending
+    // carry is the only thing that keeps its id out of the hole.
+    import BinlogWire._
+    val stub = new StubMysqlServer("pw")
+    val cp = tmp()
+    try {
+      val w = gtidFixture(GtidSet.Empty, SidA, Seq((1L, 1)))
+      w.gtid(110L, SidA, 2L)
+      w.query(110L, "shop", "ALTER TABLE shop.user ADD COLUMN age int")
+      stub.files = Seq(("binlog.000001", w.bytes))
+      stub.schemas = Map(("shop", "user") -> Seq(("id", "int(11)"), ("name", "varchar(40)")))
+      val first = gtidDrain(stub, cp, persistent = true)
+      assert(first.exists(_._2.contains("\"action\":\"alter\"")), s"$first")
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1"))
+      assert(lastOffsetPending(cp) === Some(s"$SidA:2"))
+      w.gtid(120L, SidA, 3L)
+      w.tableMap(120L, 5L, "shop", "user",
+        Seq(TYPE_LONG -> w.mNone, TYPE_VARCHAR -> w.mLe2(40), TYPE_LONG -> w.mNone))
+      w.rows(120L, WRITE_ROWS_V2, 5L, 3,
+        Seq(Seq(w.vLong(3), w.vVarchar("u3", 40), w.vLong(21))))
+      w.xid(120L, 3L)
+      stub.files = Seq(("binlog.000001", w.bytes))
+      assert(gtidDrain(stub, cp, persistent = true).nonEmpty)
+      assert(lastOffsetGtid(cp) === Some(s"$SidA:1-3"),
+        "the restart's next GTID header must fold the carried DDL id")
+    } finally stub.close()
+  }
+
+  /** The pending field of the LAST committed checkpoint offset, if any. */
+  private def lastOffsetPending(cp: Path): Option[String] =
+    """"pending"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(lastOffsetJson(cp)).map(_.group(1))
+
   /** The gtid field of the LAST committed checkpoint offset, if stamped. */
-  private def lastOffsetGtid(cp: Path): Option[String] = {
+  private def lastOffsetGtid(cp: Path): Option[String] =
+    """"gtid"\s*:\s*"([^"]*)"""".r
+      .findFirstMatchIn(lastOffsetJson(cp)).map(_.group(1))
+
+  private def lastOffsetJson(cp: Path): String = {
     import scala.jdk.CollectionConverters._
     val dir = cp.resolve("offsets")
     val batches = Files.list(dir).iterator().asScala
       .filter(p => p.getFileName.toString.forall(_.isDigit)).toSeq
     assert(batches.nonEmpty, s"no offset files under $dir")
     val last = batches.maxBy(_.getFileName.toString.toLong)
-    val json = new String(Files.readAllBytes(last), UTF_8)
-    """"gtid"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1))
+    new String(Files.readAllBytes(last), UTF_8)
   }
 
   test("GtidSet: parse/canonical/coalesce/subset algebra + wire codec roundtrip") {
