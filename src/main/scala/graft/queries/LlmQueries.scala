@@ -2162,6 +2162,87 @@ object LlmQueries {
       |FROM nodes n LEFT JOIN pernode p ON p.id = n.id
       |GROUP BY n.id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q81 domain blocklist
+
+  /** Suffix-rule domain blocklist ([[graft.llm.UrlFilter.domainBlocklist]]):
+    * the URL-filtering tier of a web-corpus pipeline. Hosts are synthesized
+    * deterministically from doc_id with 1–4 label depths; the blocklist
+    * mixes exact sites, a deep `cdn.` entry, and a TLD-wide `net` block so
+    * the longest-match (most specific entry) rule is exercised. The Spark
+    * side never runs a per-entry LIKE scan — each host explodes into its
+    * bounded label-suffix chain and equi-joins the blocklist; the oracle
+    * computes the same rule with the naive LIKE form. */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tld = when(col("doc_id") % 3 === 0, lit("com"))
+      .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net"))
+    val host = concat(
+      when(col("doc_id") % 4 === 1, lit("www."))
+        .when(col("doc_id") % 4 === 2, lit("a.b."))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("m"), (col("doc_id") % 7).cast("string"), lit(".cdn.")))
+        .otherwise(lit("")),
+      lit("s"), (col("doc_id") % 23).cast("string"), lit("."), tld)
+    val docs = Tables.documents(s, d).select(col("doc_id"), host.as("host"))
+    val bl = Seq("s1.com", "s2.org", "cdn.s3.net", "www.s5.org", "s7.com", "net")
+      .toDF("entry")
+    graft.llm.UrlFilter.domainBlocklist(docs, "host", Seq("doc_id"), bl)
+      .select(col("doc_id"), col("host"), col("blocked_by"),
+        col("blocked").cast("int").as("blocked"))
+      .orderBy("doc_id")
+  }
+
+  private val q81Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+      |      WHEN 3 THEN 'm' || (doc_id % 7) || '.cdn.' ELSE '' END)
+      |    || 's' || (doc_id % 23) || '.'
+      |    || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      |    AS host
+      |  FROM documents),
+      |bl AS (SELECT unnest(['s1.com', 's2.org', 'cdn.s3.net', 'www.s5.org',
+      |                      's7.com', 'net']) AS entry),
+      |hit AS (
+      |  SELECT h.doc_id, arg_max(b.entry, strlen(b.entry)) AS blocked_by
+      |  FROM h JOIN bl b ON h.host = b.entry OR h.host LIKE '%.' || b.entry
+      |  GROUP BY h.doc_id)
+      |SELECT h.doc_id, h.host, hit.blocked_by,
+      |  CASE WHEN hit.blocked_by IS NULL THEN 0 ELSE 1 END AS blocked
+      |FROM h LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q82 n-gram novelty
+
+  /** First-occurrence n-gram novelty ([[graft.llm.Novelty.ngramNovelty]]):
+    * the redundancy-growth measurement — each 8-gram belongs to the
+    * earliest doc containing it; a doc's novelty is the owned share of its
+    * distinct grams, in exact integer micros. Finds diffuse redundancy the
+    * pairwise dedup tiers can't (no single near-duplicate, yet nothing
+    * new). */
+  private def q82(s: SparkSession, d: String): DataFrame =
+    graft.llm.Novelty.ngramNovelty(Tables.documents(s, d), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  private val q82Sql =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ws) >= 8 THEN
+      |      [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+      |      ELSE [] END) AS grams
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+      |per AS (
+      |  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      |  FROM g JOIN o USING (gram) GROUP BY g.doc_id)
+      |SELECT d.doc_id, coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+      |  coalesce(per.n_novel, 0)::BIGINT AS n_novel,
+      |  CASE WHEN per.n_grams > 0
+      |    THEN (per.n_novel * 1000000) // per.n_grams END AS novelty_micros
+      |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2324,5 +2405,7 @@ object LlmQueries {
     QueryDef("q77_pps_sample", q77, Some(q77Sql)),
     QueryDef("q78_phrase_blocklist", q78, Some(q78Sql)),
     QueryDef("q79_hyperball_regs", q79, Some(q79Sql)),
+    QueryDef("q81_domain_blocklist", q81, Some(q81Sql)),
+    QueryDef("q82_ngram_novelty", q82, Some(q82Sql)),
   )
 }

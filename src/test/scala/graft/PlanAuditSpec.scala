@@ -410,4 +410,31 @@ class PlanAuditSpec extends SparkSpec {
       s"q79 register-max should be a typed aggregate:\n$plan")
     assert(plan.contains("partial_"), s"q79 aggregate must have a partial stage:\n$plan")
   }
+
+  test("q81 domain blocklist: keyed equi-joins only (suffix probe + join-back), " +
+    "no per-entry scan, bounded explode, no window") {
+    val plan = planOf("q81_domain_blocklist")
+    assert(!plan.contains("Window"), s"q81 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q81 must never LIKE-scan the blocklist (that is the oracle's naive form):\n$plan")
+    // suffix chain explode + blocklist equi-join + longest-match aggregate
+    assert(plan.contains("Generate explode"), s"q81 explodes the suffix chain:\n$plan")
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(plan).length
+    assert(joins === 2, s"q81 is exactly two equi-joins (chain→blocklist, " +
+      s"hits→docs), found $joins:\n$plan")
+    assert(plan.contains("partial_max"), s"q81 longest-match must partial-aggregate:\n$plan")
+  }
+
+  test("q82 ngram novelty: gram-keyed shuffle with map-side partial min, " +
+    "keyed joins only, no window") {
+    val plan = planOf("q82_ngram_novelty")
+    assert(!plan.contains("Window"), s"q82 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q82 joins are keyed:\n$plan")
+    assert(plan.contains("Generate explode"), s"q82 explodes distinct grams:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q82 gram-owner min must have a map-side partial stage:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q82 per-doc stats must partial-aggregate:\n$plan")
+  }
 }
