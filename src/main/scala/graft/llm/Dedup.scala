@@ -373,20 +373,24 @@ object Dedup {
     * of the candidate self-join — without persists each reference recomputes
     * the whole upstream (the measured round-2 trap: self-joins ×N the
     * pipeline). */
-  def jaccardJoinManaged(docs: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, threshold: Double = 0.5): (DataFrame, () => Unit) = {
-    // Shingle identity is a 64-bit hash, never a string: every downstream join
-    // keys on 8-byte values and the verify intersects long arrays. Jaccard on
-    // hashed sets equals Jaccard on string sets absent a 64-bit collision
-    // inside one candidate pair (~|S|²/2⁶⁴ — negligible); array_distinct
-    // guards the within-doc case.
-    //
-    // Built explode-first (word → xxhash64 per occurrence → collect in word
-    // order → n-gram = xxhash64 of n consecutive word hashes): the string
-    // shingle form `transform(shingles(text), …)` re-evaluates the captured
-    // `split(lower(text))` per lambda element — measured 13.5 s vs 1.4 s for
-    // this shape at sf0.1. xxhash64 over materialized longs is codegen'd and
-    // ANSI-safe (no overflow, unlike a 64-bit polynomial combine).
+  /** Per-doc distinct hashed n-gram sets (doc_id, sh: array<bigint>), empty
+    * sets dropped — the shared base of [[jaccardJoinManaged]] and
+    * [[containmentJoinManaged]].
+    *
+    * Shingle identity is a 64-bit hash, never a string: every downstream join
+    * keys on 8-byte values and the verify intersects long arrays. Jaccard /
+    * containment on hashed sets equals the string-set value absent a 64-bit
+    * collision inside one candidate pair (~|S|²/2⁶⁴ — negligible);
+    * array_distinct guards the within-doc case.
+    *
+    * Built explode-first (word → xxhash64 per occurrence → collect in word
+    * order → n-gram = xxhash64 of n consecutive word hashes): the string
+    * shingle form `transform(shingles(text), …)` re-evaluates the captured
+    * `split(lower(text))` per lambda element — measured 13.5 s vs 1.4 s for
+    * this shape at sf0.1. xxhash64 over materialized longs is codegen'd and
+    * ANSI-safe (no overflow, unlike a 64-bit polynomial combine). */
+  private def hashedGramSets(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int): DataFrame = {
     val wh = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))
@@ -398,9 +402,14 @@ object Dedup {
       transform(sequence(lit(0), size(col("whs")) - n),
         i => xxhash64((0 until n).map(j => element_at(col("whs"), i + j + 1)): _*)))
       .otherwise(array().cast("array<bigint>"))
-    val base = wh
-      .select(col("doc_id"), array_distinct(ngrams).as("sh"))
+    wh.select(col("doc_id"), array_distinct(ngrams).as("sh"))
       .filter(size(col("sh")) > 0)
+  }
+
+  def jaccardJoinManaged(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    // gram identity/build rationale: [[hashedGramSets]]
+    val base = hashedGramSets(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
     val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
@@ -446,6 +455,82 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
     (out, () => { prefixes.unpersist(); base.unpersist(); () })
+  }
+
+  /** EXACT n-gram CONTAINMENT join: all DIRECTED pairs (a, b), a ≠ b, with
+    * |grams(a) ∩ grams(b)| / |grams(a)| ≥ t — "a is (mostly) inside b".
+    * The asymmetric sibling of [[jaccardJoin]]: quote inclusion, doc-in-doc
+    * subsumption and template-plus-payload pages have high containment but
+    * arbitrarily LOW Jaccard when |b| ≫ |a|, so a Jaccard threshold can
+    * never find them.
+    *
+    * Prefix filtering adapts to the asymmetry (AllPairs/PPJoin family,
+    * Bayardo WWW'07; overlap form): the required overlap α = ⌈t·|a|⌉
+    * depends only on the PROBE side, so only `a` is prefix-pruned (prefix =
+    * the |a| − α + 1 rarest grams under the global (df ASC, hash) order —
+    * any b with overlap ≥ α must share a prefix gram, by pigeonhole) while
+    * `b` is indexed in FULL with positions (there is no upper size filter:
+    * b may be arbitrarily larger). The PPJoin positional bound
+    * max over shared grams of min(|a|−p_a, |b|−p_b) ≥ α prunes candidates
+    * before the exact verify on the full sets.
+    *
+    * Thresholds travel as INTEGER MICROS end to end: α and every filter are
+    * exact integer arithmetic (⌈t·s⌉ = (s·t_micros + 999999) div 10^6), so
+    * there is no float-ceil epsilon anywhere and the DuckDB oracle replays
+    * the identical predicate. Output `cont_micros` = overlap·10^6 div |a|.
+    *
+    * Skew note (the honest cost of the full-side index): a gram's full
+    * posting list joins whenever the gram lands in ANY probe prefix. Prefix
+    * grams are df-ascending-rarest, so common grams enter only through
+    * probe docs so small that the common gram is among their rarest — the
+    * posting lists actually joined stay near the df floor. Docs shorter
+    * than `n` words have no grams and are excluded (containment over an
+    * empty set is undefined). */
+  def containmentJoin(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, thresholdMicros: Long = 600000L): DataFrame =
+    containmentJoinManaged(docs, idCol, textCol, n, thresholdMicros)._1
+
+  /** [[containmentJoin]] plus the persist-cleanup handle (same contract as
+    * [[jaccardJoinManaged]]). */
+  def containmentJoinManaged(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, thresholdMicros: Long = 600000L)
+      : (DataFrame, () => Unit) = {
+    require(thresholdMicros >= 1 && thresholdMicros <= 1000000L,
+      s"containmentJoin: thresholdMicros must be in [1, 1000000], got $thresholdMicros")
+    val base = hashedGramSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = base.select(col("doc_id"), explode(col("sh")).as("g"))
+    val dfreq = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+    // ONE positional df-sorted index serves both sides: the probe filters
+    // it to prefixes, the indexed side uses it whole.
+    val sorted = exploded.join(dfreq, "g")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("g")))).as("gs"))
+      .select(col("doc_id"), size(col("gs")).as("sz"),
+        posexplode(expr("transform(gs, x -> x.g)")).as(Seq("p", "g")))
+      // α = ⌈t·sz⌉ in exact integer micros, carried per row
+      .withColumn("alpha",
+        expr(s"(sz * ${thresholdMicros}L + 999999L) div 1000000L"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // probe prefix: 0-based positions 0 .. sz − α (length sz − α + 1)
+    val probe = sorted.filter(col("p") <= col("sz") - col("alpha"))
+    val cand = probe.as("a")
+      .join(sorted.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.sz") >= col("a.alpha")) // overlap ≤ |b|: size lower bound
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.alpha").as("alpha_a"))
+      .agg(max(least(col("a.sz") - col("a.p"), col("b.sz") - col("b.p"))).as("ub"))
+      .filter(col("ub") >= col("alpha_a"))
+      .select(col("doc_a"), col("doc_b"))
+    val out = cand
+      .join(base.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("ov", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .filter(col("ov") * lit(1000000L) >= lit(thresholdMicros) * size(col("sh_a")))
+      .select(col("doc_a"), col("doc_b"),
+        expr("ov * 1000000L div size(sh_a)").as("cont_micros"))
+    (out, () => { sorted.unpersist(); base.unpersist(); () })
   }
 
   /** Exact-duplicate groups on a content key: hash-groupBy keeping the minimum

@@ -2243,6 +2243,40 @@ object LlmQueries {
       |    THEN (per.n_novel * 1000000) // per.n_grams END AS novelty_micros
       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q83 containment join
+
+  /** Asymmetric doc-in-doc containment join
+    * ([[Dedup.containmentJoin]]): directed pairs with
+    * |grams(a)∩grams(b)| / |grams(a)| ≥ 0.6 — quote inclusion and
+    * template-plus-payload subsumption, which a Jaccard threshold can
+    * never find when |b| ≫ |a|. Probe-side prefix filter + full positional
+    * index, thresholds in exact integer micros. The oracle is the
+    * brute-force all-pairs form over string 3-grams (containment is
+    * hash-invariant, like q33's Jaccard). */
+  private def q83(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentJoin(Tables.documents(s, d), "doc_id", "text",
+        n = 3, thresholdMicros = 600000L)
+      .orderBy("doc_a", "doc_b")
+
+  private val q83Sql =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |ne AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.shingles, b.shingles))::BIGINT AS ov,
+      |    len(a.shingles)::BIGINT AS sza
+      |  FROM ne a JOIN ne b ON a.doc_id <> b.doc_id)
+      |SELECT doc_a, doc_b, (ov * 1000000) // sza AS cont_micros
+      |FROM pairs WHERE ov * 1000000 >= 600000 * sza
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2407,5 +2441,6 @@ object LlmQueries {
     QueryDef("q79_hyperball_regs", q79, Some(q79Sql)),
     QueryDef("q81_domain_blocklist", q81, Some(q81Sql)),
     QueryDef("q82_ngram_novelty", q82, Some(q82Sql)),
+    QueryDef("q83_containment_join", q83, Some(q83Sql)),
   )
 }

@@ -426,6 +426,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_max"), s"q81 longest-match must partial-aggregate:\n$plan")
   }
 
+  test("q83 containment join: keyed gram joins only, probe-side prefix " +
+    "pruned below the candidate join, no window") {
+    val plan = planOf("q83_containment_join")
+    assert(!plan.contains("Window"), s"q83 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q83 candidates must come from the keyed gram join, never a loop:\n$plan")
+    // the probe prefix filter (p <= sz - alpha) must sit BELOW the
+    // candidate self-join — pruning before the shuffle, not after
+    assert(plan.contains("Generate explode"), s"q83 explodes gram sets:\n$plan")
+    assert("\\(p#\\d+L? <= \\(sz#\\d+".r.findFirstIn(plan).isDefined ||
+      plan.contains("(p#"), s"q83 prefix filter must appear in the plan:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"q83 positional bound must partial-aggregate:\n$plan")
+  }
+
   test("q82 ngram novelty: gram-keyed shuffle with map-side partial min, " +
     "keyed joins only, no window") {
     val plan = planOf("q82_ngram_novelty")

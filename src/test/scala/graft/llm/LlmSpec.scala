@@ -163,6 +163,47 @@ class LlmSpec extends SparkSpec {
     assert(mh.subsetOf(exact.map(p => (p._1, p._2)).toSet))
   }
 
+  test("containment join equals brute force (lossless, directed) and finds " +
+    "subsumed docs that jaccard cannot") {
+    import spark.implicits._
+    val corpus = Tables.documents(spark, d)
+    // plant a strict subset: a small doc whose text is a slice of a big one
+    val big = corpus.orderBy(desc("n_chars")).select("text").head().getString(0)
+    val slice = big.split(" ").slice(5, 17).mkString(" ") // 12 words ⊂ big
+    val docs = corpus.select("doc_id", "text")
+      .union(Seq((900001L, slice)).toDF("doc_id", "text"))
+    val exact = Dedup.containmentJoin(docs, "doc_id", "text",
+        n = 3, thresholdMicros = 600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    // Brute force on the full sf0.001 set (oracle-scale only): DIRECTED
+    // pairs, string shingles (containment is hash-invariant, like jaccard).
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+      .withColumn("ov", size(array_intersect(col("a.sh"), col("b.sh"))).cast("long"))
+      .filter(col("ov") * lit(1000000L) >= lit(600000L) * size(col("a.sh")))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        expr("ov * 1000000L div size(a.sh)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(p => (p._1, p._2))
+    assert(exact.nonEmpty)
+    assert(exact.toSeq === brute.toSeq,
+      "probe-side prefix filtering must be lossless vs directed all-pairs")
+    // the planted subset: found as subset→superset, never the reverse, and
+    // invisible to the symmetric jaccard join at the same bar
+    val fromSlice = exact.filter(_._1 == 900001L)
+    assert(fromSlice.exists(_._3 == 1000000L),
+      s"planted slice must be fully contained in its source: $fromSlice")
+    assert(!exact.exists(p => p._2 == 900001L && p._3 >= 900000L),
+      "the big doc is NOT contained in its 12-word slice")
+    val jac = Dedup.jaccardJoin(docs, "doc_id", "text", n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((900001L, fromSlice.head._2)) &&
+      !jac.exists(p => p._1 == 900001L || p._2 == 900001L),
+      "the subsumed doc is exactly what a jaccard threshold cannot see")
+  }
+
   test("simhash pairs ⊇ high-jaccard minhash pairs (shingle-token simhash)") {
     val mh = Dedup.nearDupPairs(Tables.documents(spark, d), "doc_id", "text", threshold = 0.9)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
