@@ -389,8 +389,8 @@ object Dedup {
     * `split(lower(text))` per lambda element — measured 13.5 s vs 1.4 s for
     * this shape at sf0.1. xxhash64 over materialized longs is codegen'd and
     * ANSI-safe (no overflow, unlike a 64-bit polynomial combine). */
-  private def hashedGramSets(docs: DataFrame, idCol: String, textCol: String,
-                             n: Int): DataFrame = {
+  private[llm] def hashedGramSets(docs: DataFrame, idCol: String, textCol: String,
+                                  n: Int): DataFrame = {
     val wh = docs
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("__p", "__w")))

@@ -34,23 +34,21 @@ object Novelty {
     * when the document has no grams).
     *
     * Tokenization is the catalog's standard: lowercase, split on a single
-    * space (empty tokens preserved — both engines agree). Grams travel as
-    * 64-bit xxhash64 of the joined text, never as strings: the shuffle and
-    * join key on 8-byte values instead of ~50-byte gram strings (measured
-    * several-× on the gram-keyed exchange), and every OUTPUT is a count —
-    * identical to the string-gram computation absent a 64-bit collision
-    * between two distinct grams of the corpus (the q33 hash-invariance
-    * argument; the oracle computes the string form and hash-matches). */
+    * space (empty tokens preserved — both engines agree). Grams are built
+    * with [[Dedup.hashedGramSets]] — per-word xxhash64 once, gram =
+    * xxhash64 of the n consecutive word hashes — never as strings: gram
+    * STRING construction (an O(n) array_join per gram) was the measured
+    * hot path, and the shuffle keys on 8-byte longs. Every OUTPUT is a
+    * count — identical to the string-gram computation absent a 64-bit
+    * collision between two distinct grams of the corpus (the q33
+    * hash-invariance argument; the oracle computes the string form and
+    * hash-matches). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val ws = docs.select(col(idCol), split(lower(col(textCol)), " ").as("__ws"))
-    val grams = ws.select(col(idCol),
-      when(size(col("__ws")) >= n, expr(
-        s"array_distinct(transform(sequence(1, size(__ws) - ${n - 1}), " +
-          s"i -> xxhash64(array_join(slice(__ws, i, $n), ' '))))"))
-        .otherwise(expr("cast(array() as array<bigint>)")).as("__grams"))
-    val exploded = grams.select(col(idCol), explode(col("__grams")).as("__gram"))
+    val exploded = Dedup.hashedGramSets(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol, n)
+      .select(col("doc_id").as(idCol), explode(col("sh")).as("__gram"))
     // the gram's owner: the earliest document containing it
     val owner = exploded.groupBy("__gram").agg(min(col(idCol)).as("__owner"))
     val per = exploded.join(owner, "__gram")
