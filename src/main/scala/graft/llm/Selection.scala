@@ -210,6 +210,84 @@ object Selection {
       .select(col("source"), col("id"), col("rank"), col("coord"))
   }
 
+  /** Exact stratified train/val/test split assignment — every row of every
+    * stratum lands in EXACTLY one named split, and each stratum's split
+    * sizes are the largest-remainder (Hamilton) apportionment of its row
+    * count by the declared weights: |quota_s − n·w_s/W| < 1 per stratum,
+    * Σ quotas = n exactly. The apportionment step of dataset splitting —
+    * a sampling RATE (q41) can miss a stratum's last row or double a
+    * split's share by rounding; training/eval splits need exact disjoint
+    * quotas per language/source stratum.
+    *
+    * Deterministic, no RNG: rows rank within their stratum by the seeded
+    * portable md5 hash (ties by id), so the assignment is reproducible
+    * across runs, engines and partitionings. Ranks are weight-independent;
+    * a weight change only moves the cumulative boundaries (but
+    * largest-remainder quotas are famously non-monotone in the weights —
+    * no per-split nesting guarantee is claimed).
+    *
+    * Quota arithmetic is pure integer: base_s = n·w_s div W, remainder
+    * r_s = n·w_s mod W; the n − Σ base_s leftover units go to the largest
+    * r_s (ties by declared split order). All engine-portable.
+    *
+    * 100 TB posture: per-stratum rank uses the [[mixSources]] bucket
+    * decomposition — md5-bucket counts (≤ `buckets` rows per stratum)
+    * give bucket offsets via a metadata-scale window, ranks are offset +
+    * within-bucket row_number — never a corpus-wide sort; the quota frame
+    * is (strata × splits) rows with ≤64 splits, window partitions of ≤64;
+    * the boundary join back is stratum-keyed with a ×|splits| bounded
+    * fan-out filtered to one row. */
+  def splitAssign(docs: DataFrame, strataCol: String, idCol: String,
+                  splits: Seq[(String, Long)], seed: String = "split",
+                  buckets: Int = 4096): DataFrame = {
+    require(splits.nonEmpty && splits.size <= 64,
+      s"splitAssign: 1..64 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0),
+      s"splitAssign: weights must be positive, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitAssign: duplicate split names in ${splits.map(_._1)}")
+    val totalW = splits.map(_._2).sum
+    import docs.sparkSession.implicits._
+    val sdf = splits.zipWithIndex.map { case ((nm, w), i) => (nm, w, i) }
+      .toDF("split", "__w", "__i")
+
+    val base = docs.select(col(strataCol).as("stratum"), col(idCol).as("id"))
+      .withColumn("__h", Dedup.shingleHash(
+        concat_ws(":", lit(seed), col("stratum"), col("id"))))
+      .withColumn("__b", (col("__h") % buckets).cast("int"))
+    val counts = base.groupBy("stratum", "__b").agg(count(lit(1)).as("__n"))
+    val byBucket = Window.partitionBy("stratum").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = counts
+      .withColumn("__off", sum(col("__n")).over(byBucket) - col("__n"))
+      .select(col("stratum"), col("__b"), col("__off"))
+    val totals = counts.groupBy("stratum").agg(sum(col("__n")).as("__nt"))
+
+    // largest-remainder quotas → cumulative [lo, hi] rank boundaries
+    val byRem = Window.partitionBy("stratum")
+      .orderBy(col("__rem").desc, col("__i"))
+    val byIdx = Window.partitionBy("stratum").orderBy("__i")
+    val bounds = totals.crossJoin(broadcast(sdf))
+      .withColumn("__basq", expr(s"__nt * __w div ${totalW}L"))
+      .withColumn("__rem", expr(s"__nt * __w % ${totalW}L"))
+      .withColumn("__left", col("__nt") - sum(col("__basq")).over(Window.partitionBy("stratum")))
+      .withColumn("__quota",
+        col("__basq") + when(row_number().over(byRem) <= col("__left"), 1L).otherwise(0L))
+      .withColumn("__hi",
+        sum(col("__quota")).over(byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col("__quota"))
+      .select(col("stratum"), col("split"), col("__lo"), col("__hi"))
+
+    val withinBucket = Window.partitionBy("stratum", "__b").orderBy(col("__h"), col("id"))
+    base
+      .join(offsets, Seq("stratum", "__b"))
+      .withColumn("rank_in_stratum", col("__off") + row_number().over(withinBucket))
+      .join(bounds, Seq("stratum"))
+      .filter(col("rank_in_stratum") > col("__lo") &&
+        col("rank_in_stratum") <= col("__hi"))
+      .select(col("id"), col("stratum"), col("split"), col("rank_in_stratum"))
+  }
+
   /** EXACT global score-quantile cut without a global sort — the "keep the
     * best `pct`% of the corpus by LM score" thresholding step. The k-th
     * smallest integer score (k = ⌈pct·N/100⌉, duplicates counted) is found

@@ -2277,6 +2277,50 @@ object LlmQueries {
       |FROM pairs WHERE ov * 1000000 >= 600000 * sza
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- q84 split assignment
+
+  /** Exact stratified split assignment ([[Selection.splitAssign]]):
+    * 80/10/10 train/val/test per language stratum, largest-remainder
+    * quotas (|quota − n·w/W| < 1, Σ = n exactly), deterministic md5 ranks
+    * via the q48 bucket decomposition (never a corpus sort). The oracle
+    * replays the identical integer apportionment and bucket-first rank
+    * order. */
+  private def q84(s: SparkSession, d: String): DataFrame =
+    Selection.splitAssign(Tables.documents(s, d), "lang", "doc_id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), seed = "q84")
+      .select(col("id").as("doc_id"), col("stratum"), col("split"),
+        col("rank_in_stratum"))
+      .orderBy("doc_id")
+
+  private val q84Sql =
+    """WITH h AS (
+      |  SELECT doc_id AS id, lang AS stratum,
+      |    ('0x' || substr(md5('q84' || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM documents),
+      |r AS (
+      |  SELECT id, stratum,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY (h % 4096), h, id) AS rk
+      |  FROM h),
+      |n AS (SELECT stratum, count(*)::BIGINT AS nt FROM h GROUP BY stratum),
+      |s AS (SELECT unnest(['train', 'val', 'test']) AS split,
+      |             unnest([8, 1, 1]) AS w, unnest([0, 1, 2]) AS i),
+      |q0 AS (
+      |  SELECT n.stratum, s.split, s.i, n.nt,
+      |    (n.nt * s.w) // 10 AS basq, (n.nt * s.w) % 10 AS rem
+      |  FROM n CROSS JOIN s),
+      |q1 AS (
+      |  SELECT *, nt - sum(basq) OVER (PARTITION BY stratum) AS lft,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY rem DESC, i) AS rr
+      |  FROM q0),
+      |q2 AS (SELECT *, basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM q1),
+      |q3 AS (
+      |  SELECT stratum, split,
+      |    sum(quota) OVER wc AS hi, sum(quota) OVER wc - quota AS lo
+      |  FROM q2 WINDOW wc AS (PARTITION BY stratum ORDER BY i ROWS UNBOUNDED PRECEDING))
+      |SELECT r.id AS doc_id, r.stratum, q3.split, r.rk AS rank_in_stratum
+      |FROM r JOIN q3 ON r.stratum = q3.stratum AND r.rk > q3.lo AND r.rk <= q3.hi
+      |ORDER BY doc_id""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2442,5 +2486,6 @@ object LlmQueries {
     QueryDef("q81_domain_blocklist", q81, Some(q81Sql)),
     QueryDef("q82_ngram_novelty", q82, Some(q82Sql)),
     QueryDef("q83_containment_join", q83, Some(q83Sql)),
+    QueryDef("q84_split_assign", q84, Some(q84Sql)),
   )
 }

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSpec {
     "q57_semantic_curation", // composes q55: same 1-row vocabulary cross-join
     "q61_dsir_selection", // two crossNll passes: same 1-row vocabulary cross-join
     "q63_quantile_cut", // composes q55's scoring: same 1-row vocabulary cross-join
-    "q77_pps_sample") // 1-row grid-parameter frame (stride, phase) cross-joined via explicit broadcast()
+    "q77_pps_sample", // 1-row grid-parameter frame (stride, phase) cross-joined via explicit broadcast()
+    "q84_split_assign") // per-stratum totals (metadata-scale) × the ≤64-row broadcast split frame
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -439,6 +440,20 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("(p#"), s"q83 prefix filter must appear in the plan:\n$plan")
     assert(plan.contains("partial_max"),
       s"q83 positional bound must partial-aggregate:\n$plan")
+  }
+
+  test("q84 split assignment: ranks via the bucket decomposition (bounded " +
+    "window partitions), quota windows on the metadata-scale frame only") {
+    val plan = planOf("q84_split_assign")
+    assert(!plan.contains("CartesianProduct"), s"q84 cartesian:\n$plan")
+    // every Window must partition by something (no corpus-wide single
+    // partition): the rank windows key on (stratum, bucket), the quota
+    // windows on stratum over the ≤64-row-per-stratum frame
+    val unpartitioned = "Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(plan)
+    assert(unpartitioned.isEmpty,
+      s"q84 must never run an unpartitioned window: $unpartitioned\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"q84 bucket counts must partial-aggregate:\n$plan")
   }
 
   test("q82 ngram novelty: gram-keyed shuffle with map-side partial min, " +

@@ -374,4 +374,62 @@ class SelectionSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("'__h'"), e2.getMessage)
   }
+
+  test("splitAssign: exact largest-remainder quotas per stratum, disjoint " +
+    "total coverage, deterministic, tiny strata handled") {
+    import spark.implicits._
+    val rnd = new Random(84)
+    // strata of sizes 1, 2, 3, 7, 10, 97, 250 — incl. sizes below the
+    // split count and sizes where 80/10/10 does not divide evenly
+    val sizes = Seq(1, 2, 3, 7, 10, 97, 250)
+    val rows = sizes.zipWithIndex.flatMap { case (sz, si) =>
+      (0 until sz).map(j => (si * 1000L + j, s"st$si"))
+    }
+    val docs = rnd.shuffle(rows).toDF("doc_id", "lang")
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val got = Selection.splitAssign(docs, "lang", "doc_id", splits, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+
+    // total disjoint coverage: every doc exactly once
+    assert(got.length === rows.length)
+    assert(got.map(_._1).distinct.length === rows.length)
+
+    // largest-remainder oracle per stratum
+    def lr(n: Long): Map[String, Long] = {
+      val base = splits.map { case (nm, w) => nm -> n * w / 10 }
+      val rem = splits.zipWithIndex.map { case ((nm, w), i) => (nm, n * w % 10, i) }
+      val left = n - base.map(_._2).sum
+      val bump = rem.sortBy(t => (-t._2, t._3)).take(left.toInt).map(_._1).toSet
+      base.map { case (nm, q) => nm -> (q + (if (bump(nm)) 1L else 0L)) }.toMap
+    }
+    sizes.zipWithIndex.foreach { case (sz, si) =>
+      val mine = got.filter(_._2 == s"st$si").groupBy(_._3).map { case (k, v) => k -> v.length.toLong }
+      val want = lr(sz).filter(_._2 > 0)
+      assert(mine === want, s"stratum st$si (n=$sz): got $mine want $want")
+    }
+
+    // ranks are a permutation of 1..n per stratum; split boundaries are
+    // contiguous rank ranges in declared order
+    sizes.zipWithIndex.foreach { case (sz, si) =>
+      val st = got.filter(_._2 == s"st$si").sortBy(_._4)
+      assert(st.map(_._4).toSeq === (1L to sz).toSeq)
+      val order = st.map(_._3).toSeq
+      val want = lr(sz)
+      assert(order === Seq.fill(want("train").toInt)("train") ++
+        Seq.fill(want("val").toInt)("val") ++ Seq.fill(want("test").toInt)("test"))
+    }
+
+    // deterministic: identical on re-run
+    val again = Selection.splitAssign(docs, "lang", "doc_id", splits, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+
+    // guards
+    intercept[IllegalArgumentException] {
+      Selection.splitAssign(docs, "lang", "doc_id", Seq("a" -> 1L, "a" -> 2L))
+    }
+    intercept[IllegalArgumentException] {
+      Selection.splitAssign(docs, "lang", "doc_id", Seq("a" -> 0L))
+    }
+  }
 }
