@@ -100,4 +100,48 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("doc_id"), col("score_micro"))
   }
+
+  /** Per-document top-k KEYWORD extraction by integer tf–idf — the tagging
+    * / routing / index-key step of a corpus pipeline (what to call a doc,
+    * which shard lexicon it feeds), the per-doc mirror of [[bm25TopK]]'s
+    * corpus-query direction.
+    *
+    * Score: `score_micros = tf · 10^6 div df` — the LINEAR inverse-df
+    * variant of tf-idf (n_docs is a per-corpus constant, so ranking by
+    * tf/df equals ranking by tf·(n/df); dropping the factor keeps every
+    * value exact integer, bounded by tf·10^6 — no overflow at any corpus
+    * size and no float log to disagree with the oracle). Stopwords
+    * self-attenuate (df ≈ N ⇒ score ≈ tf); `maxDfPermille` < 1000
+    * additionally DROPS terms present in more than that share of docs —
+    * the explicit stopword cut real pipelines apply.
+    *
+    * 100 TB posture: tf groupBy (doc, term) with map-side partials, df is
+    * a second partial-able aggregate over the tf frame (vocabulary-sized,
+    * Heaps' law ≪ corpus), the idf join is term-keyed against that
+    * vocabulary frame, and the per-doc top-k plans as a partial
+    * WindowGroupLimit below the doc exchange (the q69 shape) — every
+    * stage keyed, nothing corpus-scale crosses a broadcast threshold by
+    * assumption. */
+  def keywordsTopK(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, maxDfPermille: Long = 1000L): DataFrame = {
+    require(k >= 1, s"keywordsTopK: k must be >= 1, got $k")
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"keywordsTopK: maxDfPermille in [1, 1000], got $maxDfPermille")
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(col(idCol)).agg(count(lit(1)).as("n_docs"))
+    import org.apache.spark.sql.expressions.Window
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus size, for the df cut only
+      .filter(col("df") * 1000L <= lit(maxDfPermille) * col("n_docs"))
+      .withColumn("score_micros", expr("tf * 1000000L div df"))
+      .withColumn("rank", row_number().over(Window.partitionBy("doc_id")
+        .orderBy(col("score_micros").desc, col("term"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score_micros"))
+  }
 }

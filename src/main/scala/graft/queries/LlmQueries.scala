@@ -2321,6 +2321,37 @@ object LlmQueries {
       |FROM r JOIN q3 ON r.stratum = q3.stratum AND r.rk > q3.lo AND r.rk <= q3.hi
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q85 keyword extraction
+
+  /** Per-document top-5 keyword extraction ([[Retrieval.keywordsTopK]]):
+    * integer tf–idf (linear inverse-df variant — ranking-equivalent to
+    * tf·(n/df), exact at any corpus size), terms in more than 78% of the
+    * corpus dropped (the explicit stopword cut — the synthetic vocabulary
+    * is small and shared, so the cut binds mid-distribution), per-doc top-k via
+    * WindowGroupLimit. */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    Retrieval.keywordsTopK(Tables.documents(s, d), "doc_id", "text",
+        k = 5, maxDfPermille = 780L)
+      .orderBy("doc_id", "rank")
+
+  private val q85Sql =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM w GROUP BY doc_id, term),
+      |dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+      |    (tf.tf * 1000000) // dfq.df AS score_micros
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+      |  WHERE dfq.df * 1000 <= 780 * n.n_docs),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY score_micros DESC, term) AS rank
+      |  FROM sc)
+      |SELECT doc_id, rank, term, tf, df, score_micros
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2487,5 +2518,6 @@ object LlmQueries {
     QueryDef("q82_ngram_novelty", q82, Some(q82Sql)),
     QueryDef("q83_containment_join", q83, Some(q83Sql)),
     QueryDef("q84_split_assign", q84, Some(q84Sql)),
+    QueryDef("q85_keywords", q85, Some(q85Sql)),
   )
 }

@@ -31,7 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "q61_dsir_selection", // two crossNll passes: same 1-row vocabulary cross-join
     "q63_quantile_cut", // composes q55's scoring: same 1-row vocabulary cross-join
     "q77_pps_sample", // 1-row grid-parameter frame (stride, phase) cross-joined via explicit broadcast()
-    "q84_split_assign") // per-stratum totals (metadata-scale) × the ≤64-row broadcast split frame
+    "q84_split_assign", // per-stratum totals (metadata-scale) × the ≤64-row broadcast split frame
+    "q85_keywords") // 1-row corpus-size frame cross-joined via explicit broadcast() (df cut only)
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
@@ -440,6 +441,16 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("(p#"), s"q83 prefix filter must appear in the plan:\n$plan")
     assert(plan.contains("partial_max"),
       s"q83 positional bound must partial-aggregate:\n$plan")
+  }
+
+  test("q85 keywords: per-doc top-k plans as a partial WindowGroupLimit, " +
+    "tf/df aggregates partial, keyed joins only") {
+    val plan = planOf("q85_keywords")
+    assert(plan.contains("WindowGroupLimit"),
+      s"q85 top-k must prune below the doc exchange:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q85 tf/df must partial-aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q85 cartesian:\n$plan")
   }
 
   test("q84 split assignment: ranks via the bucket decomposition (bounded " +

@@ -37,6 +37,39 @@ class RetrievalSpec extends SparkSpec {
     assert(got.head.getLong(3) > got.last.getLong(3))
   }
 
+  test("keywordsTopK: integer scores hand-check, stopword cut drops " +
+    "ubiquitous terms, ties break by term, k bounds per doc") {
+    // 4 docs; "the" is in all 4 (df=4) -> dropped at maxDfPermille=500
+    // (4*1000 > 500*4); "apple" df=2, "kiwi"/"pear"/"plum" df=1.
+    val docs = Seq(
+      (1L, "the apple apple kiwi"),
+      (2L, "the apple pear"),
+      (3L, "the plum plum plum"),
+      (4L, "the the the")).toDF("doc_id", "text")
+    val got = Retrieval.keywordsTopK(docs, "doc_id", "text", k = 2,
+        maxDfPermille = 500L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    // doc 1: apple tf=2 df=2 -> 1000000; kiwi tf=1 df=1 -> 1000000; TIE ->
+    // term order: apple rank 1, kiwi rank 2
+    // doc 2: pear 1000000 (tf1 df1), apple 500000 (tf1 df2)
+    // doc 3: plum tf=3 df=1 -> 3000000
+    // doc 4: only "the" -> cut entirely, no rows
+    assert(got === Seq(
+      (1L, 1L, "apple", 1000000L), (1L, 2L, "kiwi", 1000000L),
+      (2L, 1L, "pear", 1000000L), (2L, 2L, "apple", 500000L),
+      (3L, 1L, "plum", 3000000L)))
+    // k bound: with k=1 only the rank-1 rows survive
+    val k1 = Retrieval.keywordsTopK(docs, "doc_id", "text", k = 1,
+        maxDfPermille = 500L).collect()
+    assert(k1.length === 3 && k1.forall(_.getLong(1) == 1L))
+    // no cut: maxDfPermille=1000 keeps "the" (score tf*1e6/4)
+    val all = Retrieval.keywordsTopK(docs, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(all.contains((4L, "the")))
+  }
+
   test("query terms absent from the corpus contribute nothing and never fail") {
     val docs = Seq((1L, "only these words")).toDF("doc_id", "text")
     val qs = Seq((9L, "missing tokens entirely")).toDF("q_id", "q_text")
