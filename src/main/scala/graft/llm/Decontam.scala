@@ -83,6 +83,43 @@ object Decontam {
         expr("n_hits * 1000 div n_ngrams").as("hit_permille"))
   }
 
+  /** Cross-source n-gram overlap matrix — the LEAKAGE MATRIX between the
+    * corpus's own sources: for every unordered source pair, how many
+    * distinct word n-grams they share and the Jaccard of their source-level
+    * gram SETS (integer micros). [[contaminationReport]] answers "is this
+    * corpus contaminated by that benchmark"; this answers "which of my own
+    * sources duplicate each other" — the first diagnostic before assigning
+    * mixing weights ([[Selection.mixSources]]) or deduplicating across
+    * sources (two mirrors of the same crawl should not both get full
+    * weight).
+    *
+    * Scale posture: one doc-keyed join attaches the source to the word-hash
+    * frame (two narrow corpus-scale frames, equi-keyed); the corpus then
+    * collapses to DISTINCT (source, gram) pairs — one partial-aggregated
+    * groupBy — after which everything is vocabulary-scale: the gram-keyed
+    * pair self-join fans out ≤ |sources|²/2 per gram (sources are an enum,
+    * not a scale axis) and the matrix aggregate is metadata-scale. */
+  def crossSourceOverlap(corpus: DataFrame, sourceCol: String, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    val sg = Dedup.wordHashFrame(corpus, idCol, textCol)
+      .join(corpus.select(col(idCol).as("doc_id"), col(sourceCol).as("source")),
+        "doc_id")
+      .select(col("source"), explode(ngramHashesMod(col("whs"), n)).as("ng"))
+      .groupBy("source", "ng").agg(count(lit(1)).as("__dup")) // distinct pairs
+      .select("source", "ng")
+    val totals = sg.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = sg.as("a").join(sg.as("b"),
+        col("a.ng") === col("b.ng") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_grams"))
+    shared
+      .join(totals.select(col("source").as("src_a"), col("n_grams").as("n_a")), "src_a")
+      .join(totals.select(col("source").as("src_b"), col("n_grams").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("shared_grams"),
+        expr("shared_grams * 1000000L div (n_a + n_b - shared_grams)").as("jac_micros"))
+  }
+
   /** SPAN-level contamination mask — [[contaminationReport]]'s surgical
     * sibling: instead of flagging whole documents for DROPPING, locate the
     * exact word spans whose n-grams collide with the benchmark set and merge

@@ -2352,6 +2352,52 @@ object LlmQueries {
       |SELECT doc_id, rank, term, tf, df, score_micros
       |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q86 source overlap matrix
+
+  /** Cross-source 8-gram leakage matrix
+    * ([[Decontam.crossSourceOverlap]]): for every unordered source pair,
+    * shared distinct grams + integer-micros Jaccard of the source-level
+    * gram sets — the "which of my sources mirror each other" diagnostic
+    * that precedes mixing weights and cross-source dedup. Same portable
+    * stepwise-mod gram arithmetic as q45. */
+  private def q86(s: SparkSession, d: String): DataFrame =
+    Decontam.crossSourceOverlap(Tables.documents(s, d), "source", "doc_id",
+        "text", n = 8)
+      .orderBy("src_a", "src_b")
+
+  private val q86Sql =
+    """WITH marked AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents),
+      |wh AS (
+      |  SELECT doc_id, source,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in ws] AS whs
+      |  FROM marked),
+      |g AS (
+      |  SELECT source,
+      |    unnest(CASE WHEN len(whs) >= 8 THEN [
+      |      ((((((((((((((whs[i]
+      |        * 31 + whs[i+1]) % 288230376151711717)
+      |        * 31 + whs[i+2]) % 288230376151711717)
+      |        * 31 + whs[i+3]) % 288230376151711717)
+      |        * 31 + whs[i+4]) % 288230376151711717)
+      |        * 31 + whs[i+5]) % 288230376151711717)
+      |        * 31 + whs[i+6]) % 288230376151711717)
+      |        * 31 + whs[i+7]) % 288230376151711717) for i in range(1, len(whs)-6)]
+      |    ELSE [] END) AS ng
+      |  FROM wh),
+      |sg AS (SELECT DISTINCT source, ng FROM g),
+      |t AS (SELECT source, count(*)::BIGINT AS n_grams FROM sg GROUP BY source),
+      |sh AS (
+      |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS shared_grams
+      |  FROM sg a JOIN sg b ON a.ng = b.ng AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT sh.src_a, sh.src_b, ta.n_grams AS n_a, tb.n_grams AS n_b,
+      |  sh.shared_grams,
+      |  (sh.shared_grams * 1000000) // (ta.n_grams + tb.n_grams - sh.shared_grams)
+      |    AS jac_micros
+      |FROM sh JOIN t ta ON ta.source = sh.src_a JOIN t tb ON tb.source = sh.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2519,5 +2565,6 @@ object LlmQueries {
     QueryDef("q83_containment_join", q83, Some(q83Sql)),
     QueryDef("q84_split_assign", q84, Some(q84Sql)),
     QueryDef("q85_keywords", q85, Some(q85Sql)),
+    QueryDef("q86_source_overlap", q86, Some(q86Sql)),
   )
 }

@@ -92,4 +92,23 @@ class DecontamSpec extends SparkSpec {
     // 58-bit modulus actually in effect: values exceed the 31-bit space
     assert(d.flatten.exists(_ > Dedup.MinhashP), s"expected 58-bit hashes: ${d.toSeq}")
   }
+
+  test("crossSourceOverlap: exact shared counts and jaccard on a planted " +
+    "three-source corpus; self-pairs absent; unordered pairs once") {
+    // n=2 grams. srcA doc: "a b c d" -> grams {ab, bc, cd}
+    //            srcB doc: "b c d e" -> grams {bc, cd, de}
+    //            srcB doc2: "a b"    -> gram  {ab}
+    //            srcC doc: "x y"     -> gram  {xy} (disjoint)
+    // A = {ab,bc,cd} (3), B = {bc,cd,de,ab} (4), C = {xy} (1)
+    // A∩B = {ab,bc,cd} = 3 -> jac = 3/(3+4-3) = 750000 micros
+    val docs = Seq(
+      (1L, "A", "a b c d"), (2L, "B", "b c d e"), (3L, "B", "a b"),
+      (4L, "C", "x y")).toDF("doc_id", "source", "text")
+    val got = Decontam.crossSourceOverlap(docs, "source", "doc_id", "text", n = 2)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set(("A", "B")), s"disjoint pairs must be absent: $got")
+    assert(got(("A", "B")) === ((3L, 4L, 3L, 750000L)))
+  }
 }
