@@ -1,0 +1,66 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift measurement between corpus slices — "did source B's
+  * documents stop looking like source A's", the monitoring statistic behind
+  * refresh gating (a crawl snapshot whose length/quality distribution
+  * drifted needs re-weighting before it joins the mix) and between-shard
+  * sanity checks.
+  *
+  * The statistic is the Kolmogorov–Smirnov distance computed on INTEGER
+  * micro-unit ECDFs: for every unordered group pair,
+  * `d_micros = max over observed values v of |ecdfA(v) − ecdfB(v)|` where
+  * `ecdf(v) = cnt(≤v)·10^6 div n` — each side quantized independently, so
+  * every intermediate is an exact integer ≤ 10^6 at ANY corpus size (no
+  * n_A·n_B cross-product to overflow) and the DuckDB oracle replays the
+  * identical value. The quantization means d_micros is within 2 micro-units
+  * of the real-valued KS distance — a measurement statistic, not a
+  * hypothesis test; thresholds are the caller's policy.
+  *
+  * Scale contract: `valueCol` must be an INTEGER statistic with a BOUNDED
+  * domain (token counts, permille quality scores, micro scores — the
+  * repo's integer-metrics convention): after the one corpus-scale
+  * (group, value) count, every frame is (domain × groups)-sized. The
+  * per-group running sum is one sorted pass over that bounded grid, and
+  * the pair comparison joins it value-keyed with ≤ |groups|²/2 fan. */
+object Drift {
+
+  /** Pairwise integer-ECDF KS distance over `valueCol` between the groups
+    * of `groupCol`. Returns one row per unordered group pair:
+    * (grp_a, grp_b, n_a, n_b, d_micros). Groups are compared on the UNION
+    * of observed values (missing combinations carry the running count
+    * forward, exactly the ECDF's step semantics). Null values are refused
+    * loudly — an ECDF over "unknown" is not a statistic. */
+  def ecdfDrift(docs: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val counts = docs
+      .select(col(groupCol).as("g"),
+        when(col(valueCol).isNull,
+          raise_error(lit(s"ecdfDrift: null $valueCol — an ECDF over " +
+            "unknown values is not a statistic; filter or impute first"))
+            .cast("long"))
+          .otherwise(col(valueCol).cast("long")).as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val groups = counts.select("g").distinct()
+    val values = counts.select("v").distinct()
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    // bounded grid: every (value, group), zero-filled, so the running sum
+    // carries each group's count across the OTHER groups' step points
+    val run = values.crossJoin(broadcast(groups))
+      .join(counts, Seq("g", "v"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy("g").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(totals), "g")
+      .withColumn("ecdf_micros", expr("cum * 1000000L div n"))
+      .select(col("g"), col("v"), col("n"), col("ecdf_micros"))
+    run.as("a")
+      .join(run.as("b"), col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(max(abs(col("a.ecdf_micros") - col("b.ecdf_micros"))).as("d_micros"))
+  }
+}

@@ -2398,6 +2398,42 @@ object LlmQueries {
       |FROM sh JOIN t ta ON ta.source = sh.src_a JOIN t tb ON tb.source = sh.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------------------- q87 distribution drift
+
+  /** Pairwise token-count distribution drift between sources
+    * ([[graft.llm.Drift.ecdfDrift]]): integer-micros ECDF KS distance —
+    * the corpus-monitoring statistic behind refresh gating and
+    * between-shard sanity checks. Each side's ECDF quantizes
+    * independently (exact at any scale, no n_a·n_b product); the oracle
+    * replays the identical grid/window arithmetic. */
+  private def q87(s: SparkSession, d: String): DataFrame =
+    graft.llm.Drift.ecdfDrift(
+        Tables.documents(s, d).select(col("source"),
+          size(split(lower(col("text")), " ")).cast("long").as("n_tokens")),
+        "source", "n_tokens")
+      .orderBy("grp_a", "grp_b")
+
+  private val q87Sql =
+    """WITH d AS (
+      |  SELECT source AS g, len(string_split(lower(text), ' '))::BIGINT AS v
+      |  FROM documents),
+      |c AS (SELECT g, v, count(*)::BIGINT AS c FROM d GROUP BY g, v),
+      |vals AS (SELECT DISTINCT v FROM c), gs AS (SELECT DISTINCT g FROM c),
+      |grid AS (SELECT vals.v, gs.g FROM vals CROSS JOIN gs),
+      |f AS (
+      |  SELECT grid.g, grid.v, coalesce(c.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN c ON c.g = grid.g AND c.v = grid.v),
+      |t AS (SELECT g, sum(c)::BIGINT AS n FROM c GROUP BY g),
+      |r AS (
+      |  SELECT f.g, f.v, t.n,
+      |    ((sum(f.c) OVER (PARTITION BY f.g ORDER BY f.v
+      |        ROWS UNBOUNDED PRECEDING))::BIGINT * 1000000) // t.n AS e
+      |  FROM f JOIN t USING (g))
+      |SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+      |  max(abs(a.e - b.e))::BIGINT AS d_micros
+      |FROM r a JOIN r b ON a.v = b.v AND a.g < b.g
+      |GROUP BY 1, 2, 3, 4 ORDER BY grp_a, grp_b""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2566,5 +2602,6 @@ object LlmQueries {
     QueryDef("q84_split_assign", q84, Some(q84Sql)),
     QueryDef("q85_keywords", q85, Some(q85Sql)),
     QueryDef("q86_source_overlap", q86, Some(q86Sql)),
+    QueryDef("q87_ecdf_drift", q87, Some(q87Sql)),
   )
 }

@@ -1,0 +1,42 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Integer-ECDF KS drift: hand-checked distances, identical/disjoint
+  * extremes, step-carry across the other group's values, null refusal. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(rows: Seq[(String, Long)]): Map[(String, String), Long] =
+    Drift.ecdfDrift(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+
+  test("hand-computed KS distance, including the step-carry at values only " +
+    "one group observes") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: ECDFs diverge most on [2,4) -> 500000.
+    // Values 5 and 6 exist only in B — A's ECDF must CARRY 1e6 there.
+    val got = d(Seq("A" -> 1L, "A" -> 2L, "A" -> 3L, "A" -> 4L,
+      "B" -> 3L, "B" -> 4L, "B" -> 5L, "B" -> 6L))
+    assert(got(("A", "B")) === 500000L)
+  }
+
+  test("identical distributions read 0; disjoint-shifted read 1000000") {
+    val same = d(Seq("A" -> 1L, "A" -> 7L, "B" -> 1L, "B" -> 7L))
+    assert(same(("A", "B")) === 0L)
+    val far = d(Seq("A" -> 1L, "A" -> 2L, "B" -> 10L, "B" -> 11L))
+    assert(far(("A", "B")) === 1000000L)
+  }
+
+  test("three groups produce all three unordered pairs; null values refuse") {
+    val got = d(Seq("A" -> 1L, "B" -> 2L, "C" -> 3L))
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    val withNull = Seq(("A", Some(1L)), ("B", None)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Drift.ecdfDrift(withNull, "g", "v").collect()
+    }
+    assert(ex.getMessage.contains("ecdfDrift") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ecdfDrift")), s"$ex")
+  }
+}
