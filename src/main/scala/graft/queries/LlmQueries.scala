@@ -2434,6 +2434,106 @@ object LlmQueries {
       |FROM r a JOIN r b ON a.v = b.v AND a.g < b.g
       |GROUP BY 1, 2, 3, 4 ORDER BY grp_a, grp_b""".stripMargin
 
+  // ---------------------------------------------------------------- q88 intake capstone
+
+  /** Corpus-intake capstone composing the session tier end to end:
+    * domain blocklist (q81's rule — unblocked docs survive) → novelty
+    * within the SURVIVING corpus (ownership recomputed over the filtered
+    * set — a doc whose only duplicates were blocked becomes novel again)
+    * ≥ 0.2 → exact 80/10/10 split per language stratum (q84's
+    * apportionment). The composition order is the pipeline's semantics
+    * and the oracle replays it stage for stage. */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tld = when(col("doc_id") % 3 === 0, lit("com"))
+      .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net"))
+    val host = concat(
+      when(col("doc_id") % 4 === 1, lit("www."))
+        .when(col("doc_id") % 4 === 2, lit("a.b."))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("m"), (col("doc_id") % 7).cast("string"), lit(".cdn.")))
+        .otherwise(lit("")),
+      lit("s"), (col("doc_id") % 23).cast("string"), lit("."), tld)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), host.as("host"))
+    val bl = Seq("s1.com", "s2.org", "cdn.s3.net", "www.s5.org", "s7.com", "net")
+      .toDF("entry")
+    val kept1 = graft.llm.UrlFilter.domainBlocklist(docs, "host", Seq("doc_id"), bl)
+      .filter(!col("blocked")).select("doc_id", "lang", "text")
+    val novel = graft.llm.Novelty
+      .ngramNovelty(kept1.select("doc_id", "text"), "doc_id", "text", n = 8)
+      .filter(col("novelty_micros") >= 200000L)
+      .select("doc_id")
+    val kept2 = kept1.join(novel, "doc_id").select("doc_id", "lang")
+    Selection.splitAssign(kept2, "lang", "doc_id",
+        Seq("train" -> 8L, "val" -> 1L, "test" -> 1L), seed = "q88")
+      .select(col("id").as("doc_id"), col("stratum"), col("split"),
+        col("rank_in_stratum"))
+      .orderBy("doc_id")
+  }
+
+  private val q88Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+      |      WHEN 3 THEN 'm' || (doc_id % 7) || '.cdn.' ELSE '' END)
+      |    || 's' || (doc_id % 23) || '.'
+      |    || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      |    AS host
+      |  FROM documents),
+      |bl AS (SELECT unnest(['s1.com', 's2.org', 'cdn.s3.net', 'www.s5.org',
+      |                      's7.com', 'net']) AS entry),
+      |blocked AS (
+      |  SELECT DISTINCT h.doc_id FROM h
+      |  JOIN bl b ON h.host = b.entry OR h.host LIKE '%.' || b.entry),
+      |kept1 AS (
+      |  SELECT d.doc_id, d.lang, d.text FROM documents d
+      |  LEFT JOIN blocked bk ON d.doc_id = bk.doc_id WHERE bk.doc_id IS NULL),
+      |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM kept1),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ws) >= 8 THEN
+      |      [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+      |      ELSE [] END) AS grams
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+      |per AS (
+      |  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      |  FROM g JOIN o USING (gram) GROUP BY g.doc_id),
+      |kept2 AS (
+      |  SELECT k.doc_id, k.lang FROM kept1 k
+      |  JOIN per ON per.doc_id = k.doc_id
+      |  WHERE per.n_novel * 1000000 >= 200000 * per.n_grams),
+      |hh AS (
+      |  SELECT doc_id AS id, lang AS stratum,
+      |    ('0x' || substr(md5('q88' || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM kept2),
+      |r AS (
+      |  SELECT id, stratum,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY (h % 4096), h, id) AS rk
+      |  FROM hh),
+      |n AS (SELECT stratum, count(*)::BIGINT AS nt FROM hh GROUP BY stratum),
+      |s AS (SELECT unnest(['train', 'val', 'test']) AS split,
+      |             unnest([8, 1, 1]) AS w, unnest([0, 1, 2]) AS i),
+      |q0 AS (
+      |  SELECT n.stratum, s.split, s.i, n.nt,
+      |    (n.nt * s.w) // 10 AS basq, (n.nt * s.w) % 10 AS rem
+      |  FROM n CROSS JOIN s),
+      |q1 AS (
+      |  SELECT *, nt - sum(basq) OVER (PARTITION BY stratum) AS lft,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY rem DESC, i) AS rr
+      |  FROM q0),
+      |q2 AS (SELECT *, basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM q1),
+      |q3 AS (
+      |  SELECT stratum, split,
+      |    sum(quota) OVER wc AS hi, sum(quota) OVER wc - quota AS lo
+      |  FROM q2 WINDOW wc AS (PARTITION BY stratum ORDER BY i ROWS UNBOUNDED PRECEDING))
+      |SELECT r.id AS doc_id, r.stratum, q3.split, r.rk AS rank_in_stratum
+      |FROM r JOIN q3 ON r.stratum = q3.stratum AND r.rk > q3.lo AND r.rk <= q3.hi
+      |ORDER BY doc_id""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2603,5 +2703,6 @@ object LlmQueries {
     QueryDef("q85_keywords", q85, Some(q85Sql)),
     QueryDef("q86_source_overlap", q86, Some(q86Sql)),
     QueryDef("q87_ecdf_drift", q87, Some(q87Sql)),
+    QueryDef("q88_intake_capstone", q88, Some(q88Sql)),
   )
 }

@@ -33,7 +33,8 @@ class PlanAuditSpec extends SparkSpec {
     "q77_pps_sample", // 1-row grid-parameter frame (stride, phase) cross-joined via explicit broadcast()
     "q84_split_assign", // per-stratum totals (metadata-scale) × the ≤64-row broadcast split frame
     "q85_keywords", // 1-row corpus-size frame cross-joined via explicit broadcast() (df cut only)
-    "q87_ecdf_drift") // bounded value-domain grid × the broadcast group enum (ECDF step grid)
+    "q87_ecdf_drift", // bounded value-domain grid × the broadcast group enum (ECDF step grid)
+    "q88_intake_capstone") // composes q84's ≤64-row broadcast split frame (same loop join)
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>
