@@ -29,6 +29,29 @@ class DriftSpec extends SparkSpec {
     assert(far(("A", "B")) === 1000000L)
   }
 
+  test("property: d is bounded in [0, 1e6], zero iff identical multisets, " +
+    "and matches a driver-side ECDF oracle on random data") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      na <- Gen.chooseNum(1, 30); nb <- Gen.chooseNum(1, 30)
+      a <- Gen.listOfN(na, Gen.chooseNum(0L, 12L))
+      b <- Gen.listOfN(nb, Gen.chooseNum(0L, 12L))
+    } yield (a, b)
+    val p = Prop.forAll(caseGen) { case (a, b) =>
+      val got = d(a.map("A" -> _) ++ b.map("B" -> _))(("A", "B"))
+      val vals = (a ++ b).distinct.sorted
+      val want = vals.map { v =>
+        math.abs(a.count(_ <= v).toLong * 1000000L / a.size -
+          b.count(_ <= v).toLong * 1000000L / b.size)
+      }.max
+      got == want && got >= 0 && got <= 1000000L &&
+        ((a.sorted == b.sorted) == (got == 0L) ||
+          a.sorted != b.sorted) // identical multisets MUST read 0
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(r.passed, s"ECDF-drift property failed: $r")
+  }
+
   test("three groups produce all three unordered pairs; null values refuse") {
     val got = d(Seq("A" -> 1L, "B" -> 2L, "C" -> 3L))
     assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))

@@ -361,6 +361,40 @@ class SelectionSpec extends SparkSpec {
     assert(r.passed, s"exact-k property failed: $r")
   }
 
+  test("splitAssign property: quotas are the exact Hamilton apportionment " +
+    "and sum to n for random strata sizes and weights") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      nStrata <- Gen.chooseNum(1, 5)
+      sizes <- Gen.listOfN(nStrata, Gen.chooseNum(1, 60))
+      nSplits <- Gen.chooseNum(1, 4)
+      ws <- Gen.listOfN(nSplits, Gen.chooseNum(1L, 9L))
+    } yield (sizes, ws)
+    val p = Prop.forAll(caseGen) { case (sizes, ws) =>
+      val splits = ws.zipWithIndex.map { case (w, i) => (s"s$i", w) }
+      val docs = sizes.zipWithIndex.flatMap { case (sz, si) =>
+        (0 until sz).map(j => (si * 10000L + j, s"st$si"))
+      }.toDF("doc_id", "lang")
+      val got = Selection.splitAssign(docs, "lang", "doc_id", splits, seed = "p")
+        .groupBy("stratum", "split").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val W = ws.sum
+      sizes.zipWithIndex.forall { case (sz, si) =>
+        val base = splits.map { case (nm, w) => nm -> sz * w / W }
+        val rem = splits.zipWithIndex.map { case ((nm, w), i) => (nm, sz * w % W, i) }
+        val left = sz - base.map(_._2).sum
+        val bump = rem.sortBy(t => (-t._2, t._3)).take(left.toInt).map(_._1).toSet
+        base.forall { case (nm, q) =>
+          val want = q + (if (bump(nm)) 1L else 0L)
+          got.getOrElse((s"st$si", nm), 0L) == want
+        }
+      }
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
+    assert(r.passed, s"Hamilton apportionment property failed: $r")
+  }
+
   test("domainCap refuses inputs carrying the reserved __h/pos column names") {
     import spark.implicits._
     val withPos = Seq((1L, "a.com", 9L)).toDF("doc_id", "domain", "pos")
