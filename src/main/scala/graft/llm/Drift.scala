@@ -32,11 +32,33 @@ object Drift {
     * of `groupCol`. Returns one row per unordered group pair:
     * (grp_a, grp_b, n_a, n_b, d_micros). Groups are compared on the UNION
     * of observed values (missing combinations carry the running count
-    * forward, exactly the ECDF's step semantics). Null values are refused
-    * loudly — an ECDF over "unknown" is not a statistic. */
-  def ecdfDrift(docs: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    * forward, exactly the ECDF's step semantics). Null values AND null
+    * groups are refused loudly — an ECDF over "unknown" is not a statistic,
+    * and a null group would silently vanish from every pair (the `a.g <
+    * b.g` join is null-rejecting), dropping a whole slice from the matrix.
+    *
+    * The bounded-domain contract is GUARDED, not just documented: the
+    * distinct-value count (one scan, metadata-scale result) must not exceed
+    * `maxDomain`, else the (domain × groups) grid this operator builds is
+    * itself corpus-sized and the per-group sorted window over it becomes
+    * the bottleneck the scaladoc promises to avoid. Quantize or bucket the
+    * statistic first (the repo's integer-metrics convention). */
+  def ecdfDrift(docs: DataFrame, groupCol: String, valueCol: String,
+                maxDomain: Int = 65536): DataFrame = {
+    require(maxDomain >= 1, s"ecdfDrift: maxDomain must be >= 1, got $maxDomain")
+    val domain = docs.select(col(valueCol)).distinct().count()
+    require(domain <= maxDomain,
+      s"ecdfDrift: $valueCol has $domain distinct values > maxDomain=$maxDomain — " +
+        "the ECDF grid is (domain x groups)-sized, so an unbounded value domain " +
+        "turns the bounded-grid plan corpus-scale; quantize the statistic to " +
+        "integer micro/permille units (or raise maxDomain deliberately)")
     val counts = docs
-      .select(col(groupCol).as("g"),
+      .select(
+        when(col(groupCol).isNull,
+          raise_error(lit(s"ecdfDrift: null $groupCol — a null group would " +
+            "silently drop from every pair of the drift matrix; filter or " +
+            "label it first")).cast(docs.schema(groupCol).dataType))
+          .otherwise(col(groupCol)).as("g"),
         when(col(valueCol).isNull,
           raise_error(lit(s"ecdfDrift: null $valueCol — an ECDF over " +
             "unknown values is not a statistic; filter or impute first"))

@@ -18,13 +18,62 @@ import org.apache.spark.sql.functions._
   * the document's distinct grams, in integer micro-units (exact, no float
   * drift between engines).
   *
+  * Two forms share the statistic:
+  *  - [[ngramNovelty]] — batch, over one frame (ownership recomputed from
+  *    scratch);
+  *  - [[ngramNoveltyAgainst]] + [[gramIndex]]/[[mergeGramIndex]] —
+  *    incremental, the standing-intake form: score each NEW batch against
+  *    a persisted gram-owner index, then fold the batch into the index.
+  *    When batches arrive in non-decreasing id order (append-only intake —
+  *    ids are ingest sequence numbers), incremental-over-batches equals
+  *    the batch statistic over the concatenated corpus EXACTLY; and the
+  *    probe is naturally replay-idempotent (an index that already contains
+  *    the batch yields the same scores, because the owner min is
+  *    unchanged), which is what a `foreachBatch` at-least-once driver
+  *    needs.
+  *
   * Spark-first shape and 100 TB posture: distinct word n-grams per doc
   * (row-local, codegen), one gram-keyed partial-aggregated `min(id)` — the
   * same shuffle the repeated-span and decontam tiers run — an equi-join
   * back on the gram (exchange reuse: the aggregate's partitioning feeds
-  * the join), then one doc-keyed aggregate. No driver state, no sort, no
-  * cartesian; hot grams are 1:N joins against a single owner row. */
+  * the join), then one doc-keyed aggregate. The incremental probe joins
+  * the batch's grams against the index gram-keyed — candidates are
+  * CROSS-SIDE only (batch gram → at most one index owner row; hot grams
+  * are 1:1 against a single owner, never N×M). No driver state, no sort,
+  * no cartesian. */
 object Novelty {
+
+  /** Distinct hashed `n`-grams of each document, one row per (doc, gram):
+    * (`idCol`, `gram` BIGINT). Gram identity rationale: per-word xxhash64
+    * once, gram = xxhash64 of the n consecutive word hashes — never a
+    * string (gram STRING construction was the measured hot path; the
+    * shuffle keys on 8-byte longs); see [[Dedup.hashedGramSets]]. */
+  private def explodedGrams(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(!Set("gram", "owner", "n_grams", "n_novel", "novelty_micros")(idCol),
+      s"Novelty: idCol '$idCol' collides with an output/working column name")
+    Dedup.hashedGramSets(
+        docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol, n)
+      .select(col("doc_id").as(idCol), explode(col("sh")).as("gram"))
+  }
+
+  /** The per-doc novelty aggregate shared by both forms: count distinct
+    * grams and owned grams per doc, then re-attach every input doc (docs
+    * below `n` words have zero grams and a null ratio). */
+  private def perDocStats(docs: DataFrame, exploded: DataFrame,
+                          owner: DataFrame, idCol: String): DataFrame = {
+    val per = exploded.join(owner, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol)).join(per, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          expr("n_novel * 1000000 div n_grams")).as("novelty_micros"))
+  }
 
   /** Per-document novelty against the `idCol`-ordered corpus prefix.
     *
@@ -34,32 +83,67 @@ object Novelty {
     * when the document has no grams).
     *
     * Tokenization is the catalog's standard: lowercase, split on a single
-    * space (empty tokens preserved — both engines agree). Grams are built
-    * with [[Dedup.hashedGramSets]] — per-word xxhash64 once, gram =
-    * xxhash64 of the n consecutive word hashes — never as strings: gram
-    * STRING construction (an O(n) array_join per gram) was the measured
-    * hot path, and the shuffle keys on 8-byte longs. Every OUTPUT is a
-    * count — identical to the string-gram computation absent a 64-bit
+    * space (empty tokens preserved — both engines agree). Every OUTPUT is
+    * a count — identical to the string-gram computation absent a 64-bit
     * collision between two distinct grams of the corpus (the q33
     * hash-invariance argument; the oracle computes the string form and
     * hash-matches). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 8): DataFrame = {
-    require(n >= 1, s"n must be >= 1, got $n")
-    val exploded = Dedup.hashedGramSets(
-        docs.select(col(idCol).as("doc_id"), col(textCol)), "doc_id", textCol, n)
-      .select(col("doc_id").as(idCol), explode(col("sh")).as("__gram"))
+    val exploded = explodedGrams(docs, idCol, textCol, n)
     // the gram's owner: the earliest document containing it
-    val owner = exploded.groupBy("__gram").agg(min(col(idCol)).as("__owner"))
-    val per = exploded.join(owner, "__gram")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
-    docs.select(col(idCol)).join(per, Seq(idCol), "left_outer")
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        when(coalesce(col("n_grams"), lit(0L)) > 0,
-          expr("n_novel * 1000000 div n_grams")).as("novelty_micros"))
+    val owner = exploded.groupBy("gram").agg(min(col(idCol)).as("owner"))
+    perDocStats(docs, exploded, owner, idCol)
+  }
+
+  /** The persisted-index form of the gram-owner map: one row per distinct
+    * gram of `docs`, (`gram` BIGINT, `owner` = min `idCol` containing it).
+    * Write it out (parquet), fold new batches in with [[mergeGramIndex]],
+    * probe with [[ngramNoveltyAgainst]]. Index size is vocabulary-scale
+    * (distinct grams), not corpus-scale. */
+  def gramIndex(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 8): DataFrame =
+    explodedGrams(docs, idCol, textCol, n)
+      .groupBy("gram").agg(min(col(idCol)).as("owner"))
+
+  /** Fold one gram-owner index into another: per gram, the smaller owner
+    * wins (set union with min semantics). Both frames must be
+    * (gram, owner)-shaped — [[gramIndex]] output or a prior merge. */
+  def mergeGramIndex(index: DataFrame, delta: DataFrame): DataFrame = {
+    Seq(index, delta).foreach { f =>
+      require(f.columns.toSeq == Seq("gram", "owner"),
+        s"mergeGramIndex: expected (gram, owner) frames, got ${f.columns.toSeq}")
+    }
+    index.union(delta).groupBy("gram").agg(min(col("owner")).as("owner"))
+  }
+
+  /** Per-document novelty of a NEW batch against the accumulated corpus —
+    * the standing-intake form of [[ngramNovelty]].
+    *
+    * A batch gram's owner is the least of the index owner (null when the
+    * corpus has never seen the gram) and the earliest batch doc containing
+    * it — so in-batch redundancy counts exactly as the batch form counts
+    * it, and corpus history counts through the index. Same output schema
+    * as [[ngramNovelty]], one row per batch document.
+    *
+    * Exactness contract: when every id in `batch` is ≥ every owner in
+    * `index` (append-only, id-ordered intake), the scores equal
+    * [[ngramNovelty]] over the concatenated corpus. Replay-idempotent: an
+    * index that ALREADY contains this batch (a `foreachBatch` retry after
+    * the index update committed) yields identical scores, because
+    * including a doc's own id in the min changes nothing. */
+  def ngramNoveltyAgainst(index: DataFrame, batch: DataFrame, idCol: String,
+                          textCol: String, n: Int = 8): DataFrame = {
+    require(index.columns.toSeq == Seq("gram", "owner"),
+      s"ngramNoveltyAgainst: index must be (gram, owner) — gramIndex/" +
+        s"mergeGramIndex output — got ${index.columns.toSeq}")
+    val exploded = explodedGrams(batch, idCol, textCol, n)
+    val batchOwner = exploded.groupBy("gram").agg(min(col(idCol)).as("__bown"))
+    // least() skips nulls: an index miss leaves the batch owner; cross-side
+    // candidates only (each batch gram meets at most ONE index row)
+    val owner = batchOwner
+      .join(index.withColumnRenamed("owner", "__iown"), Seq("gram"), "left_outer")
+      .select(col("gram"), least(col("__bown"), col("__iown")).as("owner"))
+    perDocStats(batch, exploded, owner, idCol)
   }
 }

@@ -251,7 +251,18 @@ object Selection {
     val sdf = splits.zipWithIndex.map { case ((nm, w), i) => (nm, w, i) }
       .toDF("split", "__w", "__i")
 
-    val base = docs.select(col(strataCol).as("stratum"), col(idCol).as("id"))
+    // Null strata are refused loudly: the stratum-keyed equi-joins below
+    // (base→offsets, base→bounds) are null-rejecting, so a null-stratum row
+    // would silently vanish — violating the "every row lands in EXACTLY one
+    // split" contract. Same refuse-loudly convention as ecdfDrift's guards.
+    val base = docs.select(
+        when(col(strataCol).isNull,
+          raise_error(lit(s"splitAssign: null $strataCol — every row must " +
+            "land in exactly one split, but a null stratum would drop from " +
+            "the stratum-keyed quota joins; filter or impute strata first"))
+            .cast(docs.schema(strataCol).dataType))
+          .otherwise(col(strataCol)).as("stratum"),
+        col(idCol).as("id"))
       .withColumn("__h", Dedup.shingleHash(
         concat_ws(":", lit(seed), col("stratum"), col("id"))))
       .withColumn("__b", (col("__h") % buckets).cast("int"))

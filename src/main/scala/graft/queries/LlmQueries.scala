@@ -2534,6 +2534,34 @@ object LlmQueries {
       |FROM r JOIN q3 ON r.stratum = q3.stratum AND r.rk > q3.lo AND r.rk <= q3.hi
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q89 incremental novelty
+
+  /** Incremental novelty over an id-ordered intake
+    * ([[graft.llm.Novelty.ngramNoveltyAgainst]] + [[graft.llm.Novelty.gramIndex]]):
+    * the corpus arrives as TWO ordered batches (ids ≤ median-ish threshold,
+    * then the rest); batch 1 is scored from scratch, its gram-owner index
+    * is built, and batch 2 is scored AGAINST that index — the standing
+    * intake pipeline's shape (q59's incremental-probe pattern applied to
+    * q82's statistic). The oracle is deliberately the BATCH statistic over
+    * the whole corpus (q82's SQL verbatim): the operator's contract is
+    * that incremental-over-ordered-batches equals it exactly, so the
+    * equivalence IS the correctness gate. */
+  private def q89(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val thrRow = docs.agg(max(col("doc_id")).cast("long")).head()
+    require(!thrRow.isNullAt(0), "q89: empty documents table")
+    val thr = thrRow.getLong(0) / 2
+    val b1 = docs.filter(col("doc_id") <= thr)
+    val b2 = docs.filter(col("doc_id") > thr)
+    val idx = graft.llm.Novelty.gramIndex(b1, "doc_id", "text", n = 8)
+    graft.llm.Novelty.ngramNovelty(b1, "doc_id", "text", n = 8)
+      .union(graft.llm.Novelty.ngramNoveltyAgainst(idx, b2, "doc_id", "text", n = 8))
+      .orderBy("doc_id")
+  }
+
+  /** Incremental ≡ batch over ordered batches, so the oracle is q82's. */
+  private def q89Sql = q82Sql
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2704,5 +2732,6 @@ object LlmQueries {
     QueryDef("q86_source_overlap", q86, Some(q86Sql)),
     QueryDef("q87_ecdf_drift", q87, Some(q87Sql)),
     QueryDef("q88_intake_capstone", q88, Some(q88Sql)),
+    QueryDef("q89_incremental_novelty", q89, Some(q89Sql)),
   )
 }

@@ -98,6 +98,27 @@ object Analytics {
         keyCols.filterNot(fields.contains).mkString(", "))
   }
 
+  /** Deterministic, balanced sharding of a replicated table set across `n`
+    * [[multiReplicaStream]] queries — the callable form of the scaladoc
+    * advice there ("past a few hundred tables prefer sharding the spec set
+    * across a few queries"). Specs are dealt round-robin in (database,
+    * table) order, so the assignment is a pure function of the spec SET —
+    * stable across restarts, config reorderings and process boundaries
+    * (each shard's checkpoint keeps meaning what it meant) — and shard
+    * sizes differ by at most one table. Empty shards are not emitted
+    * (n > specs.size just yields one shard per spec). */
+  def shardSpecs(specs: Seq[TableSpec], n: Int): Seq[Seq[TableSpec]] = {
+    require(n >= 1, s"shardSpecs: n must be >= 1, got $n")
+    val ids = specs.map(sp => (sp.database, sp.table))
+    require(ids.distinct.size == ids.size,
+      s"shardSpecs: duplicate (database, table) in spec set: " +
+        ids.diff(ids.distinct).distinct.mkString(", "))
+    specs.sortBy(sp => (sp.database, sp.table))
+      .zipWithIndex
+      .groupBy(_._2 % n).toSeq.sortBy(_._1)
+      .map(_._2.map(_._1))
+  }
+
   /** Typed change records for MANY tables from ONE pass over the wire
     * stream — the multi-table answer to the reference's router, which fans
     * one binlog stream to every consumer (`handler.go:91-97`) instead of
@@ -189,8 +210,8 @@ object Analytics {
     * times and there is exactly one stateful shuffle. The per-table key
     * projection is a T-branch when-chain evaluated only on matched rows;
     * Spark splits oversized codegen automatically, but past a few hundred
-    * tables prefer sharding the spec set across a few queries (which also
-    * restores per-shard restart isolation). */
+    * tables prefer sharding the spec set across a few queries via
+    * [[shardSpecs]] (which also restores per-shard restart isolation). */
   def multiReplicaStream(raw: DataFrame, specs: Seq[TableSpec]): Dataset[Row] = {
     val changes = multiTableChanges(raw, specs)
       .withColumn("__img", coalesce(col("after"), col("before")))

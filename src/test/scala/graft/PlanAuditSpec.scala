@@ -480,4 +480,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"q82 per-doc stats must partial-aggregate:\n$plan")
   }
+
+  test("q89 incremental novelty: index probe is a gram-KEYED outer join " +
+    "(cross-side candidates only), no window, no nested-loop join") {
+    val plan = planOf("q89_incremental_novelty")
+    assert(!plan.contains("Window"), s"q89 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q89's index probe must be keyed, never nested-loop:\n$plan")
+    assert(plan.contains("LeftOuter") || plan.contains("RightOuter"),
+      s"q89 probes the index with an outer join (index misses = novel):\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q89 owner mins must have map-side partial stages:\n$plan")
+  }
 }

@@ -722,4 +722,30 @@ class EngineSpec extends SparkSpec {
       prior.fold(spark.conf.unset(rocksKey))(v => spark.conf.set(rocksKey, v))
     }
   }
+
+  test("shardSpecs: deterministic, input-order independent, balanced within " +
+    "one table, covering, and loud on duplicates") {
+    import org.apache.spark.sql.types._
+    import graft.streaming.Analytics
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val specs = (1 to 11).map(i =>
+      Analytics.TableSpec(s"db${i % 3}", s"t$i", schema, Seq("id")))
+    val shards = Analytics.shardSpecs(specs, 4)
+    assert(shards.size === 4)
+    val sizes = shards.map(_.size)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: $sizes")
+    assert(shards.flatten.toSet === specs.toSet, "every spec lands in exactly one shard")
+    assert(shards.flatten.size === specs.size)
+    // pure function of the spec SET: a reordered config shards identically
+    val reordered = Analytics.shardSpecs(scala.util.Random.shuffle(specs), 4)
+    assert(reordered.map(_.map(sp => (sp.database, sp.table))) ===
+      shards.map(_.map(sp => (sp.database, sp.table))))
+    // n > specs.size: one shard per spec, no empties
+    val wide = Analytics.shardSpecs(specs.take(2), 5)
+    assert(wide.size === 2 && wide.forall(_.size == 1))
+    intercept[IllegalArgumentException] { Analytics.shardSpecs(specs, 0) }
+    intercept[IllegalArgumentException] {
+      Analytics.shardSpecs(specs :+ specs.head, 2)
+    }
+  }
 }

@@ -1,0 +1,148 @@
+package graft.app
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Standing intake pipeline (q88's blocklist → novelty → split, streamed):
+  * batch-equivalence of the incremental novelty gate, per-batch split
+  * exactness, restart across a query stop/resume, and byte-identical
+  * replay of an already-indexed batch. */
+class IntakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): Path = Files.createTempDirectory("graft_intake")
+
+  // ≥ 3 words each (cfg.n = 3); ids globally ordered across the two files.
+  // b-file docs 13/14 duplicate a-file texts exactly (novelty 0 → dropped);
+  // doc 17 is fresh; doc 16 is half-redundant against doc 3's batch-1
+  // original. Hosts: ids ≡ 0 (mod 5) land on the blocked domain.
+  private def docJson(id: Long, lang: String, text: String): String = {
+    val host = if (id % 5 == 0) s"x$id.bad.com" else s"x$id.ok.org"
+    s"""{"doc_id":$id,"lang":"$lang","text":"$text","host":"$host"}"""
+  }
+  private val fileA = (1L to 12L).map { i =>
+    docJson(i, if (i % 2 == 0) "en" else "de",
+      (0 to 5).map(j => s"w${(i * 7 + j * 3) % 19}").mkString(" "))
+  }
+  private val fileB = Seq(
+    docJson(13L, "en", (0 to 5).map(j => s"w${(1 * 7 + j * 3) % 19}").mkString(" ")), // dup of doc 1
+    docJson(14L, "de", (0 to 5).map(j => s"w${(2 * 7 + j * 3) % 19}").mkString(" ")), // dup of doc 2
+    docJson(17L, "en", "fresh tokens nobody has ever used before"),
+    docJson(16L, "de", (0 to 5).map(j => s"w${(3 * 7 + j * 3) % 19}").mkString(" ") +
+      " plus some new trailing content here"),
+    docJson(20L, "en", "would be fresh but this doc is on the blocklist"))
+
+  private def cfgFor(in: Path, cp: Path, idx: Path, out: Path) = Intake.Config(
+    inputDir = in.toString, checkpointDir = cp.toString,
+    indexDir = idx.toString, outDir = out.toString,
+    blocklist = Seq("bad.com"), noveltyMinMicros = 200000L,
+    splits = Seq("train" -> 2L, "val" -> 1L), n = 3, seed = "spec")
+
+  private def readBatch(out: Path, id: Long): Seq[(Long, String, String, Long)] = {
+    val dir = s"$out/batch=$id"
+    if (!Files.exists(java.nio.file.Paths.get(dir))) Seq.empty
+    else spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  private def expectedBatch(batch: DataFrame, id: Long,
+                            prevIdx: Option[DataFrame], cfg: Intake.Config)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val kept1 = graft.llm.UrlFilter
+      .domainBlocklist(batch, "host", Seq("doc_id"), cfg.blocklist.toDF("entry"))
+      .filter(!col("blocked")).select("doc_id", "lang", "text")
+    val scored = prevIdx match {
+      case Some(ix) => graft.llm.Novelty.ngramNoveltyAgainst(
+        ix, kept1.select("doc_id", "text"), "doc_id", "text", cfg.n)
+      case None => graft.llm.Novelty.ngramNovelty(
+        kept1.select("doc_id", "text"), "doc_id", "text", cfg.n)
+    }
+    val kept2 = kept1.join(
+      scored.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
+        .select("doc_id"), "doc_id").select("doc_id", "lang")
+    val want = graft.llm.Selection
+      .splitAssign(kept2, "lang", "doc_id", cfg.splits, seed = s"${cfg.seed}:$id")
+      .select(col("id"), col("stratum"), col("split"), col("rank_in_stratum"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val delta = graft.llm.Novelty.gramIndex(
+      kept1.select("doc_id", "text"), "doc_id", "text", cfg.n)
+    val nextIdx = prevIdx.fold(delta)(graft.llm.Novelty.mergeGramIndex(_, delta))
+    (want, nextIdx)
+  }
+
+  test("intake stream: blocklist -> incremental novelty -> exact split, " +
+    "correct across a stop/resume, and a replayed batch is byte-identical") {
+    val (in, cp, idx, out) = (tmp(), tmp(), tmp(), tmp())
+    val cfg = cfgFor(in, cp, idx, out)
+
+    // --- run 1: only file A exists; AvailableNow drains it as batch 0
+    Files.write(in.resolve("a.json"), fileA.asJava)
+    val q1 = Intake.start(spark, cfg)
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+
+    val batchA = spark.read.schema(Intake.docSchema).json(s"$in/a.json")
+    val (wantA, idxAfterA) = expectedBatch(batchA, 0L, None, cfg)
+    assert(wantA.nonEmpty)
+    assert(readBatch(out, 0L) === wantA)
+    // blocked docs (ids 5, 10) never reach a split
+    assert(!readBatch(out, 0L).exists(r => r._1 % 5 == 0))
+
+    // --- restart: file B lands, the SAME checkpoint resumes as batch 1
+    Files.write(in.resolve("b.json"), fileB.asJava)
+    val q2 = Intake.start(spark, cfg)
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+
+    val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+    val (wantB, _) = expectedBatch(batchB, 1L, Some(idxAfterA), cfg)
+    val gotB = readBatch(out, 1L)
+    assert(gotB === wantB)
+    val idsB = gotB.map(_._1).toSet
+    assert(!idsB.contains(13L) && !idsB.contains(14L),
+      s"exact cross-batch duplicates must be novelty-dropped: $gotB")
+    assert(idsB.contains(17L), s"a fresh doc must survive: $gotB")
+    assert(!idsB.contains(20L), s"blocklisted doc must not reach a split: $gotB")
+
+    // the incremental gate equals the batch statistic over the
+    // concatenated (id-ordered) surviving corpus
+    val allKept = graft.llm.UrlFilter
+      .domainBlocklist(batchA.union(batchB), "host", Seq("doc_id"),
+        cfg.blocklist.toDF("entry"))
+      .filter(!col("blocked")).select("doc_id", "text")
+    val batchStat = graft.llm.Novelty
+      .ngramNovelty(allKept, "doc_id", "text", cfg.n)
+      .filter(col("novelty_micros") >= cfg.noveltyMinMicros)
+      .collect().map(_.getLong(0)).toSet
+    assert((readBatch(out, 0L).map(_._1) ++ gotB.map(_._1)).toSet === batchStat,
+      "incremental-over-batches must equal the batch novelty gate")
+
+    // --- replay batch 1 directly (a foreachBatch retry AFTER index v=1
+    // landed): outputs and index must be byte-identical
+    val idxV1Before = spark.read.parquet(s"$idx/v=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    Intake.processBatch(spark, cfg, batchB, 1L)
+    assert(readBatch(out, 1L) === gotB, "replayed assignments diverged")
+    val idxV1After = spark.read.parquet(s"$idx/v=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
+    assert(idxV1After === idxV1Before, "replayed index version diverged")
+
+    // index hygiene: the replay horizon keeps only the previous + current
+    val versions = Files.list(idx).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
+    assert(versions === Seq("v=0", "v=1"), s"$versions")
+
+    // a third batch retires v=0
+    Files.write(in.resolve("c.json"),
+      Seq(docJson(30L, "en", "yet another brand new document text")).asJava)
+    val q3 = Intake.start(spark, cfg)
+    try assert(q3.awaitTermination(120000)) finally q3.stop()
+    val versions2 = Files.list(idx).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
+    assert(versions2 === Seq("v=1", "v=2"), s"$versions2")
+  }
+}

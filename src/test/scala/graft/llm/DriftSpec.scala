@@ -40,13 +40,18 @@ class DriftSpec extends SparkSpec {
     val p = Prop.forAll(caseGen) { case (a, b) =>
       val got = d(a.map("A" -> _) ++ b.map("B" -> _))(("A", "B"))
       val vals = (a ++ b).distinct.sorted
-      val want = vals.map { v =>
-        math.abs(a.count(_ <= v).toLong * 1000000L / a.size -
-          b.count(_ <= v).toLong * 1000000L / b.size)
-      }.max
+      def ecdfs(v: Long) = (a.count(_ <= v).toLong * 1000000L / a.size,
+        b.count(_ <= v).toLong * 1000000L / b.size)
+      val want = vals.map { v => val (ea, eb) = ecdfs(v); math.abs(ea - eb) }.max
+      // Both directions asserted separately: identical multisets MUST read
+      // 0, and 0 MUST mean the normalized (integer-micros) ECDFs agree at
+      // every observed value — NOT identical multisets ([1] vs [1,1]
+      // legitimately reads 0: equal empirical distributions).
+      val identicalReadsZero = a.sorted != b.sorted || got == 0L
+      val zeroMeansEqualEcdf = got != 0L ||
+        vals.forall { v => val (ea, eb) = ecdfs(v); ea == eb }
       got == want && got >= 0 && got <= 1000000L &&
-        ((a.sorted == b.sorted) == (got == 0L) ||
-          a.sorted != b.sorted) // identical multisets MUST read 0
+        identicalReadsZero && zeroMeansEqualEcdf
     }
     val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), p)
     assert(r.passed, s"ECDF-drift property failed: $r")
@@ -61,5 +66,28 @@ class DriftSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("ecdfDrift") ||
       Option(ex.getCause).exists(_.getMessage.contains("ecdfDrift")), s"$ex")
+  }
+
+  test("null GROUPS refuse loudly instead of silently dropping a slice") {
+    val withNullGroup = Seq((Some("A"), 1L), (None, 2L), (Some("B"), 3L))
+      .toDF("g", "v")
+    val ex = intercept[Exception] {
+      Drift.ecdfDrift(withNullGroup, "g", "v").collect()
+    }
+    def msg(t: Throwable) = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .take(8).exists(c => String.valueOf(c.getMessage).contains("null g"))
+    assert(msg(ex), s"$ex")
+  }
+
+  test("bounded-domain contract is guarded: a high-cardinality value column " +
+    "refuses loudly at call time instead of building a corpus-scale grid") {
+    val wide = spark.range(0, 300).selectExpr(
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS g", "id AS v")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.ecdfDrift(wide, "g", "v", maxDomain = 100)
+    }
+    assert(ex.getMessage.contains("maxDomain"), s"$ex")
+    // ...and raising the clamp deliberately admits the same input
+    assert(Drift.ecdfDrift(wide, "g", "v", maxDomain = 300).count() === 1L)
   }
 }

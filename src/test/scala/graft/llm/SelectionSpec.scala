@@ -466,4 +466,18 @@ class SelectionSpec extends SparkSpec {
       Selection.splitAssign(docs, "lang", "doc_id", Seq("a" -> 0L))
     }
   }
+
+  test("splitAssign refuses null strata loudly instead of silently dropping " +
+    "the rows from every split") {
+    import spark.implicits._
+    val docs = Seq((1L, Some("en")), (2L, None), (3L, Some("de")))
+      .toDF("doc_id", "lang")
+    val ex = intercept[Exception] {
+      Selection.splitAssign(docs, "lang", "doc_id", Seq("train" -> 1L)).collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8)
+    assert(chain(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("splitAssign: null")), s"$ex")
+  }
 }

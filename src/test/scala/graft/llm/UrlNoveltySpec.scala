@@ -99,4 +99,62 @@ class UrlNoveltySpec extends SparkSpec {
     assert(dup.getLong(2) === 0L && dup.getLong(3) === 0L,
       "an exact duplicate of doc 1 owns no grams")
   }
+
+  private def noveltyRows(df: org.apache.spark.sql.DataFrame): Map[Long, (Long, Long, Long)] =
+    df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+      if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+
+  test("incremental novelty over id-ordered batches equals the batch " +
+    "statistic exactly, at every split point") {
+    val base = (1L to 30L).map(i =>
+      (i, (0 to 9).map(j => s"w${(i * 5 + j * 3) % 17}").mkString(" ")))
+    val docs = base.toDF("doc_id", "text")
+    val want = noveltyRows(Novelty.ngramNovelty(docs, "doc_id", "text", n = 3))
+    for (cut <- Seq(1L, 7L, 15L, 29L)) {
+      val b1 = docs.filter(col("doc_id") <= cut)
+      val b2 = docs.filter(col("doc_id") > cut)
+      val idx = Novelty.gramIndex(b1, "doc_id", "text", n = 3)
+      val got = noveltyRows(
+        Novelty.ngramNovelty(b1, "doc_id", "text", n = 3)
+          .union(Novelty.ngramNoveltyAgainst(idx, b2, "doc_id", "text", n = 3)))
+      assert(got === want, s"split at $cut diverged from the batch statistic")
+    }
+  }
+
+  test("three-batch chain through mergeGramIndex equals batch; a replayed " +
+    "batch (index already contains it) scores identically") {
+    val base = (1L to 24L).map(i =>
+      (i, (0 to 8).map(j => s"t${(i * 7 + j * 5) % 13}").mkString(" ")))
+    val docs = base.toDF("doc_id", "text")
+    val want = noveltyRows(Novelty.ngramNovelty(docs, "doc_id", "text", n = 2))
+    val Seq(b1, b2, b3) = Seq((1L, 8L), (9L, 16L), (17L, 24L)).map { case (lo, hi) =>
+      docs.filter(col("doc_id").between(lo, hi)) }
+    val idx1 = Novelty.gramIndex(b1, "doc_id", "text", n = 2)
+    val idx2 = Novelty.mergeGramIndex(idx1, Novelty.gramIndex(b2, "doc_id", "text", n = 2))
+    val got = noveltyRows(
+      Novelty.ngramNovelty(b1, "doc_id", "text", n = 2)
+        .union(Novelty.ngramNoveltyAgainst(idx1, b2, "doc_id", "text", n = 2))
+        .union(Novelty.ngramNoveltyAgainst(idx2, b3, "doc_id", "text", n = 2)))
+    assert(got === want)
+    // replay idempotency: score b2 against an index that ALREADY folded b2
+    val replayed = noveltyRows(
+      Novelty.ngramNoveltyAgainst(idx2, b2, "doc_id", "text", n = 2))
+    val firstTime = noveltyRows(
+      Novelty.ngramNoveltyAgainst(idx1, b2, "doc_id", "text", n = 2))
+    assert(replayed === firstTime,
+      "a foreachBatch retry after the index update must score identically")
+  }
+
+  test("index-shape guards refuse non-(gram, owner) frames loudly") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val bad = Seq((1L, 2L)).toDF("g", "o")
+    val ex = intercept[IllegalArgumentException] {
+      Novelty.ngramNoveltyAgainst(bad, docs, "doc_id", "text", n = 2)
+    }
+    assert(ex.getMessage.contains("gram"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Novelty.mergeGramIndex(bad, bad)
+    }
+    assert(ex2.getMessage.contains("gram"))
+  }
 }

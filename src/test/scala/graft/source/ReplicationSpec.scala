@@ -2357,14 +2357,31 @@ class ReplicationSpec extends SparkSpec {
       // the termination's cause chain is that classloader interrupt; any
       // other exception (a genuine decode/stamping/product failure) still
       // fails the test immediately.
+      // The match is NARROW (ADVICE r13): the interrupt/loader-closed
+      // signatures retry unconditionally, but a bare NoClassDefFoundError/
+      // ClassNotFoundException retries ONLY when the named class is
+      // loadable RIGHT NOW by this suite's classloader — proof the class
+      // exists on the classpath and the failure was transient loader state
+      // (the closed layered-loader channel), not a genuine engine
+      // classloading regression (which would fail the re-load too and
+      // still fail the test immediately).
       def isHarnessClassloadInterrupt(t: Throwable): Boolean = {
+        def loadableNow(sig: String): Boolean = {
+          // NCDFE messages name the class slash-form ("scala/Foo$bar"),
+          // CNFE dot-form; take the first path-like token and re-resolve.
+          val name = sig.split(": ", 2).lastOption.getOrElse("")
+            .split("[\\s(]").headOption.getOrElse("").replace('/', '.')
+          name.nonEmpty &&
+            scala.util.Try(Class.forName(name, false, getClass.getClassLoader)).isSuccess
+        }
         val seen = scala.collection.mutable.Set[Throwable]()
         var c = t
         while (c != null && seen.add(c)) {
           val sig = c.getClass.getName + ": " + String.valueOf(c.getMessage)
           if (sig.contains("ClosedByInterrupt") || sig.contains("RemoteClassLoaded") ||
-              sig.contains("NoClassDefFoundError") || sig.contains("ClassNotFoundException") ||
               c.isInstanceOf[InterruptedException]) return true
+          if ((c.isInstanceOf[NoClassDefFoundError] ||
+               c.isInstanceOf[ClassNotFoundException]) && loadableNow(sig)) return true
           c = c.getCause
         }
         false
