@@ -583,6 +583,70 @@ class LlmSpec extends SparkSpec {
     } finally release()
   }
 
+  test("property: hyperBall ball estimates are error-bounded vs exact " +
+    "in-ball sizes over randomized graphs, for p in {6, 8, 10}") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val depth = 3
+    val caseGen = for {
+      n <- Gen.chooseNum(40, 100)
+      seed <- Gen.chooseNum(0L, 1000000L)
+    } yield (n, seed)
+    val p = Prop.forAllNoShrink(caseGen) { case (n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      // ids offset by the seed so every case draws FRESH register hashes
+      // (registers are a deterministic md5 of the id — re-using ids 0..n
+      // would re-use the same hash draws across all cases)
+      def id(i: Int): Long = seed * 1024L + i
+      val edges = (0 until n).flatMap { s =>
+        (0 to rnd.nextInt(3)).map(_ => (id(s), id(rnd.nextInt(n))))
+          .filter(e => e._1 != e._2)
+      }.distinct
+      val preds = edges.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+      def exactBall(v: Long): Int = {
+        var ball = Set(v); var frontier = Set(v)
+        for (_ <- 1 to depth) {
+          val next = frontier.flatMap(x => preds.getOrElse(x, Set.empty)) -- ball
+          ball ++= next; frontier = next
+        }
+        ball.size
+      }
+      val df = edges.toDF("src", "dst")
+      Seq(6, 8, 10).forall { pBits =>
+        val sigma = 1.04 / math.sqrt((1 << pBits).toDouble) // HLL std err
+        val (est, release) = Graph.hyperBallHarmonicManaged(df, depth, p = pBits)
+        try {
+          val got = est.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+          // Regression tripwires, not tight theory. Two lumps the σ theory
+          // does not cover: (a) all nodes share ball CONTENTS, so their
+          // errors are correlated and the mean does not concentrate like
+          // sqrt(N) independent draws; (b) relative error on TINY balls is
+          // quantized — ONE register collision among 4 items reads 25% —
+          // so the per-node bound is absolute-or-relative:
+          // |est − exact| < max(2.5, 7σ·exact). Trips on a wrong branch,
+          // a biased estimator, or a rank/index regression.
+          val relErrs = got.toSeq.map { case (v, e) =>
+            math.abs(e - exactBall(v)) / exactBall(v) // ball ≥ 1 (self)
+          }
+          val meanOk = relErrs.sum / relErrs.size < 2.5 * sigma
+          val worstOk = got.forall { case (v, e) =>
+            math.abs(e - exactBall(v)) < math.max(2.5, 7 * sigma * exactBall(v))
+          }
+          if (!(meanOk && worstOk)) println(
+            f"p=$pBits n=$n seed=$seed mean=${relErrs.sum / relErrs.size}%.4f " +
+              f"worstRel=${relErrs.max}%.4f sigma=$sigma%.4f")
+          meanOk && worstOk
+        } finally release()
+      }
+    }
+    // fixed initial seed: a deterministic sweep (the bound is statistical —
+    // fresh draws per run would make the suite bar flaky by construction)
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
+      .withInitialSeed(org.scalacheck.rng.Seed(20260815L))
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"hyperBall error-bound property failed: $r")
+  }
+
   test("pageRank dangling redistribution: mass-conserving, exact vs driver " +
     "reference; convergence certificate matches and shrinks") {
     import spark.implicits._
