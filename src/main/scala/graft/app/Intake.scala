@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.llm.{Novelty, Selection, UrlFilter}
+import graft.llm.{Dedup, Novelty, Selection, UrlFilter}
 
 /** Standing corpus-intake pipeline — the q88 capstone (domain blocklist →
   * n-gram novelty → exact stratified split) driven CONTINUOUSLY from a
-  * document stream, instead of as a batch job over a finished corpus. This
-  * closes the loop between the repo's two halves: the llm curation
+  * document stream, instead of as a batch job over a finished corpus, with
+  * an optional PAIRWISE near-dup gate (the q59 incremental-MinHash probe
+  * against the accumulated corpus) between the blocklist and novelty
+  * stages — blocklist kills bad sources, near-dup kills single-document
+  * copies, novelty kills diffuse redundancy, split routes what survives.
+  * This closes the loop between the repo's two halves: the llm curation
   * operators and the streaming engine tier.
   *
   * Spark-first shape: the novelty stage is stateful ACROSS batches (each
@@ -58,6 +62,19 @@ object Intake {
       /** Assignment output root: batch i overwrites `batch=i`. */
       outDir: String,
       blocklist: Seq[String],
+      /** Optional PAIRWISE near-dup gate between the blocklist and the
+        * novelty stages (the q59 incremental-MinHash probe): batch docs
+        * whose shingle Jaccard against any ACCUMULATED corpus doc reaches
+        * the threshold are dropped before novelty scoring. Requires
+        * `corpusDir`. Cross-side only — within-batch near-dups are the
+        * novelty stage's job (exact dups score 0) or a separate in-batch
+        * pass; the accumulated corpus grows by each batch's near-dup
+        * SURVIVORS (`corpusDir/part=<batch>`, append-only, replay
+        * overwrites its own part). */
+      nearDupThreshold: Option[Double] = None,
+      corpusDir: Option[String] = None,
+      numHashes: Int = 12,
+      bands: Int = 4,
       noveltyMinMicros: Long = 200000L,
       splits: Seq[(String, Long)] = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L),
       n: Int = 8,
@@ -68,13 +85,14 @@ object Intake {
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None)
 
-  private def versionsOf(spark: SparkSession, indexDir: String): Seq[Long] = {
-    val p = new Path(indexDir)
+  private def versionsOf(spark: SparkSession, dir: String,
+                         prefix: String = "v="): Seq[Long] = {
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Nil
     else fs.listStatus(p).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName).collect { case s if s.startsWith("v=") =>
-        s.stripPrefix("v=").toLong }
+      .map(_.getPath.getName).collect { case s if s.startsWith(prefix) =>
+        s.stripPrefix(prefix).toLong }
   }
 
   /** One micro-batch of the intake pipeline: blocklist → incremental
@@ -86,61 +104,96 @@ object Intake {
   private[app] def processBatch(spark: SparkSession, cfg: Config,
                                 batch: DataFrame, id: Long): Unit = {
     import spark.implicits._
+    require(cfg.nearDupThreshold.isEmpty || cfg.corpusDir.nonEmpty,
+      "Intake: nearDupThreshold requires corpusDir (the accumulated corpus " +
+        "the near-dup probe compares against)")
+    val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val b = batch.persist()
+    cleanups += (() => { b.unpersist(); () })
     try {
       val bl = cfg.blocklist.toDF("entry")
-      val kept1 = UrlFilter
+      val blocklisted = UrlFilter
         .domainBlocklist(b, "host", Seq("doc_id"), bl)
         .filter(!col("blocked"))
         .select("doc_id", "lang", "text")
-        .persist()
-      try {
-        // the index this batch scores against: latest version STRICTLY
-        // below id (a crashed run may already have written v=id — replay
-        // must not read its own output)
-        val prevVersion = versionsOf(spark, cfg.indexDir).filter(_ < id)
-          .sorted.lastOption
-        val prevIndex = prevVersion.map(v =>
-          spark.read.parquet(s"${cfg.indexDir}/v=$v").select("gram", "owner"))
 
-        val scored = prevIndex match {
-          case Some(idx) =>
-            Novelty.ngramNoveltyAgainst(idx, kept1.select("doc_id", "text"),
-              "doc_id", "text", cfg.n)
-          case None =>
-            Novelty.ngramNovelty(kept1.select("doc_id", "text"),
-              "doc_id", "text", cfg.n)
-        }
-        val kept2 = kept1
-          .join(scored.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
-            .select("doc_id"), "doc_id")
-          .select("doc_id", "lang")
+      // optional q59-shape near-dup gate: probe against corpus parts < id
+      // (part=id excluded — a crashed run may have written it; replay must
+      // not compare the batch against itself)
+      val kept1 = (cfg.nearDupThreshold, cfg.corpusDir) match {
+        case (Some(t), Some(cd)) =>
+          val parts = versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
+          if (parts.isEmpty) blocklisted
+          else {
+            val corpus = spark.read
+              .parquet(parts.map(p => s"$cd/part=$p"): _*)
+              .select(col("doc_id"), col("text"))
+            val (dups, release) = Dedup.incrementalNearDupManaged(
+              corpus, blocklisted.select("doc_id", "text"), "doc_id", "text",
+              cfg.numHashes, cfg.bands, t)
+            cleanups += release
+            blocklisted.join(
+              dups.select(col("batch_id").as("doc_id")).distinct(),
+              Seq("doc_id"), "left_anti")
+          }
+        case _ => blocklisted
+      }
+      val kept1p = kept1.persist()
+      cleanups += (() => { kept1p.unpersist(); () })
 
-        Selection.splitAssign(kept2, "lang", "doc_id", cfg.splits,
-            seed = s"${cfg.seed}:$id")
-          .select(col("id").as("doc_id"), col("stratum"), col("split"),
-            col("rank_in_stratum"))
-          .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
+      // the index this batch scores against: latest version STRICTLY
+      // below id (a crashed run may already have written v=id — replay
+      // must not read its own output)
+      val prevVersion = versionsOf(spark, cfg.indexDir).filter(_ < id)
+        .sorted.lastOption
+      val prevIndex = prevVersion.map(v =>
+        spark.read.parquet(s"${cfg.indexDir}/v=$v").select("gram", "owner"))
 
-        // fold the batch's SURVIVING-the-blocklist grams into the index
-        // (q88 semantics: ownership within the surviving corpus) — written
-        // AFTER the assignments so a crash between the two replays cleanly
-        val deltaIdx = Novelty.gramIndex(kept1.select("doc_id", "text"),
-          "doc_id", "text", cfg.n)
-        val nextIdx = prevIndex.fold(deltaIdx)(Novelty.mergeGramIndex(_, deltaIdx))
-        nextIdx.write.mode("overwrite").parquet(s"${cfg.indexDir}/v=$id")
+      val scored = prevIndex match {
+        case Some(idx) =>
+          Novelty.ngramNoveltyAgainst(idx, kept1p.select("doc_id", "text"),
+            "doc_id", "text", cfg.n)
+        case None =>
+          Novelty.ngramNovelty(kept1p.select("doc_id", "text"),
+            "doc_id", "text", cfg.n)
+      }
+      val kept2 = kept1p
+        .join(scored.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
+          .select("doc_id"), "doc_id")
+        .select("doc_id", "lang")
 
-        if (!cfg.keepAllIndexVersions) {
-          // replay horizon: a restart replays at most batch id+1, which
-          // reads v=id — every version below the PREVIOUS one is dead
-          val p = new Path(cfg.indexDir)
-          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          versionsOf(spark, cfg.indexDir)
-            .filter(v => v < id && prevVersion.forall(v < _))
-            .foreach(v => fs.delete(new Path(s"${cfg.indexDir}/v=$v"), true))
-        }
-      } finally kept1.unpersist()
-    } finally b.unpersist()
+      Selection.splitAssign(kept2, "lang", "doc_id", cfg.splits,
+          seed = s"${cfg.seed}:$id")
+        .select(col("id").as("doc_id"), col("stratum"), col("split"),
+          col("rank_in_stratum"))
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
+
+      // accumulate the corpus the near-dup gate probes: this batch's
+      // near-dup SURVIVORS, appended as their own part (replay overwrites)
+      if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+        kept1p.select("doc_id", "text")
+          .write.mode("overwrite").parquet(s"$cd/part=$id")
+      }
+
+      // fold the batch's surviving grams into the index (q88 semantics:
+      // ownership within the surviving corpus — post-blocklist and, when
+      // the gate is on, post-near-dup) — written AFTER the assignments so
+      // a crash between the two replays cleanly
+      val deltaIdx = Novelty.gramIndex(kept1p.select("doc_id", "text"),
+        "doc_id", "text", cfg.n)
+      val nextIdx = prevIndex.fold(deltaIdx)(Novelty.mergeGramIndex(_, deltaIdx))
+      nextIdx.write.mode("overwrite").parquet(s"${cfg.indexDir}/v=$id")
+
+      if (!cfg.keepAllIndexVersions) {
+        // replay horizon: a restart replays at most batch id+1, which
+        // reads v=id — every version below the PREVIOUS one is dead
+        val p = new Path(cfg.indexDir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        versionsOf(spark, cfg.indexDir)
+          .filter(v => v < id && prevVersion.forall(v < _))
+          .foreach(v => fs.delete(new Path(s"${cfg.indexDir}/v=$v"), true))
+      }
+    } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }
 
   /** Start the standing intake: JSON-lines document stream → per-batch

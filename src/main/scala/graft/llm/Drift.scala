@@ -45,38 +45,14 @@ object Drift {
     * statistic first (the repo's integer-metrics convention). */
   def ecdfDrift(docs: DataFrame, groupCol: String, valueCol: String,
                 maxDomain: Int = 65536): DataFrame = {
-    require(maxDomain >= 1, s"ecdfDrift: maxDomain must be >= 1, got $maxDomain")
-    val domain = docs.select(col(valueCol)).distinct().count()
-    require(domain <= maxDomain,
-      s"ecdfDrift: $valueCol has $domain distinct values > maxDomain=$maxDomain — " +
-        "the ECDF grid is (domain x groups)-sized, so an unbounded value domain " +
-        "turns the bounded-grid plan corpus-scale; quantize the statistic to " +
-        "integer micro/permille units (or raise maxDomain deliberately)")
-    val counts = docs
-      .select(
-        when(col(groupCol).isNull,
-          raise_error(lit(s"ecdfDrift: null $groupCol — a null group would " +
-            "silently drop from every pair of the drift matrix; filter or " +
-            "label it first")).cast(docs.schema(groupCol).dataType))
-          .otherwise(col(groupCol)).as("g"),
-        when(col(valueCol).isNull,
-          raise_error(lit(s"ecdfDrift: null $valueCol — an ECDF over " +
-            "unknown values is not a statistic; filter or impute first"))
-            .cast("long"))
-          .otherwise(col(valueCol).cast("long")).as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val groups = counts.select("g").distinct()
-    val values = counts.select("v").distinct()
-    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
-    // bounded grid: every (value, group), zero-filled, so the running sum
-    // carries each group's count across the OTHER groups' step points
-    val run = values.crossJoin(broadcast(groups))
-      .join(counts, Seq("g", "v"), "left_outer")
-      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val grid = countGrid(docs, groupCol, valueCol, maxDomain, "ecdfDrift",
+      castValue = true)
+    // the running sum carries each group's count across the OTHER groups'
+    // step points (the grid is zero-filled), exactly the ECDF's steps
+    val run = grid
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy("g").orderBy("v")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(totals), "g")
       .withColumn("ecdf_micros", expr("cum * 1000000L div n"))
       .select(col("g"), col("v"), col("n"), col("ecdf_micros"))
     run.as("a")
@@ -84,5 +60,73 @@ object Drift {
       .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
       .agg(max(abs(col("a.ecdf_micros") - col("b.ecdf_micros"))).as("d_micros"))
+  }
+
+  /** Pairwise TOTAL-VARIATION distance over a CATEGORICAL `valueCol`
+    * between the groups of `groupCol` — the companion statistic to
+    * [[ecdfDrift]] for unordered domains (language mix, source mix, format
+    * tags), where an ECDF's value ordering is meaningless:
+    * `tv_micros = (Σ over observed values v of |share_a(v) − share_b(v)|) div 2`
+    * with `share(v) = cnt(v)·10^6 div n` — each side quantized
+    * independently, every intermediate an exact integer ≤ 10^6 at any
+    * corpus size, same contract and guards as the KS form (bounded domain
+    * enforced via `maxDomain`, null groups/values refused loudly). A value
+    * absent from one group contributes that group's share as 0 (the grid
+    * is zero-filled). Returns one row per unordered group pair:
+    * (grp_a, grp_b, n_a, n_b, tv_micros). */
+  def categoricalDrift(docs: DataFrame, groupCol: String, valueCol: String,
+                       maxDomain: Int = 65536): DataFrame = {
+    val grid = countGrid(docs, groupCol, valueCol, maxDomain,
+      "categoricalDrift", castValue = false)
+    val shares = grid
+      .withColumn("share_micros", expr("c * 1000000L div n"))
+      .select(col("g"), col("v"), col("n"), col("share_micros"))
+    shares.as("a")
+      .join(shares.as("b"), col("a.v") === col("b.v") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg((sum(abs(col("a.share_micros") - col("b.share_micros"))) / 2)
+        .cast("long").as("tv_micros"))
+  }
+
+  /** The shared guarded, zero-filled (group × observed-value) count grid:
+    * (g, v, c, n) with every combination present (c = 0 where a group never
+    * shows the value) and n = the group's row count. `castValue` casts the
+    * value to BIGINT (the KS form's integer-statistic contract); the
+    * categorical form keeps the value's own type. */
+  private def countGrid(docs: DataFrame, groupCol: String, valueCol: String,
+                        maxDomain: Int, op: String, castValue: Boolean): DataFrame = {
+    require(maxDomain >= 1, s"$op: maxDomain must be >= 1, got $maxDomain")
+    val domain = docs.select(col(valueCol)).distinct().count()
+    require(domain <= maxDomain,
+      s"$op: $valueCol has $domain distinct values > maxDomain=$maxDomain — " +
+        "the comparison grid is (domain x groups)-sized, so an unbounded value " +
+        "domain turns the bounded-grid plan corpus-scale; quantize or bucket " +
+        "the statistic first (or raise maxDomain deliberately)")
+    val rawValue =
+      if (castValue) col(valueCol).cast("long")
+      else col(valueCol)
+    val valueType = if (castValue) org.apache.spark.sql.types.LongType
+      else docs.schema(valueCol).dataType
+    val counts = docs
+      .select(
+        when(col(groupCol).isNull,
+          raise_error(lit(s"$op: null $groupCol — a null group would " +
+            "silently drop from every pair of the drift matrix; filter or " +
+            "label it first")).cast(docs.schema(groupCol).dataType))
+          .otherwise(col(groupCol)).as("g"),
+        when(col(valueCol).isNull,
+          raise_error(lit(s"$op: null $valueCol — a distribution over " +
+            "unknown values is not a statistic; filter or impute first"))
+            .cast(valueType))
+          .otherwise(rawValue).as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val groups = counts.select("g").distinct()
+    val values = counts.select("v").distinct()
+    val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+    values.crossJoin(broadcast(groups))
+      .join(counts, Seq("g", "v"), "left_outer")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .join(broadcast(totals), "g")
   }
 }

@@ -2562,6 +2562,37 @@ object LlmQueries {
   /** Incremental ≡ batch over ordered batches, so the oracle is q82's. */
   private def q89Sql = q82Sql
 
+  // ---------------------------------------------------------------- q90 categorical drift
+
+  /** Pairwise language-mix drift between sources
+    * ([[graft.llm.Drift.categoricalDrift]]): integer-micros TOTAL-VARIATION
+    * distance — the categorical companion to q87's KS (value ordering is
+    * meaningless for a language label). Same per-side quantization
+    * (share = cnt·10^6 div n), same bounded-domain guard; the oracle
+    * replays the zero-filled grid and the floor-half sum exactly. */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    graft.llm.Drift.categoricalDrift(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        "source", "lang")
+      .orderBy("grp_a", "grp_b")
+
+  private val q90Sql =
+    """WITH c AS (
+      |  SELECT source AS g, lang AS v, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT v FROM c), gs AS (SELECT DISTINCT g FROM c),
+      |f AS (
+      |  SELECT gs.g, vals.v, coalesce(c.c, 0)::BIGINT AS c
+      |  FROM vals CROSS JOIN gs LEFT JOIN c ON c.g = gs.g AND c.v = vals.v),
+      |t AS (SELECT g, sum(c)::BIGINT AS n FROM c GROUP BY g),
+      |sh AS (
+      |  SELECT f.g, f.v, t.n, (f.c * 1000000) // t.n AS s
+      |  FROM f JOIN t USING (g))
+      |SELECT a.g AS grp_a, b.g AS grp_b, a.n AS n_a, b.n AS n_b,
+      |  (sum(abs(a.s - b.s))::BIGINT // 2) AS tv_micros
+      |FROM sh a JOIN sh b ON a.v = b.v AND a.g < b.g
+      |GROUP BY 1, 2, 3, 4 ORDER BY grp_a, grp_b""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2733,5 +2764,6 @@ object LlmQueries {
     QueryDef("q87_ecdf_drift", q87, Some(q87Sql)),
     QueryDef("q88_intake_capstone", q88, Some(q88Sql)),
     QueryDef("q89_incremental_novelty", q89, Some(q89Sql)),
+    QueryDef("q90_categorical_drift", q90, Some(q90Sql)),
   )
 }

@@ -145,4 +145,58 @@ class IntakeSpec extends SparkSpec {
       .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
     assert(versions2 === Seq("v=1", "v=2"), s"$versions2")
   }
+
+  test("near-dup gate: a MinHash near-duplicate (not exact) of an earlier " +
+    "batch's doc is dropped before novelty; survivors accumulate as corpus " +
+    "parts; replay still byte-identical") {
+    val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    val cfg = cfgFor(in, cp, idx, out).copy(
+      nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString))
+
+    // batch 0: ten ~12-word docs (enough 3-shingles for a stable MinHash)
+    val baseText = (i: Long) =>
+      (0 to 11).map(j => s"v${(i * 11 + j * 5) % 31}").mkString(" ")
+    Files.write(in.resolve("a.json"),
+      (1L to 10L).map(i => docJson(i, "en", baseText(i))).asJava)
+    val q1 = Intake.start(spark, cfg)
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    val batch0Ids = readBatch(out, 0L).map(_._1).toSet
+    assert(batch0Ids.nonEmpty)
+    assert(Files.exists(corp.resolve("part=0")), "corpus part 0 must land")
+
+    // batch 1: doc 21 = doc 1's text with ONE word changed (near-dup, not
+    // exact — novelty alone would NOT drop it: the changed word mints new
+    // grams); doc 22 fresh
+    val nearDup = baseText(1L).split(" ").updated(5, "changedword").mkString(" ")
+    Files.write(in.resolve("b.json"), Seq(
+      docJson(21L, "en", nearDup),
+      docJson(22L, "en", "completely different tokens that nothing else shares ever")).asJava)
+    val q2 = Intake.start(spark, cfg)
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    val got1 = readBatch(out, 1L)
+    assert(!got1.exists(_._1 == 21L),
+      s"near-dup of batch-0 doc 1 must be dropped by the MinHash gate: $got1")
+    assert(got1.exists(_._1 == 22L), s"fresh doc must survive: $got1")
+    // sanity: the near-dup would have PASSED the novelty gate (its changed
+    // word mints ~n new grams), so the drop is attributable to the gate
+    val jac = graft.llm.Dedup.incrementalNearDup(
+      spark.read.parquet(s"$corp/part=0").select("doc_id", "text"),
+      spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", 12, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(jac.contains((21L, 1L)), s"probe must find the planted pair: ${jac.toSeq}")
+
+    // corpus part 1 holds only the near-dup SURVIVORS
+    val part1Ids = spark.read.parquet(s"$corp/part=1")
+      .collect().map(_.getLong(0)).toSet
+    assert(part1Ids === Set(22L), s"$part1Ids")
+
+    // replay of batch 1: assignments and corpus part byte-identical
+    val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+    Intake.processBatch(spark, cfg, batchB, 1L)
+    assert(readBatch(out, 1L) === got1, "replayed assignments diverged")
+    assert(spark.read.parquet(s"$corp/part=1")
+      .collect().map(_.getLong(0)).toSet === part1Ids)
+  }
 }

@@ -89,5 +89,62 @@ class DriftSpec extends SparkSpec {
     assert(ex.getMessage.contains("maxDomain"), s"$ex")
     // ...and raising the clamp deliberately admits the same input
     assert(Drift.ecdfDrift(wide, "g", "v", maxDomain = 300).count() === 1L)
+    // the categorical form shares the guard
+    val ex2 = intercept[IllegalArgumentException] {
+      Drift.categoricalDrift(wide, "g", "v", maxDomain = 100)
+    }
+    assert(ex2.getMessage.contains("categoricalDrift"), s"$ex2")
+  }
+
+  private def tv(rows: Seq[(String, String)]): Map[(String, String), Long] =
+    Drift.categoricalDrift(rows.toDF("g", "v"), "g", "v")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+
+  test("categorical TV distance: hand-computed shares, zero-filled absent " +
+    "values, identical mixes read 0, disjoint mixes read 1000000") {
+    // A: {x, x, y, z} -> shares 500000/250000/250000 (w absent: 0)
+    // B: {x, y, w, w} -> shares 250000/250000/0, w 500000
+    // TV = (|500000-250000| + 0 + |250000-0| + |0-500000|) / 2 = 500000
+    val got = tv(Seq("A" -> "x", "A" -> "x", "A" -> "y", "A" -> "z",
+      "B" -> "x", "B" -> "y", "B" -> "w", "B" -> "w"))
+    assert(got(("A", "B")) === 500000L)
+    val same = tv(Seq("A" -> "x", "A" -> "y", "B" -> "x", "B" -> "y"))
+    assert(same(("A", "B")) === 0L)
+    val far = tv(Seq("A" -> "x", "B" -> "y"))
+    assert(far(("A", "B")) === 1000000L)
+  }
+
+  test("categorical TV property: bounded in [0, 1e6], symmetric in the " +
+    "group swap, matches a driver-side oracle on random mixes; nulls refuse") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val caseGen = for {
+      na <- Gen.chooseNum(1, 25); nb <- Gen.chooseNum(1, 25)
+      a <- Gen.listOfN(na, Gen.oneOf("p", "q", "r", "s"))
+      b <- Gen.listOfN(nb, Gen.oneOf("p", "q", "r", "s"))
+    } yield (a, b)
+    val prop = Prop.forAll(caseGen) { case (a, b) =>
+      val got = tv(a.map("A" -> _) ++ b.map("B" -> _))(("A", "B"))
+      val vals = (a ++ b).distinct
+      val want = vals.map { v =>
+        math.abs(a.count(_ == v).toLong * 1000000L / a.size -
+          b.count(_ == v).toLong * 1000000L / b.size)
+      }.sum / 2
+      // swapping the group labels must not change the distance (the pair
+      // key is ordered, the statistic is symmetric)
+      val swapped = tv(a.map("B" -> _) ++ b.map("A" -> _))(("A", "B"))
+      got == want && got >= 0 && got <= 1000000L && swapped == got
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(r.passed, s"categorical-TV property failed: $r")
+
+    val withNull = Seq(("A", "x"), ("B", null.asInstanceOf[String])).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Drift.categoricalDrift(withNull, "g", "v").collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8)
+    assert(chain(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("categoricalDrift")), s"$ex")
   }
 }
