@@ -89,6 +89,75 @@ object Drift {
         .cast("long").as("tv_micros"))
   }
 
+  /** Pairwise EMBEDDING-CENTROID drift between the groups of `groupCol` —
+    * the semantic companion to [[ecdfDrift]]/[[categoricalDrift]]: "did
+    * source B's documents stop EMBEDDING like source A's". Each group's
+    * centroid is computed in exact integers (per-component floor
+    * quantization to `quantScale` units, per-dimension sum, floor-divided
+    * by the group size), and the pair geometry is returned as exact
+    * BIGINTs — the q79 register pattern: `dot_q` (centroid dot product)
+    * and `nsq_a`/`nsq_b` (squared norms), from which the caller derives
+    * cosine = dot_q / sqrt(nsq_a·nsq_b). No float leaves the operator, so
+    * the output is bit-identical at any partitioning and independently
+    * recomputable by the oracle.
+    *
+    * Scale posture: one corpus-scale posexplode + (group, dim) partial
+    * sum; everything after is (groups × dims)-sized. Overflow is GUARDED,
+    * not hoped: dims ≤ `maxDims`, and the realized bound
+    * dims·max|mu|² must fit in a long with headroom — checked on the
+    * (groups × dims) means frame (metadata-scale) and refused loudly,
+    * since mean quantized components are group-size-independent the check
+    * holds at ANY corpus size. Ragged embedding widths and null
+    * groups/embeddings are refused loudly. */
+  def centroidDrift(docs: DataFrame, groupCol: String, embCol: String,
+                    quantScale: Int = 1000, maxDims: Int = 4096): DataFrame = {
+    require(quantScale >= 1, s"centroidDrift: quantScale must be >= 1, got $quantScale")
+    val widths = docs.select(size(col(embCol)).as("d")).distinct().collect()
+    require(widths.length == 1,
+      s"centroidDrift: ragged/null $embCol widths ${widths.map(_.get(0)).mkString(", ")} — " +
+        "centroid geometry needs one fixed dimensionality; repair upstream")
+    val dims = widths.head.getInt(0)
+    require(dims >= 1 && dims <= maxDims,
+      s"centroidDrift: $embCol has $dims dims, outside [1, $maxDims] — the " +
+        "pair compare is (groups x dims)-sized; raise maxDims deliberately " +
+        "for wider embeddings")
+    val q = docs
+      .select(
+        when(col(groupCol).isNull,
+          raise_error(lit(s"centroidDrift: null $groupCol — a null group " +
+            "would silently drop from every pair of the drift matrix"))
+            .cast(docs.schema(groupCol).dataType))
+          .otherwise(col(groupCol)).as("g"),
+        posexplode(col(embCol)).as(Seq("dim", "x")))
+      .select(col("g"), col("dim"),
+        floor(col("x").cast("double") * quantScale).cast("long").as("m"))
+    val sums = q.groupBy("g", "dim").agg(sum(col("m")).as("s"))
+    val totals = docs.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    // integer centroid: floor(s / n) — floor, not truncation, so negative
+    // sums divide identically in every engine
+    val means = sums.join(broadcast(totals), "g")
+      .select(col("g"), col("dim"), col("n"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("mu"))
+    // loud overflow guard on the metadata-scale means frame: the pair dot
+    // accumulates dims terms of mu_a·mu_b
+    val maxAbs = means.agg(max(abs(col("mu")))).head().getLong(0)
+    require(maxAbs <= 0 || dims.toLong * maxAbs * maxAbs <= Long.MaxValue / 4,
+      s"centroidDrift: dims($dims) x max|mu|($maxAbs)^2 leaves no int64 " +
+        s"headroom — lower quantScale ($quantScale)")
+    val nsq = means.groupBy("g", "n")
+      .agg(sum(col("mu") * col("mu")).as("nsq"))
+    means.as("a")
+      .join(means.as("b"), col("a.dim") === col("b.dim") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"))
+      .agg(sum(col("a.mu") * col("b.mu")).as("dot_q"))
+      .join(nsq.select(col("g").as("grp_a"), col("n").as("n_a"),
+        col("nsq").as("nsq_a")), "grp_a")
+      .join(nsq.select(col("g").as("grp_b"), col("n").as("n_b"),
+        col("nsq").as("nsq_b")), "grp_b")
+      .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"),
+        col("dot_q"), col("nsq_a"), col("nsq_b"))
+  }
+
   /** The shared guarded, zero-filled (group × observed-value) count grid:
     * (g, v, c, n) with every combination present (c = 0 where a group never
     * shows the value) and n = the group's row count. `castValue` casts the

@@ -2593,6 +2593,43 @@ object LlmQueries {
       |FROM sh a JOIN sh b ON a.v = b.v AND a.g < b.g
       |GROUP BY 1, 2, 3, 4 ORDER BY grp_a, grp_b""".stripMargin
 
+  // ---------------------------------------------------------------- q91 centroid drift
+
+  /** Pairwise embedding-centroid drift between derived sources
+    * ([[graft.llm.Drift.centroidDrift]]): the SEMANTIC drift statistic —
+    * per-group integer centroids (milli-quantized components, floor-exact
+    * at every step) reduced to exact BIGINT pair geometry (dot product +
+    * squared norms; cosine = dot/√(nsq_a·nsq_b) is the caller's one float).
+    * The q79 pattern: floats never leave the operator, so the oracle
+    * recomputes the identical integers. */
+  private def q91(s: SparkSession, d: String): DataFrame =
+    graft.llm.Drift.centroidDrift(
+        Tables.embeddings(s, d).select(
+          concat(lit("s"), (col("vec_id") % 4).cast("string")).as("src"),
+          col("embedding")),
+        "src", "embedding")
+      .orderBy("grp_a", "grp_b")
+
+  private val q91Sql =
+    """WITH e AS (
+      |  SELECT 's' || (vec_id % 4) AS g, embedding AS vec FROM embeddings),
+      |t AS (SELECT g, count(*)::BIGINT AS n FROM e GROUP BY g),
+      |q AS (
+      |  SELECT e.g, d.dim, floor(e.vec[d.dim + 1]::DOUBLE * 1000)::BIGINT AS m
+      |  FROM e, LATERAL unnest(range(0, len(e.vec))) d(dim)),
+      |s AS (SELECT g, dim, sum(m)::BIGINT AS s FROM q GROUP BY g, dim),
+      |mu AS (
+      |  SELECT s.g, s.dim, t.n, floor(s.s::DOUBLE / t.n)::BIGINT AS mu
+      |  FROM s JOIN t USING (g)),
+      |nsq AS (SELECT g, n, sum(mu * mu)::BIGINT AS nsq FROM mu GROUP BY g, n),
+      |dt AS (
+      |  SELECT a.g AS grp_a, b.g AS grp_b, sum(a.mu * b.mu)::BIGINT AS dot_q
+      |  FROM mu a JOIN mu b ON a.dim = b.dim AND a.g < b.g GROUP BY 1, 2)
+      |SELECT dt.grp_a, dt.grp_b, na.n AS n_a, nb.n AS n_b, dt.dot_q,
+      |  na.nsq AS nsq_a, nb.nsq AS nsq_b
+      |FROM dt JOIN nsq na ON na.g = dt.grp_a JOIN nsq nb ON nb.g = dt.grp_b
+      |ORDER BY grp_a, grp_b""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2765,5 +2802,6 @@ object LlmQueries {
     QueryDef("q88_intake_capstone", q88, Some(q88Sql)),
     QueryDef("q89_incremental_novelty", q89, Some(q89Sql)),
     QueryDef("q90_categorical_drift", q90, Some(q90Sql)),
+    QueryDef("q91_centroid_drift", q91, Some(q91Sql)),
   )
 }

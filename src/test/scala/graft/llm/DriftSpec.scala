@@ -147,4 +147,54 @@ class DriftSpec extends SparkSpec {
     assert(chain(ex).exists(c =>
       String.valueOf(c.getMessage).contains("categoricalDrift")), s"$ex")
   }
+
+  test("centroid drift: hand-computed integer geometry, floor-exact on " +
+    "negative components, partition-independent") {
+    // A: (1.0, 0.0), (0.5, 0.5) -> milli sums (1500, 500), n=2,
+    //    mu = (750, 250), nsq_a = 625000
+    // B: (-1.0, 1.0) -> mu = (-1000, 1000), nsq_b = 2000000
+    // dot = 750*(-1000) + 250*1000 = -500000
+    val rows = Seq(
+      ("A", Array(1.0f, 0.0f)), ("A", Array(0.5f, 0.5f)),
+      ("B", Array(-1.0f, 1.0f)))
+    for (parts <- Seq(1, 5)) {
+      val got = Drift.centroidDrift(
+          rows.toDF("g", "vec").repartition(parts), "g", "vec")
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+      assert(got(("A", "B")) === ((2L, 1L, -500000L, 625000L, 2000000L)),
+        s"parts=$parts: $got")
+    }
+    // floor, not truncation: sum -1 over n=2 -> mu = floor(-0.5) = -1
+    val neg = Drift.centroidDrift(
+        Seq(("A", Array(-0.0005f, 1.0f)), ("A", Array(-0.0005f, 1.0f)),
+          ("B", Array(0.0f, 1.0f))).toDF("g", "vec"), "g", "vec")
+      .collect().head
+    // each doc's first milli component = floor(-0.5) = -1; sum -2, n 2, mu -1
+    assert(neg.getLong(4) === (-1L * 0L + 1000L * 1000L),
+      s"dot must carry the floored negative component: $neg")
+  }
+
+  test("centroid drift guards: ragged widths refuse, null groups refuse, " +
+    "dims over maxDims refuse") {
+    val ragged = Seq(("A", Array(1.0f)), ("B", Array(1.0f, 2.0f))).toDF("g", "vec")
+    val ex = intercept[IllegalArgumentException] {
+      Drift.centroidDrift(ragged, "g", "vec")
+    }
+    assert(ex.getMessage.contains("ragged"), s"$ex")
+    val nullG = Seq((Some("A"), Array(1.0f)), (None, Array(2.0f))).toDF("g", "vec")
+    val ex2 = intercept[Exception] {
+      Drift.centroidDrift(nullG, "g", "vec").collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8)
+    assert(chain(ex2).exists(c =>
+      String.valueOf(c.getMessage).contains("centroidDrift")), s"$ex2")
+    val wide = Seq(("A", Array.fill(5)(1.0f)), ("B", Array.fill(5)(1.0f)))
+      .toDF("g", "vec")
+    val ex3 = intercept[IllegalArgumentException] {
+      Drift.centroidDrift(wide, "g", "vec", maxDims = 4)
+    }
+    assert(ex3.getMessage.contains("maxDims"), s"$ex3")
+  }
 }
