@@ -482,6 +482,20 @@ class PlanAuditSpec extends SparkSpec {
       s"q82 per-doc stats must partial-aggregate:\n$plan")
   }
 
+  test("q90/q91 drift tier: every join keyed (value/dim equi), aggregates " +
+    "partial; q91 plans no nested-loop join at all") {
+    val p90 = planOf("q90_categorical_drift")
+    assert(p90.contains("partial_count") || p90.contains("partial_sum"),
+      s"q90 counts must partial-aggregate:\n$p90")
+    assert(!p90.contains("CartesianProduct"), s"q90:\n$p90")
+    val p91 = planOf("q91_centroid_drift")
+    assert(!p91.contains("BroadcastNestedLoopJoin"),
+      s"q91's dim/group joins are all equi-keyed:\n$p91")
+    assert(!p91.contains("Window"), s"q91 must not window:\n$p91")
+    assert(p91.contains("partial_sum"),
+      s"q91 per-dim sums must have a map-side partial stage:\n$p91")
+  }
+
   test("q89 incremental novelty: index probe is a gram-KEYED outer join " +
     "(cross-side candidates only), no window, no nested-loop join") {
     val plan = planOf("q89_incremental_novelty")
