@@ -77,6 +77,14 @@ object Intake {
       bands: Int = 4,
       noveltyMinMicros: Long = 200000L,
       splits: Seq[(String, Long)] = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L),
+      /** When set, split assignment runs in the CONTINUING form
+        * ([[Selection.splitAssignContinuing]]): per-(stratum, split)
+        * counters persist here (versioned `v=<batch>`, same
+        * strictly-below-replay protocol as the gram index), and each
+        * batch is cut against the CUMULATIVE Hamilton quotas — the global
+        * ratio holds over everything ingested, not merely within each
+        * batch. Unset = independent per-batch quotas (q88 semantics). */
+      countersDir: Option[String] = None,
       n: Int = 8,
       seed: String = "intake",
       /** Index versions older than the replay horizon (the previous
@@ -162,11 +170,45 @@ object Intake {
           .select("doc_id"), "doc_id")
         .select("doc_id", "lang")
 
-      Selection.splitAssign(kept2, "lang", "doc_id", cfg.splits,
-          seed = s"${cfg.seed}:$id")
+      val priorCounters = cfg.countersDir.map { cd =>
+        versionsOf(spark, cd).filter(_ < id).sorted.lastOption
+          .map(v => spark.read.parquet(s"$cd/v=$v")
+            .select("stratum", "split", "n_assigned"))
+          .getOrElse {
+            import org.apache.spark.sql.types._
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              StructType(Seq(StructField("stratum", StringType),
+                StructField("split", StringType),
+                StructField("n_assigned", LongType))))
+          }
+      }
+      val assignments = priorCounters match {
+        case Some(prior) => Selection.splitAssignContinuing(
+          kept2, "lang", "doc_id", cfg.splits, prior, seed = s"${cfg.seed}:$id")
+        case None => Selection.splitAssign(
+          kept2, "lang", "doc_id", cfg.splits, seed = s"${cfg.seed}:$id")
+      }
+      assignments
         .select(col("id").as("doc_id"), col("stratum"), col("split"),
           col("rank_in_stratum"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
+
+      // counters fold from the WRITTEN assignments (the persisted truth),
+      // versioned and retired exactly like the gram index
+      (cfg.countersDir, priorCounters) match {
+        case (Some(cd), Some(prior)) =>
+          Selection.splitCounters(
+              spark.read.parquet(s"${cfg.outDir}/batch=$id"), prior)
+            .write.mode("overwrite").parquet(s"$cd/v=$id")
+          if (!cfg.keepAllIndexVersions) {
+            val pv = versionsOf(spark, cd).filter(_ < id).sorted
+            val p = new Path(cd)
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            pv.dropRight(1).foreach(v => fs.delete(new Path(s"$cd/v=$v"), true))
+          }
+        case _ => ()
+      }
 
       // accumulate the corpus the near-dup gate probes: this batch's
       // near-dup SURVIVORS, appended as their own part (replay overwrites)

@@ -240,21 +240,134 @@ object Selection {
   def splitAssign(docs: DataFrame, strataCol: String, idCol: String,
                   splits: Seq[(String, Long)], seed: String = "split",
                   buckets: Int = 4096): DataFrame = {
-    require(splits.nonEmpty && splits.size <= 64,
-      s"splitAssign: 1..64 splits, got ${splits.size}")
-    require(splits.forall(_._2 > 0),
-      s"splitAssign: weights must be positive, got $splits")
-    require(splits.map(_._1).distinct.size == splits.size,
-      s"splitAssign: duplicate split names in ${splits.map(_._1)}")
+    validateSplits(splits, "splitAssign")
     val totalW = splits.map(_._2).sum
-    import docs.sparkSession.implicits._
-    val sdf = splits.zipWithIndex.map { case ((nm, w), i) => (nm, w, i) }
-      .toDF("split", "__w", "__i")
+    val sdf = splitFrame(docs.sparkSession, splits)
+    val (ranked, totals) = rankedBase(docs, strataCol, idCol, seed, buckets)
 
-    // Null strata are refused loudly: the stratum-keyed equi-joins below
-    // (base→offsets, base→bounds) are null-rejecting, so a null-stratum row
-    // would silently vanish — violating the "every row lands in EXACTLY one
-    // split" contract. Same refuse-loudly convention as ecdfDrift's guards.
+    // largest-remainder quotas → cumulative [lo, hi] rank boundaries
+    val byIdx = Window.partitionBy("stratum").orderBy("__i")
+    val bounds = hamiltonQuotas(totals, sdf, totalW, col("__nt"))
+      .withColumn("__hi",
+        sum(col("__quota")).over(byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col("__quota"))
+      .select(col("stratum"), col("split"), col("__lo"), col("__hi"))
+
+    ranked
+      .join(bounds, Seq("stratum"))
+      .filter(col("rank_in_stratum") > col("__lo") &&
+        col("rank_in_stratum") <= col("__hi"))
+      .select(col("id"), col("stratum"), col("split"), col("rank_in_stratum"))
+  }
+
+  /** The STANDING-pipeline form of [[splitAssign]]: apportion a NEW batch
+    * so the CUMULATIVE split sizes track the exact Hamilton quotas of the
+    * cumulative corpus — per-batch exactness ([[splitAssign]] each batch
+    * independently) lets the global train/val/test ratio wander when batch
+    * strata fluctuate; a standing intake needs the ratio to hold over
+    * everything ingested so far.
+    *
+    * `prior` is the accumulated per-(stratum, split) assignment count —
+    * (`stratum`, `split`, `n_assigned`) — from previous batches (merge
+    * batch outputs with [[splitCounters]]). Batch rows rank exactly as in
+    * [[splitAssign]] (same seeded-md5 bucket decomposition; pass a
+    * per-batch seed); the rank line is cut into intervals sized
+    * `need_s,j = max(0, cumQuota_s,j − assigned_s,j)` in declared split
+    * order, where `cumQuota` is the Hamilton apportionment of the
+    * cumulative stratum total (prior + batch). Since Σ_j cumQuota = n_cum
+    * and Σ_j assigned = n_prior, the unclamped needs sum to the batch size
+    * — every batch row lands in exactly one split; clamping (a split
+    * already OVER its cumulative quota, possible because Hamilton is
+    * non-monotone and batches are irrevocable) shifts the excess to later
+    * splits, so the cumulative deviation |assigned − cumQuota| stays
+    * bounded by small per-stratum constants instead of growing with
+    * batches (property-tested over random batch sequences). With an empty
+    * `prior` this IS [[splitAssign]] (needs = quotas).
+    *
+    * Same output schema as [[splitAssign]]; `rank_in_stratum` is
+    * batch-local. Same 100 TB posture — the only new frame is `prior`,
+    * (strata × splits)-sized. */
+  def splitAssignContinuing(docs: DataFrame, strataCol: String, idCol: String,
+                            splits: Seq[(String, Long)], prior: DataFrame,
+                            seed: String, buckets: Int = 4096): DataFrame = {
+    validateSplits(splits, "splitAssignContinuing")
+    require(prior.columns.toSeq == Seq("stratum", "split", "n_assigned"),
+      s"splitAssignContinuing: prior must be (stratum, split, n_assigned) — " +
+        s"splitCounters output — got ${prior.columns.toSeq}")
+    val known = splits.map(_._1).toSet
+    val badSplits = prior.select("split").distinct().collect()
+      .map(_.getString(0)).filterNot(known)
+    require(badSplits.isEmpty,
+      s"splitAssignContinuing: prior carries unknown split names " +
+        s"${badSplits.mkString(", ")} — the declared splits are ${known.mkString(", ")}")
+    val totalW = splits.map(_._2).sum
+    val sdf = splitFrame(docs.sparkSession, splits)
+    val (ranked, totals) = rankedBase(docs, strataCol, idCol, seed, buckets)
+
+    val priorChecked = prior.select(col("stratum"), col("split"),
+      when(col("n_assigned").isNull || col("n_assigned") < 0,
+        raise_error(lit("splitAssignContinuing: null/negative n_assigned in " +
+          "prior — counters must be non-negative")).cast("long"))
+        .otherwise(col("n_assigned").cast("long")).as("__asg"))
+    val priorTotals = priorChecked.groupBy("stratum")
+      .agg(sum(col("__asg")).as("__np"))
+
+    // Hamilton quotas of the CUMULATIVE stratum totals, minus what earlier
+    // batches already assigned (clamped at 0), cut in declared order
+    val byIdx = Window.partitionBy("stratum").orderBy("__i")
+    val bounds = hamiltonQuotas(
+        totals.join(broadcast(priorTotals), Seq("stratum"), "left_outer")
+          .withColumn("__ntc", col("__nt") + coalesce(col("__np"), lit(0L))),
+        sdf, totalW, col("__ntc"))
+      .join(broadcast(priorChecked), Seq("stratum", "split"), "left_outer")
+      .withColumn("__need",
+        greatest(lit(0L), col("__quota") - coalesce(col("__asg"), lit(0L))))
+      .withColumn("__hi",
+        sum(col("__need")).over(byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lo", col("__hi") - col("__need"))
+      .select(col("stratum"), col("split"), col("__lo"), col("__hi"))
+
+    ranked
+      .join(bounds, Seq("stratum"))
+      .filter(col("rank_in_stratum") > col("__lo") &&
+        col("rank_in_stratum") <= col("__hi"))
+      .select(col("id"), col("stratum"), col("split"), col("rank_in_stratum"))
+  }
+
+  /** Fold a batch's [[splitAssign]]/[[splitAssignContinuing]] output into
+    * the accumulated per-(stratum, split) counters the continuing form
+    * takes as `prior`. */
+  def splitCounters(assignments: DataFrame, prior: DataFrame): DataFrame = {
+    require(prior.columns.toSeq == Seq("stratum", "split", "n_assigned"),
+      s"splitCounters: prior must be (stratum, split, n_assigned), got ${prior.columns.toSeq}")
+    assignments.groupBy("stratum", "split").agg(count(lit(1)).as("n_assigned"))
+      .unionByName(prior)
+      .groupBy("stratum", "split").agg(sum(col("n_assigned")).as("n_assigned"))
+  }
+
+  private def validateSplits(splits: Seq[(String, Long)], op: String): Unit = {
+    require(splits.nonEmpty && splits.size <= 64,
+      s"$op: 1..64 splits, got ${splits.size}")
+    require(splits.forall(_._2 > 0),
+      s"$op: weights must be positive, got $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"$op: duplicate split names in ${splits.map(_._1)}")
+  }
+
+  private def splitFrame(ss: org.apache.spark.sql.SparkSession,
+                         splits: Seq[(String, Long)]): DataFrame = {
+    import ss.implicits._
+    splits.zipWithIndex.map { case ((nm, w), i) => (nm, w, i) }
+      .toDF("split", "__w", "__i")
+  }
+
+  /** The shared seeded-md5 bucket-decomposed per-stratum rank (never a
+    * corpus sort) + stratum totals. Null strata are refused loudly: the
+    * stratum-keyed equi-joins downstream are null-rejecting, so a
+    * null-stratum row would silently vanish — violating the "every row
+    * lands in EXACTLY one split" contract. */
+  private def rankedBase(docs: DataFrame, strataCol: String, idCol: String,
+                         seed: String, buckets: Int): (DataFrame, DataFrame) = {
     val base = docs.select(
         when(col(strataCol).isNull,
           raise_error(lit(s"splitAssign: null $strataCol — every row must " +
@@ -273,30 +386,28 @@ object Selection {
       .withColumn("__off", sum(col("__n")).over(byBucket) - col("__n"))
       .select(col("stratum"), col("__b"), col("__off"))
     val totals = counts.groupBy("stratum").agg(sum(col("__n")).as("__nt"))
-
-    // largest-remainder quotas → cumulative [lo, hi] rank boundaries
-    val byRem = Window.partitionBy("stratum")
-      .orderBy(col("__rem").desc, col("__i"))
-    val byIdx = Window.partitionBy("stratum").orderBy("__i")
-    val bounds = totals.crossJoin(broadcast(sdf))
-      .withColumn("__basq", expr(s"__nt * __w div ${totalW}L"))
-      .withColumn("__rem", expr(s"__nt * __w % ${totalW}L"))
-      .withColumn("__left", col("__nt") - sum(col("__basq")).over(Window.partitionBy("stratum")))
-      .withColumn("__quota",
-        col("__basq") + when(row_number().over(byRem) <= col("__left"), 1L).otherwise(0L))
-      .withColumn("__hi",
-        sum(col("__quota")).over(byIdx.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__lo", col("__hi") - col("__quota"))
-      .select(col("stratum"), col("split"), col("__lo"), col("__hi"))
-
     val withinBucket = Window.partitionBy("stratum", "__b").orderBy(col("__h"), col("id"))
-    base
+    val ranked = base
       .join(offsets, Seq("stratum", "__b"))
       .withColumn("rank_in_stratum", col("__off") + row_number().over(withinBucket))
-      .join(bounds, Seq("stratum"))
-      .filter(col("rank_in_stratum") > col("__lo") &&
-        col("rank_in_stratum") <= col("__hi"))
-      .select(col("id"), col("stratum"), col("split"), col("rank_in_stratum"))
+    (ranked, totals)
+  }
+
+  /** Largest-remainder (Hamilton) quotas per stratum over `totalCol` rows:
+    * base = n·w div W, the n − Σ base leftovers to the largest remainders
+    * (ties by declared split order). Returns the totals × splits frame
+    * with `__quota` (and `__i` for declared-order windows). */
+  private def hamiltonQuotas(totals: DataFrame, sdf: DataFrame, totalW: Long,
+                             totalCol: Column): DataFrame = {
+    val byRem = Window.partitionBy("stratum")
+      .orderBy(col("__rem").desc, col("__i"))
+    totals.crossJoin(broadcast(sdf))
+      .withColumn("__nn", totalCol)
+      .withColumn("__basq", expr(s"__nn * __w div ${totalW}L"))
+      .withColumn("__rem", expr(s"__nn * __w % ${totalW}L"))
+      .withColumn("__left", col("__nn") - sum(col("__basq")).over(Window.partitionBy("stratum")))
+      .withColumn("__quota",
+        col("__basq") + when(row_number().over(byRem) <= col("__left"), 1L).otherwise(0L))
   }
 
   /** EXACT global score-quantile cut without a global sort — the "keep the

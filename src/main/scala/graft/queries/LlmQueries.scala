@@ -2630,6 +2630,105 @@ object LlmQueries {
       |FROM dt JOIN nsq na ON na.g = dt.grp_a JOIN nsq nb ON nb.g = dt.grp_b
       |ORDER BY grp_a, grp_b""".stripMargin
 
+  // ---------------------------------------------------------------- q92 continuing split
+
+  /** Continuing split assignment over an id-ordered intake
+    * ([[Selection.splitAssignContinuing]]): batch 1 is apportioned from
+    * scratch (q84's Hamilton), its per-(stratum, split) counters are
+    * folded ([[Selection.splitCounters]]), and batch 2 is cut against the
+    * CUMULATIVE quotas minus those counters — so the global 80/10/10
+    * holds over everything ingested, not merely within each batch. The
+    * oracle replays both stages (both rank seeds, both apportionments,
+    * the clamp and the declared-order interval cut) exactly. */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val thrRow = docs.agg(max(col("doc_id")).cast("long")).head()
+    require(!thrRow.isNullAt(0), "q92: empty documents table")
+    val thr = thrRow.getLong(0) / 2
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val b1 = docs.filter(col("doc_id") <= thr)
+    val b2 = docs.filter(col("doc_id") > thr)
+    val a1 = Selection.splitAssign(b1, "lang", "doc_id", splits, seed = "q92")
+    val prior = Selection.splitCounters(a1,
+      Seq.empty[(String, String, Long)].toDF("stratum", "split", "n_assigned"))
+    val a2 = Selection.splitAssignContinuing(b2, "lang", "doc_id", splits,
+      prior, seed = "q92b")
+    a1.union(a2)
+      .select(col("id").as("doc_id"), col("stratum"), col("split"),
+        col("rank_in_stratum"))
+      .orderBy("doc_id")
+  }
+
+  private val q92Sql =
+    """WITH thr AS (SELECT max(doc_id) // 2 AS t FROM documents),
+      |d1 AS (SELECT doc_id, lang FROM documents, thr WHERE doc_id <= thr.t),
+      |d2 AS (SELECT doc_id, lang FROM documents, thr WHERE doc_id > thr.t),
+      |s AS (SELECT unnest(['train', 'val', 'test']) AS split,
+      |             unnest([8, 1, 1]) AS w, unnest([0, 1, 2]) AS i),
+      |h1 AS (
+      |  SELECT doc_id AS id, lang AS stratum,
+      |    ('0x' || substr(md5('q92' || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM d1),
+      |r1 AS (
+      |  SELECT id, stratum,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY (h % 4096), h, id) AS rk
+      |  FROM h1),
+      |n1 AS (SELECT stratum, count(*)::BIGINT AS nt FROM h1 GROUP BY stratum),
+      |q10 AS (
+      |  SELECT n1.stratum, s.split, s.i, n1.nt,
+      |    (n1.nt * s.w) // 10 AS basq, (n1.nt * s.w) % 10 AS rem
+      |  FROM n1 CROSS JOIN s),
+      |q11 AS (
+      |  SELECT *, nt - sum(basq) OVER (PARTITION BY stratum) AS lft,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY rem DESC, i) AS rr
+      |  FROM q10),
+      |q12 AS (SELECT stratum, split, i,
+      |    basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM q11),
+      |b1 AS (
+      |  SELECT stratum, split,
+      |    sum(quota) OVER wc AS hi, sum(quota) OVER wc - quota AS lo
+      |  FROM q12 WINDOW wc AS (PARTITION BY stratum ORDER BY i ROWS UNBOUNDED PRECEDING)),
+      |a1 AS (
+      |  SELECT r1.id AS doc_id, r1.stratum, b1.split, r1.rk AS rank_in_stratum
+      |  FROM r1 JOIN b1 ON r1.stratum = b1.stratum AND r1.rk > b1.lo AND r1.rk <= b1.hi),
+      |h2 AS (
+      |  SELECT doc_id AS id, lang AS stratum,
+      |    ('0x' || substr(md5('q92b' || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS h
+      |  FROM d2),
+      |r2 AS (
+      |  SELECT id, stratum,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY (h % 4096), h, id) AS rk
+      |  FROM h2),
+      |n2 AS (SELECT stratum, count(*)::BIGINT AS nt FROM h2 GROUP BY stratum),
+      |nc AS (
+      |  SELECT n2.stratum, n2.nt + coalesce(n1.nt, 0) AS ntc
+      |  FROM n2 LEFT JOIN n1 ON n1.stratum = n2.stratum),
+      |q20 AS (
+      |  SELECT nc.stratum, s.split, s.i, nc.ntc,
+      |    (nc.ntc * s.w) // 10 AS basq, (nc.ntc * s.w) % 10 AS rem
+      |  FROM nc CROSS JOIN s),
+      |q21 AS (
+      |  SELECT *, ntc - sum(basq) OVER (PARTITION BY stratum) AS lft,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY rem DESC, i) AS rr
+      |  FROM q20),
+      |q22 AS (SELECT stratum, split, i,
+      |    basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM q21),
+      |asg1 AS (SELECT stratum, split, count(*)::BIGINT AS c FROM a1 GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT q22.stratum, q22.split, q22.i,
+      |    greatest(0, q22.quota - coalesce(asg1.c, 0)) AS need
+      |  FROM q22 LEFT JOIN asg1
+      |    ON asg1.stratum = q22.stratum AND asg1.split = q22.split),
+      |b2 AS (
+      |  SELECT stratum, split,
+      |    sum(need) OVER wc AS hi, sum(need) OVER wc - need AS lo
+      |  FROM nd WINDOW wc AS (PARTITION BY stratum ORDER BY i ROWS UNBOUNDED PRECEDING)),
+      |a2 AS (
+      |  SELECT r2.id AS doc_id, r2.stratum, b2.split, r2.rk AS rank_in_stratum
+      |  FROM r2 JOIN b2 ON r2.stratum = b2.stratum AND r2.rk > b2.lo AND r2.rk <= b2.hi)
+      |SELECT * FROM a1 UNION ALL SELECT * FROM a2 ORDER BY doc_id""".stripMargin
+
   private val q74Sql =
     """WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
       |e AS (
@@ -2803,5 +2902,6 @@ object LlmQueries {
     QueryDef("q89_incremental_novelty", q89, Some(q89Sql)),
     QueryDef("q90_categorical_drift", q90, Some(q90Sql)),
     QueryDef("q91_centroid_drift", q91, Some(q91Sql)),
+    QueryDef("q92_continuing_split", q92, Some(q92Sql)),
   )
 }

@@ -199,4 +199,64 @@ class IntakeSpec extends SparkSpec {
     assert(spark.read.parquet(s"$corp/part=1")
       .collect().map(_.getLong(0)).toSet === part1Ids)
   }
+
+  test("continuing split: cumulative split sizes track the cumulative " +
+    "Hamilton quotas across batches; counters version like the index; " +
+    "replay byte-identical") {
+    val (in, cp, idx, out, ctr) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    // all docs unblocked + fully novel (distinct vocab per doc), one
+    // stratum — isolates the split stage
+    val cfg = cfgFor(in, cp, idx, out).copy(
+      countersDir = Some(ctr.toString),
+      splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L),
+      noveltyMinMicros = 0L,
+      blocklist = Seq("matches-nothing.example"))
+    def freshDoc(i: Long): String =
+      docJson(i, "en", (0 to 5).map(j => s"u${i}x$j").mkString(" "))
+    def hamilton(n: Long): Map[String, Long] = {
+      val sp = Seq(("train", 8L, 0), ("val", 1L, 1), ("test", 1L, 2))
+      val base = sp.map { case (nm, w, _) => nm -> (n * w / 10) }
+      var left = n - base.map(_._2).sum
+      val order = sp.sortBy { case (_, w, i) => (-(n * w % 10), i) }.map(_._1)
+      val bonus = order.takeWhile { _ => left -= 1; left >= 0 }.toSet
+      base.map { case (nm, q) => nm -> (q + (if (bonus(nm)) 1L else 0L)) }.toMap
+    }
+    // batch sizes chosen so per-batch quotas would NOT track the global
+    // ratio (7 docs: per-batch Hamilton gives (6,1,0)-ish repeatedly and
+    // 'test' would starve; cumulative tracking must not)
+    var next = 1L
+    var cum = 0L
+    for (b <- 0 to 2) {
+      val docs = (1 to 7).map { _ => next += 1; freshDoc(next) }
+      Files.write(in.resolve(s"f$b.json"), docs.asJava)
+      val q = Intake.start(spark, cfg)
+      try assert(q.awaitTermination(120000)) finally q.stop()
+      cum += 7
+      val counters = spark.read.parquet(s"$ctr/v=$b")
+        .collect().map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
+      val want = hamilton(cum)
+      val dev = Seq("train", "val", "test")
+        .map(nm => math.abs(counters(nm) - want(nm))).max
+      assert(dev <= 3, s"batch $b: counters $counters vs cumulative quota $want")
+      assert(counters.values.sum === cum, s"every doc assigned exactly once: $counters")
+    }
+    // per-batch independent quotas WOULD starve 'test' (3 batches x 7 docs
+    // each: per-batch Hamilton of 7 = (6,1,0) -> test 0 after 21 docs);
+    // the continuing form must have given it its cumulative ~2
+    val finalCounters = spark.read.parquet(s"$ctr/v=2")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(finalCounters.getOrElse("test", 0L) >= 1L,
+      s"cumulative tracking must feed the starved split: $finalCounters")
+    // versions retire to (previous, current)
+    val vs = Files.list(ctr).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
+    assert(vs === Seq("v=1", "v=2"), s"$vs")
+    // replay of batch 2 is byte-identical (reads counters v=1, not v=2)
+    val before = readBatch(out, 2L)
+    val batchC = spark.read.schema(Intake.docSchema).json(s"$in/f2.json")
+    Intake.processBatch(spark, cfg, batchC, 2L)
+    assert(readBatch(out, 2L) === before, "replayed continuing batch diverged")
+    assert(spark.read.parquet(s"$ctr/v=2")
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap === finalCounters)
+  }
 }

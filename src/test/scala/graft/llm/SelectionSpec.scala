@@ -467,6 +467,94 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("splitAssignContinuing: empty prior IS splitAssign; counters merge; " +
+    "guards refuse bad priors loudly") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i => (i, if (i % 3 == 0) "de" else "en"))
+      .toDF("doc_id", "lang")
+    val splits = Seq("train" -> 3L, "val" -> 1L)
+    val emptyPrior = Seq.empty[(String, String, Long)]
+      .toDF("stratum", "split", "n_assigned")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val plain = rows(Selection.splitAssign(docs, "lang", "doc_id", splits, seed = "c"))
+    val cont = rows(Selection.splitAssignContinuing(
+      docs, "lang", "doc_id", splits, emptyPrior, seed = "c"))
+    assert(cont === plain, "with no prior, the continuing form IS splitAssign")
+
+    val counters = Selection.splitCounters(
+      Selection.splitAssign(docs, "lang", "doc_id", splits, seed = "c"), emptyPrior)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // en: 27 rows -> 3:1 gives (20.25, 6.75) -> Hamilton (20, 7)
+    assert(counters(("en", "train")) === 20L && counters(("en", "val")) === 7L, s"$counters")
+
+    intercept[IllegalArgumentException] {
+      Selection.splitAssignContinuing(docs, "lang", "doc_id", splits,
+        Seq(("en", 1L)).toDF("stratum", "n"), seed = "c")
+    }
+    val unknown = Seq(("en", "holdout", 3L)).toDF("stratum", "split", "n_assigned")
+    val ex = intercept[IllegalArgumentException] {
+      Selection.splitAssignContinuing(docs, "lang", "doc_id", splits, unknown, seed = "c")
+    }
+    assert(ex.getMessage.contains("holdout"), s"$ex")
+    val negative = Seq(("en", "train", -1L)).toDF("stratum", "split", "n_assigned")
+    val ex2 = intercept[Exception] {
+      Selection.splitAssignContinuing(docs, "lang", "doc_id", splits, negative,
+        seed = "c").collect()
+    }
+    assert(Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("n_assigned")), s"$ex2")
+  }
+
+  test("splitAssignContinuing property: over random batch sequences, every " +
+    "row lands exactly once and cumulative split sizes track the cumulative " +
+    "Hamilton quotas within a small bound") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val splits = Seq("train" -> 8L, "val" -> 1L, "test" -> 1L)
+    val W = 10L
+    def hamilton(n: Long): Map[String, Long] = {
+      val base = splits.map { case (nm, w) => nm -> (n * w / W) }
+      var left = n - base.map(_._2).sum
+      val byRem = splits.zipWithIndex
+        .sortBy { case ((_, w), i) => (-(n * w % W), i) }.map(_._1._1)
+      val bonus = byRem.takeWhile { _ => left -= 1; left >= 0 }.toSet
+      base.map { case (nm, q) => nm -> (q + (if (bonus(nm)) 1L else 0L)) }.toMap
+    }
+    val caseGen = for {
+      sizes <- Gen.listOfN(4, Gen.chooseNum(1, 25))
+      seed <- Gen.chooseNum(0L, 100000L)
+    } yield (sizes, seed)
+    val p = Prop.forAllNoShrink(caseGen) { case (sizes, seed) =>
+      var prior = Seq.empty[(String, String, Long)].toDF("stratum", "split", "n_assigned")
+      var nextId = seed * 1000L
+      var cumN = 0L
+      var ok = true
+      for ((sz, bi) <- sizes.zipWithIndex if ok) {
+        val batch = (1 to sz).map { j => nextId += 1; (nextId, "en") }
+          .toDF("doc_id", "lang")
+        val asg = Selection.splitAssignContinuing(
+          batch, "lang", "doc_id", splits, prior, seed = s"p$seed:$bi")
+        val got = asg.collect()
+        ok &&= got.length == sz && got.map(_.getLong(0)).distinct.length == sz
+        prior = Selection.splitCounters(asg, prior)
+        cumN += sz
+        val counts = prior.collect()
+          .map(r => r.getString(1) -> r.getLong(2)).toMap.withDefaultValue(0L)
+        val want = hamilton(cumN)
+        val dev = splits.map { case (nm, _) => math.abs(counts(nm) - want(nm)) }.max
+        ok &&= dev <= splits.size
+        if (!ok) println(s"seed=$seed sizes=$sizes batch=$bi counts=$counts want=$want")
+      }
+      ok
+    }
+    val params = SCTest.Parameters.default.withMinSuccessfulTests(8)
+      .withInitialSeed(org.scalacheck.rng.Seed(914L))
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"continuing-split property failed: $r")
+  }
+
   test("splitAssign refuses null strata loudly instead of silently dropping " +
     "the rows from every split") {
     import spark.implicits._
