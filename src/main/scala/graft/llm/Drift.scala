@@ -112,9 +112,11 @@ object Drift {
   def centroidDrift(docs: DataFrame, groupCol: String, embCol: String,
                     quantScale: Int = 1000, maxDims: Int = 4096): DataFrame = {
     require(quantScale >= 1, s"centroidDrift: quantScale must be >= 1, got $quantScale")
-    val widths = docs.select(size(col(embCol)).as("d")).distinct().collect()
+    // clamped probe: 2 rows decide (one width = well-formed; a second
+    // proves raggedness) — never a wide collect on pathological data
+    val widths = docs.select(size(col(embCol)).as("d")).distinct().limit(2).collect()
     require(widths.length == 1,
-      s"centroidDrift: ragged/null $embCol widths ${widths.map(_.get(0)).mkString(", ")} — " +
+      s"centroidDrift: ragged/null $embCol widths ${widths.map(_.get(0)).mkString(", ")}… — " +
         "centroid geometry needs one fixed dimensionality; repair upstream")
     val dims = widths.head.getInt(0)
     require(dims >= 1 && dims <= maxDims,
