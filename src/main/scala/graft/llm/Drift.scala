@@ -85,6 +85,8 @@ object Drift {
       .join(shares.as("b"), col("a.v") === col("b.v") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("grp_a"), col("b.g").as("grp_b"),
         col("a.n").as("n_a"), col("b.n").as("n_b"))
+      // exact: the sum is ≤ maxDomain·10^6 ≪ 2^53 (double-exact), non-
+      // negative, so /2 + cast-to-long IS the oracle's floor-half (`// 2`)
       .agg((sum(abs(col("a.share_micros") - col("b.share_micros"))) / 2)
         .cast("long").as("tv_micros"))
   }

@@ -295,14 +295,17 @@ object Selection {
       s"splitAssignContinuing: prior must be (stratum, split, n_assigned) — " +
         s"splitCounters output — got ${prior.columns.toSeq}")
     val known = splits.map(_._1).toSet
-    val badSplits = prior.select("split").distinct().collect()
-      .map(_.getString(0)).filterNot(known)
+    // clamped probe: ≤ 65 distinct names decide (declared splits are ≤ 64,
+    // one extra proves corruption) — never a wide collect on a bad prior
+    val badSplits = prior.select("split").distinct().limit(known.size + 1)
+      .collect().map(_.getString(0)).filterNot(known)
     require(badSplits.isEmpty,
       s"splitAssignContinuing: prior carries unknown split names " +
         s"${badSplits.mkString(", ")} — the declared splits are ${known.mkString(", ")}")
     val totalW = splits.map(_._2).sum
     val sdf = splitFrame(docs.sparkSession, splits)
-    val (ranked, totals) = rankedBase(docs, strataCol, idCol, seed, buckets)
+    val (ranked, totals) = rankedBase(docs, strataCol, idCol, seed, buckets,
+      op = "splitAssignContinuing")
 
     val priorChecked = prior.select(col("stratum"), col("split"),
       when(col("n_assigned").isNull || col("n_assigned") < 0,
@@ -367,10 +370,11 @@ object Selection {
     * null-stratum row would silently vanish — violating the "every row
     * lands in EXACTLY one split" contract. */
   private def rankedBase(docs: DataFrame, strataCol: String, idCol: String,
-                         seed: String, buckets: Int): (DataFrame, DataFrame) = {
+                         seed: String, buckets: Int,
+                         op: String = "splitAssign"): (DataFrame, DataFrame) = {
     val base = docs.select(
         when(col(strataCol).isNull,
-          raise_error(lit(s"splitAssign: null $strataCol — every row must " +
+          raise_error(lit(s"$op: null $strataCol — every row must " +
             "land in exactly one split, but a null stratum would drop from " +
             "the stratum-keyed quota joins; filter or impute strata first"))
             .cast(docs.schema(strataCol).dataType))
