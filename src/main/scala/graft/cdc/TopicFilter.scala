@@ -26,6 +26,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`regexp.MatchString` compiles per call), the patterns here are compiled
   * once at plan time and referenced from generated code — strictly better,
   * and the expression participates in whole-stage codegen.
+  *
+  * REGEX-DIALECT COMPATIBILITY NOTE: the reference's `regexp` package is
+  * Go's RE2 (linear-time, no backtracking); this expression uses
+  * `java.util.regex` (backtracking). The two dialects agree on the
+  * POSIX-ish core every real subscriber filter uses, but diverge at the
+  * edges, and the divergence interacts with the err⇒no-match rule:
+  *  - backreferences (`(a)\1`) and lookarounds (`(?=x)`, `(?<=x)`) do NOT
+  *    compile in RE2 — the reference silently never matches them — while
+  *    they compile AND match here. A filter set migrated from the
+  *    reference can therefore start matching events it never matched
+  *    before (pinned by `TopicFilterSpec`);
+  *  - conversely RE2-only syntax (e.g. the longest-match flag `(?U)` as
+  *    RE2 defines it) fails to compile here and never matches, where the
+  *    reference honors it.
+  * This is a deliberate, documented divergence, not a bug: matching RE2
+  * exactly would mean shipping an RE2 port, and the compile-failure
+  * fallback (never match, keep serving) is identical in both engines —
+  * only WHICH patterns land in that bucket differs by dialect.
   */
 case class MatchAnyRegex(child: Expression, filters: Seq[String])
     extends UnaryExpression with Predicate {

@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 import org.apache.spark.storage.StorageLevel
 
 /** Connected-components clustering over a similarity-pair graph — the step
@@ -16,10 +17,37 @@ import org.apache.spark.storage.StorageLevel
   * shuffle-native CC formulation. Each round is two keyed groupBy/join
   * passes over the edge set; convergence is O(log n) rounds and the edge set
   * only shrinks toward the final star forest. Nothing is ever collected to
-  * the driver except a per-round (count, checksum) pair for the fixed-point
-  * test, so the operator holds at any corpus size: the shuffles are keyed on
-  * node ids and the per-key fan-in is bounded by component degree, which
-  * large-star itself keeps collapsing toward the component minimum.
+  * the driver except per-round metadata-scale certificate values — never the
+  * edges themselves — so the operator holds at any corpus size: the shuffles
+  * are keyed on node ids and the per-key fan-in is bounded by component
+  * degree, which large-star itself keeps collapsing toward the minimum.
+  *
+  * Two structural accelerators (r15 — the global-round count, not the
+  * per-round plan, was the measured cost: each round is ~6 exchanges of
+  * fixed job overhead that dominates wall-clock long after the edge data
+  * stops mattering):
+  *
+  *  - SEED: a partition-local union–find pass (`mapPartitions`, a
+  *    documented dense-kernel carve-out) replaces each partition's edge set
+  *    with its local min-rooted star forest BEFORE any global round. This
+  *    preserves components exactly (a spanning star forest of each
+  *    partition-local subgraph) while collapsing every within-partition
+  *    chain to depth 1 — real near-dup graphs (many small clusters) often
+  *    arrive fully solved, and adversarially deep graphs still converge in
+  *    the usual O(log n) rounds over far fewer edges. Applied only when
+  *    both edge columns share an integral type (the union–find keys on
+  *    primitive longs); other orderable types skip the seed and take the
+  *    unmodified round loop.
+  *  - CERTIFICATE: convergence is detected by a STRUCTURAL star-forest
+  *    test on the current edge set — every child has exactly one root
+  *    (count == distinct children) and no root is also a child (empty
+  *    semi-join) — instead of comparing round-over-round checksums. A star
+  *    forest is provably a fixed point of largeStar∘smallStar (and the
+  *    orientation invariant u > v forces every star's root to be its
+  *    component minimum), so the certificate is exact — no hash-collision
+  *    caveat — and it saves the entire final confirm round the checksum
+  *    protocol needed, plus the whole loop when the seed already solved
+  *    the graph.
   */
 object Clusters {
 
@@ -43,16 +71,19 @@ object Clusters {
     require(edges.columns.length >= 2,
       s"connectedComponents needs two edge columns, got ${edges.columns.toSeq}")
     val in = edges.select(edges.columns.take(2).map(col): _*).toDF("u", "v")
-    // Normalize: simple undirected edge set, canonically oriented u > v so
-    // the fixed-point checksum is orientation-stable.
-    var cur = in.filter(col("u") =!= col("v"))
-      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val loopless = in.filter(col("u") =!= col("v"))
+    // Normalize to a distinct, canonically (u > v)-oriented simple edge set.
+    // With an integral id type the union–find seed runs FIRST (it tolerates
+    // duplicates/orientation and emits min-rooted local stars, already
+    // oriented), so only one distinct shuffle runs either way.
+    var cur = localStarSeed(loopless)
+      .getOrElse(loopless.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var state = checksum(cur)
     var it = 0
-    var done = false
-    while (!done && it < maxIter) {
+    var star = isStarForest(cur)
+    while (!star && it < maxIter) {
       // Lineage barrier: largeStar/smallStar reference their input 2× each,
       // so composing rounds grows the LOGICAL plan ~4× per iteration —
       // persist truncates execution but not analysis, and Catalyst goes
@@ -64,30 +95,79 @@ object Clusters {
       val round = smallStar(largeStar(cur))
       val next = edges.sparkSession.createDataFrame(round.rdd, round.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextState = checksum(next)
-      done = nextState == state
+      star = isStarForest(next)
       cur.unpersist()
       cur = next
-      state = nextState
       it += 1
     }
-    if (!done) {
+    if (!star) {
       cur.unpersist() // don't leak the round frame on the failure path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(graph needs O(log n) — raise maxIter for adversarially deep graphs)")
     }
-    // At the fixed point every edge is (node, componentMin).
+    // At the star-forest fixed point every edge is (node, componentMin).
     (cur.select(col("u").as("node"), col("v").as("root")), () => { cur.unpersist(); () })
   }
 
-  /** Per-round fixed-point certificate: edge count + order-insensitive hash
-    * XOR (overflow-free under ANSI mode; the edge set is distinct, so XOR
-    * cancellation needs a 64-bit collision). Two longs to the driver per
-    * round — never the edges themselves. */
-  private def checksum(e: DataFrame): (Long, Long) = {
-    val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  /** Structural convergence certificate: the edge set is a min-rooted star
+    * forest iff every child appears exactly once (count == distinct u) and
+    * no root is also a child (the v→u semi-join is empty). A star forest is
+    * a fixed point of the round (largeStar and smallStar both map a star to
+    * itself), and the maintained u > v orientation forces each star's root
+    * below all its children, i.e. the component minimum — so accepting here
+    * IS accepting the correct final state, with no hash-collision caveat.
+    * Two metadata-scale actions; the first also materializes the persist. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val r = e.agg(count(lit(1)), count_distinct(col("u"))).head()
+    r.getLong(0) == r.getLong(1) &&
+      e.select("v").join(e.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+  }
+
+  /** Partition-local union–find seed: replace each partition's edge multiset
+    * with the min-rooted star forest of its local subgraph — exact component
+    * preservation (a spanning star forest per partition; the global union
+    * over partitions therefore has the same components as the input), in one
+    * narrow pass. Only for integral id types (keys on primitive longs; the
+    * per-partition map is partition-sized, the standard local-aggregation
+    * memory bound). Output is (u > v)-oriented by construction (roots are
+    * local minima) but MAY repeat an edge across partitions — callers
+    * distinct() it. Returns None when the id type isn't integral. */
+  private def localStarSeed(e: DataFrame): Option[DataFrame] = {
+    val Seq(tu, tv) = e.schema.fields.take(2).map(_.dataType).toSeq
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    if (tu != tv || !integral(tu)) None
+    else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      val seeded = e
+        .select(col("u").cast("long"), col("v").cast("long")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val parent = new java.util.HashMap[Long, Long]()
+          def rootOf(x: Long): Long = {
+            var r = x
+            while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+            var c = x // path compression: point the walked chain at the root
+            while (parent.getOrDefault(c, c) != r) {
+              val nxt = parent.get(c); parent.put(c, r); c = nxt
+            }
+            r
+          }
+          it.foreach { case (a, b) =>
+            val ra = rootOf(a); val rb = rootOf(b)
+            if (ra < rb) parent.put(rb, ra)
+            else if (rb < ra) parent.put(ra, rb)
+          }
+          val ks = parent.keySet().iterator()
+          new Iterator[(Long, Long)] {
+            def hasNext: Boolean = ks.hasNext
+            def next(): (Long, Long) = { val k = ks.next(); (k, rootOf(k)) }
+          }
+        }
+        .toDF("u", "v")
+      // cast back so downstream joins/outputs keep the caller's id type
+      Some(seeded.select(col("u").cast(tu).as("u"), col("v").cast(tv).as("v")))
+    }
   }
 
   /** Large-star: every node u connects its LARGER neighbors to the minimum of

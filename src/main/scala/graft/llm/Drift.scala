@@ -25,7 +25,15 @@ import org.apache.spark.sql.functions._
   * repo's integer-metrics convention): after the one corpus-scale
   * (group, value) count, every frame is (domain × groups)-sized. The
   * per-group running sum is one sorted pass over that bounded grid, and
-  * the pair comparison joins it value-keyed with ≤ |groups|²/2 fan. */
+  * the pair comparison joins it value-keyed with ≤ |groups|²/2 fan.
+  *
+  * Every statistic has a RAW form (one corpus-scale count, then
+  * grid-scale math) and a `FromCounts` form taking a pre-aggregated
+  * (group, value, count) frame — the standing-pipeline shape
+  * ([[graft.app.Intake]]): a monitor that keeps domain-scale count STATE
+  * per slice never re-scans the corpus, it folds each batch's counts in
+  * and recomputes the grid-scale statistic. Both forms share every stage
+  * after the count, so raw-vs-counts equivalence is structural. */
 object Drift {
 
   /** Pairwise integer-ECDF KS distance over `valueCol` between the groups
@@ -44,9 +52,25 @@ object Drift {
     * the bottleneck the scaladoc promises to avoid. Quantize or bucket the
     * statistic first (the repo's integer-metrics convention). */
   def ecdfDrift(docs: DataFrame, groupCol: String, valueCol: String,
-                maxDomain: Int = 65536): DataFrame = {
-    val grid = countGrid(docs, groupCol, valueCol, maxDomain, "ecdfDrift",
-      castValue = true)
+                maxDomain: Int = 65536): DataFrame =
+    ecdfTail(countGrid(docs, groupCol, valueCol, maxDomain, "ecdfDrift",
+      castValue = true))
+
+  /** [[ecdfDrift]] over PRE-AGGREGATED counts — one row per observed
+    * (group, value) with its count, e.g. accumulated monitor state or a
+    * `groupBy(g, v).count()` a caller already ran. Identical output to the
+    * raw form over the expanded rows (the two share every post-count
+    * stage). Same guards: null group/value and null/negative counts are
+    * refused loudly, the value domain is bounded by `maxDomain`. */
+  def ecdfDriftFromCounts(counts: DataFrame, groupCol: String,
+                          valueCol: String, countCol: String,
+                          maxDomain: Int = 65536): DataFrame =
+    ecdfTail(gridFromCounts(
+      checkedCounts(counts, groupCol, valueCol, countCol, "ecdfDriftFromCounts",
+        castValue = true),
+      maxDomain, "ecdfDriftFromCounts"))
+
+  private def ecdfTail(grid: DataFrame): DataFrame = {
     // the running sum carries each group's count across the OTHER groups'
     // step points (the grid is zero-filled), exactly the ECDF's steps
     val run = grid
@@ -75,9 +99,22 @@ object Drift {
     * is zero-filled). Returns one row per unordered group pair:
     * (grp_a, grp_b, n_a, n_b, tv_micros). */
   def categoricalDrift(docs: DataFrame, groupCol: String, valueCol: String,
-                       maxDomain: Int = 65536): DataFrame = {
-    val grid = countGrid(docs, groupCol, valueCol, maxDomain,
-      "categoricalDrift", castValue = false)
+                       maxDomain: Int = 65536): DataFrame =
+    tvTail(countGrid(docs, groupCol, valueCol, maxDomain,
+      "categoricalDrift", castValue = false))
+
+  /** [[categoricalDrift]] over PRE-AGGREGATED counts — the monitor-state
+    * form, same contract as [[ecdfDriftFromCounts]] (the value keeps its
+    * own type, per the categorical form). */
+  def categoricalDriftFromCounts(counts: DataFrame, groupCol: String,
+                                 valueCol: String, countCol: String,
+                                 maxDomain: Int = 65536): DataFrame =
+    tvTail(gridFromCounts(
+      checkedCounts(counts, groupCol, valueCol, countCol,
+        "categoricalDriftFromCounts", castValue = false),
+      maxDomain, "categoricalDriftFromCounts"))
+
+  private def tvTail(grid: DataFrame): DataFrame = {
     val shares = grid
       .withColumn("share_micros", expr("c * 1000000L div n"))
       .select(col("g"), col("v"), col("n"), col("share_micros"))
@@ -109,16 +146,21 @@ object Drift {
     * dims·max|mu|² must fit in a long with headroom — checked on the
     * (groups × dims) means frame (metadata-scale) and refused loudly,
     * since mean quantized components are group-size-independent the check
-    * holds at ANY corpus size. Ragged embedding widths and null
-    * groups/embeddings are refused loudly. */
+    * holds at ANY corpus size. Ragged embedding widths, empty input and
+    * null groups/embeddings are refused loudly. */
   def centroidDrift(docs: DataFrame, groupCol: String, embCol: String,
                     quantScale: Int = 1000, maxDims: Int = 4096): DataFrame = {
     require(quantScale >= 1, s"centroidDrift: quantScale must be >= 1, got $quantScale")
     // clamped probe: 2 rows decide (one width = well-formed; a second
-    // proves raggedness) — never a wide collect on pathological data
+    // proves raggedness) — never a wide collect on pathological data.
+    // size(null) is null, so an all-null column reads back as one NULL
+    // width row — caught by the explicit null check, not an NPE.
     val widths = docs.select(size(col(embCol)).as("d")).distinct().limit(2).collect()
-    require(widths.length == 1,
-      s"centroidDrift: ragged/null $embCol widths ${widths.map(_.get(0)).mkString(", ")}… — " +
+    require(widths.nonEmpty,
+      s"centroidDrift: empty input — no $embCol rows to compare")
+    require(widths.length == 1 && !widths.head.isNullAt(0),
+      s"centroidDrift: ragged/null $embCol widths " +
+        s"${widths.map(r => if (r.isNullAt(0)) "null" else r.get(0)).mkString(", ")}… — " +
         "centroid geometry needs one fixed dimensionality; repair upstream")
     val dims = widths.head.getInt(0)
     require(dims >= 1 && dims <= maxDims,
@@ -143,9 +185,13 @@ object Drift {
       .select(col("g"), col("dim"), col("n"),
         floor(col("s").cast("double") / col("n")).cast("long").as("mu"))
     // loud overflow guard on the metadata-scale means frame: the pair dot
-    // accumulates dims terms of mu_a·mu_b
+    // accumulates dims terms of mu_a·mu_b. The bound itself is computed in
+    // BigInt — dims·maxAbs² in plain Long arithmetic wraps exactly in the
+    // regime the guard exists to refuse (|mu| ≳ 1.5e9), which would let
+    // the require pass and the downstream sum overflow raw.
     val maxAbs = means.agg(max(abs(col("mu")))).head().getLong(0)
-    require(maxAbs <= 0 || dims.toLong * maxAbs * maxAbs <= Long.MaxValue / 4,
+    require(maxAbs <= 0 ||
+        BigInt(dims) * BigInt(maxAbs) * BigInt(maxAbs) <= BigInt(Long.MaxValue / 4),
       s"centroidDrift: dims($dims) x max|mu|($maxAbs)^2 leaves no int64 " +
         s"headroom — lower quantScale ($quantScale)")
     val nsq = means.groupBy("g", "n")
@@ -162,26 +208,18 @@ object Drift {
         col("dot_q"), col("nsq_a"), col("nsq_b"))
   }
 
-  /** The shared guarded, zero-filled (group × observed-value) count grid:
-    * (g, v, c, n) with every combination present (c = 0 where a group never
-    * shows the value) and n = the group's row count. `castValue` casts the
-    * value to BIGINT (the KS form's integer-statistic contract); the
-    * categorical form keeps the value's own type. */
-  private def countGrid(docs: DataFrame, groupCol: String, valueCol: String,
-                        maxDomain: Int, op: String, castValue: Boolean): DataFrame = {
-    require(maxDomain >= 1, s"$op: maxDomain must be >= 1, got $maxDomain")
-    val domain = docs.select(col(valueCol)).distinct().count()
-    require(domain <= maxDomain,
-      s"$op: $valueCol has $domain distinct values > maxDomain=$maxDomain — " +
-        "the comparison grid is (domain x groups)-sized, so an unbounded value " +
-        "domain turns the bounded-grid plan corpus-scale; quantize or bucket " +
-        "the statistic first (or raise maxDomain deliberately)")
+  /** The corpus-scale count step of the raw forms: null-refusing
+    * (g, v, c) counts. `castValue` casts the value to BIGINT (the KS
+    * form's integer-statistic contract); the categorical form keeps the
+    * value's own type. */
+  private def rawCounts(docs: DataFrame, groupCol: String, valueCol: String,
+                        op: String, castValue: Boolean): DataFrame = {
     val rawValue =
       if (castValue) col(valueCol).cast("long")
       else col(valueCol)
     val valueType = if (castValue) org.apache.spark.sql.types.LongType
       else docs.schema(valueCol).dataType
-    val counts = docs
+    docs
       .select(
         when(col(groupCol).isNull,
           raise_error(lit(s"$op: null $groupCol — a null group would " +
@@ -194,6 +232,52 @@ object Drift {
             .cast(valueType))
           .otherwise(rawValue).as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
+  }
+
+  /** Validation shim for the `FromCounts` forms: rename to the working
+    * (g, v, c) shape, refuse null groups/values and null/negative counts
+    * loudly (a negative count is corrupted state, not a distribution). */
+  private def checkedCounts(counts: DataFrame, groupCol: String,
+                            valueCol: String, countCol: String,
+                            op: String, castValue: Boolean): DataFrame = {
+    val rawValue =
+      if (castValue) col(valueCol).cast("long")
+      else col(valueCol)
+    val valueType = if (castValue) org.apache.spark.sql.types.LongType
+      else counts.schema(valueCol).dataType
+    counts
+      .select(
+        when(col(groupCol).isNull,
+          raise_error(lit(s"$op: null $groupCol — a null group would " +
+            "silently drop from every pair of the drift matrix"))
+            .cast(counts.schema(groupCol).dataType))
+          .otherwise(col(groupCol)).as("g"),
+        when(col(valueCol).isNull,
+          raise_error(lit(s"$op: null $valueCol — a distribution over " +
+            "unknown values is not a statistic")).cast(valueType))
+          .otherwise(rawValue).as("v"),
+        when(col(countCol).isNull || col(countCol) < 0,
+          raise_error(lit(s"$op: null/negative $countCol — counts must be " +
+            "non-negative")).cast("long"))
+          .otherwise(col(countCol).cast("long")).as("c"))
+      // a caller may legitimately hand un-merged count parts (the same
+      // (g, v) from several batches) — fold them, so FromCounts is safe on
+      // raw accumulated state, mirroring splitAssignContinuing's prior
+      .groupBy("g", "v").agg(sum(col("c")).as("c"))
+  }
+
+  /** The shared guarded, zero-filled (group × observed-value) grid over a
+    * (g, v, c) count frame: every combination present (c = 0 where a group
+    * never shows the value) and n = the group's row count. */
+  private def gridFromCounts(counts: DataFrame, maxDomain: Int,
+                             op: String): DataFrame = {
+    require(maxDomain >= 1, s"$op: maxDomain must be >= 1, got $maxDomain")
+    val domain = counts.select(col("v")).distinct().count()
+    require(domain <= maxDomain,
+      s"$op: the value column has $domain distinct values > maxDomain=$maxDomain — " +
+        "the comparison grid is (domain x groups)-sized, so an unbounded value " +
+        "domain turns the bounded-grid plan corpus-scale; quantize or bucket " +
+        "the statistic first (or raise maxDomain deliberately)")
     val groups = counts.select("g").distinct()
     val values = counts.select("v").distinct()
     val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
@@ -202,4 +286,9 @@ object Drift {
       .withColumn("c", coalesce(col("c"), lit(0L)))
       .join(broadcast(totals), "g")
   }
+
+  private def countGrid(docs: DataFrame, groupCol: String, valueCol: String,
+                        maxDomain: Int, op: String, castValue: Boolean): DataFrame =
+    gridFromCounts(rawCounts(docs, groupCol, valueCol, op, castValue),
+      maxDomain, op)
 }

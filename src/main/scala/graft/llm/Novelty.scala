@@ -131,7 +131,20 @@ object Novelty {
     * [[ngramNovelty]] over the concatenated corpus. Replay-idempotent: an
     * index that ALREADY contains this batch (a `foreachBatch` retry after
     * the index update committed) yields identical scores, because
-    * including a doc's own id in the min changes nothing. */
+    * including a doc's own id in the min changes nothing.
+    *
+    * The contract is ENFORCED, not just documented: an index owner LARGER
+    * than the batch's earliest id for a shared gram is refused loudly (a
+    * lazy per-gram `raise_error`, zero extra passes). In a valid
+    * append-only intake every index owner ≤ every batch id, so
+    * `__iown ≤ __bown` always; on a legitimate replay the batch's own
+    * grams fold back with their own ids, so equality is the worst case —
+    * `__iown > __bown` can only arise when a LARGER-id document was
+    * ingested into the index before this batch, i.e. out-of-order intake.
+    * The check fires exactly when it matters: an out-of-order ingest whose
+    * documents share no grams leaves every owner min (and thus every
+    * score) identical to the in-order batch statistic, and is allowed
+    * through. */
   def ngramNoveltyAgainst(index: DataFrame, batch: DataFrame, idCol: String,
                           textCol: String, n: Int = 8): DataFrame = {
     require(index.columns.toSeq == Seq("gram", "owner"),
@@ -141,9 +154,19 @@ object Novelty {
     val batchOwner = exploded.groupBy("gram").agg(min(col(idCol)).as("__bown"))
     // least() skips nulls: an index miss leaves the batch owner; cross-side
     // candidates only (each batch gram meets at most ONE index row)
+    val ownerType = index.schema("owner").dataType
+    val iownChecked = when(col("__iown").isNull || col("__iown") <= col("__bown"),
+        col("__iown"))
+      .otherwise(raise_error(concat(
+        lit("ngramNoveltyAgainst: index owner "), col("__iown").cast("string"),
+        lit(" > batch owner "), col("__bown").cast("string"),
+        lit(" for a shared gram — the index contains a LARGER-id document " +
+          "than this batch, so the intake is out of id order and the " +
+          "incremental-equals-batch exactness contract is void; feed " +
+          "batches in non-decreasing id order"))).cast(ownerType))
     val owner = batchOwner
       .join(index.withColumnRenamed("owner", "__iown"), Seq("gram"), "left_outer")
-      .select(col("gram"), least(col("__bown"), col("__iown")).as("owner"))
+      .select(col("gram"), least(col("__bown"), iownChecked).as("owner"))
     perDocStats(batch, exploded, owner, idCol)
   }
 }

@@ -307,11 +307,18 @@ object Selection {
     val (ranked, totals) = rankedBase(docs, strataCol, idCol, seed, buckets,
       op = "splitAssignContinuing")
 
+    // Pre-aggregate by (stratum, split): a hand-built prior with duplicate
+    // rows (e.g. raw un-merged splitCounters parts) would otherwise
+    // multiply the bound rows after the quota left join, silently cutting
+    // overlapping rank intervals — summing duplicates makes any
+    // non-negative counter frame safe to pass. The frame stays
+    // (strata × splits)-sized either way.
     val priorChecked = prior.select(col("stratum"), col("split"),
       when(col("n_assigned").isNull || col("n_assigned") < 0,
         raise_error(lit("splitAssignContinuing: null/negative n_assigned in " +
           "prior — counters must be non-negative")).cast("long"))
         .otherwise(col("n_assigned").cast("long")).as("__asg"))
+      .groupBy("stratum", "split").agg(sum(col("__asg")).as("__asg"))
     val priorTotals = priorChecked.groupBy("stratum")
       .agg(sum(col("__asg")).as("__np"))
 

@@ -44,6 +44,25 @@ class TopicFilterSpec extends SparkSpec {
       Seq("test.*", "a.b"))
   }
 
+  test("regex-dialect divergence from the reference's RE2 is pinned: " +
+    "backreferences and lookarounds compile and MATCH here (RE2 would " +
+    "treat them as compile failures ⇒ never-match)") {
+    // These patterns do not compile in Go's regexp (RE2), so the reference
+    // silently never matches them. java.util.regex compiles them, so a
+    // filter set migrated verbatim can START matching — the documented,
+    // deliberate divergence (see MatchAnyRegex scaladoc). Pin the chosen
+    // behavior so a regression to either side is loud.
+    assert(viaDf(Seq("""(foo)\1"""), Seq("xfoofoox", "foo")) ===
+      Seq(true, false), "backreference matches via java.util.regex")
+    assert(viaDf(Seq("""foo(?=bar)"""), Seq("foobar", "foobaz")) ===
+      Seq(true, false), "lookahead matches via java.util.regex")
+    assert(viaDf(Seq("""(?<=db\.)orders"""), Seq("db.orders", "xorders")) ===
+      Seq(true, false), "lookbehind matches via java.util.regex")
+    // and a genuinely-invalid-in-both pattern still lands in the shared
+    // err ⇒ no-match bucket
+    assert(viaDf(Seq("""(?P<"""), Seq("anything")) === Seq(false))
+  }
+
   test("property: matchAny agrees with java.util.regex oracle (through codegen)") {
     val rnd = new scala.util.Random(42)
     val patChars = "abct._*[]^$\\".toCharArray

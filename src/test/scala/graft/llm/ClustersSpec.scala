@@ -64,6 +64,30 @@ class ClustersSpec extends SparkSpec {
       (3L, 3L, 1L), (4L, 4L, 2L), (5L, 4L, 2L)))
   }
 
+  test("cross-partition components: the partition-local seed must not stop " +
+    "early on partial stars (one component spread over many partitions)") {
+    // one long chain repartitioned so every partition holds a scattered
+    // slice of the SAME component — the seeded state is many local stars
+    // that the certificate must reject until the global rounds merge them
+    val n = 200L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val ids = spark.range(n).toDF("doc_id")
+    val pairs = chain.toDF("doc_a", "doc_b").repartition(16)
+    val got = Clusters.assign(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.forall(_ == 0L), "one component rooted at its minimum")
+  }
+
+  test("non-integral (string) ids take the unseeded round loop and still " +
+    "reach component minima") {
+    val ids = Seq("a", "b", "c", "d", "e").toDF("doc_id")
+    val pairs = Seq(("b", "a"), ("c", "b"), ("e", "d")).toDF("x", "y")
+    val got = Clusters.assign(ids, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "a", 3L), ("b", "a", 3L), ("c", "a", 3L),
+      ("d", "d", 2L), ("e", "d", 2L)))
+  }
+
   test("managed handle unpersists the final edge frame") {
     val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
     val before = spark.sparkContext.getPersistentRDDs.size

@@ -148,6 +148,59 @@ class DriftSpec extends SparkSpec {
       String.valueOf(c.getMessage).contains("categoricalDrift")), s"$ex")
   }
 
+  test("FromCounts forms equal the raw forms exactly, fold un-merged " +
+    "duplicate count parts, and refuse null/negative counts") {
+    val rows = Seq("A" -> 1L, "A" -> 2L, "A" -> 2L, "A" -> 3L,
+      "B" -> 2L, "B" -> 3L, "B" -> 5L)
+    val raw = rows.toDF("g", "v")
+    val counts = raw.groupBy("g", "v").count()
+    val wantKs = Drift.ecdfDrift(raw, "g", "v").collect().map(_.toSeq).toSet
+    val gotKs = Drift.ecdfDriftFromCounts(counts, "g", "v", "count")
+      .collect().map(_.toSeq).toSet
+    assert(gotKs === wantKs, "counts-based KS must equal the raw form")
+    val cats = Seq("A" -> "x", "A" -> "x", "A" -> "y", "B" -> "x", "B" -> "z")
+      .toDF("g", "v")
+    val wantTv = Drift.categoricalDrift(cats, "g", "v").collect().map(_.toSeq).toSet
+    val gotTv = Drift.categoricalDriftFromCounts(
+        cats.groupBy("g", "v").count(), "g", "v", "count")
+      .collect().map(_.toSeq).toSet
+    assert(gotTv === wantTv, "counts-based TV must equal the raw form")
+    // un-merged parts: the same (g, v) split across two count rows folds —
+    // raw accumulated monitor state is safe to pass without a pre-merge
+    val parts = Seq(("A", 2L, 1L), ("A", 2L, 1L), ("A", 1L, 1L), ("A", 3L, 1L),
+      ("B", 2L, 1L), ("B", 3L, 1L), ("B", 5L, 1L)).toDF("g", "v", "c")
+    val gotParts = Drift.ecdfDriftFromCounts(parts, "g", "v", "c")
+      .collect().map(_.toSeq).toSet
+    assert(gotParts === wantKs, "duplicate (g, v) count parts must fold")
+    // null/negative counts are corrupted state, refused loudly
+    val neg = Seq(("A", 1L, -1L), ("B", 1L, 2L)).toDF("g", "v", "c")
+    val ex = intercept[Exception] {
+      Drift.ecdfDriftFromCounts(neg, "g", "v", "c").collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8)
+    assert(chain(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("non-negative")), s"$ex")
+  }
+
+  test("centroid drift width probe: empty input and an all-null embedding " +
+    "column refuse with the curated message, never an NPE") {
+    val schema = "g STRING, vec ARRAY<FLOAT>"
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val ex = intercept[IllegalArgumentException] {
+      Drift.centroidDrift(empty, "g", "vec")
+    }
+    assert(ex.getMessage.contains("empty input"), s"$ex")
+    val allNull = Seq(("A", null.asInstanceOf[Array[Float]]),
+      ("B", null.asInstanceOf[Array[Float]])).toDF("g", "vec")
+    val ex2 = intercept[IllegalArgumentException] {
+      Drift.centroidDrift(allNull, "g", "vec")
+    }
+    assert(ex2.getMessage.contains("ragged/null"), s"$ex2")
+  }
+
   test("centroid drift: hand-computed integer geometry, floor-exact on " +
     "negative components, partition-independent") {
     // A: (1.0, 0.0), (0.5, 0.5) -> milli sums (1500, 500), n=2,

@@ -507,6 +507,27 @@ class SelectionSpec extends SparkSpec {
       .exists(c => String.valueOf(c.getMessage).contains("n_assigned")), s"$ex2")
   }
 
+  test("splitAssignContinuing pre-aggregates the prior: duplicate " +
+    "(stratum, split) rows fold instead of multiplying the bound rows") {
+    import spark.implicits._
+    val docs = (1L to 30L).map(i => (i, "en")).toDF("doc_id", "lang")
+    val splits = Seq("train" -> 3L, "val" -> 1L)
+    val merged = Seq(("en", "train", 6L), ("en", "val", 2L))
+      .toDF("stratum", "split", "n_assigned")
+    // the same counters handed as raw un-merged parts (3+3=6, 1+1=2)
+    val parts = Seq(("en", "train", 3L), ("en", "train", 3L),
+      ("en", "val", 1L), ("en", "val", 1L))
+      .toDF("stratum", "split", "n_assigned")
+    def rows(p: org.apache.spark.sql.DataFrame) =
+      Selection.splitAssignContinuing(docs, "lang", "doc_id", splits, p, seed = "dup")
+        .collect().map(r => (r.getLong(0), r.getString(2))).sortBy(_._1).toSeq
+    val want = rows(merged)
+    val got = rows(parts)
+    assert(got === want, "un-merged counter parts must assign identically")
+    assert(got.length === 30, "every batch row lands in exactly one split " +
+      "(duplicate prior rows would multiply bound rows into overlaps)")
+  }
+
   test("splitAssignContinuing property: over random batch sequences, every " +
     "row lands exactly once and cumulative split sizes track the cumulative " +
     "Hamilton quotas within a small bound") {

@@ -145,6 +145,29 @@ class UrlNoveltySpec extends SparkSpec {
       "a foreachBatch retry after the index update must score identically")
   }
 
+  test("out-of-order intake refuses loudly when it would corrupt a score, " +
+    "and passes when gram sets are disjoint (scores provably unaffected)") {
+    // index built from doc 10; batch doc 5 SHARES a gram -> the index owner
+    // (10) exceeds the batch owner (5), direct evidence of out-of-id-order
+    // ingest that voids the incremental-equals-batch contract
+    val idx = Novelty.gramIndex(
+      Seq((10L, "a b c d")).toDF("doc_id", "text"), "doc_id", "text", n = 2)
+    val earlier = Seq((5L, "a b x y")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Novelty.ngramNoveltyAgainst(idx, earlier, "doc_id", "text", n = 2).collect()
+    }
+    def chain(t: Throwable) = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).take(8)
+    assert(chain(ex).exists(c =>
+      String.valueOf(c.getMessage).contains("out of id order")), s"$ex")
+    // disjoint grams: every owner min (hence every score) equals the
+    // in-order batch statistic, so the probe is allowed through
+    val disjoint = Seq((5L, "p q r s")).toDF("doc_id", "text")
+    val got = noveltyRows(
+      Novelty.ngramNoveltyAgainst(idx, disjoint, "doc_id", "text", n = 2))
+    assert(got(5L) === ((3L, 3L, 1000000L)), s"$got")
+  }
+
   test("index-shape guards refuse non-(gram, owner) frames loudly") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val bad = Seq((1L, 2L)).toDF("g", "o")
