@@ -6,43 +6,73 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.llm.{Dedup, Novelty, Selection, UrlFilter}
+import graft.llm.{Dedup, Drift, Novelty, Selection, UrlFilter}
 
 /** Standing corpus-intake pipeline — the q88 capstone (domain blocklist →
   * n-gram novelty → exact stratified split) driven CONTINUOUSLY from a
   * document stream, instead of as a batch job over a finished corpus, with
   * an optional PAIRWISE near-dup gate (the q59 incremental-MinHash probe
   * against the accumulated corpus) between the blocklist and novelty
-  * stages — blocklist kills bad sources, near-dup kills single-document
-  * copies, novelty kills diffuse redundancy, split routes what survives.
-  * This closes the loop between the repo's two halves: the llm curation
-  * operators and the streaming engine tier.
+  * stages, and optional per-batch DRIFT monitoring (q87/q90's statistics)
+  * against the accumulated reference — blocklist kills bad sources,
+  * near-dup kills single-document copies, novelty kills diffuse
+  * redundancy, drift watches what survives, split routes it. This closes
+  * the loop between the repo's two halves: the llm curation operators and
+  * the streaming engine tier.
   *
   * Spark-first shape: the novelty stage is stateful ACROSS batches (each
   * batch scores against everything already ingested), but its state is a
   * vocabulary-scale gram-owner TABLE, not per-key stream state — so the
-  * pipeline runs as `foreachBatch` over a versioned parquet index
-  * ([[Novelty.gramIndex]] / [[Novelty.mergeGramIndex]] /
-  * [[Novelty.ngramNoveltyAgainst]]), the same pattern the incremental
-  * MinHash tier uses (q59), not as a `flatMapGroupsWithState` (gram state
-  * is not keyed by a stream key, and the index must be joinable at
-  * corpus-scale — a parquet side input is exactly that).
+  * pipeline runs as `foreachBatch` over a parquet index, the same pattern
+  * the incremental MinHash tier uses (q59), not as a
+  * `flatMapGroupsWithState` (gram state is not keyed by a stream key, and
+  * the index must be joinable at corpus-scale — a parquet side input is
+  * exactly that).
+  *
+  * PER-BATCH COST IS FLAT IN CORPUS SIZE — every piece of standing state
+  * is probed by scan and written by DELTA, never rewritten whole:
+  *
+  *  - Gram index: LOG-STRUCTURED. Batch `i` writes only its own grams as
+  *    `indexDir/delta=<i>` (batch-vocabulary-scale); the probe reads the
+  *    union of the latest `base=<h>` plus the deltas in (h, i) —
+  *    [[Novelty.ngramNoveltyAgainst]] min-folds duplicate gram rows after
+  *    the join, so the raw part union needs no pre-merge. Every
+  *    `compactEvery` pending deltas, the parts STRICTLY BELOW the current
+  *    batch are folded into a new base ([[Novelty.compactGramIndex]]) and
+  *    retired — amortized O(vocab/K) write per batch instead of O(vocab),
+  *    where the full-rewrite protocol paid O(vocab · batches) total I/O
+  *    over a run (quadratic in batch count).
+  *  - Near-dup gate: the survivors' MinHash SIGNATURES are persisted per
+  *    batch (`corpusDir/sigs=<i>`) and the probe joins the stored
+  *    signature parts ([[Dedup.incrementalNearDupIndexedManaged]]); the
+  *    corpus TEXT parts are touched only by the candidate verify join —
+  *    signatures are never recomputed from accumulated text.
+  *  - Drift state: domain-scale (value, count) tables per statistic, one
+  *    fold per batch; the KS/TV compare runs on the counts
+  *    ([[Drift.ecdfDriftFromCounts]]/[[Drift.categoricalDriftFromCounts]])
+  *    and never re-scans the corpus.
   *
   * Restart determinism (spec-verified across a kill/resume): batch `i`
-  * always scores against the index version written by batch `i-1` (the
-  * LATEST version STRICTLY BELOW `i`), writes its outputs with per-batch
-  * overwrite, and only then writes index version `i` — so a replayed batch
-  * reads the same index, recomputes byte-identical assignments, and
-  * re-overwrites the same paths. The novelty probe itself is also
-  * replay-idempotent even if version `i` already landed (a doc's own id in
-  * the owner min changes nothing — see [[Novelty.ngramNoveltyAgainst]]).
+  * always scores against state written by batches STRICTLY BELOW `i`,
+  * writes its outputs with per-batch overwrite, and only then appends its
+  * own state parts — so a replayed batch reads the same state, recomputes
+  * byte-identical assignments, and re-overwrites the same paths.
+  * Compaction only ever folds parts strictly below the current batch, so
+  * a replay sees identical CONTENT whether or not the compaction landed;
+  * and because gram-index merging is an idempotent min, even overlapping
+  * leftover parts from a mid-compaction crash are harmless by
+  * construction. The novelty probe itself is also replay-idempotent even
+  * if the batch's own delta already landed (a doc's own id in the owner
+  * min changes nothing — see [[Novelty.ngramNoveltyAgainst]]).
   *
   * Exactness contract, inherited from the novelty operator: when doc ids
   * arrive in non-decreasing order across batches (ids are ingest sequence
   * numbers — the append-only intake shape), the novelty scores equal the
-  * batch statistic over the concatenated corpus exactly. Split quotas are
-  * exact PER BATCH (each batch is apportioned by largest remainder within
-  * its strata); a null stratum refuses loudly ([[Selection.splitAssign]]).
+  * batch statistic over the concatenated corpus exactly — and the
+  * operator REFUSES out-of-order ingest that would corrupt a score.
+  * Split quotas are exact PER BATCH (each batch apportioned by largest
+  * remainder within its strata) or CUMULATIVE (`countersDir` set); a null
+  * stratum refuses loudly ([[Selection.splitAssign]]).
   */
 object Intake {
 
@@ -57,9 +87,13 @@ object Intake {
   final case class Config(
       inputDir: String,
       checkpointDir: String,
-      /** Versioned gram-owner index root: batch i writes `v=i`. */
+      /** Log-structured gram-owner index root: batch i appends
+        * `delta=<i>`; every `compactEvery` pending deltas fold into
+        * `base=<h>` (h = the newest part strictly below the compacting
+        * batch) and retire. */
       indexDir: String,
-      /** Assignment output root: batch i overwrites `batch=i`. */
+      /** Assignment output root: batch i overwrites `batch=i`; with
+        * `driftDir` set, drift reports land at `drift/batch=i`. */
       outDir: String,
       blocklist: Seq[String],
       /** Optional PAIRWISE near-dup gate between the blocklist and the
@@ -69,8 +103,9 @@ object Intake {
         * `corpusDir`. Cross-side only — within-batch near-dups are the
         * novelty stage's job (exact dups score 0) or a separate in-batch
         * pass; the accumulated corpus grows by each batch's near-dup
-        * SURVIVORS (`corpusDir/part=<batch>`, append-only, replay
-        * overwrites its own part). */
+        * SURVIVORS: text at `corpusDir/part=<batch>` (verify joins only)
+        * and their MinHash signatures at `corpusDir/sigs=<batch>` (the
+        * probe's index — append-only, replay overwrites its own parts). */
       nearDupThreshold: Option[Double] = None,
       corpusDir: Option[String] = None,
       numHashes: Int = 12,
@@ -85,10 +120,23 @@ object Intake {
         * ratio holds over everything ingested, not merely within each
         * batch. Unset = independent per-batch quotas (q88 semantics). */
       countersDir: Option[String] = None,
+      /** When set, per-batch drift monitoring: the batch's word-count
+        * distribution (integer-ECDF KS) and language mix (categorical TV)
+        * are compared against the ACCUMULATED reference of all prior
+        * surviving batches, written to `outDir/drift/batch=<i>` as
+        * (stat, grp_a, grp_b, n_a, n_b, d_micros); the domain-scale count
+        * state versions here (`wc/v=<i>`, `lang/v=<i>`, strictly-below
+        * replay like the counters). The first batch has no reference and
+        * writes no report. Thresholding is the caller's policy — this is
+        * the measurement, logged beside the assignments it describes. */
+      driftDir: Option[String] = None,
       n: Int = 8,
       seed: String = "intake",
-      /** Index versions older than the replay horizon (the previous
-        * version) are deleted after each batch unless this is set. */
+      /** Fold pending gram-index deltas into a new base once this many
+        * accumulate (amortized O(vocab/K) index write per batch). */
+      compactEvery: Int = 8,
+      /** Retired state (compacted index parts, superseded counter/drift
+        * versions) is deleted after each batch unless this is set. */
       keepAllIndexVersions: Boolean = false,
       trigger: Trigger = Trigger.AvailableNow(),
       maxFilesPerTrigger: Option[Int] = None)
@@ -103,18 +151,26 @@ object Intake {
         s.stripPrefix(prefix).toLong }
   }
 
-  /** One micro-batch of the intake pipeline: blocklist → incremental
-    * novelty against the pre-batch index → per-batch exact split →
-    * overwrite `outDir/batch=<id>` and `indexDir/v=<id>`. Deterministic
-    * function of (batch contents, id, on-disk index versions < id) — the
-    * replay contract above. Package-visible so the spec can drive a
-    * replayed batch directly. */
+  private def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** One micro-batch of the intake pipeline: blocklist → (optional)
+    * stored-signature near-dup gate → incremental novelty against the
+    * pre-batch part union → (optional) drift report → exact split →
+    * overwrite `outDir/batch=<id>` and append this batch's state parts.
+    * Deterministic function of (batch contents, id, on-disk state parts
+    * < id) — the replay contract above. Package-visible so the spec can
+    * drive a replayed batch directly. */
   private[app] def processBatch(spark: SparkSession, cfg: Config,
                                 batch: DataFrame, id: Long): Unit = {
     import spark.implicits._
     require(cfg.nearDupThreshold.isEmpty || cfg.corpusDir.nonEmpty,
       "Intake: nearDupThreshold requires corpusDir (the accumulated corpus " +
         "the near-dup probe compares against)")
+    require(cfg.compactEvery >= 1,
+      s"Intake: compactEvery must be >= 1, got ${cfg.compactEvery}")
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val b = batch.persist()
     cleanups += (() => { b.unpersist(); () })
@@ -125,20 +181,24 @@ object Intake {
         .filter(!col("blocked"))
         .select("doc_id", "lang", "text")
 
-      // optional q59-shape near-dup gate: probe against corpus parts < id
-      // (part=id excluded — a crashed run may have written it; replay must
-      // not compare the batch against itself)
+      // optional q59-shape near-dup gate: probe the STORED signature parts
+      // < id (part=id / sigs=id excluded — a crashed run may have written
+      // them; replay must not compare the batch against itself). Corpus
+      // text parts feed ONLY the candidate verify join.
       val kept1 = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
           val parts = versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
           if (parts.isEmpty) blocklisted
           else {
-            val corpus = spark.read
+            val corpusSigs = spark.read
+              .parquet(parts.map(p => s"$cd/sigs=$p"): _*)
+              .select(col("doc_id"), col("mh"))
+            val corpusText = spark.read
               .parquet(parts.map(p => s"$cd/part=$p"): _*)
               .select(col("doc_id"), col("text"))
-            val (dups, release) = Dedup.incrementalNearDupManaged(
-              corpus, blocklisted.select("doc_id", "text"), "doc_id", "text",
-              cfg.numHashes, cfg.bands, t)
+            val (dups, release) = Dedup.incrementalNearDupIndexedManaged(
+              corpusSigs, corpusText, blocklisted.select("doc_id", "text"),
+              "doc_id", "text", cfg.numHashes, cfg.bands, t)
             cleanups += release
             blocklisted.join(
               dups.select(col("batch_id").as("doc_id")).distinct(),
@@ -149,13 +209,19 @@ object Intake {
       val kept1p = kept1.persist()
       cleanups += (() => { kept1p.unpersist(); () })
 
-      // the index this batch scores against: latest version STRICTLY
-      // below id (a crashed run may already have written v=id — replay
-      // must not read its own output)
-      val prevVersion = versionsOf(spark, cfg.indexDir).filter(_ < id)
-        .sorted.lastOption
-      val prevIndex = prevVersion.map(v =>
-        spark.read.parquet(s"${cfg.indexDir}/v=$v").select("gram", "owner"))
+      // the index this batch scores against: the part union STRICTLY
+      // below id — latest base plus the deltas above it (a crashed run
+      // may already have written delta=id; replay must not read its own
+      // output). ngramNoveltyAgainst min-folds the duplicate gram rows.
+      val baseV = versionsOf(spark, cfg.indexDir, prefix = "base=")
+        .filter(_ < id).sorted.lastOption
+      val deltaVs = versionsOf(spark, cfg.indexDir, prefix = "delta=")
+        .filter(d => d < id && baseV.forall(d > _)).sorted
+      val partPaths = baseV.map(v => s"${cfg.indexDir}/base=$v").toSeq ++
+        deltaVs.map(v => s"${cfg.indexDir}/delta=$v")
+      val prevIndex =
+        if (partPaths.isEmpty) None
+        else Some(spark.read.parquet(partPaths: _*).select("gram", "owner"))
 
       val scored = prevIndex match {
         case Some(idx) =>
@@ -175,7 +241,6 @@ object Intake {
           .map(v => spark.read.parquet(s"$cd/v=$v")
             .select("stratum", "split", "n_assigned"))
           .getOrElse {
-            import org.apache.spark.sql.types._
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
               StructType(Seq(StructField("stratum", StringType),
@@ -195,53 +260,124 @@ object Intake {
         .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
 
       // counters fold from the WRITTEN assignments (the persisted truth),
-      // versioned and retired exactly like the gram index
+      // versioned and retired exactly like the drift state
       (cfg.countersDir, priorCounters) match {
         case (Some(cd), Some(prior)) =>
           Selection.splitCounters(
               spark.read.parquet(s"${cfg.outDir}/batch=$id"), prior)
             .write.mode("overwrite").parquet(s"$cd/v=$id")
-          if (!cfg.keepAllIndexVersions) {
-            val pv = versionsOf(spark, cd).filter(_ < id).sorted
-            val p = new Path(cd)
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            pv.dropRight(1).foreach(v => fs.delete(new Path(s"$cd/v=$v"), true))
-          }
+          retireVersions(spark, cfg, cd, id)
         case _ => ()
       }
 
+      // optional drift monitoring: the batch's surviving docs vs the
+      // accumulated reference counts of every PRIOR batch's survivors
+      cfg.driftDir.foreach(dd => driftStage(spark, cfg, dd, kept1p, id))
+
       // accumulate the corpus the near-dup gate probes: this batch's
-      // near-dup SURVIVORS, appended as their own part (replay overwrites)
+      // near-dup SURVIVORS — text part (verify joins) AND signature part
+      // (the probe's stored index) — each appended as its own part
+      // (replay overwrites both)
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
         kept1p.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$cd/part=$id")
+        Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
+            "doc_id", "text", cfg.numHashes)
+          .write.mode("overwrite").parquet(s"$cd/sigs=$id")
       }
 
-      // fold the batch's surviving grams into the index (q88 semantics:
+      // append the batch's surviving grams as a DELTA part (q88 semantics:
       // ownership within the surviving corpus — post-blocklist and, when
       // the gate is on, post-near-dup) — written AFTER the assignments so
-      // a crash between the two replays cleanly
-      val deltaIdx = Novelty.gramIndex(kept1p.select("doc_id", "text"),
-        "doc_id", "text", cfg.n)
-      val nextIdx = prevIndex.fold(deltaIdx)(Novelty.mergeGramIndex(_, deltaIdx))
-      nextIdx.write.mode("overwrite").parquet(s"${cfg.indexDir}/v=$id")
+      // a crash between the two replays cleanly; batch-vocabulary-scale,
+      // never the merged index
+      Novelty.gramIndex(kept1p.select("doc_id", "text"),
+          "doc_id", "text", cfg.n)
+        .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
 
-      if (!cfg.keepAllIndexVersions) {
-        // replay horizon: a restart replays at most batch id+1, which
-        // reads v=id — every version below the PREVIOUS one is dead
-        val p = new Path(cfg.indexDir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        versionsOf(spark, cfg.indexDir)
-          .filter(v => v < id && prevVersion.forall(v < _))
-          .foreach(v => fs.delete(new Path(s"${cfg.indexDir}/v=$v"), true))
+      // compaction: once enough deltas pend STRICTLY BELOW this batch,
+      // fold (base, pending deltas) into base=<newest pending part> and
+      // retire the inputs. The horizon stays below id, so a replay of
+      // THIS batch reads identical content whether or not the compaction
+      // landed; a crash mid-compaction leaves overlapping parts that the
+      // min-merge renders harmless and the next compaction sweeps.
+      if (deltaVs.size >= cfg.compactEvery) {
+        val h = deltaVs.max
+        Novelty.compactGramIndex(
+            spark.read.parquet(partPaths: _*).select("gram", "owner"))
+          .write.mode("overwrite").parquet(s"${cfg.indexDir}/base=$h")
+        if (!cfg.keepAllIndexVersions) {
+          deltaVs.foreach(v => delete(spark, s"${cfg.indexDir}/delta=$v"))
+          versionsOf(spark, cfg.indexDir, prefix = "base=").filter(_ < h)
+            .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
+        }
       }
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }
 
+  /** The drift monitoring stage: compare this batch's surviving docs
+    * against the accumulated reference counts, then fold the batch into
+    * the state. Statistics: word-count distribution (integer-ECDF KS —
+    * the bounded-integer-statistic contract) and language mix
+    * (categorical TV). State is DOMAIN-scale (distinct values × 1 row),
+    * folded once per batch; the compare runs entirely on counts. */
+  private def driftStage(spark: SparkSession, cfg: Config, dd: String,
+                         kept: DataFrame, id: Long): Unit = {
+    // null-text docs never reach the corpus (the novelty gate's null ratio
+    // fails any threshold), so the monitor measures the same stream the
+    // pipeline can actually ingest instead of refusing the whole batch
+    val wcBatch = kept.filter(col("text").isNotNull)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val langBatch = kept.select(col("lang").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    def prior(sub: String): Option[DataFrame] =
+      versionsOf(spark, s"$dd/$sub").filter(_ < id).sorted.lastOption
+        .map(v => spark.read.parquet(s"$dd/$sub/v=$v").select("v", "c"))
+    val (wcPrior, langPrior) = (prior("wc"), prior("lang"))
+
+    (wcPrior, langPrior) match {
+      case (Some(wp), Some(lp)) =>
+        def sides(ref: DataFrame, bat: DataFrame) = ref
+          .select(lit("ref").as("g"), col("v"), col("c"))
+          .unionByName(bat.select(lit("batch").as("g"), col("v"), col("c")))
+        val ks = Drift.ecdfDriftFromCounts(sides(wp, wcBatch), "g", "v", "c")
+          .select(lit("wordcount_ks").as("stat"), col("grp_a"), col("grp_b"),
+            col("n_a"), col("n_b"), col("d_micros"))
+        val tv = Drift.categoricalDriftFromCounts(sides(lp, langBatch), "g", "v", "c")
+          .select(lit("lang_tv").as("stat"), col("grp_a"), col("grp_b"),
+            col("n_a"), col("n_b"), col("tv_micros").as("d_micros"))
+        ks.unionByName(tv)
+          .write.mode("overwrite").parquet(s"${cfg.outDir}/drift/batch=$id")
+      case _ => () // first batch: no reference yet, state only
+    }
+
+    // fold the batch into the reference state (sum counts), versioned and
+    // retired on the same strictly-below protocol as the counters
+    def fold(sub: String, priorDf: Option[DataFrame], bat: DataFrame): Unit = {
+      priorDf.fold(bat)(p => p.unionByName(bat)
+          .groupBy("v").agg(sum(col("c")).as("c")))
+        .write.mode("overwrite").parquet(s"$dd/$sub/v=$id")
+      retireVersions(spark, cfg, s"$dd/$sub", id)
+    }
+    fold("wc", wcPrior, wcBatch)
+    fold("lang", langPrior, langBatch)
+  }
+
+  /** Retire `v=` versions below the replay horizon: a restart replays at
+    * most batch id+1, which reads v≤id — every version below the PREVIOUS
+    * one is dead. */
+  private def retireVersions(spark: SparkSession, cfg: Config, dir: String,
+                             id: Long): Unit =
+    if (!cfg.keepAllIndexVersions) {
+      val pv = versionsOf(spark, dir).filter(_ < id).sorted
+      pv.dropRight(1).foreach(v => delete(spark, s"$dir/v=$v"))
+    }
+
   /** Start the standing intake: JSON-lines document stream → per-batch
-    * blocklist/novelty/split with the replay-deterministic index protocol
-    * above. `AvailableNow` by default (drain-what-exists, then stop) — use
-    * a processing-time trigger for a long-lived tail. */
+    * blocklist/near-dup/novelty/drift/split with the replay-deterministic
+    * state protocol above. `AvailableNow` by default (drain-what-exists,
+    * then stop) — use a processing-time trigger for a long-lived tail. */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
     var reader = spark.readStream.schema(docSchema)
     cfg.maxFilesPerTrigger.foreach(k =>

@@ -244,28 +244,70 @@ object Dedup {
       threshold)._1
 
   /** [[incrementalNearDup]] plus the cleanup handle for the cached batch
-    * signature frame (same managed-persist contract as [[jaccardJoin]]). */
+    * signature frame (same managed-persist contract as [[jaccardJoin]]).
+    * Computes the corpus signatures from text — the one-shot/query shape.
+    * A STANDING pipeline should persist the signature frame once and call
+    * [[incrementalNearDupIndexedManaged]] instead, so per-batch cost stays
+    * flat in corpus size (signatures are never recomputed from text). */
   def incrementalNearDupManaged(corpus: DataFrame, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 numHashes: Int = 12, bands: Int = 4,
-                                threshold: Double = 0.5): (DataFrame, () => Unit) = {
+                                threshold: Double = 0.5): (DataFrame, () => Unit) =
+    indexedNearDupCore(minhashSigFrame(corpus, idCol, textCol, numHashes),
+      corpus, batch, idCol, textCol, numHashes, bands, threshold)
+
+  /** The STORED-INDEX form of [[incrementalNearDup]]: probe a new batch
+    * against a PERSISTED corpus signature frame (`corpusSigs` —
+    * [[minhashSigFrame]] output, (doc_id, mh ARRAY<BIGINT>), e.g. the
+    * union of per-batch signature parts a standing intake appends). The
+    * corpus TEXT frame is touched only by the verify join — candidates
+    * only on the probe side; the scan never feeds the band stage — so
+    * per-batch work is (batch signatures + index scan + candidate
+    * verify), flat in corpus size where the text-recompute form grows
+    * linearly with everything ingested.
+    *
+    * The stored signature width is guarded (one-row probe): an index
+    * written with a different `numHashes` would band differently and
+    * silently lose recall — refused loudly instead. */
+  def incrementalNearDupIndexedManaged(corpusSigs: DataFrame, corpusText: DataFrame,
+                                       batch: DataFrame,
+                                       idCol: String, textCol: String,
+                                       numHashes: Int = 12, bands: Int = 4,
+                                       threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    require(corpusSigs.columns.toSeq == Seq("doc_id", "mh"),
+      s"incrementalNearDupIndexed: corpusSigs must be (doc_id, mh) — " +
+        s"minhashSigFrame output — got ${corpusSigs.columns.toSeq}")
+    // clamped probe: one row decides (every row of a minhashSigFrame part
+    // has the same width); an empty index passes and probes to nothing
+    val w = corpusSigs.select(size(col("mh")).as("w")).limit(1).collect()
+    w.headOption.foreach(r => require(r.getInt(0) == numHashes,
+      s"incrementalNearDupIndexed: stored signatures have width ${r.getInt(0)} " +
+        s"but numHashes=$numHashes — a mismatched index bands differently and " +
+        "silently loses recall; re-sign the corpus or match the parameters"))
+    indexedNearDupCore(corpusSigs, corpusText, batch, idCol, textCol,
+      numHashes, bands, threshold)
+  }
+
+  private def indexedNearDupCore(corpusSigs: DataFrame, corpusText: DataFrame,
+                                 batch: DataFrame, idCol: String, textCol: String,
+                                 numHashes: Int, bands: Int,
+                                 threshold: Double): (DataFrame, () => Unit) = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
-    // The corpus signature frame is NOT persisted: in the pipeline shape it
-    // is a stored index scan (one pass); only the batch side — small, read
-    // by both the band join and nothing else, but recomputed per band
-    // without the cache — is worth pinning.
-    val sigC = minhashSigFrame(corpus, idCol, textCol, numHashes)
+    // The corpus signature frame is NOT persisted: it is a stored index
+    // scan (one pass); only the batch side — small, read by both the band
+    // join and nothing else, but recomputed per band without the cache —
+    // is worth pinning.
     val sigB = minhashSigFrame(batch, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bandFrame(sigB, bands, rows).as("x")
-      .join(bandFrame(sigC, bands, rows).as("y"),
+      .join(bandFrame(corpusSigs, bands, rows).as("y"),
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     val bText = batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"))
-    val cText = corpus.select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
+    val cText = corpusText.select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
     val out = cand
       .join(bText, "batch_id")
       .join(cText, "corpus_id")

@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
   * back on the gram (exchange reuse: the aggregate's partitioning feeds
   * the join), then one doc-keyed aggregate. The incremental probe joins
   * the batch's grams against the index gram-keyed — candidates are
-  * CROSS-SIDE only (batch gram → at most one index owner row; hot grams
-  * are 1:1 against a single owner, never N×M). No driver state, no sort,
-  * no cartesian. */
+  * CROSS-SIDE only (batch gram → its own index rows: one per merged index,
+  * one per PART in the log-structured delta layout, min-folded after the
+  * join; hot grams never go N×M). No driver state, no sort, no
+  * cartesian. */
 object Novelty {
 
   /** Distinct hashed `n`-grams of each document, one row per (doc, gram):
@@ -117,6 +118,19 @@ object Novelty {
     index.union(delta).groupBy("gram").agg(min(col("owner")).as("owner"))
   }
 
+  /** Collapse an arbitrary UNION of gram-owner parts (duplicate grams across
+    * parts allowed — the log-structured delta layout a standing intake
+    * appends) into a unique-gram index: per gram, the smallest owner wins.
+    * Min-merging is idempotent and order-free, so overlapping or replayed
+    * parts are harmless by construction. One gram-keyed aggregate —
+    * vocabulary-scale, the COMPACTION cost paid every K batches instead of
+    * every batch. */
+  def compactGramIndex(parts: DataFrame): DataFrame = {
+    require(parts.columns.toSeq == Seq("gram", "owner"),
+      s"compactGramIndex: expected a (gram, owner) part union, got ${parts.columns.toSeq}")
+    parts.groupBy("gram").agg(min(col("owner")).as("owner"))
+  }
+
   /** Per-document novelty of a NEW batch against the accumulated corpus —
     * the standing-intake form of [[ngramNovelty]].
     *
@@ -149,11 +163,16 @@ object Novelty {
                           textCol: String, n: Int = 8): DataFrame = {
     require(index.columns.toSeq == Seq("gram", "owner"),
       s"ngramNoveltyAgainst: index must be (gram, owner) — gramIndex/" +
-        s"mergeGramIndex output — got ${index.columns.toSeq}")
+        s"mergeGramIndex/compactGramIndex output, or a raw PART UNION of " +
+        s"them — got ${index.columns.toSeq}")
     val exploded = explodedGrams(batch, idCol, textCol, n)
     val batchOwner = exploded.groupBy("gram").agg(min(col(idCol)).as("__bown"))
-    // least() skips nulls: an index miss leaves the batch owner; cross-side
-    // candidates only (each batch gram meets at most ONE index row)
+    // The index may carry DUPLICATE gram rows (the log-structured part-union
+    // shape: base + deltas, each owning the gram once) — the post-join min
+    // folds them to the true index owner. The aggregate reuses the join's
+    // gram partitioning (no extra exchange), its input is batch-gram-scale
+    // (each batch gram × its matching parts), and on a unique-gram index
+    // min is the identity — so the merged-index path pays nothing.
     val ownerType = index.schema("owner").dataType
     val iownChecked = when(col("__iown").isNull || col("__iown") <= col("__bown"),
         col("__iown"))
@@ -164,8 +183,15 @@ object Novelty {
           "than this batch, so the intake is out of id order and the " +
           "incremental-equals-batch exactness contract is void; feed " +
           "batches in non-decreasing id order"))).cast(ownerType))
+    // least() skips nulls: an index miss leaves the batch owner; cross-side
+    // candidates only (each batch gram meets only its own index rows).
+    // The ordering check runs on the FOLDED index owner: the true
+    // concatenated-corpus owner is min(all part owners, batch owner), so a
+    // larger-but-not-minimal part owner provably cannot change any score.
     val owner = batchOwner
       .join(index.withColumnRenamed("owner", "__iown"), Seq("gram"), "left_outer")
+      .groupBy("gram")
+      .agg(min(col("__bown")).as("__bown"), min(col("__iown")).as("__iown"))
       .select(col("gram"), least(col("__bown"), iownChecked).as("owner"))
     perDocStats(batch, exploded, owner, idCol)
   }

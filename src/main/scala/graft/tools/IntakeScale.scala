@@ -1,0 +1,131 @@
+// Standing-intake scale probe (VERDICT r14 #2/#3/#7): drive the REAL
+// graft.app.Intake streaming surface over K sequential batches of the
+// derived 10× documents set (graft.tools.Scale10Gen output) with every
+// stage on — blocklist, stored-signature near-dup gate, log-structured
+// incremental novelty, drift monitoring, CONTINUING split — and record:
+//
+//  - per-batch wall-clock (the StreamingQueryProgress triggerExecution
+//    time): the log-structured index + persisted signature protocol's
+//    claim is that this stays ~FLAT while the accumulated corpus grows
+//    K× over the run (the old full-rewrite/text-recompute protocol grew
+//    per-batch cost linearly in everything ingested);
+//  - the cumulative per-split deviation |assigned − cumulative Hamilton
+//    quota| after every batch (the continuing-split boundedness claim at
+//    10× volume).
+//
+// Usage: sbt "runMain graft.tools.IntakeScale /tmp/graft_sf1.0 /tmp/graft_intake_scale 10"
+// (first generate the 10× set: sbt "runMain graft.tools.Scale10Gen")
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.GraftSession
+import graft.app.Intake
+
+object IntakeScale {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/tmp/graft_sf1.0")
+    val work = args.lift(1).getOrElse("/tmp/graft_intake_scale")
+    val batches = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.get()
+    import spark.implicits._
+
+    val fs = new Path(work).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(work), true)
+    Files.createDirectories(Paths.get(s"$work/in"))
+
+    // K id-ordered slices (the intake's append-only contract), one JSON
+    // file per batch written SEQUENTIALLY so the file stream's
+    // timestamp-ordered listing replays them in id order
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"),
+        concat(col("source"), lit(".example.org")).as("host"))
+      .persist()
+    val total = docs.count()
+    val bounds = docs.select(col("doc_id")).orderBy("doc_id")
+      .rdd.zipWithIndex()
+      .filter { case (_, i) => (i + 1) % math.max(1L, total / batches) == 0 }
+      .map(_._1.getLong(0)).collect().take(batches - 1).toSeq
+    val cuts = (Seq(Long.MinValue) ++ bounds :+ Long.MaxValue).sliding(2).toSeq
+    cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
+      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+        .select(to_json(struct(col("doc_id"), col("lang"), col("text"), col("host"))))
+        .coalesce(1).write.mode("overwrite").text(s"$work/stage/b$i")
+      // one flat file per batch, strictly increasing mtimes
+      val part = fs.globStatus(new Path(s"$work/stage/b$i/part-*")).head.getPath
+      fs.rename(part, new Path(f"$work/in/b$i%03d.json"))
+      Thread.sleep(5)
+    }
+    fs.delete(new Path(s"$work/stage"), true)
+
+    val cfg = Intake.Config(
+      inputDir = s"$work/in", checkpointDir = s"$work/cp",
+      indexDir = s"$work/idx", outDir = s"$work/out",
+      blocklist = Seq("blocked.invalid"),
+      nearDupThreshold = Some(0.5), corpusDir = Some(s"$work/corpus"),
+      // keep every doc (noveltyMinMicros=0) so the accumulated corpus —
+      // what the near-dup/novelty probes run against — grows linearly
+      // with batch count: the stress the flatness claim is about
+      noveltyMinMicros = 0L,
+      countersDir = Some(s"$work/ctr"),
+      driftDir = Some(s"$work/drift"),
+      compactEvery = 4,
+      trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
+
+    val durations = ArrayBuffer[(Long, Double)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val d = e.progress.durationMs.getOrDefault("triggerExecution", -1L)
+        if (e.progress.numInputRows > 0)
+          durations.synchronized { durations += ((e.progress.batchId, d / 1000.0)) }
+      }
+    }
+    spark.streams.addListener(listener)
+    val t0 = System.nanoTime()
+    val q = Intake.start(spark, cfg)
+    q.awaitTermination()
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(2000) // listener events are async; let the bus drain
+    spark.streams.removeListener(listener)
+
+    val perBatch = durations.synchronized { durations.sortBy(_._1).toSeq }
+    // continuing-split deviation: final counters vs the cumulative
+    // Hamilton quota of the observed totals — (strata × splits) rows
+    val lastV = fs.listStatus(new Path(s"$work/ctr")).map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong).max
+    val ctr = spark.read.parquet(s"$work/ctr/v=$lastV")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val splits = cfg.splits
+    val w = splits.map(_._2).sum
+    val devs = ctr.keys.map(_._1).toSeq.distinct.flatMap { s =>
+      val n = splits.map { case (nm, _) => ctr.getOrElse((s, nm), 0L) }.sum
+      val base = splits.map { case (nm, wt) => nm -> (n * wt / w) }
+      var left = n - base.map(_._2).sum
+      val order = splits.zipWithIndex
+        .sortBy { case ((_, wt), i) => (-(n * wt % w), i) }.map(_._1._1)
+      val bonus = order.takeWhile { _ => left -= 1; left >= 0 }.toSet
+      base.map { case (nm, q0) =>
+        math.abs(ctr.getOrElse((s, nm), 0L) - (q0 + (if (bonus(nm)) 1L else 0L))) }
+    }
+    val firstHalf = perBatch.take(perBatch.size / 2).map(_._2)
+    val lastHalf = perBatch.drop(perBatch.size / 2).map(_._2)
+    val line =
+      s"""{"metric":"intake_scale","total_docs":$total,"batches":${perBatch.size},""" +
+        s""""per_batch_sec":[${perBatch.map(p => f"${p._2}%.2f").mkString(",")}],""" +
+        f""""first_half_mean":${firstHalf.sum / math.max(1, firstHalf.size)}%.2f,""" +
+        f""""last_half_mean":${lastHalf.sum / math.max(1, lastHalf.size)}%.2f,""" +
+        f""""last_over_first":${(lastHalf.sum / math.max(1, lastHalf.size)) /
+          math.max(0.001, firstHalf.sum / math.max(1, firstHalf.size))}%.2f,""" +
+        s""""max_split_dev":${if (devs.isEmpty) 0L else devs.max},""" +
+        f""""wall_sec":$wall%.1f}"""
+    println(line)
+    spark.stop()
+  }
+}

@@ -8,9 +8,12 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Standing intake pipeline (q88's blocklist → novelty → split, streamed):
-  * batch-equivalence of the incremental novelty gate, per-batch split
-  * exactness, restart across a query stop/resume, and byte-identical
-  * replay of an already-indexed batch. */
+  * batch-equivalence of the incremental novelty gate against the
+  * full-rewrite protocol, per-batch split exactness, restart across a
+  * query stop/resume, byte-identical replay of an already-indexed batch,
+  * the log-structured index contract (per-batch writes are DELTA-scale,
+  * compaction preserves scores), the stored-signature near-dup gate, and
+  * the drift monitoring stage. */
 class IntakeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -40,7 +43,8 @@ class IntakeSpec extends SparkSpec {
     inputDir = in.toString, checkpointDir = cp.toString,
     indexDir = idx.toString, outDir = out.toString,
     blocklist = Seq("bad.com"), noveltyMinMicros = 200000L,
-    splits = Seq("train" -> 2L, "val" -> 1L), n = 3, seed = "spec")
+    splits = Seq("train" -> 2L, "val" -> 1L), n = 3, seed = "spec",
+    compactEvery = 2)
 
   private def readBatch(out: Path, id: Long): Seq[(Long, String, String, Long)] = {
     val dir = s"$out/batch=$id"
@@ -50,6 +54,13 @@ class IntakeSpec extends SparkSpec {
       .sortBy(_._1).toSeq
   }
 
+  private def idxParts(idx: Path): Seq[String] = Files.list(idx).iterator().asScala
+    .map(_.getFileName.toString)
+    .filter(s => s.startsWith("delta=") || s.startsWith("base=")).toSeq.sorted
+
+  /** The FULL-REWRITE reference protocol: what each batch must produce,
+    * with the merged index carried as one frame — the equivalence oracle
+    * the log-structured layout must match score-for-score. */
   private def expectedBatch(batch: DataFrame, id: Long,
                             prevIdx: Option[DataFrame], cfg: Intake.Config)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
@@ -77,7 +88,8 @@ class IntakeSpec extends SparkSpec {
   }
 
   test("intake stream: blocklist -> incremental novelty -> exact split, " +
-    "correct across a stop/resume, and a replayed batch is byte-identical") {
+    "correct across a stop/resume, replay byte-identical, per-batch index " +
+    "writes DELTA-scale, compaction score-preserving") {
     val (in, cp, idx, out) = (tmp(), tmp(), tmp(), tmp())
     val cfg = cfgFor(in, cp, idx, out)
 
@@ -99,14 +111,29 @@ class IntakeSpec extends SparkSpec {
     try assert(q2.awaitTermination(120000)) finally q2.stop()
 
     val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
-    val (wantB, _) = expectedBatch(batchB, 1L, Some(idxAfterA), cfg)
+    val (wantB, idxAfterB) = expectedBatch(batchB, 1L, Some(idxAfterA), cfg)
     val gotB = readBatch(out, 1L)
-    assert(gotB === wantB)
+    assert(gotB === wantB,
+      "log-structured probe must equal the full-rewrite protocol exactly")
     val idsB = gotB.map(_._1).toSet
     assert(!idsB.contains(13L) && !idsB.contains(14L),
       s"exact cross-batch duplicates must be novelty-dropped: $gotB")
     assert(idsB.contains(17L), s"a fresh doc must survive: $gotB")
     assert(!idsB.contains(20L), s"blocklisted doc must not reach a split: $gotB")
+
+    // NO full-index rewrite per batch: delta=1 carries ONLY batch-1 grams
+    // (every owner is a batch-1 id), and its row count is the batch's own
+    // gram vocabulary — batch-scale, not corpus-scale
+    val delta1 = spark.read.parquet(s"$idx/delta=1")
+    assert(delta1.agg(min(col("owner"))).head().getLong(0) >= 13L,
+      "a per-batch delta must never carry earlier batches' grams")
+    val batchVocab = graft.llm.Novelty.gramIndex(
+      graft.llm.UrlFilter.domainBlocklist(batchB, "host", Seq("doc_id"),
+          cfg.blocklist.toDF("entry"))
+        .filter(!col("blocked")).select("doc_id", "text"),
+      "doc_id", "text", cfg.n).count()
+    assert(delta1.count() === batchVocab,
+      "delta row count must equal the batch's own gram vocabulary")
 
     // the incremental gate equals the batch statistic over the
     // concatenated (id-ordered) surviving corpus
@@ -121,34 +148,56 @@ class IntakeSpec extends SparkSpec {
     assert((readBatch(out, 0L).map(_._1) ++ gotB.map(_._1)).toSet === batchStat,
       "incremental-over-batches must equal the batch novelty gate")
 
-    // --- replay batch 1 directly (a foreachBatch retry AFTER index v=1
-    // landed): outputs and index must be byte-identical
-    val idxV1Before = spark.read.parquet(s"$idx/v=1")
+    // --- replay batch 1 directly (a foreachBatch retry AFTER delta=1
+    // landed): outputs and the delta part must be byte-identical
+    val d1Before = delta1
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
     Intake.processBatch(spark, cfg, batchB, 1L)
     assert(readBatch(out, 1L) === gotB, "replayed assignments diverged")
-    val idxV1After = spark.read.parquet(s"$idx/v=1")
+    val d1After = spark.read.parquet(s"$idx/delta=1")
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity).toSeq
-    assert(idxV1After === idxV1Before, "replayed index version diverged")
+    assert(d1After === d1Before, "replayed delta part diverged")
+    assert(idxParts(idx) === Seq("delta=0", "delta=1"),
+      s"no compaction below compactEvery pending deltas: ${idxParts(idx)}")
 
-    // index hygiene: the replay horizon keeps only the previous + current
-    val versions = Files.list(idx).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
-    assert(versions === Seq("v=0", "v=1"), s"$versions")
-
-    // a third batch retires v=0
+    // --- batch 2 trips compactEvery=2: deltas {0,1} fold into base=1 and
+    // retire; scores must still equal the full-rewrite protocol
     Files.write(in.resolve("c.json"),
       Seq(docJson(30L, "en", "yet another brand new document text")).asJava)
     val q3 = Intake.start(spark, cfg)
     try assert(q3.awaitTermination(120000)) finally q3.stop()
-    val versions2 = Files.list(idx).iterator().asScala
-      .map(_.getFileName.toString).filter(_.startsWith("v=")).toSeq.sorted
-    assert(versions2 === Seq("v=1", "v=2"), s"$versions2")
+    val batchC = spark.read.schema(Intake.docSchema).json(s"$in/c.json")
+    val (wantC, idxAfterC) = expectedBatch(batchC, 2L, Some(idxAfterB), cfg)
+    assert(readBatch(out, 2L) === wantC)
+    assert(idxParts(idx) === Seq("base=1", "delta=2"),
+      s"compaction must fold pending deltas into a base: ${idxParts(idx)}")
+    // the compacted base IS the merged index of batches 0-1
+    val baseRows = spark.read.parquet(s"$idx/base=1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantBase = idxAfterB
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(baseRows === wantBase, "compacted base diverged from the merge")
+
+    // --- batch 3 probes base + delta: an exact dup of a batch-0 doc must
+    // still be novelty-dropped THROUGH the compacted base
+    Files.write(in.resolve("d.json"), Seq(
+      docJson(41L, "en", (0 to 5).map(j => s"w${(1 * 7 + j * 3) % 19}").mkString(" ")), // dup of doc 1
+      docJson(42L, "de", "post compaction fresh words never seen")).asJava)
+    val q4 = Intake.start(spark, cfg)
+    try assert(q4.awaitTermination(120000)) finally q4.stop()
+    val (wantD, _) = expectedBatch(
+      spark.read.schema(Intake.docSchema).json(s"$in/d.json"), 3L,
+      Some(idxAfterC), cfg)
+    val gotD = readBatch(out, 3L)
+    assert(gotD === wantD)
+    val idsD = gotD.map(_._1).toSet
+    assert(!idsD.contains(41L) && idsD.contains(42L),
+      s"the compacted base must carry batch-0 ownership: $gotD")
   }
 
   test("near-dup gate: a MinHash near-duplicate (not exact) of an earlier " +
-    "batch's doc is dropped before novelty; survivors accumulate as corpus " +
-    "parts; replay still byte-identical") {
+    "batch's doc is dropped via the STORED signature parts; survivors " +
+    "accumulate text + signature parts; replay still byte-identical") {
     val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
     val cfg = cfgFor(in, cp, idx, out).copy(
       nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString))
@@ -162,7 +211,14 @@ class IntakeSpec extends SparkSpec {
     try assert(q1.awaitTermination(120000)) finally q1.stop()
     val batch0Ids = readBatch(out, 0L).map(_._1).toSet
     assert(batch0Ids.nonEmpty)
-    assert(Files.exists(corp.resolve("part=0")), "corpus part 0 must land")
+    assert(Files.exists(corp.resolve("part=0")), "corpus text part 0 must land")
+    assert(Files.exists(corp.resolve("sigs=0")), "signature part 0 must land")
+    // the signature part is minhashSigFrame-shaped and covers the text part
+    val sigs0 = spark.read.parquet(s"$corp/sigs=0")
+    assert(sigs0.columns.toSeq === Seq("doc_id", "mh"))
+    assert(sigs0.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      spark.read.parquet(s"$corp/part=0").collect().map(_.getLong(0)).toSet,
+      "signature part must cover exactly the text part's docs")
 
     // batch 1: doc 21 = doc 1's text with ONE word changed (near-dup, not
     // exact — novelty alone would NOT drop it: the changed word mints new
@@ -175,29 +231,40 @@ class IntakeSpec extends SparkSpec {
     try assert(q2.awaitTermination(120000)) finally q2.stop()
     val got1 = readBatch(out, 1L)
     assert(!got1.exists(_._1 == 21L),
-      s"near-dup of batch-0 doc 1 must be dropped by the MinHash gate: $got1")
+      s"near-dup of batch-0 doc 1 must be dropped by the stored-sig gate: $got1")
     assert(got1.exists(_._1 == 22L), s"fresh doc must survive: $got1")
-    // sanity: the near-dup would have PASSED the novelty gate (its changed
-    // word mints ~n new grams), so the drop is attributable to the gate
-    val jac = graft.llm.Dedup.incrementalNearDup(
+    // sanity: the stored-signature probe equals the text-recompute probe
+    val viaIndex = graft.llm.Dedup.incrementalNearDupIndexedManaged(
+      sigs0.select("doc_id", "mh"),
+      spark.read.parquet(s"$corp/part=0").select("doc_id", "text"),
+      spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+        .select(col("doc_id"), col("text")),
+      "doc_id", "text", 12, 4, 0.5)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaText = graft.llm.Dedup.incrementalNearDup(
       spark.read.parquet(s"$corp/part=0").select("doc_id", "text"),
       spark.read.schema(Intake.docSchema).json(s"$in/b.json")
         .select(col("doc_id"), col("text")),
       "doc_id", "text", 12, 4, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(jac.contains((21L, 1L)), s"probe must find the planted pair: ${jac.toSeq}")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex === viaText, "stored-sig probe must equal text recompute")
+    assert(viaIndex.contains((21L, 1L)), s"probe must find the planted pair: $viaIndex")
 
-    // corpus part 1 holds only the near-dup SURVIVORS
+    // corpus parts 1 hold only the near-dup SURVIVORS
     val part1Ids = spark.read.parquet(s"$corp/part=1")
       .collect().map(_.getLong(0)).toSet
     assert(part1Ids === Set(22L), s"$part1Ids")
+    assert(spark.read.parquet(s"$corp/sigs=1")
+      .collect().map(_.getLong(0)).toSet === Set(22L))
 
-    // replay of batch 1: assignments and corpus part byte-identical
+    // replay of batch 1: assignments and corpus parts byte-identical
     val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
     Intake.processBatch(spark, cfg, batchB, 1L)
     assert(readBatch(out, 1L) === got1, "replayed assignments diverged")
     assert(spark.read.parquet(s"$corp/part=1")
       .collect().map(_.getLong(0)).toSet === part1Ids)
+    assert(spark.read.parquet(s"$corp/sigs=1")
+      .collect().map(_.getLong(0)).toSet === Set(22L))
   }
 
   test("continuing split: cumulative split sizes track the cumulative " +
@@ -258,5 +325,77 @@ class IntakeSpec extends SparkSpec {
     assert(readBatch(out, 2L) === before, "replayed continuing batch diverged")
     assert(spark.read.parquet(s"$ctr/v=2")
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap === finalCounters)
+  }
+
+  test("drift monitoring: per-batch KS/TV report vs the accumulated " +
+    "reference equals the raw Drift operators; state versions retire; " +
+    "replay byte-identical; first batch writes state only") {
+    val (in, cp, idx, out, dft) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    // unblocked + novelty bypassed: the drift stage measures kept1 (every
+    // doc), so the raw-operator oracle below sees the same rows
+    val cfg = cfgFor(in, cp, idx, out).copy(
+      driftDir = Some(dft.toString),
+      noveltyMinMicros = 0L,
+      blocklist = Seq("matches-nothing.example"))
+    // batch 0: short en/de docs; batch 1: longer docs, en-heavy — both
+    // statistics must move
+    def doc(i: Long, lang: String, words: Int): String =
+      docJson(i, lang, (1 to words).map(j => s"g${i}w$j").mkString(" "))
+    Files.write(in.resolve("a.json"),
+      ((1L to 6L).map(i => doc(i, if (i % 2 == 0) "en" else "de", 4)) ++
+        (7L to 8L).map(i => doc(i, "en", 6))).asJava)
+    val q1 = Intake.start(spark, cfg)
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    assert(!Files.exists(java.nio.file.Paths.get(s"$out/drift/batch=0")),
+      "first batch has no reference — state only, no report")
+    assert(Files.exists(dft.resolve("wc").resolve("v=0")))
+    assert(Files.exists(dft.resolve("lang").resolve("v=0")))
+
+    Files.write(in.resolve("b.json"),
+      (11L to 15L).map(i => doc(i, "en", 9)).asJava)
+    val q2 = Intake.start(spark, cfg)
+    try assert(q2.awaitTermination(120000)) finally q2.stop()
+    val report = spark.read.parquet(s"$out/drift/batch=1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(report.keySet === Set("wordcount_ks", "lang_tv"), s"$report")
+
+    // oracle: the raw Drift operators over (ref = batch-0 docs,
+    // batch = batch-1 docs) must read the identical statistics
+    val refDocs = spark.read.schema(Intake.docSchema).json(s"$in/a.json")
+      .select(lit("ref").as("g"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("wc"))
+    val batDocs = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+      .select(lit("batch").as("g"), col("lang"),
+        size(split(lower(col("text")), " ")).cast("long").as("wc"))
+    val both = refDocs.unionByName(batDocs)
+    val wantKs = graft.llm.Drift.ecdfDrift(both, "g", "wc").collect().head
+    assert(report("wordcount_ks") ===
+      ((wantKs.getString(0), wantKs.getString(1), wantKs.getLong(2),
+        wantKs.getLong(3), wantKs.getLong(4))), s"$report")
+    val wantTv = graft.llm.Drift.categoricalDrift(both, "g", "lang").collect().head
+    assert(report("lang_tv") ===
+      ((wantTv.getString(0), wantTv.getString(1), wantTv.getLong(2),
+        wantTv.getLong(3), wantTv.getLong(4))), s"$report")
+    // both statistics moved (longer docs, en-only batch)
+    assert(report("wordcount_ks")._5 > 0L && report("lang_tv")._5 > 0L)
+
+    // replay batch 1: report and state byte-identical
+    val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+    Intake.processBatch(spark, cfg, batchB, 1L)
+    assert(report === spark.read.parquet(s"$out/drift/batch=1")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap, "replayed drift report diverged")
+
+    // state hygiene: wc/lang versions retire to (previous, current), and
+    // the folded state equals the accumulated counts
+    val wcVs = Files.list(dft.resolve("wc")).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(wcVs === Seq("v=0", "v=1"), s"$wcVs")
+    val wcState = spark.read.parquet(s"$dft/wc/v=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(wcState === Map(4L -> 6L, 6L -> 2L, 9L -> 5L), s"$wcState")
   }
 }
