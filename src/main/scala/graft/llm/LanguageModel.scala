@@ -90,6 +90,46 @@ object LanguageModel {
     (out, () => { model.unpersist(); pairs.unpersist(); () })
   }
 
+  /** Per-document OUT-OF-VOCABULARY rate against the corpus' own top-`topK`
+    * word vocabulary — the tokenizer/vocabulary-coverage signal a training
+    * pipeline measures before committing to a token budget ("how much of
+    * each document would fall to <unk> under a K-word vocabulary"): a doc
+    * dominated by OOV occurrences is noise, non-target-language, or a
+    * vocabulary-expansion candidate.
+    *
+    * Semantics: the vocabulary is the `topK` words by (occurrence count
+    * DESC, word ASC) — a total order, so the K-boundary is engine-portable;
+    * OOV is counted over word OCCURRENCES (not distinct words), so the rate
+    * weights by how much of the document's token mass is uncovered.
+    * `oov_micros` = n_oov·10^6 div n_words (exact integers; null for
+    * zero-gram docs). One row per input document.
+    *
+    * Scale posture: one occurrence explode → one word-keyed count (map-side
+    * combinable) → a `topK`-bounded TakeOrdered for the vocabulary → a
+    * BROADCAST membership join per occurrence (the vocab is K rows by
+    * construction — the one frame here that provably never scales with the
+    * corpus) → one doc-keyed aggregate. Never a corpus sort. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              topK: Int = 500): DataFrame = {
+    require(topK >= 1, s"oovRate: topK must be >= 1, got $topK")
+    val occ = docs.select(col(idCol).as("doc_id"),
+      explode(split(lower(col(textCol)), " ")).as("__w"))
+    val vocab = occ.groupBy("__w").agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w"))
+      .limit(topK)
+      .select(col("__w"), lit(1).as("__iv"))
+    val per = occ.join(broadcast(vocab), Seq("__w"), "left_outer")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          expr("n_oov * 1000000 div n_words")).as("oov_micros"))
+  }
+
   /** Per-(doc, bigram) multiplicities of a corpus: (doc_id, w1, w2, m) —
     * one explode + one map-side-combinable groupBy. Unpersisted. */
   private def pairsFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =

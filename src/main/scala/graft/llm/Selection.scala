@@ -469,6 +469,106 @@ object Selection {
     base.filter(col("score") <= thr).withColumn("thr", lit(thr))
   }
 
+  /** EXACT PER-GROUP score quantile — the grouped form of [[quantileCut]],
+    * fully DISTRIBUTED (no driver-side bucket state at all, so the group
+    * count is unbounded): "the per-source median document length", "each
+    * language's 90th-percentile quality score". Same two-level bucket
+    * decomposition, with every stage keyed by the group:
+    *
+    *  1. per-group (n, lo, hi) aggregate — a groups-scale frame;
+    *  2. equal-width bucket counts per (group, bucket) — ONE corpus pass;
+    *     the per-group running sum over that ≤ (groups × maxBuckets) grid
+    *     locates each group's bucket holding rank k_g = ⌈pct·n_g/100⌉;
+    *  3. only THAT bucket's rows per group (a ~1/maxBuckets slice) rank
+    *     within the group, and the k'-th value is the exact threshold —
+    *     never a per-group sort of the corpus.
+    *
+    * Output: one row per group — (`groupCol`, `n`, `thr`), `thr` = the
+    * exact k-th smallest `valueCol` of the group, duplicates counted
+    * (rank semantics: the value at `row_number() = ⌈pct·n/100⌉` ordered by
+    * value — engine-portable, tie-break-free). Integer values only (the
+    * micros contract: bucket arithmetic and equality must be exact). Null
+    * groups and null values are refused loudly ([[splitAssign]]'s rule:
+    * the keyed joins would silently drop them). */
+  def groupedQuantile(docs: DataFrame, groupCol: String, valueCol: String,
+                      pct: Int, maxBuckets: Int = 4096): DataFrame = {
+    require(pct >= 1 && pct <= 100, s"groupedQuantile: pct in [1,100], got $pct")
+    require(maxBuckets >= 2, s"groupedQuantile: maxBuckets >= 2, got $maxBuckets")
+    val base = docs.select(
+      when(col(groupCol).isNull,
+        raise_error(lit("groupedQuantile: null group — the group-keyed " +
+          "quantile joins would silently drop it; filter or label first"))
+          .cast(docs.schema(groupCol).dataType))
+        .otherwise(col(groupCol)).as("__g"),
+      when(col(valueCol).isNull,
+        raise_error(lit("groupedQuantile: null value — a quantile over " +
+          "unknown values is not a statistic")).cast("long"))
+        .otherwise(col(valueCol).cast("long")).as("__v"))
+    val stats = base.groupBy("__g").agg(
+        count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+      .withColumn("__k", expr(s"(__n * $pct + 99) div 100"))
+      .withColumn("__w", expr(s"(__hi - __lo) div $maxBuckets + 1"))
+      .select("__g", "__n", "__lo", "__k", "__w")
+    // bucket counts + per-group running sum over the bounded grid
+    val bucketed = base.join(stats, "__g")
+      .withColumn("__b", expr("(__v - __lo) div __w"))
+    val counts = bucketed.groupBy("__g", "__b").agg(count(lit(1)).as("__c"))
+    val byB = Window.partitionBy("__g").orderBy("__b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val target = counts
+      .withColumn("__cum", sum(col("__c")).over(byB))
+      .join(stats.select("__g", "__k"), "__g")
+      .filter(col("__cum") >= col("__k") && col("__cum") - col("__c") < col("__k"))
+      .select(col("__g"), col("__b").as("__tb"),
+        (col("__k") - (col("__cum") - col("__c"))).as("__kin"))
+    // exact k'-th smallest within each group's one target bucket; the
+    // target frame is groups-scale (one row per group) — broadcast it
+    val thr = bucketed.join(broadcast(target), Seq("__g"))
+      .filter(col("__b") === col("__tb"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__g").orderBy("__v")))
+      .filter(col("__rn") <= col("__kin"))
+      .groupBy("__g").agg(max(col("__v")).as("thr"))
+    stats.select(col("__g"), col("__n").as("n"))
+      .join(thr, "__g")
+      .select(col("__g").as(groupCol), col("n"), col("thr"))
+  }
+
+  /** Robust per-group OUTLIER flagging via median/MAD — the
+    * length/score-anomaly filter a curation pipeline runs per source
+    * ("drop documents whose word count is wildly atypical FOR THEIR
+    * source", where a global cut would mis-score sources with different
+    * typical lengths). Exact integer statistics end to end:
+    * `med_g` = the group's ⌈n/2⌉-th smallest value ([[groupedQuantile]]
+    * at pct=50), `mad_g` = the median of |value − med_g| (same machinery
+    * on the deviations), outlier ⇔ |value − med_g| > madMult·mad_g. No
+    * 1.4826 consistency constant — that's a float; the caller tunes the
+    * integer `madMult` instead (5 ≈ the classic 3·1.4826). NOTE: a group
+    * whose majority value is one point (mad = 0) flags EVERY deviating
+    * row — the statistic is telling the truth about that distribution;
+    * widen with madMult only on real spread.
+    *
+    * Output: one row per input doc — (`idCol`, `groupCol`, `value`,
+    * `med`, `mad`, `is_outlier`). Two corpus passes per quantile (the
+    * [[groupedQuantile]] shape) + two groups-scale broadcast joins back;
+    * never a per-group sort. */
+  def robustOutliers(docs: DataFrame, idCol: String, groupCol: String,
+                     valueCol: String, madMult: Long = 5,
+                     maxBuckets: Int = 4096): DataFrame = {
+    require(madMult >= 0, s"robustOutliers: madMult >= 0, got $madMult")
+    val med = groupedQuantile(docs, groupCol, valueCol, 50, maxBuckets)
+      .select(col(groupCol), col("thr").as("med"))
+    val withMed = docs.select(col(idCol), col(groupCol),
+        col(valueCol).cast("long").as("value"))
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("value") - col("med")))
+    val mad = groupedQuantile(withMed, groupCol, "__dev", 50, maxBuckets)
+      .select(col(groupCol), col("thr").as("mad"))
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"),
+        (col("__dev") > lit(madMult) * col("mad")).as("is_outlier"))
+  }
+
   /** Weight-proportional SYSTEMATIC sampling (PPS): pick exactly `k`
     * documents (with multiplicity) with probability proportional to an
     * integer weight — the fixed-budget importance subsample step (e.g.

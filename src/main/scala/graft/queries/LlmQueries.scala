@@ -2838,6 +2838,77 @@ object LlmQueries {
       |  sum(CASE WHEN c > 0 THEN 1 ELSE 0 END)::BIGINT AS n_phrases
       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q93 oov rate
+  /** Per-doc out-of-vocabulary rate vs the corpus' top-500 word vocabulary
+    * ([[LanguageModel.oovRate]]): occurrence-mass coverage under a bounded
+    * vocab — the tokenizer-coverage signal. The (count DESC, word ASC)
+    * vocabulary order is total, so both engines cut the same K words. */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    LanguageModel.oovRate(Tables.documents(s, d), "doc_id", "text", topK = 500)
+      .orderBy("doc_id")
+
+  private val q93Sql =
+    """WITH occ AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |vocab AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS c FROM occ GROUP BY w
+      |    ORDER BY c DESC, w LIMIT 500)),
+      |per AS (
+      |  SELECT o.doc_id, count(*)::BIGINT AS n_words,
+      |    sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      |  FROM occ o LEFT JOIN vocab v ON o.w = v.w
+      |  GROUP BY o.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(p.n_words, 0)::BIGINT AS n_words,
+      |  coalesce(p.n_oov, 0)::BIGINT AS n_oov,
+      |  CASE WHEN coalesce(p.n_words, 0) > 0
+      |    THEN (p.n_oov * 1000000) // p.n_words END AS oov_micros
+      |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q94 length outliers
+  /** Robust per-source word-count outlier flags
+    * ([[Selection.robustOutliers]] over [[Selection.groupedQuantile]]):
+    * med/MAD are each group's EXACT ⌈n/2⌉-th smallest (bucket-decomposed,
+    * never a per-group sort); outlier ⇔ |wc − med| > 5·mad. The oracle
+    * replays the same rank-based medians with window row_numbers. */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      size(split(lower(col("text")), " ")).cast("long").as("wc"))
+    Selection.robustOutliers(wc, "doc_id", "source", "wc", madMult = 5)
+      .select(col("doc_id"), col("source"), col("value").as("n_words"),
+        col("med"), col("mad"), col("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  private val q94Sql =
+    """WITH wc AS (
+      |  SELECT doc_id, source,
+      |    len(string_split(lower(text), ' '))::BIGINT AS v
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, v AS med FROM (
+      |    SELECT source, v,
+      |      row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM wc)
+      |  WHERE rn = (n * 50 + 99) // 100),
+      |d AS (
+      |  SELECT wc.doc_id, wc.source, wc.v, m.med, abs(wc.v - m.med) AS dev
+      |  FROM wc JOIN m USING (source)),
+      |md AS (
+      |  SELECT source, dev AS mad FROM (
+      |    SELECT source, dev,
+      |      row_number() OVER (PARTITION BY source ORDER BY dev) AS rn,
+      |      count(*) OVER (PARTITION BY source) AS n
+      |    FROM d)
+      |  WHERE rn = (n * 50 + 99) // 100)
+      |SELECT d.doc_id, d.source, d.v AS n_words, d.med, md.mad,
+      |  d.dev > 5 * md.mad AS is_outlier
+      |FROM d JOIN md USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -2903,5 +2974,7 @@ object LlmQueries {
     QueryDef("q90_categorical_drift", q90, Some(q90Sql)),
     QueryDef("q91_centroid_drift", q91, Some(q91Sql)),
     QueryDef("q92_continuing_split", q92, Some(q92Sql)),
+    QueryDef("q93_oov_rate", q93, Some(q93Sql)),
+    QueryDef("q94_length_outliers", q94, Some(q94Sql)),
   )
 }

@@ -508,4 +508,40 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("partial_min"),
       s"q89 owner mins must have map-side partial stages:\n$plan")
   }
+
+  test("q93 oov rate: vocab membership is a BROADCAST join (topK-bounded " +
+    "build side), word counts partial-aggregate, no window, no nested loop") {
+    val plan = planOf("q93_oov_rate")
+    assert(!plan.contains("Window"), s"q93 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q93:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q93's vocab membership must broadcast the K-row vocab:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q93 word counts must have map-side partial stages:\n$plan")
+    assert(plan.contains("TakeOrdered"),
+      s"q93's topK vocabulary must be a bounded TakeOrdered, " +
+        s"never a corpus sort:\n$plan")
+  }
+
+  test("q94 length outliers: the only windows run inside single target " +
+    "buckets (the groupedQuantile slice, ~1/maxBuckets of each group); " +
+    "threshold joins back are broadcast; no corpus Sort outside windows") {
+    val plan = planOf("q94_length_outliers")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q94:\n$plan")
+    // four quantile windows (bucket cumsum + in-bucket rank, ×2 passes),
+    // each over a (group, bucket)-bounded frame — the ONLY global Sort
+    // allowed is the catalog's final ORDER BY doc_id (output determinism
+    // for the oracle): every other Sort must be partition-local
+    // (window/SMJ sorts print global=false)
+    val globalSorts = plan.split("\n").count(l =>
+      l.contains("Sort ") && l.contains("global=true"))
+    assert(globalSorts <= 1,
+      s"q94 must not globally sort beyond the final ORDER BY:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q94's med/mad joins back must broadcast the groups-scale frames:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"q94 bucket counts must have map-side partial stages:\n$plan")
+  }
 }

@@ -741,6 +741,27 @@ class LlmSpec extends SparkSpec {
     } finally releaseBig()
   }
 
+  test("oovRate: occurrence-mass OOV share vs a driver-side mirror; the " +
+    "topK boundary cuts by (count DESC, word ASC); zero-gram docs null") {
+    import spark.implicits._
+    // vocab candidates: a×4, b×2, c×2, d×2, e×1 — topK=3 must keep
+    // {a, b, c} (b and c beat d on the ASC word tiebreak at equal count 2)
+    val docs = Seq(
+      (1L, "a a b c"),        // all in-vocab -> 0
+      (2L, "a b c d"),        // d OOV -> 1/4 = 250000
+      (3L, "d e a"),          // d, e OOV -> 2/3 = 666666
+      (4L, ""))               // splits to [""]: 1 occurrence, OOV
+    val got = LanguageModel.oovRate(docs.toDF("doc_id", "text"), "doc_id", "text",
+        topK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))).toMap
+    assert(got(1L) === ((4L, 0L, 0L)), s"$got")
+    assert(got(2L) === ((4L, 1L, 250000L)), s"$got")
+    assert(got(3L) === ((3L, 2L, 666666L)), s"$got")
+    assert(got(4L) === ((1L, 1L, 1000000L)),
+      s"empty text is one OOV occurrence of the empty word: $got")
+  }
+
   test("hashedLinearScore: sum of the words' bucket weights, collisions and " +
     "repeats included — against a driver-side mirror") {
     import spark.implicits._

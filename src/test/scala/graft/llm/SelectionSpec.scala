@@ -507,6 +507,55 @@ class SelectionSpec extends SparkSpec {
       .exists(c => String.valueOf(c.getMessage).contains("n_assigned")), s"$ex2")
   }
 
+  test("groupedQuantile: exact per-group k-th smallest vs a driver-side " +
+    "sorted oracle over random groups/values/pcts; guards refuse nulls") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(77)
+    for (trial <- 1 to 6) {
+      val groups = 1 + rnd.nextInt(4)
+      val rows = (1 to 40 + rnd.nextInt(80)).map { _ =>
+        (s"g${rnd.nextInt(groups)}", (rnd.nextInt(200) - 100).toLong) }
+      val pct = 1 + rnd.nextInt(100)
+      // tiny maxBuckets exercises the bucket walk (many values per bucket)
+      val mb = Seq(2, 7, 4096)(trial % 3)
+      val got = Selection.groupedQuantile(rows.toDF("g", "v"), "g", "v", pct, mb)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = rows.groupBy(_._1).map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        val k = ((sorted.size.toLong * pct + 99) / 100).toInt
+        g -> ((sorted.size.toLong, sorted(k - 1)))
+      }
+      assert(got === want, s"trial $trial pct=$pct mb=$mb")
+    }
+    val nullV = Seq(("a", Some(1L)), ("a", None)).toDF("g", "v")
+    val ex = intercept[Exception] {
+      Selection.groupedQuantile(nullV, "g", "v", 50).collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("null value")), s"$ex")
+  }
+
+  test("robustOutliers: med/MAD match driver-side exact medians; flags are " +
+    "|v-med| > mult*mad; mad=0 groups flag every deviating row") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1L, 10L), ("a", 2L, 12L), ("a", 3L, 11L), ("a", 4L, 13L),
+      ("a", 5L, 500L), // the planted outlier
+      ("b", 6L, 7L), ("b", 7L, 7L), ("b", 8L, 7L), ("b", 9L, 9L))
+    val got = Selection.robustOutliers(rows.toDF("g", "id", "v"), "id", "g", "v",
+        madMult = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // group a: sorted [10,11,12,13,500], med = 3rd = 12; devs
+    // [2,0,1,1,488] sorted [0,1,1,2,488], mad = 3rd = 1; outlier iff dev > 5
+    assert(got(5L) === ((500L, 12L, 1L, true)), s"$got")
+    assert(got(1L) === ((10L, 12L, 1L, false)) && got(4L)._4 === false, s"$got")
+    // group b: med = 7 (rank 2 of [7,7,7,9]), devs [0,0,0,2] -> mad 0:
+    // the deviating row flags, the median-point rows don't
+    assert(got(9L) === ((9L, 7L, 0L, true)), s"$got")
+    assert(!got(6L)._4 && !got(7L)._4 && !got(8L)._4, s"$got")
+  }
+
   test("splitAssignContinuing pre-aggregates the prior: duplicate " +
     "(stratum, split) rows fold instead of multiplying the bound rows") {
     import spark.implicits._
