@@ -219,6 +219,109 @@ object Dedup {
     (out, () => { sig.unpersist(); () })
   }
 
+  /** CORPUS SNAPSHOT DIFF — classify every document across two corpus
+    * versions (the crawl-refresh question: what did the new snapshot add,
+    * drop, keep, lightly edit, or rewrite?):
+    *
+    *  - `added`     — id only in `cur`;
+    *  - `removed`   — id only in `prev`;
+    *  - `identical` — same id, byte-equal text;
+    *  - `retouched` — same id, text changed but shingle Jaccard ≥
+    *    `threshold` (boilerplate tweak / timestamp churn — usually NOT
+    *    worth re-ingesting);
+    *  - `rewritten` — same id, Jaccard < `threshold` (real new content).
+    *
+    * The refresh policy this feeds: re-process `added` + `rewritten`,
+    * drop `removed`, skip `identical`/`retouched` — typically the vast
+    * majority of a crawl refresh, which is exactly the point.
+    *
+    * Scale posture: ONE id-keyed full-outer join (equi, shuffle-keyed on
+    * the id — co-partitioned/bucketed snapshots join without a shuffle);
+    * the Jaccard runs ROW-LOCALLY on the already-joined pair (the two
+    * texts are in the same row — no per-shingle row explosion, no pair
+    * shuffle, no similarity join). The in-row sets are HASHED grams (the
+    * q33 hash-invariance argument: counts equal the string-shingle counts
+    * absent a 64-bit collision — the oracle computes the string form and
+    * hash-matches), each word hashed ONCE and each gram array
+    * materialized ONCE behind a single-row Generate barrier — without the
+    * barriers CollapseProject inlines the arrays per reference and the
+    * whole gram pipeline runs 4× per row (the [[wordHashFrame]] trap; a
+    * string-set first cut of this operator measured ~5× slower). Null-id
+    * rows are refused loudly (a full-outer join never matches nulls, so a
+    * null id would silently misclassify as added+removed).
+    *
+    * Output: (doc_id, status, jac_micros) — jac_micros the exact integer
+    * micro Jaccard for changed pairs (null for added/removed/identical). */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+                   textCol: String, n: Int = 3,
+                   threshold: Double = 0.5): DataFrame = {
+    require(n >= 1, s"snapshotDiff: n must be >= 1, got $n")
+    def side(df: DataFrame, t: String) = df.select(
+      when(col(idCol).isNull,
+        raise_error(lit(s"snapshotDiff: null $idCol in the $t snapshot — " +
+          "a full-outer join never matches nulls, so the row would " +
+          "misclassify as added+removed; repair ids first"))
+          .cast(df.schema(idCol).dataType))
+        .otherwise(col(idCol)).as("doc_id"),
+      // null TEXT is refused too: row-presence is what classifies
+      // added/removed, so a present row with unknown text has no honest
+      // bucket (it is neither equal nor comparably different)
+      when(col(textCol).isNull,
+        raise_error(lit(s"snapshotDiff: null $textCol in the $t snapshot — " +
+          "a present document with unknown text cannot be classified; " +
+          "filter or repair first")).cast("string"))
+        .otherwise(col(textCol)).as(s"__t$t"))
+    val joined = side(prev, "a").join(side(cur, "b"), Seq("doc_id"), "full_outer")
+
+    // per-word hash once (absent side -> empty array, so the gram stage
+    // below is null-safe), materialized behind barrier #1
+    def whsOf(t: Column): Column =
+      when(t.isNull, array().cast("array<bigint>"))
+        .otherwise(transform(split(lower(t), " "), w => shingleHash(w) % MinhashP))
+    val withWhs = joined
+      .select(col("doc_id"), col("__ta"), col("__tb"),
+        explode(array(struct(whsOf(col("__ta")).as("wa"),
+          whsOf(col("__tb")).as("wb")))).as("__w"))
+      .select(col("doc_id"), col("__ta"), col("__tb"),
+        col("__w.wa").as("__wa"), col("__w.wb").as("__wb"))
+    // distinct hashed n-gram sets from the word hashes (the q33 stepwise
+    // combine, values < 2^31 so products stay ANSI-safe), barrier #2
+    def gramsOf(whs: Column): Column = array_distinct(
+      when(size(whs) >= n,
+        transform(sequence(lit(0), size(whs) - n),
+          i => (1 until n).foldLeft(element_at(whs, i + 1))(
+            (acc, j) => (acc * 31L + element_at(whs, i + j + 1)) % MinhashP)))
+        .otherwise(array().cast("array<bigint>")))
+    val withSets = withWhs
+      .select(col("doc_id"), col("__ta"), col("__tb"),
+        explode(array(struct(gramsOf(col("__wa")).as("sa"),
+          gramsOf(col("__wb")).as("sb")))).as("__s"))
+      .select(col("doc_id"), col("__ta"), col("__tb"),
+        col("__s.sa").as("__sa"), col("__s.sb").as("__sb"))
+
+    // exact integer micro-Jaccard; union size 0 (both texts under n
+    // words) counts as identical-content -> equal-text wins first and
+    // 1e6 covers the rest
+    val jac = when(col("__uni") > 0, expr("1000000 * __inter div __uni"))
+      .otherwise(lit(1000000L))
+    withSets
+      .withColumn("__inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__uni",
+        size(array_union(col("__sa"), col("__sb"))).cast("long"))
+      .withColumn("__jac",
+        when(col("__ta").isNull || col("__tb").isNull ||
+          col("__ta") === col("__tb"), lit(null).cast("long"))
+          .otherwise(jac))
+      .select(col("doc_id"),
+        when(col("__ta").isNull, lit("added"))
+          .when(col("__tb").isNull, lit("removed"))
+          .when(col("__ta") === col("__tb"), lit("identical"))
+          .when(col("__jac") >= (threshold * 1000000L).toLong, lit("retouched"))
+          .otherwise(lit("rewritten")).as("status"),
+        col("__jac").as("jac_micros"))
+  }
+
   /** INCREMENTAL near-dup dedup: probe a NEW BATCH of documents against an
     * EXISTING corpus's MinHash band index — the index-reuse shape a
     * continuously-ingesting pipeline runs per crawl drop. Unlike

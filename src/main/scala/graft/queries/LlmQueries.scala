@@ -2909,6 +2909,76 @@ object LlmQueries {
       |FROM d JOIN md USING (source)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q95 snapshot diff
+  /** Corpus snapshot diff ([[Dedup.snapshotDiff]]): the crawl-refresh
+    * classification over a deterministically derived second snapshot —
+    * id%7==3 dropped (removed), id%13==0 rewritten, id%5==0 retouched
+    * (one appended token — shingle Jaccard stays high), id%11==0 re-added
+    * under a shifted id (added). The Jaccard is computed ROW-LOCALLY on
+    * the one id-keyed full-outer join; the oracle replays the same
+    * derivation and the q33-convention list Jaccard. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val cur = docs
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("rewritten corpus entry number "), col("doc_id")))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" refreshed")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiff(docs, cur, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val q95Sql =
+    """WITH prev AS (SELECT doc_id, text FROM documents),
+      |cur AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |           THEN 'rewritten corpus entry number ' || doc_id
+      |         WHEN doc_id % 5 = 0 THEN text || ' refreshed'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, a.text AS ta, b.text AS tb
+      |  FROM prev a FULL OUTER JOIN cur b ON a.doc_id = b.doc_id),
+      |sh AS (
+      |  SELECT doc_id, ta, tb,
+      |    list_distinct(CASE WHEN len(string_split(lower(ta), ' ')) >= 3
+      |      THEN [string_split(lower(ta), ' ')[i] || ' ' ||
+      |            string_split(lower(ta), ' ')[i+1] || ' ' ||
+      |            string_split(lower(ta), ' ')[i+2]
+      |            for i in range(1, len(string_split(lower(ta), ' ')) - 1)]
+      |      ELSE [] END) AS sa,
+      |    list_distinct(CASE WHEN len(string_split(lower(tb), ' ')) >= 3
+      |      THEN [string_split(lower(tb), ' ')[i] || ' ' ||
+      |            string_split(lower(tb), ' ')[i+1] || ' ' ||
+      |            string_split(lower(tb), ' ')[i+2]
+      |            for i in range(1, len(string_split(lower(tb), ' ')) - 1)]
+      |      ELSE [] END) AS sb
+      |  FROM j),
+      |scored AS (
+      |  SELECT doc_id, ta, tb,
+      |    CASE WHEN ta IS NULL OR tb IS NULL OR ta = tb THEN NULL
+      |         WHEN len(list_distinct(sa || sb)) > 0
+      |           THEN (1000000 * len(list_intersect(sa, sb)))
+      |                  // len(list_distinct(sa || sb))
+      |         ELSE 1000000 END AS jac_micros
+      |  FROM sh)
+      |SELECT doc_id,
+      |  CASE WHEN ta IS NULL THEN 'added'
+      |       WHEN tb IS NULL THEN 'removed'
+      |       WHEN ta = tb THEN 'identical'
+      |       WHEN jac_micros >= 500000 THEN 'retouched'
+      |       ELSE 'rewritten' END AS status,
+      |  jac_micros::BIGINT AS jac_micros
+      |FROM scored ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -2976,5 +3046,6 @@ object LlmQueries {
     QueryDef("q92_continuing_split", q92, Some(q92Sql)),
     QueryDef("q93_oov_rate", q93, Some(q93Sql)),
     QueryDef("q94_length_outliers", q94, Some(q94Sql)),
+    QueryDef("q95_snapshot_diff", q95, Some(q95Sql)),
   )
 }

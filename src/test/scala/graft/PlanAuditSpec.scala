@@ -524,6 +524,22 @@ class PlanAuditSpec extends SparkSpec {
         s"never a corpus sort:\n$plan")
   }
 
+  test("q95 snapshot diff: ONE id-keyed full-outer join; the Jaccard is " +
+    "row-local — the only Generates are the two single-row projection " +
+    "barriers, never a per-shingle explosion") {
+    val plan = planOf("q95_snapshot_diff")
+    assert(plan.contains("FullOuter"),
+      s"q95 must classify via a full-outer id join:\n$plan")
+    // the two explode(array(struct(...))) barriers emit exactly one row
+    // each — a per-shingle explode would Generate over the gram arrays
+    val generates = plan.split("\n").filter(_.contains("Generate"))
+    assert(generates.length == 2 && generates.forall(_.contains("explode(array(")),
+      s"q95's only Generates are the one-row array barriers:\n$plan")
+    assert(!plan.contains("Window"), s"q95 must not window:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q95:\n$plan")
+  }
+
   test("q94 length outliers: the only windows run inside single target " +
     "buckets (the groupedQuantile slice, ~1/maxBuckets of each group); " +
     "threshold joins back are broadcast; no corpus Sort outside windows") {

@@ -741,6 +741,42 @@ class LlmSpec extends SparkSpec {
     } finally releaseBig()
   }
 
+  test("snapshotDiff: added/removed/identical/retouched/rewritten buckets " +
+    "with exact in-row micro-Jaccard; null ids and null texts refuse") {
+    import spark.implicits._
+    val prev = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // identical in cur
+      (2L, "one two three four five six"),    // retouched (one appended word)
+      (3L, "totally original body of text here"), // rewritten
+      (4L, "this document gets dropped")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six seven"),
+      (3L, "completely different words now appear"),
+      (5L, "a brand new arrival document")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, cur, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+    assert(got(1L) === (("identical", -1L)), s"$got")
+    // doc 2: shingles 4 vs 5, all 4 shared -> 4/5 = 800000 >= 500000
+    assert(got(2L) === (("retouched", 800000L)), s"$got")
+    assert(got(3L)._1 === "rewritten" && got(3L)._2 === 0L, s"$got")
+    assert(got(4L) === (("removed", -1L)) && got(5L) === (("added", -1L)), s"$got")
+
+    val nullText = Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.snapshotDiff(nullText, cur, "doc_id", "text").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("snapshotDiff")), s"$ex")
+    val nullId = Seq((Option.empty[Long], "x y z")).toDF("doc_id", "text")
+    val ex2 = intercept[Exception] {
+      Dedup.snapshotDiff(nullId, cur, "doc_id", "text").collect()
+    }
+    assert(Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("null doc_id")), s"$ex2")
+  }
+
   test("oovRate: occurrence-mass OOV share vs a driver-side mirror; the " +
     "topK boundary cuts by (count DESC, word ASC); zero-gram docs null") {
     import spark.implicits._
