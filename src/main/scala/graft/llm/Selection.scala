@@ -491,9 +491,29 @@ object Selection {
     * groups and null values are refused loudly ([[splitAssign]]'s rule:
     * the keyed joins would silently drop them). */
   def groupedQuantile(docs: DataFrame, groupCol: String, valueCol: String,
-                      pct: Int, maxBuckets: Int = 4096): DataFrame = {
-    require(pct >= 1 && pct <= 100, s"groupedQuantile: pct in [1,100], got $pct")
-    require(maxBuckets >= 2, s"groupedQuantile: maxBuckets >= 2, got $maxBuckets")
+                      pct: Int, maxBuckets: Int = 4096): DataFrame =
+    groupedQuantiles(docs, groupCol, valueCol, Seq(pct), maxBuckets)
+      .select(col(groupCol), col("n"), col("thr"))
+
+  /** The VECTOR form of [[groupedQuantile]]: every percentile in `pcts`
+    * for every group, still in the SAME two corpus passes — the bucket
+    * grid is computed once, each (group, pct) rank locates its own target
+    * bucket on the grid, and the one in-bucket ranking pass serves every
+    * percentile landing in that bucket (a row joins at most |pcts| target
+    * rows). The per-source length/quality PROFILE (p10/p50/p90) costs the
+    * same as a single median. Output: one row per (group, pct) —
+    * (`groupCol`, `n`, `pct`, `thr`). */
+  def groupedQuantiles(docs: DataFrame, groupCol: String, valueCol: String,
+                       pcts: Seq[Int], maxBuckets: Int = 4096): DataFrame = {
+    require(pcts.nonEmpty && pcts.size <= 64,
+      s"groupedQuantiles: 1..64 percentiles, got ${pcts.size}")
+    require(pcts.forall(p => p >= 1 && p <= 100),
+      s"groupedQuantiles: pcts in [1,100], got $pcts")
+    require(pcts.distinct.size == pcts.size,
+      s"groupedQuantiles: duplicate percentiles in $pcts")
+    require(maxBuckets >= 2, s"groupedQuantiles: maxBuckets >= 2, got $maxBuckets")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val base = docs.select(
       when(col(groupCol).isNull,
         raise_error(lit("groupedQuantile: null group — the group-keyed " +
@@ -506,9 +526,19 @@ object Selection {
         .otherwise(col(valueCol).cast("long")).as("__v"))
     val stats = base.groupBy("__g").agg(
         count(lit(1)).as("__n"), min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
-      .withColumn("__k", expr(s"(__n * $pct + 99) div 100"))
       .withColumn("__w", expr(s"(__hi - __lo) div $maxBuckets + 1"))
-      .select("__g", "__n", "__lo", "__k", "__w")
+      .select("__g", "__n", "__lo", "__w")
+    // one rank per (group, pct): k = ceil(pct * n / 100). The single-pct
+    // form (the [[groupedQuantile]]/[[robustOutliers]] path) stays a plain
+    // projection — no pct cross join in its plan at all.
+    val ranks = pcts match {
+      case Seq(p) => stats.select(col("__g"), lit(p).as("__pct"),
+        expr(s"(__n * $p + 99) div 100").as("__k"))
+      case _ => stats.select("__g", "__n")
+        .crossJoin(broadcast(pcts.toDF("__pct")))
+        .withColumn("__k", expr("(__n * __pct + 99) div 100"))
+        .select("__g", "__pct", "__k")
+    }
     // bucket counts + per-group running sum over the bounded grid
     val bucketed = base.join(stats, "__g")
       .withColumn("__b", expr("(__v - __lo) div __w"))
@@ -517,21 +547,23 @@ object Selection {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val target = counts
       .withColumn("__cum", sum(col("__c")).over(byB))
-      .join(stats.select("__g", "__k"), "__g")
+      .join(ranks, "__g")
       .filter(col("__cum") >= col("__k") && col("__cum") - col("__c") < col("__k"))
-      .select(col("__g"), col("__b").as("__tb"),
+      .select(col("__g"), col("__pct"), col("__b").as("__tb"),
         (col("__k") - (col("__cum") - col("__c"))).as("__kin"))
-    // exact k'-th smallest within each group's one target bucket; the
-    // target frame is groups-scale (one row per group) — broadcast it
+    // exact k'-th smallest within each (group, pct)'s one target bucket;
+    // the target frame is (groups × pcts)-scale — broadcast it. A row
+    // joins every pct whose rank lands in its bucket (≤ |pcts| fan-out).
     val thr = bucketed.join(broadcast(target), Seq("__g"))
       .filter(col("__b") === col("__tb"))
       .withColumn("__rn", row_number().over(
-        Window.partitionBy("__g").orderBy("__v")))
+        Window.partitionBy("__g", "__pct").orderBy("__v")))
       .filter(col("__rn") <= col("__kin"))
-      .groupBy("__g").agg(max(col("__v")).as("thr"))
+      .groupBy("__g", "__pct").agg(max(col("__v")).as("thr"))
     stats.select(col("__g"), col("__n").as("n"))
       .join(thr, "__g")
-      .select(col("__g").as(groupCol), col("n"), col("thr"))
+      .select(col("__g").as(groupCol), col("n"),
+        col("__pct").as("pct"), col("thr"))
   }
 
   /** Robust per-group OUTLIER flagging via median/MAD — the

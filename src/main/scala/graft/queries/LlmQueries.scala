@@ -2979,6 +2979,33 @@ object LlmQueries {
       |  jac_micros::BIGINT AS jac_micros
       |FROM scored ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q96 length profile
+  /** Per-source word-count percentile PROFILE (p10/p50/p90) via the vector
+    * grouped-quantile form ([[Selection.groupedQuantiles]]) — all three
+    * exact ranks in the same two corpus passes as a single median. The
+    * oracle replays each rank with a window row_number. */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val wc = Tables.documents(s, d).select(col("source"),
+      size(split(lower(col("text")), " ")).cast("long").as("wc"))
+    Selection.groupedQuantiles(wc, "source", "wc", Seq(10, 50, 90))
+      .orderBy("source", "pct")
+  }
+
+  private val q96Sql =
+    """WITH wc AS (
+      |  SELECT source, len(string_split(lower(text), ' '))::BIGINT AS v
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM wc),
+      |p AS (SELECT unnest([10, 50, 90]) AS pct)
+      |SELECT r.source, r.n::BIGINT AS n, p.pct, r.v AS thr
+      |FROM r CROSS JOIN p
+      |WHERE r.rn = (r.n * p.pct + 99) // 100
+      |ORDER BY source, pct""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -3047,5 +3074,6 @@ object LlmQueries {
     QueryDef("q93_oov_rate", q93, Some(q93Sql)),
     QueryDef("q94_length_outliers", q94, Some(q94Sql)),
     QueryDef("q95_snapshot_diff", q95, Some(q95Sql)),
+    QueryDef("q96_length_profile", q96, Some(q96Sql)),
   )
 }

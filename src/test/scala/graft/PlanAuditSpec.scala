@@ -36,7 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     "q87_ecdf_drift", // bounded value-domain grid × the broadcast group enum (ECDF step grid)
     "q90_categorical_drift", // same guarded grid as q87 (shared countGrid helper)
     "q88_intake_capstone", // composes q84's ≤64-row broadcast split frame (same loop join)
-    "q92_continuing_split") // two apportionment stages, each the q84 ≤64-row broadcast split frame
+    "q92_continuing_split", // two apportionment stages, each the q84 ≤64-row broadcast split frame
+    "q96_length_profile") // per-group stats × the ≤64-row broadcast percentile frame (groupedQuantiles rank fan-out)
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.foreach { q =>

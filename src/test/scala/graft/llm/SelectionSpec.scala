@@ -535,6 +535,31 @@ class SelectionSpec extends SparkSpec {
       .exists(c => String.valueOf(c.getMessage).contains("null value")), s"$ex")
   }
 
+  test("groupedQuantiles vector form: every (group, pct) matches the sorted " +
+    "oracle in one call, including ranks colliding in one bucket") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 90).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toLong) }
+    val pcts = Seq(10, 50, 90, 100)
+    // maxBuckets=2 forces many values (and often several pct ranks) into
+    // the same bucket — the in-bucket pass must serve them all
+    for (mb <- Seq(2, 4096)) {
+      val got = Selection.groupedQuantiles(rows.toDF("g", "v"), "g", "v", pcts, mb)
+        .collect().map(r => (r.getString(0), r.getInt(2)) -> r.getLong(3)).toMap
+      val want = (for {
+        (g, vs) <- rows.groupBy(_._1); p <- pcts
+      } yield {
+        val sorted = vs.map(_._2).sorted
+        (g, p) -> sorted((((sorted.size.toLong * p + 99) / 100) - 1).toInt)
+      }).toMap
+      assert(got === want, s"mb=$mb")
+    }
+    intercept[IllegalArgumentException] {
+      Selection.groupedQuantiles(rows.toDF("g", "v"), "g", "v", Seq(10, 10))
+    }
+  }
+
   test("robustOutliers: med/MAD match driver-side exact medians; flags are " +
     "|v-med| > mult*mad; mad=0 groups flag every deviating row") {
     import spark.implicits._
