@@ -101,13 +101,22 @@ object Intake {
         * whose shingle Jaccard against any ACCUMULATED corpus doc reaches
         * the threshold are dropped before novelty scoring. Requires
         * `corpusDir`. Cross-side only — within-batch near-dups are the
-        * novelty stage's job (exact dups score 0) or a separate in-batch
+        * novelty stage's job (exact dups score 0) or `inBatchNearDup`'s
         * pass; the accumulated corpus grows by each batch's near-dup
         * SURVIVORS: text at `corpusDir/part=<batch>` (verify joins only)
         * and their MinHash signatures at `corpusDir/sigs=<batch>` (the
         * probe's index — append-only, replay overwrites its own parts). */
       nearDupThreshold: Option[Double] = None,
       corpusDir: Option[String] = None,
+      /** Also dedup WITHIN each batch (requires `nearDupThreshold`): after
+        * the cross-batch gate, the batch's own near-dup pairs
+        * ([[Dedup.nearDupPairs]], same threshold/parameters) collapse to
+        * clusters ([[graft.llm.Clusters.assign]]) and only each cluster's
+        * canonical (minimum-id) document survives. Off by default — exact
+        * within-batch duplicates already score novelty 0, so this matters
+        * when batches are large enough to carry internal NEAR-duplicates
+        * past the noveltyMinMicros gate. */
+      inBatchNearDup: Boolean = false,
       numHashes: Int = 12,
       bands: Int = 4,
       noveltyMinMicros: Long = 200000L,
@@ -206,7 +215,27 @@ object Intake {
           }
         case _ => blocklisted
       }
-      val kept1p = kept1.persist()
+      // optional WITHIN-batch dedup: the batch's own near-dup pairs
+      // collapse to clusters, the minimum id per cluster survives —
+      // deterministic, so replay-safe like every other stage
+      require(!cfg.inBatchNearDup || cfg.nearDupThreshold.nonEmpty,
+        "Intake: inBatchNearDup requires nearDupThreshold (the same " +
+          "calibration the cross-batch gate uses)")
+      val kept1x = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
+        case (true, Some(t)) =>
+          val (pairs, relP) = Dedup.nearDupPairsManaged(
+            kept1.select("doc_id", "text"), "doc_id", "text",
+            cfg.numHashes, cfg.bands, t)
+          cleanups += relP
+          val (assigned, relA) = graft.llm.Clusters.assignManaged(
+            kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
+          cleanups += relA
+          kept1.join(
+            assigned.filter(col("doc_id") === col("cluster_id"))
+              .select("doc_id"), "doc_id")
+        case _ => kept1
+      }
+      val kept1p = kept1x.persist()
       cleanups += (() => { kept1p.unpersist(); () })
 
       // the index this batch scores against: the part union STRICTLY

@@ -267,6 +267,46 @@ class IntakeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet === Set(22L))
   }
 
+  test("in-batch near-dup: within one batch, near-duplicate docs collapse " +
+    "to the canonical (minimum-id) doc; cross-batch gate still applies; " +
+    "replay byte-identical") {
+    val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    val cfg = cfgFor(in, cp, idx, out).copy(
+      nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+      inBatchNearDup = true, noveltyMinMicros = 0L)
+    val baseText = (i: Long) =>
+      (0 to 11).map(j => s"y${(i * 13 + j * 7) % 37}").mkString(" ")
+    // docs 31/32 are near-dups of EACH OTHER (one appended word — shingle
+    // Jaccard 10/11, high enough that the deterministic 12-hash/4-band
+    // LSH reliably candidates the pair); the novelty gate alone would
+    // keep both (the appended word mints new grams and
+    // noveltyMinMicros=0); doc 33 fresh
+    val nd = baseText(31L) + " appendedword"
+    Files.write(in.resolve("a.json"), Seq(
+      docJson(31L, "en", baseText(31L)),
+      docJson(32L, "en", nd),
+      docJson(33L, "en", "entirely distinct content in this document")).asJava)
+    val q1 = Intake.start(spark, cfg)
+    try assert(q1.awaitTermination(120000)) finally q1.stop()
+    val got = readBatch(out, 0L).map(_._1).toSet
+    assert(got === Set(31L, 33L),
+      s"the in-batch pair must collapse to its minimum id: $got")
+    // the corpus parts carry only the canonical survivors
+    assert(spark.read.parquet(s"$corp/part=0")
+      .collect().map(_.getLong(0)).toSet === Set(31L, 33L))
+    // replay byte-identical
+    val batchA = spark.read.schema(Intake.docSchema).json(s"$in/a.json")
+    val before = readBatch(out, 0L)
+    Intake.processBatch(spark, cfg, batchA, 0L)
+    assert(readBatch(out, 0L) === before, "replayed in-batch dedup diverged")
+    // the flag without a threshold refuses loudly
+    val ex = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark,
+        cfgFor(in, cp, idx, out).copy(inBatchNearDup = true), batchA, 0L)
+    }
+    assert(ex.getMessage.contains("inBatchNearDup"), s"$ex")
+  }
+
   test("continuing split: cumulative split sizes track the cumulative " +
     "Hamilton quotas across batches; counters version like the index; " +
     "replay byte-identical") {
