@@ -777,6 +777,74 @@ class LlmSpec extends SparkSpec {
       .exists(c => String.valueOf(c.getMessage).contains("null doc_id")), s"$ex2")
   }
 
+  test("snapshotDiff property: statuses and micro-Jaccard match a " +
+    "driver-side string-shingle oracle over random snapshot pairs") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    def shingleSet(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      if (w.length >= 3) (0 to w.length - 3).map(i => w.slice(i, i + 3).mkString(" ")).toSet
+      else Set.empty
+    }
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val text = Gen.chooseNum(1, 10).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val caseGen = for {
+      na <- Gen.chooseNum(1, 8); nb <- Gen.chooseNum(1, 8)
+      ta <- Gen.listOfN(na, text); tb <- Gen.listOfN(nb, text)
+    } yield (ta.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+      tb.zipWithIndex.map { case (t, i) => ((i + 3).toLong, t) })
+    val p = Prop.forAllNoShrink(caseGen) { case (prev, cur) =>
+      val got = Dedup.snapshotDiff(prev.toDF("doc_id", "text"),
+          cur.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2)))).toMap
+      val pm = prev.toMap; val cm = cur.toMap
+      val want = (pm.keySet ++ cm.keySet).map { id =>
+        id -> ((pm.get(id), cm.get(id)) match {
+          case (None, Some(_)) => ("added", -1L)
+          case (Some(_), None) => ("removed", -1L)
+          case (Some(a), Some(b)) if a == b => ("identical", -1L)
+          case (Some(a), Some(b)) =>
+            val (sa, sb) = (shingleSet(a), shingleSet(b))
+            val uni = (sa ++ sb).size
+            val jac = if (uni > 0) 1000000L * (sa & sb).size / uni else 1000000L
+            (if (jac >= 500000L) "retouched" else "rewritten", jac)
+          case _ => ("impossible", -2L)
+        })
+      }.toMap
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, s"snapshotDiff property failed: $r")
+  }
+
+  test("oovRate property: matches a driver-side vocabulary + occurrence " +
+    "oracle over random corpora and K") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val text = Gen.chooseNum(1, 15).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    val caseGen = for {
+      n <- Gen.chooseNum(1, 20); ts <- Gen.listOfN(n, text)
+      k <- Gen.chooseNum(1, 8)
+    } yield (ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, k)
+    val p = Prop.forAllNoShrink(caseGen) { case (docs, k) =>
+      val got = LanguageModel.oovRate(docs.toDF("doc_id", "text"),
+          "doc_id", "text", topK = k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val occ = docs.flatMap { case (id, t) => t.toLowerCase.split(" ", -1).map(id -> _) }
+      val vocab = occ.groupBy(_._2).view.mapValues(_.size).toSeq
+        .sortBy { case (w, c) => (-c, w) }.take(k).map(_._1).toSet
+      val want = docs.map { case (id, t) =>
+        val ws = t.toLowerCase.split(" ", -1)
+        id -> ((ws.length.toLong, ws.count(w => !vocab(w)).toLong))
+      }.toMap
+      got == want
+    }
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), p)
+    assert(r.passed, s"oovRate property failed: $r")
+  }
+
   test("oovRate: occurrence-mass OOV share vs a driver-side mirror; the " +
     "topK boundary cuts by (count DESC, word ASC); zero-gram docs null") {
     import spark.implicits._
