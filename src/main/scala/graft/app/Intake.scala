@@ -51,6 +51,18 @@ import graft.llm.{Dedup, Drift, Novelty, Selection, UrlFilter}
   *    fold per batch; the KS/TV compare runs on the counts
   *    ([[Drift.ecdfDriftFromCounts]]/[[Drift.categoricalDriftFromCounts]])
   *    and never re-scans the corpus.
+  *  - With `stateBuckets` > 0 the probes are additionally PRUNED, not just
+  *    scan-shaped: gram-index and band-index parts are written partitioned
+  *    by a key bucket, each batch reads only the buckets its own keys
+  *    touch, and nothing ever exchanges the standing index (the novelty
+  *    probe's inner-join shape keeps the index on the streamed side).
+  *
+  * Besides the assignments, every batch writes its DROP LEDGER
+  * (`outDir/rejects/batch=<i>`: (doc_id, stage, reason) for each document
+  * the blocklist/near-dup/in-batch/novelty stages rejected) and a
+  * TELEMETRY row (`outDir/metrics/batch=<i>`: stage counts, state part
+  * counts/bytes, probed buckets/bytes) — a standing curation service must
+  * account for what it dropped and what its probes actually read.
   *
   * Restart determinism (spec-verified across a kill/resume): batch `i`
   * always scores against state written by batches STRICTLY BELOW `i`,
@@ -144,6 +156,23 @@ object Intake {
       /** Fold pending gram-index deltas into a new base once this many
         * accumulate (amortized O(vocab/K) index write per batch). */
       compactEvery: Int = 8,
+      /** BUCKET-PARTITIONED state layout (> 0 = bucket count, 0 = the flat
+        * legacy layout): gram-index parts are written partitioned by
+        * `bkt = pmod(gram, stateBuckets)` ([[Novelty.gramBucket]]) and the
+        * near-dup state as pre-banded parts partitioned by a hash of the
+        * band key ([[Dedup.bandIndexFrame]]), so each batch's probes READ
+        * ONLY the buckets the batch touches (partition-directory pruning)
+        * and nothing ever exchanges or scans the full standing index —
+        * the difference between per-batch cost proportional to the BATCH
+        * and proportional to everything ever ingested, which is the whole
+        * game at 100 TB. Scores are layout-invariant (spec-asserted
+        * against the flat layout): a pruned-away row's bucket is a pure
+        * function of its key, so it provably cannot match any batch key.
+        * The bucket count is pinned per state directory (a `_state_buckets`
+        * marker): restarting with a different value is refused loudly —
+        * bucket ids from two layouts do not line up, and a silent mix
+        * would drop matches. */
+      stateBuckets: Int = 0,
       /** Retired state (compacted index parts, superseded counter/drift
         * versions) is deleted after each batch unless this is set. */
       keepAllIndexVersions: Boolean = false,
@@ -165,13 +194,52 @@ object Intake {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  /** Pin a state directory's bucket layout: the first writer records
+    * `stateBuckets` in a `_state_buckets` marker; every later run must
+    * match it exactly — bucket ids from two layouts do not line up, so a
+    * silent mix would prune away genuine matches. */
+  private def layoutGuard(spark: SparkSession, dir: String, buckets: Int): Unit = {
+    val p = new Path(dir, "_state_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val found =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+        finally in.close()
+      require(found == buckets,
+        s"Intake: state at $dir was written with stateBuckets=$found but " +
+          s"this run is configured with stateBuckets=$buckets — bucket ids " +
+          "from the two layouts do not line up, so pruned probes would " +
+          "silently drop matches; keep the recorded layout or rebuild the state")
+    } else {
+      val out = fs.create(p, true)
+      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  /** Recursive byte size of a state path, 0 when absent — directory-listing
+    * scale, used only by the per-batch telemetry frame. */
+  private def dirBytes(spark: SparkSession, path: String): Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+  }
+
   /** One micro-batch of the intake pipeline: blocklist → (optional)
     * stored-signature near-dup gate → incremental novelty against the
     * pre-batch part union → (optional) drift report → exact split →
-    * overwrite `outDir/batch=<id>` and append this batch's state parts.
-    * Deterministic function of (batch contents, id, on-disk state parts
-    * < id) — the replay contract above. Package-visible so the spec can
-    * drive a replayed batch directly. */
+    * overwrite `outDir/batch=<id>` (assignments), `outDir/rejects/batch=
+    * <id>` (the per-stage DROP LEDGER: every document the batch rejected,
+    * with the stage and a reason — audits and threshold tuning need the
+    * rejects as much as the survivors), `outDir/metrics/batch=<id>` (the
+    * state-size/probe-I/O telemetry row — the no-silent-caps rule for a
+    * standing service), and append this batch's state parts. Assignments,
+    * rejects and every scored state part are a deterministic function of
+    * (batch contents, id, on-disk state parts < id) — the replay contract
+    * above; the telemetry row alone may differ across a replay that
+    * straddles a compaction (it reports the bytes of whatever pre-batch
+    * parts exist). Package-visible so the spec can drive a replayed batch
+    * directly. */
   private[app] def processBatch(spark: SparkSession, cfg: Config,
                                 batch: DataFrame, id: Long): Unit = {
     import spark.implicits._
@@ -180,40 +248,89 @@ object Intake {
         "the near-dup probe compares against)")
     require(cfg.compactEvery >= 1,
       s"Intake: compactEvery must be >= 1, got ${cfg.compactEvery}")
+    require(cfg.stateBuckets == 0 ||
+      (cfg.stateBuckets >= 1 && cfg.stateBuckets <= Novelty.MaxBuckets),
+      s"Intake: stateBuckets must be 0 (flat layout) or in " +
+        s"[1, ${Novelty.MaxBuckets}], got ${cfg.stateBuckets}")
+    layoutGuard(spark, cfg.indexDir, cfg.stateBuckets)
+    cfg.corpusDir.foreach(cd => layoutGuard(spark, cd, cfg.stateBuckets))
+    val bucketed = cfg.stateBuckets > 0
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val b = batch.persist()
     cleanups += (() => { b.unpersist(); () })
     try {
       val bl = cfg.blocklist.toDF("entry")
-      val blocklisted = UrlFilter
-        .domainBlocklist(b, "host", Seq("doc_id"), bl)
+      val flagged = UrlFilter.domainBlocklist(b, "host", Seq("doc_id"), bl)
+      val blocklisted = flagged
         .filter(!col("blocked"))
         .select("doc_id", "lang", "text")
+      val rejBlocklist = flagged.filter(col("blocked"))
+        .select(col("doc_id"), lit("blocklist").as("stage"),
+          concat(lit("blocked_by:"), col("blocked_by")).as("reason"))
 
       // optional q59-shape near-dup gate: probe the STORED signature parts
-      // < id (part=id / sigs=id excluded — a crashed run may have written
-      // them; replay must not compare the batch against itself). Corpus
-      // text parts feed ONLY the candidate verify join.
-      val kept1 = (cfg.nearDupThreshold, cfg.corpusDir) match {
+      // < id (part=id / sigs=id / bands=id excluded — a crashed run may
+      // have written them; replay must not compare the batch against
+      // itself). Corpus text parts feed ONLY the candidate verify join.
+      // Bucketed layout: the stored state is PRE-BANDED and partitioned by
+      // the band-key bucket, so the probe reads only matching buckets.
+      var sigParts = 0
+      var probedSigBkts: Option[Seq[Int]] = None // None = unpruned probe
+      val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
           val parts = versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
-          if (parts.isEmpty) blocklisted
+          sigParts = parts.size
+          if (parts.isEmpty)
+            (blocklisted, spark.emptyDataset[(Long, String, String)]
+              .toDF("doc_id", "stage", "reason"))
           else {
-            val corpusSigs = spark.read
-              .parquet(parts.map(p => s"$cd/sigs=$p"): _*)
-              .select(col("doc_id"), col("mh"))
             val corpusText = spark.read
+              .schema("doc_id BIGINT, text STRING")
               .parquet(parts.map(p => s"$cd/part=$p"): _*)
               .select(col("doc_id"), col("text"))
-            val (dups, release) = Dedup.incrementalNearDupIndexedManaged(
-              corpusSigs, corpusText, blocklisted.select("doc_id", "text"),
-              "doc_id", "text", cfg.numHashes, cfg.bands, t)
-            cleanups += release
-            blocklisted.join(
-              dups.select(col("batch_id").as("doc_id")).distinct(),
-              Seq("doc_id"), "left_anti")
+            val dups =
+              if (bucketed) {
+                // per-part reads unioned (NOT one multi-root read): the
+                // part dirs are themselves name=value shaped, so Spark's
+                // partition discovery over several roots would try to
+                // treat them as a partition column and refuse
+                val banded = parts.map(p => spark.read
+                    .schema("doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT")
+                    .parquet(s"$cd/bands=$p")
+                    .select("doc_id", "b", "bkey", "w", "bkt"))
+                  .reduce(_.unionByName(_))
+                val probe = Dedup.incrementalNearDupBanded(
+                  banded, corpusText, blocklisted.select("doc_id", "text"),
+                  "doc_id", "text", cfg.numHashes, cfg.bands,
+                  cfg.stateBuckets, t)
+                cleanups += probe.cleanup
+                probedSigBkts = Some(probe.probedBuckets)
+                probe.pairs
+              } else {
+                val corpusSigs = spark.read
+                  .schema("doc_id BIGINT, mh ARRAY<BIGINT>")
+                  .parquet(parts.map(p => s"$cd/sigs=$p"): _*)
+                  .select(col("doc_id"), col("mh"))
+                val (pairs, release) = Dedup.incrementalNearDupIndexedManaged(
+                  corpusSigs, corpusText, blocklisted.select("doc_id", "text"),
+                  "doc_id", "text", cfg.numHashes, cfg.bands, t)
+                cleanups += release
+                pairs
+              }
+            // one row per dropped doc (used by both the anti-join and the
+            // ledger) — persisted so the probe runs once
+            val dupAgg = dups
+              .groupBy(col("batch_id").as("doc_id"))
+              .agg(min(col("corpus_id")).as("__dup_of"))
+              .persist()
+            cleanups += (() => { dupAgg.unpersist(); () })
+            (blocklisted.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti"),
+              dupAgg.select(col("doc_id"), lit("near_dup").as("stage"),
+                concat(lit("near_dup_of:"), col("__dup_of")).as("reason")))
           }
-        case _ => blocklisted
+        case _ =>
+          (blocklisted, spark.emptyDataset[(Long, String, String)]
+            .toDF("doc_id", "stage", "reason"))
       }
       // optional WITHIN-batch dedup: the batch's own near-dup pairs
       // collapse to clusters, the minimum id per cluster survives —
@@ -221,19 +338,26 @@ object Intake {
       require(!cfg.inBatchNearDup || cfg.nearDupThreshold.nonEmpty,
         "Intake: inBatchNearDup requires nearDupThreshold (the same " +
           "calibration the cross-batch gate uses)")
-      val kept1x = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
+      val (kept1x, rejInBatch) = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
         case (true, Some(t)) =>
           val (pairs, relP) = Dedup.nearDupPairsManaged(
             kept1.select("doc_id", "text"), "doc_id", "text",
             cfg.numHashes, cfg.bands, t)
           cleanups += relP
-          val (assigned, relA) = graft.llm.Clusters.assignManaged(
+          val (assigned0, relA) = graft.llm.Clusters.assignManaged(
             kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
           cleanups += relA
-          kept1.join(
+          val assigned = assigned0.persist()
+          cleanups += (() => { assigned.unpersist(); () })
+          (kept1.join(
             assigned.filter(col("doc_id") === col("cluster_id"))
-              .select("doc_id"), "doc_id")
-        case _ => kept1
+              .select("doc_id"), "doc_id"),
+            assigned.filter(col("doc_id") =!= col("cluster_id"))
+              .select(col("doc_id"), lit("in_batch_near_dup").as("stage"),
+                concat(lit("canonical:"), col("cluster_id")).as("reason")))
+        case _ =>
+          (kept1, spark.emptyDataset[(Long, String, String)]
+            .toDF("doc_id", "stage", "reason"))
       }
       val kept1p = kept1x.persist()
       cleanups += (() => { kept1p.unpersist(); () })
@@ -242,24 +366,56 @@ object Intake {
       // below id — latest base plus the deltas above it (a crashed run
       // may already have written delta=id; replay must not read its own
       // output). ngramNoveltyAgainst min-folds the duplicate gram rows.
+      // Bucketed layout: the read is PRUNED to the buckets the batch's own
+      // grams touch (partition-directory pruning — non-matching buckets'
+      // files are never opened; exact, because a pruned gram's bucket is a
+      // pure function of the gram, so it cannot match any batch gram).
       val baseV = versionsOf(spark, cfg.indexDir, prefix = "base=")
         .filter(_ < id).sorted.lastOption
       val deltaVs = versionsOf(spark, cfg.indexDir, prefix = "delta=")
         .filter(d => d < id && baseV.forall(d > _)).sorted
       val partPaths = baseV.map(v => s"${cfg.indexDir}/base=$v").toSeq ++
         deltaVs.map(v => s"${cfg.indexDir}/delta=$v")
+      var probedGramBkts: Option[Seq[Int]] = None // None = unpruned probe
+      def readIndexParts(): DataFrame =
+        if (bucketed)
+          // per-part reads unioned — see the bands read above for why a
+          // multi-root partitioned read is refused by partition discovery
+          partPaths.map(pp =>
+            spark.read.schema("gram BIGINT, owner BIGINT, bkt INT")
+              .parquet(pp).select("gram", "owner", "bkt"))
+            .reduce(_.unionByName(_))
+        else spark.read.parquet(partPaths: _*)
       val prevIndex =
         if (partPaths.isEmpty) None
-        else Some(spark.read.parquet(partPaths: _*).select("gram", "owner"))
+        else if (bucketed) {
+          val bkts = Novelty.gramBuckets(kept1p.select("doc_id", "text"),
+            "doc_id", "text", cfg.n, cfg.stateBuckets)
+          probedGramBkts = Some(bkts)
+          Some(readIndexParts()
+            .where(col("bkt").isin(bkts: _*))
+            .select("gram", "owner"))
+        } else Some(readIndexParts().select("gram", "owner"))
 
-      val scored = prevIndex match {
+      val scored = (prevIndex match {
         case Some(idx) =>
+          // broadcastProbe: the intake's admission control bounds every
+          // batch, so the batch-gram side is broadcastable by contract —
+          // the index is STREAMED, never exchanged (see the operator doc)
           Novelty.ngramNoveltyAgainst(idx, kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.n)
+            "doc_id", "text", cfg.n, broadcastProbe = true)
         case None =>
           Novelty.ngramNovelty(kept1p.select("doc_id", "text"),
             "doc_id", "text", cfg.n)
-      }
+      }).persist() // feeds both the gate and the reject ledger
+      cleanups += (() => { scored.unpersist(); () })
+      val rejNovelty = scored
+        .filter(col("novelty_micros").isNull ||
+          col("novelty_micros") < cfg.noveltyMinMicros)
+        .select(col("doc_id"), lit("novelty").as("stage"),
+          concat(lit("novelty_micros:"),
+            coalesce(col("novelty_micros").cast("string"), lit("null")))
+            .as("reason"))
       val kept2 = kept1p
         .join(scored.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
           .select("doc_id"), "doc_id")
@@ -288,6 +444,16 @@ object Intake {
           col("rank_in_stratum"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
 
+      // the DROP LEDGER: every rejected doc with its stage and reason —
+      // stages are sequential, so each doc appears at most once, and
+      // (survivors ∪ rejects) partition the batch exactly (spec-asserted).
+      // Written with the same overwrite-replay contract as the assignments.
+      rejBlocklist
+        .unionByName(rejNearDup)
+        .unionByName(rejInBatch)
+        .unionByName(rejNovelty)
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+
       // counters fold from the WRITTEN assignments (the persisted truth),
       // versioned and retired exactly like the drift state
       (cfg.countersDir, priorCounters) match {
@@ -310,9 +476,14 @@ object Intake {
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
         kept1p.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$cd/part=$id")
-        Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.numHashes)
-          .write.mode("overwrite").parquet(s"$cd/sigs=$id")
+        val sigs = Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
+          "doc_id", "text", cfg.numHashes)
+        if (bucketed)
+          Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"$cd/bands=$id")
+        else
+          sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
       }
 
       // append the batch's surviving grams as a DELTA part (q88 semantics:
@@ -320,9 +491,13 @@ object Intake {
       // the gate is on, post-near-dup) — written AFTER the assignments so
       // a crash between the two replays cleanly; batch-vocabulary-scale,
       // never the merged index
-      Novelty.gramIndex(kept1p.select("doc_id", "text"),
-          "doc_id", "text", cfg.n)
-        .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
+      val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
+        "doc_id", "text", cfg.n)
+      if (bucketed)
+        Novelty.withGramBucket(delta, cfg.stateBuckets)
+          .write.mode("overwrite").partitionBy("bkt")
+          .parquet(s"${cfg.indexDir}/delta=$id")
+      else delta.write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
 
       // compaction: once enough deltas pend STRICTLY BELOW this batch,
       // fold (base, pending deltas) into base=<newest pending part> and
@@ -332,15 +507,56 @@ object Intake {
       // min-merge renders harmless and the next compaction sweeps.
       if (deltaVs.size >= cfg.compactEvery) {
         val h = deltaVs.max
-        Novelty.compactGramIndex(
-            spark.read.parquet(partPaths: _*).select("gram", "owner"))
-          .write.mode("overwrite").parquet(s"${cfg.indexDir}/base=$h")
+        val compacted = Novelty.compactGramIndex(
+          readIndexParts().select("gram", "owner"))
+        if (bucketed)
+          Novelty.withGramBucket(compacted, cfg.stateBuckets)
+            .write.mode("overwrite").partitionBy("bkt")
+            .parquet(s"${cfg.indexDir}/base=$h")
+        else compacted.write.mode("overwrite").parquet(s"${cfg.indexDir}/base=$h")
         if (!cfg.keepAllIndexVersions) {
           deltaVs.foreach(v => delete(spark, s"${cfg.indexDir}/delta=$v"))
           versionsOf(spark, cfg.indexDir, prefix = "base=").filter(_ < h)
             .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
         }
       }
+
+      // per-batch telemetry (LAST — it describes what the batch just did):
+      // stage counts from the WRITTEN outputs (the persisted truth, read
+      // back at parquet-footer cost) and state sizes from directory
+      // listings. `*_buckets_probed` is -1 when the probe was unpruned
+      // (flat layout, or no parts yet).
+      val stageCounts = spark.read
+        .parquet(s"${cfg.outDir}/rejects/batch=$id")
+        .groupBy("stage").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      val survivors =
+        spark.read.parquet(s"${cfg.outDir}/batch=$id").count()
+      val idxBytes = partPaths.map(dirBytes(spark, _)).sum
+      val idxBytesProbed = probedGramBkts.fold(idxBytes)(bkts =>
+        partPaths.flatMap(pp => bkts.map(k => dirBytes(spark, s"$pp/bkt=$k"))).sum)
+      val sigPartDirs = cfg.corpusDir.toSeq.flatMap { cd =>
+        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
+          .map(p => if (bucketed) s"$cd/bands=$p" else s"$cd/sigs=$p")
+      }
+      val sigBytes = sigPartDirs.map(dirBytes(spark, _)).sum
+      val sigBytesProbed = probedSigBkts.fold(sigBytes)(bkts =>
+        sigPartDirs.flatMap(pd => bkts.map(k => dirBytes(spark, s"$pd/bkt=$k"))).sum)
+      Seq((id, b.count(), stageCounts("blocklist"), stageCounts("near_dup"),
+          stageCounts("in_batch_near_dup"), stageCounts("novelty"), survivors,
+          partPaths.size.toLong, idxBytes, idxBytesProbed,
+          probedGramBkts.fold(-1L)(_.size.toLong),
+          sigParts.toLong, sigBytes, sigBytesProbed,
+          probedSigBkts.fold(-1L)(_.size.toLong),
+          cfg.stateBuckets.toLong))
+        .toDF("batch_id", "batch_docs", "rej_blocklist", "rej_near_dup",
+          "rej_in_batch", "rej_novelty", "survivors",
+          "index_parts", "index_bytes", "index_bytes_probed",
+          "index_buckets_probed",
+          "sig_parts", "sig_bytes", "sig_bytes_probed", "sig_buckets_probed",
+          "state_buckets")
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }
 

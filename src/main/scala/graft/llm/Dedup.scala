@@ -248,30 +248,97 @@ object Dedup {
     * whole gram pipeline runs 4× per row (the [[wordHashFrame]] trap; a
     * string-set first cut of this operator measured ~5× slower). Null-id
     * rows are refused loudly (a full-outer join never matches nulls, so a
-    * null id would silently misclassify as added+removed).
+    * null id would silently misclassify as added+removed), and so are
+    * DUPLICATE ids within a snapshot (they would cross-multiply in the
+    * join and misclassify every copy — see [[diffSide]]'s in-plan guard).
+    * For snapshots that re-mint ids between crawls, use
+    * [[snapshotDiffByKey]] with a stable content key.
     *
     * Output: (doc_id, status, jac_micros) — jac_micros the exact integer
     * micro Jaccard for changed pairs (null for added/removed/identical). */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
                    textCol: String, n: Int = 3,
-                   threshold: Double = 0.5): DataFrame = {
-    require(n >= 1, s"snapshotDiff: n must be >= 1, got $n")
-    def side(df: DataFrame, t: String) = df.select(
-      when(col(idCol).isNull,
-        raise_error(lit(s"snapshotDiff: null $idCol in the $t snapshot — " +
+                   threshold: Double = 0.5): DataFrame =
+    diffTail(
+      diffSide(prev, "a", idCol, textCol, "snapshotDiff", Nil)
+        .join(diffSide(cur, "b", idCol, textCol, "snapshotDiff", Nil),
+          Seq("doc_id"), "full_outer"),
+      Seq("doc_id"), n, threshold)
+
+  /** CONTENT-KEYED [[snapshotDiff]] — classify across two snapshots joined
+    * on a stable CONTENT key (canonical URL, content address) instead of the
+    * document id, for crawl refreshes that RE-MINT ids (row numbers, ingest
+    * sequence): id-keyed diffing would classify every such document as
+    * added+removed even when its text never changed. The per-side doc ids
+    * ride along as provenance: output (key, prev_id, cur_id, status,
+    * jac_micros), with `prev_id`/`cur_id` null on the absent side. Same
+    * statuses, same exact micro-Jaccard, same guards (null keys/texts and
+    * DUPLICATE keys within a snapshot refused loudly) as the id-keyed form;
+    * with a key that equals the id it is the id-keyed diff plus the two
+    * provenance columns (spec-asserted). */
+  def snapshotDiffByKey(prev: DataFrame, cur: DataFrame, keyCol: String,
+                        idCol: String, textCol: String, n: Int = 3,
+                        threshold: Double = 0.5): DataFrame =
+    diffTail(
+      diffSide(prev, "a", keyCol, textCol, "snapshotDiffByKey", Seq(idCol))
+        .withColumnRenamed(s"__c0a", "prev_id")
+        .join(
+          diffSide(cur, "b", keyCol, textCol, "snapshotDiffByKey", Seq(idCol))
+            .withColumnRenamed(s"__c0b", "cur_id"),
+          Seq("doc_id"), "full_outer")
+        .withColumnRenamed("doc_id", "key"),
+      Seq("key", "prev_id", "cur_id"), n, threshold)
+
+  /** One guarded snapshot side: null key/text refused loudly, then an
+    * aggregate-shaped UNIQUENESS guard — a duplicate key within a snapshot
+    * would make the full-outer join emit one row per cross-pair, silently
+    * multiplying and misclassifying documents, so it is refused in-plan (the
+    * groupBy collapses each key to one row and a lazy per-row check raises
+    * when the collapsed count exceeds 1; min() over the guaranteed-single
+    * survivor is the identity). The key aggregate's exchange is the same
+    * doc_id partitioning the full-outer join needs, so the guard adds no
+    * extra shuffle. Extra carried columns (`extras`) come through as
+    * `__c<i><t>`. */
+  private def diffSide(df: DataFrame, t: String, keyCol: String,
+                       textCol: String, op: String,
+                       extras: Seq[String]): DataFrame = {
+    val checked = df.select(
+      when(col(keyCol).isNull,
+        raise_error(lit(s"$op: null $keyCol in the $t snapshot — " +
           "a full-outer join never matches nulls, so the row would " +
-          "misclassify as added+removed; repair ids first"))
-          .cast(df.schema(idCol).dataType))
-        .otherwise(col(idCol)).as("doc_id"),
+          "misclassify as added+removed; repair keys first"))
+          .cast(df.schema(keyCol).dataType))
+        .otherwise(col(keyCol)).as("doc_id") +:
       // null TEXT is refused too: row-presence is what classifies
       // added/removed, so a present row with unknown text has no honest
       // bucket (it is neither equal nor comparably different)
       when(col(textCol).isNull,
-        raise_error(lit(s"snapshotDiff: null $textCol in the $t snapshot — " +
+        raise_error(lit(s"$op: null $textCol in the $t snapshot — " +
           "a present document with unknown text cannot be classified; " +
           "filter or repair first")).cast("string"))
-        .otherwise(col(textCol)).as(s"__t$t"))
-    val joined = side(prev, "a").join(side(cur, "b"), Seq("doc_id"), "full_outer")
+        .otherwise(col(textCol)).as(s"__t$t") +:
+      extras.zipWithIndex.map { case (c, i) => col(c).as(s"__c$i$t") }: _*)
+    checked.groupBy("doc_id")
+      .agg(count(lit(1)).as("__cnt"),
+        min(col(s"__t$t")).as(s"__t$t") +:
+          extras.indices.map(i => min(col(s"__c$i$t")).as(s"__c$i$t")): _*)
+      .select(col("doc_id") +:
+        when(col("__cnt") > 1,
+          raise_error(concat(lit(s"$op: duplicate $keyCol "),
+            col("doc_id").cast("string"),
+            lit(s" in the $t snapshot — a duplicated key cross-multiplies " +
+              "in the full-outer join and misclassifies every copy; " +
+              "dedup the snapshot first"))).cast("string"))
+          .otherwise(col(s"__t$t")).as(s"__t$t") +:
+        extras.indices.map(i => col(s"__c$i$t")): _*)
+  }
+
+  /** The shared gram-Jaccard classification tail over a full-outer-joined
+    * pair frame carrying `__ta`/`__tb` plus `carry` columns. */
+  private def diffTail(joined: DataFrame, carry: Seq[String], n: Int,
+                       threshold: Double): DataFrame = {
+    require(n >= 1, s"snapshotDiff: n must be >= 1, got $n")
+    val carryCols = carry.map(col)
 
     // per-word hash once (absent side -> empty array, so the gram stage
     // below is null-safe), materialized behind barrier #1
@@ -279,11 +346,11 @@ object Dedup {
       when(t.isNull, array().cast("array<bigint>"))
         .otherwise(transform(split(lower(t), " "), w => shingleHash(w) % MinhashP))
     val withWhs = joined
-      .select(col("doc_id"), col("__ta"), col("__tb"),
+      .select(carryCols ++ Seq(col("__ta"), col("__tb"),
         explode(array(struct(whsOf(col("__ta")).as("wa"),
-          whsOf(col("__tb")).as("wb")))).as("__w"))
-      .select(col("doc_id"), col("__ta"), col("__tb"),
-        col("__w.wa").as("__wa"), col("__w.wb").as("__wb"))
+          whsOf(col("__tb")).as("wb")))).as("__w")): _*)
+      .select(carryCols ++ Seq(col("__ta"), col("__tb"),
+        col("__w.wa").as("__wa"), col("__w.wb").as("__wb")): _*)
     // distinct hashed n-gram sets from the word hashes (the q33 stepwise
     // combine, values < 2^31 so products stay ANSI-safe), barrier #2
     def gramsOf(whs: Column): Column = array_distinct(
@@ -293,17 +360,23 @@ object Dedup {
             (acc, j) => (acc * 31L + element_at(whs, i + j + 1)) % MinhashP)))
         .otherwise(array().cast("array<bigint>")))
     val withSets = withWhs
-      .select(col("doc_id"), col("__ta"), col("__tb"),
+      .select(carryCols ++ Seq(col("__ta"), col("__tb"),
         explode(array(struct(gramsOf(col("__wa")).as("sa"),
-          gramsOf(col("__wb")).as("sb")))).as("__s"))
-      .select(col("doc_id"), col("__ta"), col("__tb"),
-        col("__s.sa").as("__sa"), col("__s.sb").as("__sb"))
+          gramsOf(col("__wb")).as("sb")))).as("__s")): _*)
+      .select(carryCols ++ Seq(col("__ta"), col("__tb"),
+        col("__s.sa").as("__sa"), col("__s.sb").as("__sb")): _*)
 
     // exact integer micro-Jaccard; union size 0 (both texts under n
     // words) counts as identical-content -> equal-text wins first and
     // 1e6 covers the rest
     val jac = when(col("__uni") > 0, expr("1000000 * __inter div __uni"))
       .otherwise(lit(1000000L))
+    // the retouched/rewritten cutoff in exact integer micros: ⌈t·10^6⌉ with
+    // the repo's float-ceil epsilon convention (cf. jaccardJoin's prefix
+    // bound) — a bare (t·10^6).toLong truncates non-representable thresholds
+    // (0.7 → 699999), so a pair with Jaccard strictly BELOW the threshold
+    // (exactly 699999 micros) would classify retouched instead of rewritten
+    val cutoff = math.ceil(threshold * 1e6 - 1e-9).toLong
     withSets
       .withColumn("__inter",
         size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
@@ -313,13 +386,13 @@ object Dedup {
         when(col("__ta").isNull || col("__tb").isNull ||
           col("__ta") === col("__tb"), lit(null).cast("long"))
           .otherwise(jac))
-      .select(col("doc_id"),
+      .select(carryCols ++ Seq(
         when(col("__ta").isNull, lit("added"))
           .when(col("__tb").isNull, lit("removed"))
           .when(col("__ta") === col("__tb"), lit("identical"))
-          .when(col("__jac") >= (threshold * 1000000L).toLong, lit("retouched"))
+          .when(col("__jac") >= cutoff, lit("retouched"))
           .otherwise(lit("rewritten")).as("status"),
-        col("__jac").as("jac_micros"))
+        col("__jac").as("jac_micros")): _*)
   }
 
   /** INCREMENTAL near-dup dedup: probe a NEW BATCH of documents against an
@@ -380,13 +453,21 @@ object Dedup {
     require(corpusSigs.columns.toSeq == Seq("doc_id", "mh"),
       s"incrementalNearDupIndexed: corpusSigs must be (doc_id, mh) — " +
         s"minhashSigFrame output — got ${corpusSigs.columns.toSeq}")
-    // clamped probe: one row decides (every row of a minhashSigFrame part
-    // has the same width); an empty index passes and probes to nothing
-    val w = corpusSigs.select(size(col("mh")).as("w")).limit(1).collect()
-    w.headOption.foreach(r => require(r.getInt(0) == numHashes,
-      s"incrementalNearDupIndexed: stored signatures have width ${r.getInt(0)} " +
-        s"but numHashes=$numHashes — a mismatched index bands differently and " +
-        "silently loses recall; re-sign the corpus or match the parameters"))
+    // width guard over EVERY stored row, not a one-row sample: the documented
+    // input is a UNION of per-batch signature parts, so parts written under a
+    // different numHashes (an intake restarted with a changed config) can
+    // coexist with matching-width parts — a sampled probe would pass, band
+    // with truncated/foreign slices, and silently lose recall, the exact
+    // failure this guard exists to refuse loudly. One min/max aggregate over
+    // the (already index-scale) signature frame; the result is one row. An
+    // empty index passes and probes to nothing.
+    val w = corpusSigs
+      .agg(min(size(col("mh"))).as("lo"), max(size(col("mh"))).as("hi")).head()
+    if (!w.isNullAt(0)) require(w.getInt(0) == numHashes && w.getInt(1) == numHashes,
+      s"incrementalNearDupIndexed: stored signature widths span " +
+        s"[${w.getInt(0)}, ${w.getInt(1)}] but numHashes=$numHashes — a " +
+        "mismatched part bands differently and silently loses recall; " +
+        "re-sign the corpus or match the parameters")
     indexedNearDupCore(corpusSigs, corpusText, batch, idCol, textCol,
       numHashes, bands, threshold)
   }
@@ -409,9 +490,18 @@ object Dedup {
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
+    (verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
+      () => { sigB.unpersist(); () })
+  }
+
+  /** The exact-Jaccard verify tail shared by the cross-side probes: texts
+    * joined per CANDIDATE pair only, shingle sets built after the join. */
+  private def verifyCrossPairs(cand: DataFrame, corpusText: DataFrame,
+                               batch: DataFrame, idCol: String, textCol: String,
+                               threshold: Double): DataFrame = {
     val bText = batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"))
     val cText = corpusText.select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
-    val out = cand
+    cand
       .join(bText, "batch_id")
       .join(cText, "corpus_id")
       .withColumn("sh_b", shingles(col("__tb")))
@@ -421,7 +511,101 @@ object Dedup {
           size(array_union(col("sh_b"), col("sh_c"))))
       .filter(col("jac") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("jac"))
-    (out, () => { sigB.unpersist(); () })
+  }
+
+  /** The state bucket of an LSH band key under a `numBuckets`-way layout:
+    * a uniform hash of the (band, key) pair — deterministic across engines
+    * and restarts (xxhash64 with Spark's fixed seed). Writer and probe must
+    * derive buckets through this one function (cf.
+    * [[Novelty.gramBucket]]'s layout contract). */
+  def bandBucket(b: Column, bkey: Column, numBuckets: Int): Column = {
+    require(numBuckets >= 1 && numBuckets <= Novelty.MaxBuckets,
+      s"bandBucket: numBuckets must be in [1, ${Novelty.MaxBuckets}], got $numBuckets")
+    pmod(xxhash64(b, bkey), lit(numBuckets.toLong)).cast("int")
+  }
+
+  /** The PERSISTED band-index frame a bucket-partitioned standing intake
+    * appends per batch: the exploded LSH band keys of a signature frame
+    * plus the signature WIDTH (`w` — the per-part witness the probe's
+    * width guard aggregates, so a part written under a different numHashes
+    * is refused loudly even when its buckets are never probed) and the
+    * `bkt` state bucket (write with `partitionBy("bkt")`). Probing this
+    * layout reads only the buckets the batch's own band keys touch —
+    * sub-linear in index size — where the flat (doc_id, mh) layout forces
+    * a full-index scan per batch. */
+  def bandIndexFrame(sigs: DataFrame, numHashes: Int, bands: Int,
+                     numBuckets: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(sigs.columns.toSeq == Seq("doc_id", "mh"),
+      s"bandIndexFrame: expected (doc_id, mh) — minhashSigFrame output — " +
+        s"got ${sigs.columns.toSeq}")
+    bandFrame(sigs, bands, numHashes / bands)
+      .select(col("doc_id"), col("b"), col("bkey"),
+        lit(numHashes).as("w"),
+        bandBucket(col("b"), col("bkey"), numBuckets).as("bkt"))
+  }
+
+  /** A bucket-pruned incremental near-dup probe: the pair frame, the
+    * buckets it actually read (telemetry — the no-silent-caps rule for a
+    * standing service), and the managed-persist cleanup. */
+  final case class BandedProbe(pairs: DataFrame, probedBuckets: Seq[Int],
+                               cleanup: () => Unit)
+
+  /** [[incrementalNearDupIndexedManaged]] over a BUCKET-PARTITIONED band
+    * index ([[bandIndexFrame]] parts, typically a parquet read of every
+    * `bands=<batch>` part directory): the batch is signed and banded, its
+    * distinct state buckets are collected (≤ `numBuckets` values — clamped
+    * metadata-scale by [[Novelty.MaxBuckets]]), and the index is read
+    * FILTERED to those buckets — with `bkt` a partition directory column
+    * the probe never opens a non-matching bucket's files, so per-batch
+    * index I/O is proportional to the touched buckets, not the corpus
+    * vocabulary. Pruning is exact: a pruned-away index row's (b, bkey)
+    * hashes to a bucket the batch never probes, so it cannot band-collide
+    * with any batch row. The inner band join keeps the big index side
+    * streamable (AQE broadcasts the batch bands; nothing exchanges the
+    * index). Candidates verify against corpus TEXT per matched pair only.
+    *
+    * The width guard aggregates min/max over the UNPRUNED index's `w`
+    * column (a single small column scan): a part written under a different
+    * numHashes must refuse loudly even when this batch never probes its
+    * buckets. */
+  def incrementalNearDupBanded(banded: DataFrame, corpusText: DataFrame,
+                               batch: DataFrame, idCol: String, textCol: String,
+                               numHashes: Int = 12, bands: Int = 4,
+                               numBuckets: Int = 64,
+                               threshold: Double = 0.5): BandedProbe = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(banded.columns.toSet == Set("doc_id", "b", "bkey", "w", "bkt"),
+      s"incrementalNearDupBanded: banded index must be (doc_id, b, bkey, w, " +
+        s"bkt) — bandIndexFrame output — got ${banded.columns.toSeq}")
+    val wides = banded.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+    if (!wides.isNullAt(0))
+      require(wides.getInt(0) == numHashes && wides.getInt(1) == numHashes,
+        s"incrementalNearDupBanded: stored band-index widths span " +
+          s"[${wides.getInt(0)}, ${wides.getInt(1)}] but numHashes=$numHashes " +
+          "— a mismatched part bands differently and silently loses recall; " +
+          "re-sign the corpus or match the parameters")
+    val sigB = minhashSigFrame(batch, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bandFrame(sigB, bands, numHashes / bands)
+      .withColumn("bkt", bandBucket(col("b"), col("bkey"), numBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bkts = bb.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // the batch band side carries an explicit broadcast: this operator's
+    // caller contract is a BOUNDED batch (a standing intake's admission
+    // control), and the hint makes "index streamed, zero index exchange"
+    // the STATIC plan — AQE's runtime conversion would still submit (and
+    // pay for) the index-side shuffle write before converting
+    val cand = banded.where(col("bkt").isin(bkts: _*)).as("y")
+      .join(broadcast(bb.as("x")),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    BandedProbe(
+      verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
+      bkts, () => { bb.unpersist(); sigB.unpersist(); () })
   }
 
   /** STREAMING [[incrementalNearDup]]: dedup-on-arrival — each micro-batch's

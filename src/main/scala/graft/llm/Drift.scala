@@ -280,7 +280,18 @@ object Drift {
         "the statistic first (or raise maxDomain deliberately)")
     val groups = counts.select("g").distinct()
     val values = counts.select("v").distinct()
+    // an all-zero-count group (legal per-row in the FromCounts forms —
+    // checkedCounts only refuses null/negative) would reach the
+    // `c·10^6 div n` share with n = 0: refuse it with the curated message
+    // the operators promise instead of a raw divide-by-zero
     val totals = counts.groupBy("g").agg(sum(col("c")).as("n"))
+      .select(col("g"),
+        when(col("n") === 0,
+          raise_error(concat(lit(s"$op: group "), col("g").cast("string"),
+            lit(" has zero total count — a distribution over an empty " +
+              "group has no shares; filter zero-count groups first")))
+            .cast("long"))
+          .otherwise(col("n")).as("n"))
     values.crossJoin(broadcast(groups))
       .join(counts, Seq("g", "v"), "left_outer")
       .withColumn("c", coalesce(col("c"), lit(0L)))

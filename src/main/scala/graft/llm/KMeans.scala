@@ -79,6 +79,23 @@ object KMeans {
                      iters: Int): DataFrame =
     assignClustersManaged(vectors, centroidStride, iters)._1
 
+  /** [[assignClusters]] under the COUNT contract (the scale-proof calling
+    * convention, mirroring [[Similarity]]'s IVF header): the caller fixes a
+    * centroid COUNT and the stride is derived from the corpus's max id —
+    * one metadata-scale aggregate — so the driver-side seed collect stays
+    * O(count) at ANY corpus size, where a fixed stride is O(N/stride) and
+    * unbounded at 100×. Deterministic: the same corpus always derives the
+    * same stride, hence the same cell structure. */
+  def assignClustersByCount(vectors: DataFrame, centroidCount: Long,
+                            iters: Int): DataFrame = {
+    require(centroidCount > 0 && centroidCount <= Similarity.MaxCentroids,
+      s"kmeans: centroidCount must be in (0, ${Similarity.MaxCentroids}], " +
+        s"got $centroidCount")
+    val maxId = vectors.agg(max(col("id"))).head().getLong(0)
+    assignClustersManaged(vectors,
+      math.max(1L, (maxId + 1) / centroidCount), iters)._1
+  }
+
   /** [[assignClusters]] plus the cleanup handle for the two cached frames
     * (same managed-persist contract as [[Dedup.jaccardJoin]]: unpersist
     * AFTER the consuming action; one-shot paths may ignore it). */
@@ -92,15 +109,21 @@ object KMeans {
       .as[(Long, Array[Long])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // seed centroids: the quantized stride sample, sorted by id — the same
-    // clamped-collect contract as Similarity's IVF header (metadata-scale)
+    // seed centroids: the quantized stride sample, sorted by id — the SAME
+    // clamped-collect contract as Similarity's IVF header: LIMIT
+    // MaxCentroids+1 makes the clamp, the emptiness check and the data
+    // fetch ONE job, so a too-small stride at large N becomes an actionable
+    // error (pass a COUNT via assignClustersByCount) instead of an eventual
+    // driver OOM; under the cap the limit is a no-op, so the seed set (and
+    // hence every cell) is exactly the unclamped one
     val seedRows = qvecs.filter(col("id") % centroidStride === 0)
-      .limit(1 << 22).collect()
+      .limit((Similarity.MaxCentroids + 1).toInt).collect()
     require(seedRows.nonEmpty,
       s"kmeans: no id is a multiple of centroidStride=$centroidStride")
-    require(seedRows.length < (1 << 22),
-      s"kmeans: centroidStride=$centroidStride yields over ${1 << 22} " +
-        "centroids — the centroid table must stay metadata-scale")
+    require(seedRows.length <= Similarity.MaxCentroids,
+      s"kmeans: centroidStride=$centroidStride would collect more than " +
+        s"${Similarity.MaxCentroids} centroids — pass a centroid COUNT " +
+        "(assignClustersByCount) to derive a scale-proof stride instead")
     var cents: Array[(Long, Array[Long])] = seedRows.sortBy(_._1)
 
     for (_ <- 1 to iters) {

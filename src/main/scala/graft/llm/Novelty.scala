@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus novelty scoring — how much of each document's n-gram content is
@@ -131,6 +131,51 @@ object Novelty {
     parts.groupBy("gram").agg(min(col("owner")).as("owner"))
   }
 
+  /** Hard ceiling on the state-bucket count: the per-batch probe collects
+    * the batch's distinct bucket ids (≤ numBuckets values) to prune the
+    * index read, so the bucket domain must stay metadata-scale by
+    * construction. 16384 buckets of a 100 TB-corpus vocabulary index keep
+    * each bucket well under a task's working set. */
+  val MaxBuckets: Int = 1 << 14
+
+  /** The state bucket of a gram under a `numBuckets`-way layout:
+    * `pmod(gram, numBuckets)` — gram values are already uniform hashes
+    * (mod-P polynomial over per-word xxhash/md5 values), so the residue is
+    * uniform and DETERMINISTIC across engines and restarts. Both the index
+    * writer and the probe derive buckets through this one function; a
+    * layout written under a different bucket count must be refused by the
+    * caller (the bucket ids would not line up and pruning would silently
+    * drop matches). */
+  def gramBucket(gram: Column, numBuckets: Int): Column = {
+    require(numBuckets >= 1 && numBuckets <= MaxBuckets,
+      s"gramBucket: numBuckets must be in [1, $MaxBuckets], got $numBuckets")
+    pmod(gram, lit(numBuckets.toLong)).cast("int")
+  }
+
+  /** A (gram, owner) index frame with its `bkt` state bucket attached —
+    * what a bucket-partitioned intake WRITES (`partitionBy("bkt")`), so the
+    * per-batch probe can prune the read to the buckets the batch actually
+    * touches instead of scanning (and worse, exchanging) the full
+    * vocabulary-scale index. */
+  def withGramBucket(index: DataFrame, numBuckets: Int): DataFrame = {
+    require(index.columns.toSeq == Seq("gram", "owner"),
+      s"withGramBucket: expected a (gram, owner) frame, got ${index.columns.toSeq}")
+    index.withColumn("bkt", gramBucket(col("gram"), numBuckets))
+  }
+
+  /** The distinct state buckets a batch's grams touch — the PRUNING SET for
+    * a bucket-partitioned index probe: `index.where(bkt isin …)` before
+    * [[ngramNoveltyAgainst]] reads only matching bucket directories, and
+    * every pruned-away index gram provably cannot match any batch gram
+    * (the bucket is a pure function of the gram), so the scores are
+    * unchanged. One batch-scale pass + a collect clamped at
+    * [[MaxBuckets]] values by construction. */
+  def gramBuckets(batch: DataFrame, idCol: String, textCol: String, n: Int,
+                  numBuckets: Int): Seq[Int] =
+    explodedGrams(batch, idCol, textCol, n)
+      .select(gramBucket(col("gram"), numBuckets).as("bkt"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
   /** Per-document novelty of a NEW batch against the accumulated corpus —
     * the standing-intake form of [[ngramNovelty]].
     *
@@ -159,8 +204,21 @@ object Novelty {
     * documents share no grams leaves every owner min (and thus every
     * score) identical to the in-order batch statistic, and is allowed
     * through. */
+  /** `broadcastProbe`: when the caller can BOUND the batch (a standing
+    * intake's admission control — maxFilesPerTrigger / batch sizing), set
+    * true to pin the batch-gram side as the broadcast build: the plan is
+    * then statically a broadcast join with the index STREAMED — zero
+    * exchange of the index, deterministically. Left false (default), the
+    * planner decides: AQE converts to broadcast when the gram set turns
+    * out small, but only AFTER the shuffle stages are submitted — the
+    * index-side shuffle WRITE still happens once, which is exactly the
+    * per-batch cost a standing service must not pay. The hint is the
+    * batch-bounds contract made explicit; an unbounded caller must leave
+    * it off (a forced broadcast of a huge gram set fails loudly rather
+    * than degrading). */
   def ngramNoveltyAgainst(index: DataFrame, batch: DataFrame, idCol: String,
-                          textCol: String, n: Int = 8): DataFrame = {
+                          textCol: String, n: Int = 8,
+                          broadcastProbe: Boolean = false): DataFrame = {
     require(index.columns.toSeq == Seq("gram", "owner"),
       s"ngramNoveltyAgainst: index must be (gram, owner) — gramIndex/" +
         s"mergeGramIndex/compactGramIndex output, or a raw PART UNION of " +
@@ -169,10 +227,23 @@ object Novelty {
     val batchOwner = exploded.groupBy("gram").agg(min(col(idCol)).as("__bown"))
     // The index may carry DUPLICATE gram rows (the log-structured part-union
     // shape: base + deltas, each owning the gram once) — the post-join min
-    // folds them to the true index owner. The aggregate reuses the join's
-    // gram partitioning (no extra exchange), its input is batch-gram-scale
-    // (each batch gram × its matching parts), and on a unique-gram index
-    // min is the identity — so the merged-index path pays nothing.
+    // folds them to the true index owner; on a unique-gram index min is the
+    // identity, so the merged-index path pays nothing.
+    //
+    // JOIN SHAPE (the 100 TB decision): the index probe is an INNER join
+    // with the batch grams, min-folded, then a batch-scale LEFT OUTER
+    // stitches the misses back — NOT a single left-outer with the batch as
+    // the outer-preserving side. In that one-join form the batch side is
+    // the left of a LEFT OUTER, which is not a legal broadcast build side,
+    // so the planner is FORCED into a sort-merge join that EXCHANGES the
+    // full vocabulary-scale index every probe — the dominant per-batch cost
+    // of a standing intake at scale. In the inner form the big index is the
+    // streamed side: AQE broadcasts the (batch-vocabulary-scale) gram set
+    // and the index is scanned ONCE with zero shuffle — and when a huge
+    // batch genuinely exceeds the broadcast threshold it degrades to the
+    // shuffled join, never anything worse than the old shape. Cost: the
+    // batch grams are computed once more (batch-scale, codegen'd row-local
+    // work) — the right trade against shuffling the index.
     val ownerType = index.schema("owner").dataType
     val iownChecked = when(col("__iown").isNull || col("__iown") <= col("__bown"),
         col("__iown"))
@@ -188,10 +259,13 @@ object Novelty {
     // The ordering check runs on the FOLDED index owner: the true
     // concatenated-corpus owner is min(all part owners, batch owner), so a
     // larger-but-not-minimal part owner provably cannot change any score.
+    val probeGrams = exploded.select(col("gram")).distinct()
+    val matched = index.withColumnRenamed("owner", "__iown")
+      .join(if (broadcastProbe) broadcast(probeGrams) else probeGrams,
+        Seq("gram"))
+      .groupBy("gram").agg(min(col("__iown")).as("__iown"))
     val owner = batchOwner
-      .join(index.withColumnRenamed("owner", "__iown"), Seq("gram"), "left_outer")
-      .groupBy("gram")
-      .agg(min(col("__bown")).as("__bown"), min(col("__iown")).as("__iown"))
+      .join(matched, Seq("gram"), "left_outer")
       .select(col("gram"), least(col("__bown"), iownChecked).as("owner"))
     perDocStats(batch, exploded, owner, idCol)
   }

@@ -145,7 +145,7 @@ object Similarity {
     * "metadata-scale" contract is broken no matter what the caller intended
     * — fail with the fix (a centroid COUNT) instead of an eventual driver
     * OOM. 4M centroid structs ≈ low-GB at d=128, the defensible extreme. */
-  private val MaxCentroids: Long = 4L << 20
+  private[llm] val MaxCentroids: Long = 4L << 20
 
   /** Derive the centroid stride from a COUNT contract: ONE metadata-scale
     * aggregate (max id over the pruned id column) fixes

@@ -367,6 +367,224 @@ class IntakeSpec extends SparkSpec {
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap === finalCounters)
   }
 
+  private def readRejects(out: Path, id: Long): Set[(Long, String, String)] = {
+    val dir = s"$out/rejects/batch=$id"
+    if (!Files.exists(java.nio.file.Paths.get(dir))) Set.empty
+    else spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+  }
+
+  test("bucketed state layout: assignments and rejects are IDENTICAL to " +
+    "the flat layout across batches and a compaction; probes prune " +
+    "(buckets probed < bucket count, probed bytes < total bytes); the " +
+    "drop ledger partitions every batch; replay byte-identical; a " +
+    "stateBuckets mismatch against recorded state refuses loudly") {
+    val in = tmp()
+    // ~12-word docs (stable MinHash); ids %5==0 land on the blocked domain
+    val baseText = (i: Long) =>
+      (0 to 11).map(j => s"z${(i * 17 + j * 5) % 41}").mkString(" ")
+    Files.write(in.resolve("a.json"),
+      (1L to 10L).map(i => docJson(i, "en", baseText(i))).asJava)
+    Thread.sleep(20) // distinct mtimes: the file source orders by timestamp
+    val nearDup = baseText(1L).split(" ").updated(5, "changedword").mkString(" ")
+    Files.write(in.resolve("b.json"), Seq(
+      docJson(21L, "en", nearDup), // near-dup of doc 1 -> near_dup reject
+      docJson(22L, "en", "completely different tokens that nothing else shares ever"),
+      docJson(25L, "en", "on the blocked domain so never scored")).asJava)
+    Thread.sleep(20)
+    // batch 2 trips compactEvery=2 in both layouts
+    Files.write(in.resolve("c.json"), Seq(
+      docJson(31L, "de", "post compaction fresh words never seen before")).asJava)
+
+    def run(buckets: Int): Intake.Config = {
+      val (cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp())
+      val cfg = cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        stateBuckets = buckets,
+        // one file per trigger so the three files land as batches 0/1/2
+        maxFilesPerTrigger = Some(1))
+      val q = Intake.start(spark, cfg)
+      try assert(q.awaitTermination(240000)) finally q.stop()
+      cfg
+    }
+    val cfgFlat = run(0)
+    val cfgBkt = run(32)
+    val outFlat = java.nio.file.Paths.get(cfgFlat.outDir)
+    val outBkt = java.nio.file.Paths.get(cfgBkt.outDir)
+    val idxBkt = java.nio.file.Paths.get(cfgBkt.indexDir)
+
+    // score/ledger equivalence: the layout must be invisible in every output
+    for (b <- 0L to 2L) {
+      assert(readBatch(outBkt, b) === readBatch(outFlat, b),
+        s"batch $b assignments diverged between layouts")
+      assert(readRejects(outBkt, b) === readRejects(outFlat, b),
+        s"batch $b rejects diverged between layouts")
+    }
+    // the ledger partitions the batch: survivors ∪ rejects = batch ids,
+    // disjoint, with the engineered docs in their stages
+    val surv1 = readBatch(outBkt, 1L).map(_._1).toSet
+    val rej1 = readRejects(outBkt, 1L)
+    assert(surv1.intersect(rej1.map(_._1)).isEmpty)
+    assert(surv1 ++ rej1.map(_._1) === Set(21L, 22L, 25L))
+    assert(rej1.exists(r => r._1 == 25L && r._2 == "blocklist" &&
+      r._3.startsWith("blocked_by:")), s"$rej1")
+    assert(rej1.exists(r => r._1 == 21L && r._2 == "near_dup" &&
+      r._3 == "near_dup_of:1"), s"$rej1")
+
+    // the bucketed layout actually landed: every surviving index part
+    // (batch 2 compacted deltas 0-1 into base=1) is partitioned by bkt
+    assert(idxParts(idxBkt) === Seq("base=1", "delta=2"), s"${idxParts(idxBkt)}")
+    Seq("base=1", "delta=2").foreach { part =>
+      assert(Files.list(idxBkt.resolve(part)).iterator().asScala
+        .exists(_.getFileName.toString.startsWith("bkt=")),
+        s"bucketed part $part must be partitioned by bkt")
+    }
+
+    // probes PRUNE: batch 1 has ~30 grams and 12 band keys, so it can
+    // touch at most that many of the 32 buckets — strictly fewer than the
+    // bucket count, and fewer probed bytes than the standing state holds
+    val m1 = spark.read.parquet(s"$outBkt/metrics/batch=1").collect().head
+    def L(n: String) = m1.getLong(m1.fieldIndex(n))
+    assert(L("state_buckets") === 32L)
+    assert(L("index_buckets_probed") > 0L && L("index_buckets_probed") < 32L, s"$m1")
+    assert(L("index_bytes_probed") < L("index_bytes"),
+      s"pruned probe must read fewer bytes than the full index: $m1")
+    assert(L("sig_buckets_probed") > 0L && L("sig_buckets_probed") < 32L, s"$m1")
+    assert(L("sig_bytes_probed") < L("sig_bytes"), s"$m1")
+    assert(L("rej_near_dup") === 1L && L("rej_blocklist") === 1L &&
+      L("survivors") === 1L && L("batch_docs") === 3L, s"$m1")
+    // the flat layout reports unpruned probes (-1 bucket counts, probed =
+    // total)
+    val m1f = spark.read.parquet(s"$outFlat/metrics/batch=1").collect().head
+    def Lf(n: String) = m1f.getLong(m1f.fieldIndex(n))
+    assert(Lf("index_buckets_probed") === -1L &&
+      Lf("index_bytes_probed") === Lf("index_bytes"), s"$m1f")
+
+    // replay of batch 1 in the bucketed layout: byte-identical outputs
+    // (reads bands/delta parts < 1 through the same pruned probes)
+    val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
+    val before = (readBatch(outBkt, 1L), readRejects(outBkt, 1L))
+    Intake.processBatch(spark, cfgBkt, batchB, 1L)
+    assert((readBatch(outBkt, 1L), readRejects(outBkt, 1L)) === before,
+      "replayed bucketed batch diverged")
+
+    // the recorded layout is pinned: a run with a different stateBuckets
+    // against the same state refuses loudly before touching anything
+    val ex = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 8), batchB, 3L)
+    }
+    assert(ex.getMessage.contains("stateBuckets=32"), s"$ex")
+    val ex2 = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 0), batchB, 3L)
+    }
+    assert(ex2.getMessage.contains("stateBuckets"), s"$ex2")
+  }
+
+  test("probe plan posture: the bucketed novelty probe PRUNES the index " +
+    "scan (partition filters, fewer rows read than stored) and never " +
+    "sorts, exchanges, or broadcasts the index side — the index is the " +
+    "STREAMED side of a broadcast join; same for the banded sig probe") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    def scansOf(p: SparkPlan, dir: String): Seq[FileSourceScanExec] =
+      nodes(p).collect {
+        case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains(dir)) => f
+      }
+
+    val idx = tmp()
+    // a deterministic pseudo-random standing index: incompressible gram
+    // values so the scan's row metrics reflect real pruning
+    val corpusDocs = (1L to 400L)
+      .map(i => (i, (0 to 11).map(j => s"t${(i * 131 + j * 29) % 4999}").mkString(" ")))
+      .toDF("doc_id", "text")
+    graft.llm.Novelty.withGramBucket(
+        graft.llm.Novelty.gramIndex(corpusDocs, "doc_id", "text", 3), 32)
+      .write.partitionBy("bkt").parquet(s"$idx/delta=0")
+    val batch = Seq((900L, (0 to 11).map(j => s"t${(131 + j * 29) % 4999}").mkString(" ")))
+      .toDF("doc_id", "text")
+
+    val bkts = graft.llm.Novelty.gramBuckets(batch, "doc_id", "text", 3, 32)
+    assert(bkts.nonEmpty && bkts.size < 32, s"$bkts")
+    val index = spark.read.schema("gram BIGINT, owner BIGINT, bkt INT")
+      .parquet(s"$idx/delta=0")
+      .where(col("bkt").isin(bkts: _*)).select("gram", "owner")
+    val scored = graft.llm.Novelty.ngramNoveltyAgainst(
+      index, batch, "doc_id", "text", 3, broadcastProbe = true)
+    assert(scored.collect().nonEmpty) // execute, so AQE finalizes + metrics fill
+    val plan = scored.queryExecution.executedPlan
+    val idxScans = scansOf(plan, idx.toString)
+    assert(idxScans.nonEmpty, s"no index scan found:\n$plan")
+    idxScans.foreach { s =>
+      assert(s.partitionFilters.nonEmpty,
+        s"the index scan must carry the bkt partition filter:\n$plan")
+    }
+    val totalGrams = spark.read
+      .schema("gram BIGINT, owner BIGINT, bkt INT").parquet(s"$idx/delta=0").count()
+    val rowsRead = idxScans.map(_.metrics("numOutputRows").value).sum
+    assert(rowsRead < totalGrams,
+      s"pruning must read fewer index rows than stored ($rowsRead vs $totalGrams)")
+    // the index side is STREAMED: it never feeds a sort-merge join, and
+    // no exchange (shuffle OR broadcast) moves the RAW index — any
+    // exchange whose subtree contains the index scan must have a join
+    // BELOW it, i.e. it moves post-probe matched rows, not the index
+    def joinBelow(e: SparkPlan): Boolean = nodes(e).drop(1).exists(p =>
+      p.getClass.getSimpleName.contains("Join"))
+    nodes(plan).foreach {
+      case smj: SortMergeJoinExec =>
+        assert(scansOf(smj, idx.toString).isEmpty,
+          s"index side must never sort-merge:\n$plan")
+      case e: ShuffleExchangeLike if scansOf(e, idx.toString).nonEmpty =>
+        assert(joinBelow(e),
+          s"a shuffle exchanges the raw index (no join below it):\n$plan")
+      case b: BroadcastExchangeLike if scansOf(b, idx.toString).nonEmpty =>
+        assert(joinBelow(b),
+          s"a broadcast builds over the raw index (no join below it):\n$plan")
+      case _ => ()
+    }
+
+    // the banded sig probe: same posture over bands parts
+    val corp = tmp()
+    val sigs = graft.llm.Dedup.minhashSigFrame(corpusDocs, "doc_id", "text", 12)
+    graft.llm.Dedup.bandIndexFrame(sigs, 12, 4, 32)
+      .write.partitionBy("bkt").parquet(s"$corp/bands=0")
+    val banded = spark.read
+      .schema("doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT")
+      .parquet(s"$corp/bands=0")
+      .select("doc_id", "b", "bkey", "w", "bkt")
+    val probe = graft.llm.Dedup.incrementalNearDupBanded(
+      banded, corpusDocs, batch, "doc_id", "text", 12, 4, 32, 0.5)
+    try {
+      probe.pairs.collect() // the planted doc matches doc 1
+      assert(probe.probedBuckets.nonEmpty && probe.probedBuckets.size < 32)
+      val p2 = probe.pairs.queryExecution.executedPlan
+      val bandScans = scansOf(p2, s"$corp/bands=0")
+      assert(bandScans.nonEmpty, s"no band-index scan found:\n$p2")
+      bandScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+        s"the band scan must carry the bkt partition filter:\n$p2"))
+      nodes(p2).foreach {
+        case smj: SortMergeJoinExec =>
+          assert(scansOf(smj, s"$corp/bands=0").isEmpty,
+            s"band index must never sort-merge:\n$p2")
+        case b: BroadcastExchangeLike =>
+          assert(scansOf(b, s"$corp/bands=0").isEmpty,
+            s"the band index must never be the broadcast build:\n$p2")
+        case _ => ()
+      }
+    } finally probe.cleanup()
+  }
+
   test("drift monitoring: per-batch KS/TV report vs the accumulated " +
     "reference equals the raw Drift operators; state versions retire; " +
     "replay byte-identical; first batch writes state only") {

@@ -181,6 +181,23 @@ class DriftSpec extends SparkSpec {
       .takeWhile(_ != null).take(8)
     assert(chain(ex).exists(c =>
       String.valueOf(c.getMessage).contains("non-negative")), s"$ex")
+    // an ALL-ZERO-count group (legal per-row: zero is non-negative) has no
+    // distribution — refused with the curated message, never a raw
+    // divide-by-zero from `c·10^6 div n`
+    val zeroed = Seq(("A", 1L, 0L), ("A", 2L, 0L), ("B", 1L, 2L), ("B", 2L, 1L))
+      .toDF("g", "v", "c")
+    val exZ = intercept[Exception] {
+      Drift.ecdfDriftFromCounts(zeroed, "g", "v", "c").collect()
+    }
+    assert(chain(exZ).exists(c =>
+      String.valueOf(c.getMessage).contains("zero total count")), s"$exZ")
+    val exZt = intercept[Exception] {
+      Drift.categoricalDriftFromCounts(
+        Seq(("A", "x", 0L), ("B", "x", 2L)).toDF("g", "v", "c"),
+        "g", "v", "c").collect()
+    }
+    assert(chain(exZt).exists(c =>
+      String.valueOf(c.getMessage).contains("zero total count")), s"$exZt")
   }
 
   test("centroid drift width probe: empty input and an all-null embedding " +

@@ -99,4 +99,27 @@ class KMeansSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(run() === run())
   }
+
+  test("assignClustersByCount: the count contract derives the stride from " +
+    "the max id (Similarity's IVF-header convention) and equals the " +
+    "stride form; out-of-range counts refuse loudly") {
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val maxId = vecs.agg(max(col("id"))).head().getLong(0)
+    val k = 12L
+    val stride = math.max(1L, (maxId + 1) / k)
+    val viaCount = KMeans.assignClustersByCount(vecs, k, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val viaStride = KMeans.assignClusters(vecs, stride, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(viaCount === viaStride)
+    val exLo = intercept[IllegalArgumentException] {
+      KMeans.assignClustersByCount(vecs, 0L, iters = 1)
+    }
+    assert(exLo.getMessage.contains("centroidCount"), s"$exLo")
+    val exHi = intercept[IllegalArgumentException] {
+      KMeans.assignClustersByCount(vecs, (4L << 20) + 1, iters = 1)
+    }
+    assert(exHi.getMessage.contains("centroidCount"), s"$exHi")
+  }
 }

@@ -818,6 +818,102 @@ class LlmSpec extends SparkSpec {
     assert(r.passed, s"snapshotDiff property failed: $r")
   }
 
+  test("snapshotDiff refuses DUPLICATE ids within a snapshot loudly — a " +
+    "duplicated id would cross-multiply in the full-outer join and " +
+    "misclassify every copy") {
+    import spark.implicits._
+    val dup = Seq((1L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // same text — still refused
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val clean = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.snapshotDiff(dup, clean, "doc_id", "text").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("duplicate doc_id")), s"$ex")
+    val ex2 = intercept[Exception] {
+      Dedup.snapshotDiff(clean, dup, "doc_id", "text").collect()
+    }
+    assert(Iterator.iterate(ex2: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("duplicate doc_id")), s"$ex2")
+  }
+
+  test("snapshotDiffByKey: re-minted ids classify correctly through a " +
+    "stable content key, per-side ids ride along as provenance; with " +
+    "key = id it equals snapshotDiff plus the provenance columns; " +
+    "duplicate keys refuse") {
+    import spark.implicits._
+    // the crawl-refresh shape: ids are row numbers re-minted per snapshot,
+    // urls are stable — an id-keyed diff would call everything added+removed
+    val prev = Seq(
+      ("u/a", 1L, "alpha beta gamma delta epsilon"),  // identical
+      ("u/b", 2L, "one two three four five six"),     // retouched
+      ("u/c", 3L, "totally original body of text here"), // rewritten
+      ("u/d", 4L, "this document gets dropped"))      // removed
+      .toDF("url", "doc_id", "text")
+    val cur = Seq(
+      ("u/a", 11L, "alpha beta gamma delta epsilon"),
+      ("u/b", 12L, "one two three four five six seven"),
+      ("u/c", 13L, "completely different words now appear"),
+      ("u/e", 15L, "a brand new arrival document"))
+      .toDF("url", "doc_id", "text")
+    val got = Dedup.snapshotDiffByKey(prev, cur, "url", "doc_id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(got("u/a") === ((1L, 11L, "identical", -1L)), s"$got")
+    assert(got("u/b") === ((2L, 12L, "retouched", 800000L)), s"$got")
+    assert(got("u/c")._3 === "rewritten", s"$got")
+    assert(got("u/d") === ((4L, -1L, "removed", -1L)), s"$got")
+    assert(got("u/e") === ((-1L, 15L, "added", -1L)), s"$got")
+
+    // with the key AS the id, byKey is snapshotDiff plus provenance
+    val p2 = prev.select(col("doc_id"), col("text"))
+    val c2 = cur.select(col("doc_id"), col("text"))
+    val viaKey = Dedup.snapshotDiffByKey(p2, c2, "doc_id", "doc_id", "text")
+      .select(col("key").as("doc_id"), col("status"), col("jac_micros"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    val viaId = Dedup.snapshotDiff(p2, c2, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(viaKey === viaId, s"$viaKey vs $viaId")
+
+    val dupKey = Seq(("u/a", 1L, "x y z"), ("u/a", 2L, "x y w"))
+      .toDF("url", "doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.snapshotDiffByKey(dupKey, cur, "url", "doc_id", "text").collect()
+    }
+    assert(Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(c => String.valueOf(c.getMessage).contains("duplicate url")), s"$ex")
+  }
+
+  test("incrementalNearDupIndexed width guard aggregates over EVERY stored " +
+    "part: a mixed-width part union (an intake restarted with a changed " +
+    "numHashes) refuses loudly even when the first-scanned rows match") {
+    import spark.implicits._
+    val docsA = Seq((1L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val docsB = Seq((2L, "ii jj kk ll mm nn oo pp")).toDF("doc_id", "text")
+    val mixed = Dedup.minhashSigFrame(docsA, "doc_id", "text", 12)
+      .unionByName(Dedup.minhashSigFrame(docsB, "doc_id", "text", 8))
+    val batch = Seq((9L, "aa bb cc dd ee ff gg hh")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupIndexedManaged(mixed,
+        docsA.unionByName(docsB), batch, "doc_id", "text", 12, 4, 0.5)
+    }
+    assert(ex.getMessage.contains("widths span [8, 12]"), s"$ex")
+    // a uniform matching-width union still passes and probes
+    val ok = Dedup.minhashSigFrame(docsA, "doc_id", "text", 12)
+      .unionByName(Dedup.minhashSigFrame(docsB, "doc_id", "text", 12))
+    val (pairs, rel) = Dedup.incrementalNearDupIndexedManaged(ok,
+      docsA.unionByName(docsB), batch, "doc_id", "text", 12, 4, 0.5)
+    try assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((9L, 1L)))
+    finally rel()
+  }
+
   test("oovRate property: matches a driver-side vocabulary + occurrence " +
     "oracle over random corpora and K") {
     import spark.implicits._
