@@ -165,7 +165,14 @@ object Intake {
         * and nothing ever exchanges or scans the full standing index —
         * the difference between per-batch cost proportional to the BATCH
         * and proportional to everything ever ingested, which is the whole
-        * game at 100 TB. Scores are layout-invariant (spec-asserted
+        * game at 100 TB. How much the pruning saves is proportional to
+        * the batch's KEY coverage of the bucket domain: band keys are
+        * doc-scale (bands × docs), so the near-dup probe prunes hard for
+        * ordinary micro-batches; gram keys are vocabulary-scale, so a
+        * bulk batch touches most gram buckets and the layout's win there
+        * is the scan-not-exchange posture (the index streams through a
+        * broadcast join, never shuffles) plus hard pruning for narrow
+        * tail batches. Scores are layout-invariant (spec-asserted
         * against the flat layout): a pruned-away row's bucket is a pure
         * function of its key, so it provably cannot match any batch key.
         * The bucket count is pinned per state directory (a `_state_buckets`
@@ -217,12 +224,41 @@ object Intake {
     }
   }
 
-  /** Recursive byte size of a state path, 0 when absent — directory-listing
-    * scale, used only by the per-batch telemetry frame. */
-  private def dirBytes(spark: SparkSession, path: String): Long = {
+  /** Write a bkt-carrying frame as a bucket-partitioned part: repartition
+    * by the bucket FIRST, so each bucket directory holds one file per
+    * owning task instead of one per upstream partition (a direct
+    * `partitionBy` from a B-spanning shuffle writes tasks × buckets small
+    * files — the classic dynamic-partition file explosion). */
+  private def writeBucketed(df: DataFrame, path: String): Unit =
+    df.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(path)
+
+  /** (total, probed) byte size of one state part — ONE recursive listing
+    * per part (directory-listing scale, used only by the per-batch
+    * telemetry frame). `probed` = the bucket ids the batch's probe read;
+    * None = the probe was unpruned, so probed equals total. */
+  private def partBytes(spark: SparkSession, path: String,
+                        probed: Option[Set[Int]]): (Long, Long) = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      var tot = 0L
+      var pr = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        tot += f.getLen
+        val parent = f.getPath.getParent.getName
+        val hit = probed match {
+          case None => true
+          case Some(ks) => parent.startsWith("bkt=") &&
+            scala.util.Try(parent.stripPrefix("bkt=").toInt).toOption.exists(ks)
+        }
+        if (hit) pr += f.getLen
+      }
+      (tot, pr)
+    }
   }
 
   /** One micro-batch of the intake pipeline: blocklist → (optional)
@@ -421,6 +457,22 @@ object Intake {
           .select("doc_id"), "doc_id")
         .select("doc_id", "lang")
 
+      // probe-I/O telemetry, measured NOW — after the probes, before this
+      // batch's state writes land and before compaction retires the very
+      // parts the probes read (listing them later would read 0)
+      val idxSizes = partPaths.map(pp =>
+        partBytes(spark, pp, probedGramBkts.map(_.toSet)))
+      val (idxBytes, idxBytesProbed) =
+        (idxSizes.map(_._1).sum, idxSizes.map(_._2).sum)
+      val sigPartDirs = cfg.corpusDir.toSeq.flatMap { cd =>
+        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
+          .map(p => if (bucketed) s"$cd/bands=$p" else s"$cd/sigs=$p")
+      }
+      val sigSizes = sigPartDirs.map(pd =>
+        partBytes(spark, pd, probedSigBkts.map(_.toSet)))
+      val (sigBytes, sigBytesProbed) =
+        (sigSizes.map(_._1).sum, sigSizes.map(_._2).sum)
+
       val priorCounters = cfg.countersDir.map { cd =>
         versionsOf(spark, cd).filter(_ < id).sorted.lastOption
           .map(v => spark.read.parquet(s"$cd/v=$v")
@@ -479,9 +531,9 @@ object Intake {
         val sigs = Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
           "doc_id", "text", cfg.numHashes)
         if (bucketed)
-          Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
-            .write.mode("overwrite").partitionBy("bkt")
-            .parquet(s"$cd/bands=$id")
+          writeBucketed(
+            Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets),
+            s"$cd/bands=$id")
         else
           sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
       }
@@ -494,9 +546,8 @@ object Intake {
       val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
         "doc_id", "text", cfg.n)
       if (bucketed)
-        Novelty.withGramBucket(delta, cfg.stateBuckets)
-          .write.mode("overwrite").partitionBy("bkt")
-          .parquet(s"${cfg.indexDir}/delta=$id")
+        writeBucketed(Novelty.withGramBucket(delta, cfg.stateBuckets),
+          s"${cfg.indexDir}/delta=$id")
       else delta.write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
 
       // compaction: once enough deltas pend STRICTLY BELOW this batch,
@@ -510,9 +561,8 @@ object Intake {
         val compacted = Novelty.compactGramIndex(
           readIndexParts().select("gram", "owner"))
         if (bucketed)
-          Novelty.withGramBucket(compacted, cfg.stateBuckets)
-            .write.mode("overwrite").partitionBy("bkt")
-            .parquet(s"${cfg.indexDir}/base=$h")
+          writeBucketed(Novelty.withGramBucket(compacted, cfg.stateBuckets),
+            s"${cfg.indexDir}/base=$h")
         else compacted.write.mode("overwrite").parquet(s"${cfg.indexDir}/base=$h")
         if (!cfg.keepAllIndexVersions) {
           deltaVs.foreach(v => delete(spark, s"${cfg.indexDir}/delta=$v"))
@@ -533,16 +583,6 @@ object Intake {
         .withDefaultValue(0L)
       val survivors =
         spark.read.parquet(s"${cfg.outDir}/batch=$id").count()
-      val idxBytes = partPaths.map(dirBytes(spark, _)).sum
-      val idxBytesProbed = probedGramBkts.fold(idxBytes)(bkts =>
-        partPaths.flatMap(pp => bkts.map(k => dirBytes(spark, s"$pp/bkt=$k"))).sum)
-      val sigPartDirs = cfg.corpusDir.toSeq.flatMap { cd =>
-        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
-          .map(p => if (bucketed) s"$cd/bands=$p" else s"$cd/sigs=$p")
-      }
-      val sigBytes = sigPartDirs.map(dirBytes(spark, _)).sum
-      val sigBytesProbed = probedSigBkts.fold(sigBytes)(bkts =>
-        sigPartDirs.flatMap(pd => bkts.map(k => dirBytes(spark, s"$pd/bkt=$k"))).sum)
       Seq((id, b.count(), stageCounts("blocklist"), stageCounts("near_dup"),
           stageCounts("in_batch_near_dup"), stageCounts("novelty"), survivors,
           partPaths.size.toLong, idxBytes, idxBytesProbed,

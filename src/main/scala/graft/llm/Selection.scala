@@ -439,9 +439,21 @@ object Selection {
     * equality and bucket arithmetic must be exact for the oracle to agree.
     * Output: (id, score, thr) for kept documents. */
   def quantileCut(scored: DataFrame, idCol: String, scoreCol: String,
-                  pct: Int, maxBuckets: Int = 4096): DataFrame = {
+                  pct: Int, maxBuckets: Int = 4096): DataFrame =
+    quantileCutManaged(scored, idCol, scoreCol, pct, maxBuckets)._1
+
+  /** [[quantileCut]] plus the cleanup handle for the cached score frame
+    * (the managed-persist contract of [[Dedup.jaccardJoin]]): the operator
+    * runs FOUR actions over the scored frame (stats, bucket counts, the
+    * one-bucket top-k, the final filter), so an unpersisted input replays
+    * its whole upstream pipeline four times — measured 6.8 s → ~3 s at
+    * sf0.1 when the input composes the q55 LM scoring. The cache is
+    * (id, score) — 16 bytes/row, corpus-scale but column-minimal. */
+  def quantileCutManaged(scored: DataFrame, idCol: String, scoreCol: String,
+                         pct: Int, maxBuckets: Int = 4096): (DataFrame, () => Unit) = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
     val base = scored.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stats = base.agg(count(lit(1)).as("n"), min("score").as("lo"),
       max("score").as("hi")).head()
     val n = stats.getLong(0)
@@ -466,7 +478,8 @@ object Selection {
       .filter(expr(s"(score - $lo) div $width") === target)
       .orderBy("score").limit(kInBucket)
       .agg(max("score")).head().getLong(0)
-    base.filter(col("score") <= thr).withColumn("thr", lit(thr))
+    (base.filter(col("score") <= thr).withColumn("thr", lit(thr)),
+      () => { base.unpersist(); () })
   }
 
   /** EXACT PER-GROUP score quantile — the grouped form of [[quantileCut]],

@@ -3006,6 +3006,82 @@ object LlmQueries {
       |WHERE r.rn = (r.n * p.pct + 99) // 100
       |ORDER BY source, pct""".stripMargin
 
+  // ---------------------------------------------------------------- q97 keyed snapshot diff
+  /** CONTENT-KEYED snapshot diff ([[Dedup.snapshotDiffByKey]]): the q95
+    * classification when the refresh RE-MINTS every doc id (ids are row
+    * numbers, not content addresses) — keyed on a stable url instead, with
+    * the per-side ids carried as provenance. Same derived second snapshot
+    * as q95 (%7 dropped, %13 rewritten, %5 retouched, %11 added under a
+    * shifted url), every cur id shifted by +5,000,000: an id-keyed diff
+    * would classify the WHOLE corpus added+removed; the url-keyed diff
+    * classifies it correctly. */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      concat(lit("u/"), col("doc_id")).as("url"), col("doc_id"), col("text"))
+    val cur = docs
+      .filter(col("doc_id") % 7 =!= 3)
+      .select(col("url"), (col("doc_id") + 5000000L).as("doc_id"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit("rewritten corpus entry number "), col("doc_id")))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(" refreshed")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 11 === 0)
+        .select(concat(lit("u/"), col("doc_id") + 1000000L).as("url"),
+          (col("doc_id") + 6000000L).as("doc_id"), col("text")))
+    Dedup.snapshotDiffByKey(docs, cur, "url", "doc_id", "text")
+      .orderBy("key")
+  }
+
+  private val q97Sql =
+    """WITH prev AS (
+      |  SELECT 'u/' || doc_id AS url, doc_id, text FROM documents),
+      |cur AS (
+      |  SELECT 'u/' || doc_id AS url, doc_id + 5000000 AS doc_id,
+      |    CASE WHEN doc_id % 13 = 0
+      |           THEN 'rewritten corpus entry number ' || doc_id
+      |         WHEN doc_id % 5 = 0 THEN text || ' refreshed'
+      |         ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT 'u/' || (doc_id + 1000000) AS url, doc_id + 6000000 AS doc_id,
+      |    text
+      |  FROM documents WHERE doc_id % 11 = 0),
+      |j AS (
+      |  SELECT coalesce(a.url, b.url) AS key, a.doc_id AS prev_id,
+      |    b.doc_id AS cur_id, a.text AS ta, b.text AS tb
+      |  FROM prev a FULL OUTER JOIN cur b ON a.url = b.url),
+      |sh AS (
+      |  SELECT key, prev_id, cur_id, ta, tb,
+      |    list_distinct(CASE WHEN len(string_split(lower(ta), ' ')) >= 3
+      |      THEN [string_split(lower(ta), ' ')[i] || ' ' ||
+      |            string_split(lower(ta), ' ')[i+1] || ' ' ||
+      |            string_split(lower(ta), ' ')[i+2]
+      |            for i in range(1, len(string_split(lower(ta), ' ')) - 1)]
+      |      ELSE [] END) AS sa,
+      |    list_distinct(CASE WHEN len(string_split(lower(tb), ' ')) >= 3
+      |      THEN [string_split(lower(tb), ' ')[i] || ' ' ||
+      |            string_split(lower(tb), ' ')[i+1] || ' ' ||
+      |            string_split(lower(tb), ' ')[i+2]
+      |            for i in range(1, len(string_split(lower(tb), ' ')) - 1)]
+      |      ELSE [] END) AS sb
+      |  FROM j),
+      |scored AS (
+      |  SELECT key, prev_id, cur_id, ta, tb,
+      |    CASE WHEN ta IS NULL OR tb IS NULL OR ta = tb THEN NULL
+      |         WHEN len(list_distinct(sa || sb)) > 0
+      |           THEN (1000000 * len(list_intersect(sa, sb)))
+      |                  // len(list_distinct(sa || sb))
+      |         ELSE 1000000 END AS jac_micros
+      |  FROM sh)
+      |SELECT key, prev_id::BIGINT AS prev_id, cur_id::BIGINT AS cur_id,
+      |  CASE WHEN ta IS NULL THEN 'added'
+      |       WHEN tb IS NULL THEN 'removed'
+      |       WHEN ta = tb THEN 'identical'
+      |       WHEN jac_micros >= 500000 THEN 'retouched'
+      |       ELSE 'rewritten' END AS status,
+      |  jac_micros::BIGINT AS jac_micros
+      |FROM scored ORDER BY key""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -3075,5 +3151,6 @@ object LlmQueries {
     QueryDef("q94_length_outliers", q94, Some(q94Sql)),
     QueryDef("q95_snapshot_diff", q95, Some(q95Sql)),
     QueryDef("q96_length_profile", q96, Some(q96Sql)),
+    QueryDef("q97_snapshot_diff_keyed", q97, Some(q97Sql)),
   )
 }

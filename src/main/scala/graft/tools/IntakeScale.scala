@@ -47,10 +47,18 @@ object IntakeScale {
         concat(col("source"), lit(".example.org")).as("host"))
       .persist()
     val total = docs.count()
-    val bounds = docs.select(col("doc_id")).orderBy("doc_id")
+    // `batches` bulk slices plus one NARROW tail micro-batch (the steady-
+    // state streaming shape): the tail's probe fractions show how hard
+    // the bucket layout prunes when the batch's key coverage is small
+    val tailDocs = 200L
+    val bulk = math.max(1L, total - tailDocs)
+    val step = math.max(1L, bulk / batches)
+    val marks = docs.select(col("doc_id")).orderBy("doc_id")
       .rdd.zipWithIndex()
-      .filter { case (_, i) => (i + 1) % math.max(1L, total / batches) == 0 }
-      .map(_._1.getLong(0)).collect().take(batches - 1).toSeq
+      .filter { case (_, i) =>
+        ((i + 1) % step == 0 && (i + 1) < bulk) || (i + 1) == bulk }
+      .map(_._1.getLong(0)).collect().toSeq.sorted
+    val bounds = marks.dropRight(1).take(batches - 1) :+ marks.last
     val cuts = (Seq(Long.MinValue) ++ bounds :+ Long.MaxValue).sliding(2).toSeq
     cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
       docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
@@ -75,6 +83,9 @@ object IntakeScale {
       countersDir = Some(s"$work/ctr"),
       driftDir = Some(s"$work/drift"),
       compactEvery = 4,
+      // bucket-partitioned state: probes read only the buckets the batch
+      // touches; the metrics tail below prints probed vs total bytes
+      stateBuckets = args.lift(3).map(_.toInt).getOrElse(64),
       trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
 
     val durations = ArrayBuffer[(Long, Double)]()
@@ -114,6 +125,22 @@ object IntakeScale {
       base.map { case (nm, q0) =>
         math.abs(ctr.getOrElse((s, nm), 0L) - (q0 + (if (bonus(nm)) 1L else 0L))) }
     }
+    // probe-I/O telemetry from the per-batch metrics rows: with the
+    // bucketed layout, probed bytes should grow with the BATCH's key
+    // coverage, not with the standing index — sub-linear in index size
+    val metricRows = fs.listStatus(new Path(s"$work/out/metrics"))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted
+      .map(bId => spark.read.parquet(s"$work/out/metrics/batch=$bId")
+        .collect().head)
+    def probeLine(totalCol: String, probedCol: String): String =
+      metricRows.map { r =>
+        val t = r.getLong(r.fieldIndex(totalCol))
+        val p = r.getLong(r.fieldIndex(probedCol))
+        if (t == 0) "1.00" else f"${p.toDouble / t}%.2f"
+      }.mkString(",")
+    val idxTotals = metricRows
+      .map(r => r.getLong(r.fieldIndex("index_bytes"))).mkString(",")
     val firstHalf = perBatch.take(perBatch.size / 2).map(_._2)
     val lastHalf = perBatch.drop(perBatch.size / 2).map(_._2)
     val line =
@@ -124,6 +151,11 @@ object IntakeScale {
         f""""last_over_first":${(lastHalf.sum / math.max(1, lastHalf.size)) /
           math.max(0.001, firstHalf.sum / math.max(1, firstHalf.size))}%.2f,""" +
         s""""max_split_dev":${if (devs.isEmpty) 0L else devs.max},""" +
+        s""""state_buckets":${cfg.stateBuckets},""" +
+        s""""tail_docs":$tailDocs,""" +
+        s""""index_bytes_per_batch":[$idxTotals],""" +
+        s""""index_probe_frac":[${probeLine("index_bytes", "index_bytes_probed")}],""" +
+        s""""sig_probe_frac":[${probeLine("sig_bytes", "sig_bytes_probed")}],""" +
         f""""wall_sec":$wall%.1f}"""
     println(line)
     spark.stop()
