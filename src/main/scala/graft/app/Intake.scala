@@ -180,6 +180,14 @@ object Intake {
         * bucket ids from two layouts do not line up, and a silent mix
         * would drop matches. */
       stateBuckets: Int = 0,
+      /** The probes pin their batch-key side as a broadcast build only
+        * while its MEASURED size (distinct grams / band rows, counted on
+        * already-cached frames) stays under this bound; a larger batch
+        * degrades to the shuffled join over the bucket-PRUNED index —
+        * bounded by the batch's key coverage, never a forced broadcast
+        * OOM. 4M longs ≈ 32 MB of key payload, comfortably inside
+        * executor broadcast budgets. */
+      maxBroadcastKeys: Long = 4L << 20,
       /** Retired state (compacted index parts, superseded counter/drift
         * versions) is deleted after each batch unless this is set. */
       keepAllIndexVersions: Boolean = false,
@@ -338,7 +346,7 @@ object Intake {
                 val probe = Dedup.incrementalNearDupBanded(
                   banded, corpusText, blocklisted.select("doc_id", "text"),
                   "doc_id", "text", cfg.numHashes, cfg.bands,
-                  cfg.stateBuckets, t)
+                  cfg.stateBuckets, t, cfg.maxBroadcastKeys)
                 cleanups += probe.cleanup
                 probedSigBkts = Some(probe.probedBuckets)
                 probe.pairs
@@ -413,6 +421,7 @@ object Intake {
       val partPaths = baseV.map(v => s"${cfg.indexDir}/base=$v").toSeq ++
         deltaVs.map(v => s"${cfg.indexDir}/delta=$v")
       var probedGramBkts: Option[Seq[Int]] = None // None = unpruned probe
+      var batchGrams = -1L // measured distinct grams (bucketed path only)
       def readIndexParts(): DataFrame =
         if (bucketed)
           // per-part reads unioned — see the bands read above for why a
@@ -425,9 +434,11 @@ object Intake {
       val prevIndex =
         if (partPaths.isEmpty) None
         else if (bucketed) {
-          val bkts = Novelty.gramBuckets(kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.n, cfg.stateBuckets)
+          val (bkts, nGrams) = Novelty.gramBucketStats(
+            kept1p.select("doc_id", "text"), "doc_id", "text", cfg.n,
+            cfg.stateBuckets)
           probedGramBkts = Some(bkts)
+          batchGrams = nGrams
           Some(readIndexParts()
             .where(col("bkt").isin(bkts: _*))
             .select("gram", "owner"))
@@ -435,11 +446,15 @@ object Intake {
 
       val scored = (prevIndex match {
         case Some(idx) =>
-          // broadcastProbe: the intake's admission control bounds every
-          // batch, so the batch-gram side is broadcastable by contract —
-          // the index is STREAMED, never exchanged (see the operator doc)
+          // broadcastProbe while the batch-gram side is MEASURED small
+          // (the bucketed path counts distinct grams in the same pass
+          // that derives the pruning set): the index is then STREAMED,
+          // never exchanged; an oversized batch degrades to the shuffled
+          // join over the PRUNED index instead of a broadcast OOM. The
+          // flat layout has no measurement pass — the planner decides.
           Novelty.ngramNoveltyAgainst(idx, kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.n, broadcastProbe = true)
+            "doc_id", "text", cfg.n,
+            broadcastProbe = bucketed && batchGrams <= cfg.maxBroadcastKeys)
         case None =>
           Novelty.ngramNovelty(kept1p.select("doc_id", "text"),
             "doc_id", "text", cfg.n)

@@ -570,11 +570,17 @@ object Dedup {
     * column (a single small column scan): a part written under a different
     * numHashes must refuse loudly even when this batch never probes its
     * buckets. */
+  /** `maxBroadcastRows`: the batch band side is pinned as the broadcast
+    * build only while its (cached, counted — measured, not assumed) row
+    * count stays under this bound; a larger batch degrades to the plain
+    * inner join over the PRUNED index — bounded by the batch's bucket
+    * coverage, never a forced broadcast OOM. */
   def incrementalNearDupBanded(banded: DataFrame, corpusText: DataFrame,
                                batch: DataFrame, idCol: String, textCol: String,
                                numHashes: Int = 12, bands: Int = 4,
                                numBuckets: Int = 64,
-                               threshold: Double = 0.5): BandedProbe = {
+                               threshold: Double = 0.5,
+                               maxBroadcastRows: Long = 4L << 20): BandedProbe = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     require(banded.columns.toSet == Set("doc_id", "b", "bkey", "w", "bkt"),
@@ -593,13 +599,16 @@ object Dedup {
       .withColumn("bkt", bandBucket(col("b"), col("bkey"), numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bkts = bb.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // the batch band side carries an explicit broadcast: this operator's
-    // caller contract is a BOUNDED batch (a standing intake's admission
-    // control), and the hint makes "index streamed, zero index exchange"
-    // the STATIC plan — AQE's runtime conversion would still submit (and
-    // pay for) the index-side shuffle write before converting
+    // the batch band side carries an explicit broadcast while it is
+    // MEASURED small (the count reads the cache the candidate join reuses):
+    // the hint makes "index streamed, zero index exchange" the STATIC plan
+    // — AQE's runtime conversion would still submit (and pay for) the
+    // index-side shuffle write before converting. Over the bound, degrade
+    // to the plain join over the pruned index instead of a broadcast OOM.
+    val bbRows = bb.count()
+    val build = if (bbRows <= maxBroadcastRows) broadcast(bb.as("x")) else bb.as("x")
     val cand = banded.where(col("bkt").isin(bkts: _*)).as("y")
-      .join(broadcast(bb.as("x")),
+      .join(build,
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
       .distinct()

@@ -172,9 +172,22 @@ object Novelty {
     * [[MaxBuckets]] values by construction. */
   def gramBuckets(batch: DataFrame, idCol: String, textCol: String, n: Int,
                   numBuckets: Int): Seq[Int] =
-    explodedGrams(batch, idCol, textCol, n)
-      .select(gramBucket(col("gram"), numBuckets).as("bkt"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    gramBucketStats(batch, idCol, textCol, n, numBuckets)._1
+
+  /** [[gramBuckets]] plus the batch's DISTINCT-GRAM COUNT in the same
+    * single pass (buckets partition the gram space, so the per-bucket
+    * distinct counts sum exactly): the count is what a caller needs to
+    * decide whether the batch-gram side is small enough to pin as a
+    * broadcast build ([[ngramNoveltyAgainst]]'s `broadcastProbe`) or must
+    * degrade to the shuffled join — measured, not assumed. */
+  def gramBucketStats(batch: DataFrame, idCol: String, textCol: String,
+                      n: Int, numBuckets: Int): (Seq[Int], Long) = {
+    val rows = explodedGrams(batch, idCol, textCol, n)
+      .select(gramBucket(col("gram"), numBuckets).as("bkt"), col("gram"))
+      .groupBy("bkt").agg(count_distinct(col("gram")).as("c"))
+      .collect()
+    (rows.map(_.getInt(0)).toSeq.sorted, rows.map(_.getLong(1)).sum)
+  }
 
   /** Per-document novelty of a NEW batch against the accumulated corpus —
     * the standing-intake form of [[ngramNovelty]].

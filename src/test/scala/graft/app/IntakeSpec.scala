@@ -467,6 +467,12 @@ class IntakeSpec extends SparkSpec {
     Intake.processBatch(spark, cfgBkt, batchB, 1L)
     assert((readBatch(outBkt, 1L), readRejects(outBkt, 1L)) === before,
       "replayed bucketed batch diverged")
+    // the broadcast-size fallback (maxBroadcastKeys = 0 forces BOTH probes
+    // onto the shuffled-join path over the pruned index): byte-identical —
+    // the probe shape is a plan choice, never a semantics choice
+    Intake.processBatch(spark, cfgBkt.copy(maxBroadcastKeys = 0L), batchB, 1L)
+    assert((readBatch(outBkt, 1L), readRejects(outBkt, 1L)) === before,
+      "fallback-probe replay diverged")
 
     // the recorded layout is pinned: a run with a different stateBuckets
     // against the same state refuses loudly before touching anything
