@@ -180,4 +180,37 @@ class UrlNoveltySpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("gram"))
   }
+
+  test("gram buckets: the bucket set matches a driver-side pmod over the " +
+    "batch's distinct grams, the per-bucket distinct counts sum to the " +
+    "batch vocabulary, pruning by the set is lossless, and out-of-range " +
+    "bucket counts refuse") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu"),
+      (3L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val vocab = Novelty.gramIndex(docs, "doc_id", "text", 3)
+      .collect().map(_.getLong(0)).toSet
+    val b = 8
+    val (bkts, nGrams) = Novelty.gramBucketStats(docs, "doc_id", "text", 3, b)
+    assert(nGrams === vocab.size.toLong,
+      "per-bucket distinct counts must sum to the batch vocabulary")
+    assert(bkts.toSet === vocab.map(g => ((g % b) + b) % b).map(_.toInt),
+      "bucket set must be the driver-side pmod of the distinct grams")
+    assert(Novelty.gramBuckets(docs, "doc_id", "text", 3, b) === bkts)
+    // losslessness of the pruning contract: an index row OUTSIDE the
+    // batch's buckets shares no gram with the batch
+    val foreign = Novelty.withGramBucket(
+        Novelty.gramIndex(docs, "doc_id", "text", 3), b)
+      .filter(!col("bkt").isin(bkts: _*)).count()
+    assert(foreign === 0L, "a batch gram can never live outside its buckets")
+    val ex = intercept[IllegalArgumentException] {
+      Novelty.gramBuckets(docs, "doc_id", "text", 3, 0)
+    }
+    assert(ex.getMessage.contains("numBuckets"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Novelty.gramBucket(col("g"), Novelty.MaxBuckets + 1)
+    }
+    assert(ex2.getMessage.contains("numBuckets"))
+  }
 }
