@@ -320,6 +320,7 @@ object Intake {
       // the band-key bucket, so the probe reads only matching buckets.
       var sigParts = 0
       var probedSigBkts: Option[Seq[Int]] = None // None = unpruned probe
+      var probedTextBkts: Option[Seq[Int]] = None
       val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
           val parts = versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
@@ -328,10 +329,20 @@ object Intake {
             (blocklisted, spark.emptyDataset[(Long, String, String)]
               .toDF("doc_id", "stage", "reason"))
           else {
-            val corpusText = spark.read
-              .schema("doc_id BIGINT, text STRING")
-              .parquet(parts.map(p => s"$cd/part=$p"): _*)
-              .select(col("doc_id"), col("text"))
+            // bucketed layout: text parts carry the doc bucket, so the
+            // candidate verify read prunes to matched buckets (the text
+            // scan was the last per-batch read linear in corpus size)
+            val corpusText =
+              if (bucketed)
+                parts.map(p => spark.read
+                    .schema("doc_id BIGINT, text STRING, bkt INT")
+                    .parquet(s"$cd/part=$p")
+                    .select("doc_id", "text", "bkt"))
+                  .reduce(_.unionByName(_))
+              else spark.read
+                .schema("doc_id BIGINT, text STRING")
+                .parquet(parts.map(p => s"$cd/part=$p"): _*)
+                .select(col("doc_id"), col("text"))
             val dups =
               if (bucketed) {
                 // per-part reads unioned (NOT one multi-root read): the
@@ -349,6 +360,7 @@ object Intake {
                   cfg.stateBuckets, t, cfg.maxBroadcastKeys)
                 cleanups += probe.cleanup
                 probedSigBkts = Some(probe.probedBuckets)
+                probedTextBkts = probe.probedTextBuckets
                 probe.pairs
               } else {
                 val corpusSigs = spark.read
@@ -487,6 +499,12 @@ object Intake {
         partBytes(spark, pd, probedSigBkts.map(_.toSet)))
       val (sigBytes, sigBytesProbed) =
         (sigSizes.map(_._1).sum, sigSizes.map(_._2).sum)
+      val textSizes = cfg.corpusDir.toSeq.flatMap { cd =>
+        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
+          .map(p => partBytes(spark, s"$cd/part=$p", probedTextBkts.map(_.toSet)))
+      }
+      val (textBytes, textBytesProbed) =
+        (textSizes.map(_._1).sum, textSizes.map(_._2).sum)
 
       val priorCounters = cfg.countersDir.map { cd =>
         versionsOf(spark, cd).filter(_ < id).sorted.lastOption
@@ -541,7 +559,11 @@ object Intake {
       // (the probe's stored index) — each appended as its own part
       // (replay overwrites both)
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-        kept1p.select("doc_id", "text")
+        if (bucketed)
+          writeBucketed(kept1p.select("doc_id", "text")
+              .withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets)),
+            s"$cd/part=$id")
+        else kept1p.select("doc_id", "text")
           .write.mode("overwrite").parquet(s"$cd/part=$id")
         val sigs = Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
           "doc_id", "text", cfg.numHashes)
@@ -604,12 +626,15 @@ object Intake {
           probedGramBkts.fold(-1L)(_.size.toLong),
           sigParts.toLong, sigBytes, sigBytesProbed,
           probedSigBkts.fold(-1L)(_.size.toLong),
+          textBytes, textBytesProbed,
+          probedTextBkts.fold(-1L)(_.size.toLong),
           cfg.stateBuckets.toLong))
         .toDF("batch_id", "batch_docs", "rej_blocklist", "rej_near_dup",
           "rej_in_batch", "rej_novelty", "survivors",
           "index_parts", "index_bytes", "index_bytes_probed",
           "index_buckets_probed",
           "sig_parts", "sig_bytes", "sig_bytes_probed", "sig_buckets_probed",
+          "text_bytes", "text_bytes_probed", "text_buckets_probed",
           "state_buckets")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))

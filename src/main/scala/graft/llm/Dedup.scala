@@ -546,10 +546,25 @@ object Dedup {
         bandBucket(col("b"), col("bkey"), numBuckets).as("bkt"))
   }
 
+  /** The state bucket of a DOCUMENT ID under a `numBuckets`-way layout —
+    * the text-part companion of [[bandBucket]]: a standing intake writes
+    * its corpus text parts partitioned by this, so the candidate VERIFY
+    * join reads only the buckets the matched corpus ids live in instead
+    * of scanning every text part per batch (the last corpus-scale
+    * per-batch read once the signature probe is banded). Writer and
+    * reader must share this one function. */
+  def docBucket(id: Column, numBuckets: Int): Column = {
+    require(numBuckets >= 1 && numBuckets <= Novelty.MaxBuckets,
+      s"docBucket: numBuckets must be in [1, ${Novelty.MaxBuckets}], got $numBuckets")
+    pmod(id, lit(numBuckets.toLong)).cast("int")
+  }
+
   /** A bucket-pruned incremental near-dup probe: the pair frame, the
-    * buckets it actually read (telemetry — the no-silent-caps rule for a
-    * standing service), and the managed-persist cleanup. */
+    * band/text buckets it actually read (telemetry — the no-silent-caps
+    * rule for a standing service; `probedTextBuckets` is None when the
+    * text side was unbucketed), and the managed-persist cleanup. */
   final case class BandedProbe(pairs: DataFrame, probedBuckets: Seq[Int],
+                               probedTextBuckets: Option[Seq[Int]],
                                cleanup: () => Unit)
 
   /** [[incrementalNearDupIndexedManaged]] over a BUCKET-PARTITIONED band
@@ -612,9 +627,27 @@ object Dedup {
         col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
-    BandedProbe(
-      verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
-      bkts, () => { bb.unpersist(); sigB.unpersist(); () })
+    // the candidate VERIFY read: when the corpus text side carries a `bkt`
+    // column (doc-bucketed text parts, [[docBucket]]), the candidates are
+    // pinned and their corpus-id buckets collected (candidate-scale, ≤
+    // numBuckets values) so the text read prunes to matched buckets —
+    // without it, the verify was the last per-batch read that scanned the
+    // WHOLE accumulated corpus. Pruning is exact: a text row outside the
+    // candidate buckets cannot be any candidate's corpus id.
+    val (out, textBkts, candCleanup) =
+      if (corpusText.columns.contains("bkt")) {
+        val candP = cand.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tb = candP.select(docBucket(col("corpus_id"), numBuckets).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        (verifyCrossPairs(candP,
+          corpusText.where(col("bkt").isin(tb: _*)).drop("bkt"),
+          batch, idCol, textCol, threshold),
+          Some(tb), () => { candP.unpersist(); () })
+      } else
+        (verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
+          None, () => ())
+    BandedProbe(out, bkts, textBkts,
+      () => { candCleanup(); bb.unpersist(); sigB.unpersist(); () })
   }
 
   /** STREAMING [[incrementalNearDup]]: dedup-on-arrival — each micro-batch's

@@ -156,6 +156,7 @@ object IntakeScale {
         s""""index_bytes_per_batch":[$idxTotals],""" +
         s""""index_probe_frac":[${probeLine("index_bytes", "index_bytes_probed")}],""" +
         s""""sig_probe_frac":[${probeLine("sig_bytes", "sig_bytes_probed")}],""" +
+        s""""text_probe_frac":[${probeLine("text_bytes", "text_bytes_probed")}],""" +
         f""""wall_sec":$wall%.1f}"""
     println(line)
     spark.stop()

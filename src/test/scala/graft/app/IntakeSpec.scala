@@ -451,6 +451,11 @@ class IntakeSpec extends SparkSpec {
       s"pruned probe must read fewer bytes than the full index: $m1")
     assert(L("sig_buckets_probed") > 0L && L("sig_buckets_probed") < 32L, s"$m1")
     assert(L("sig_bytes_probed") < L("sig_bytes"), s"$m1")
+    // the candidate VERIFY read prunes too: batch 1's few band-collision
+    // candidates (pre-verify, so possibly more than the one true
+    // near-dup) live in a handful of the 32 text buckets
+    assert(L("text_buckets_probed") >= 1L && L("text_buckets_probed") < 32L, s"$m1")
+    assert(L("text_bytes_probed") < L("text_bytes"), s"$m1")
     assert(L("rej_near_dup") === 1L && L("rej_blocklist") === 1L &&
       L("survivors") === 1L && L("batch_docs") === 3L, s"$m1")
     // the flat layout reports unpruned probes (-1 bucket counts, probed =
