@@ -172,7 +172,13 @@ object Intake {
         * bulk batch touches most gram buckets and the layout's win there
         * is the scan-not-exchange posture (the index streams through a
         * broadcast join, never shuffles) plus hard pruning for narrow
-        * tail batches. Scores are layout-invariant (spec-asserted
+        * tail batches. SIZING: pick the bucket count so bucket FILES stay
+        * chunk-sized — B ≈ expected state bytes / 128–512 MB (a 100 TB
+        * corpus's few-TB gram index wants thousands of buckets; a local
+        * run wants 64) — an oversized B turns every part into thousands
+        * of sub-KB files and file overhead dominates (measured ~5× the
+        * per-batch cost at B=4096 over a 3 MB index). Scores are
+        * layout-invariant (spec-asserted
         * against the flat layout): a pruned-away row's bucket is a pure
         * function of its key, so it provably cannot match any batch key.
         * The bucket count is pinned per state directory (a `_state_buckets`
