@@ -3082,6 +3082,101 @@ object LlmQueries {
       |  jac_micros::BIGINT AS jac_micros
       |FROM scored ORDER BY key""".stripMargin
 
+  // ---------------------------------------------------------------- q98 intake rejects
+  /** The intake DROP LEDGER as a first-class query — q88's pipeline from
+    * the other side: every document the blocklist or novelty stage
+    * REJECTS, with the stage and the same reason string the standing
+    * intake writes per batch ([[graft.app.Intake]]'s
+    * `outDir/rejects/batch=<i>` contract; audits and threshold tuning
+    * need the rejects as much as the survivors). `blocked_by` carries the
+    * LONGEST matching blocklist suffix (the most specific rule — within
+    * one host's suffix chain all matches have distinct lengths, so the
+    * choice is tie-free); gramless docs reject with
+    * `novelty_micros:null` (a document with no 8-grams cannot clear any
+    * novelty bar). */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tld = when(col("doc_id") % 3 === 0, lit("com"))
+      .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net"))
+    val host = concat(
+      when(col("doc_id") % 4 === 1, lit("www."))
+        .when(col("doc_id") % 4 === 2, lit("a.b."))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("m"), (col("doc_id") % 7).cast("string"), lit(".cdn.")))
+        .otherwise(lit("")),
+      lit("s"), (col("doc_id") % 23).cast("string"), lit("."), tld)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), host.as("host"))
+    val bl = Seq("s1.com", "s2.org", "cdn.s3.net", "www.s5.org", "s7.com", "net")
+      .toDF("entry")
+    val flagged = graft.llm.UrlFilter.domainBlocklist(docs, "host", Seq("doc_id"), bl)
+    val rejBl = flagged.filter(col("blocked"))
+      .select(col("doc_id"), lit("blocklist").as("stage"),
+        concat(lit("blocked_by:"), col("blocked_by")).as("reason"))
+    val kept1 = flagged.filter(!col("blocked")).select("doc_id", "text")
+    val rejNov = graft.llm.Novelty
+      .ngramNovelty(kept1, "doc_id", "text", n = 8)
+      .filter(col("novelty_micros").isNull || col("novelty_micros") < 200000L)
+      .select(col("doc_id"), lit("novelty").as("stage"),
+        concat(lit("novelty_micros:"),
+          coalesce(col("novelty_micros").cast("string"), lit("null")))
+          .as("reason"))
+    rejBl.unionByName(rejNov).orderBy("doc_id")
+  }
+
+  private val q98Sql =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+      |      WHEN 3 THEN 'm' || (doc_id % 7) || '.cdn.' ELSE '' END)
+      |    || 's' || (doc_id % 23) || '.'
+      |    || (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      |    AS host
+      |  FROM documents),
+      |bl AS (SELECT unnest(['s1.com', 's2.org', 'cdn.s3.net', 'www.s5.org',
+      |                      's7.com', 'net']) AS entry),
+      |hits AS (
+      |  SELECT h.doc_id, b.entry FROM h
+      |  JOIN bl b ON h.host = b.entry OR h.host LIKE '%.' || b.entry),
+      |best AS (
+      |  SELECT doc_id, entry FROM (
+      |    SELECT doc_id, entry,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY len(entry) DESC) AS rn
+      |    FROM hits) WHERE rn = 1),
+      |rej_bl AS (
+      |  SELECT doc_id, 'blocklist' AS stage,
+      |    'blocked_by:' || entry AS reason FROM best),
+      |kept1 AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  LEFT JOIN best bk ON d.doc_id = bk.doc_id WHERE bk.doc_id IS NULL),
+      |w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM kept1),
+      |g0 AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(ws) >= 8 THEN
+      |      [array_to_string(ws[i:i+7], ' ') for i in range(1, len(ws) - 6)]
+      |      ELSE [] END) AS grams
+      |  FROM w),
+      |g AS (SELECT doc_id, unnest(grams) AS gram FROM g0),
+      |o AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+      |per AS (
+      |  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      |  FROM g JOIN o USING (gram) GROUP BY g.doc_id),
+      |nov AS (
+      |  SELECT k.doc_id, per.n_grams, per.n_novel FROM kept1 k
+      |  LEFT JOIN per ON per.doc_id = k.doc_id),
+      |rej_nov AS (
+      |  SELECT doc_id, 'novelty' AS stage,
+      |    'novelty_micros:' || (CASE WHEN n_grams IS NULL OR n_grams = 0
+      |      THEN 'null'
+      |      ELSE ((n_novel * 1000000) // n_grams)::VARCHAR END) AS reason
+      |  FROM nov
+      |  WHERE n_grams IS NULL OR n_grams = 0
+      |     OR n_novel * 1000000 < 200000 * n_grams)
+      |SELECT doc_id, stage, reason FROM
+      |  (SELECT * FROM rej_bl UNION ALL SELECT * FROM rej_nov)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -3152,5 +3247,6 @@ object LlmQueries {
     QueryDef("q95_snapshot_diff", q95, Some(q95Sql)),
     QueryDef("q96_length_profile", q96, Some(q96Sql)),
     QueryDef("q97_snapshot_diff_keyed", q97, Some(q97Sql)),
+    QueryDef("q98_intake_rejects", q98, Some(q98Sql)),
   )
 }
