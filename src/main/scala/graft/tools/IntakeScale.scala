@@ -115,6 +115,10 @@ object IntakeScale {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     val splits = cfg.splits
     val w = splits.map(_._2).sum
+    // Hamilton apportionment re-implemented DRIVER-SIDE on purpose: this
+    // is the deviation ORACLE for the operator under test, so it must not
+    // call Selection.splitAssign — do not "deduplicate" it into the
+    // library (the same independence rule every spec oracle follows).
     val devs = ctr.keys.map(_._1).toSeq.distinct.flatMap { s =>
       val n = splits.map { case (nm, _) => ctr.getOrElse((s, nm), 0L) }.sum
       val base = splits.map { case (nm, wt) => nm -> (n * wt / w) }
