@@ -541,6 +541,35 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"q95:\n$plan")
   }
 
+  test("q97 keyed snapshot diff: same posture as q95 — ONE url-keyed " +
+    "full-outer join, row-local Jaccard behind the two one-row barriers, " +
+    "the duplicate-key guard is an aggregate (never a window)") {
+    val plan = planOf("q97_snapshot_diff_keyed")
+    assert(plan.contains("FullOuter"),
+      s"q97 must classify via a full-outer key join:\n$plan")
+    val generates = plan.split("\n").filter(_.contains("Generate"))
+    assert(generates.length == 2 && generates.forall(_.contains("explode(array(")),
+      s"q97's only Generates are the one-row array barriers:\n$plan")
+    assert(!plan.contains("Window"), s"q97 must not window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q97's per-key guard must partial-aggregate (map-side combine):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q97:\n$plan")
+  }
+
+  test("q98 intake rejects: both ledger stages keyed — the blocklist is a " +
+    "suffix-chain equi-join with a max_by aggregate (no window) and the " +
+    "novelty stage a gram-keyed partial min; no nested-loop join") {
+    val plan = planOf("q98_intake_rejects")
+    assert(!plan.contains("Window"), s"q98 must not window:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q98's gram-owner min must have a map-side partial stage:\n$plan")
+    assert(plan.contains("partial_max"),
+      s"q98's longest-suffix pick must be a partial-aggregated max_by:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q98:\n$plan")
+  }
+
   test("q94 length outliers: the only windows run inside single target " +
     "buckets (the groupedQuantile slice, ~1/maxBuckets of each group); " +
     "threshold joins back are broadcast; no corpus Sort outside windows") {
