@@ -43,19 +43,31 @@ import graft.llm.{Dedup, Drift, Novelty, Selection, UrlFilter}
   *    where the full-rewrite protocol paid O(vocab · batches) total I/O
   *    over a run (quadratic in batch count).
   *  - Near-dup gate: the survivors' MinHash SIGNATURES are persisted per
-  *    batch (`corpusDir/sigs=<i>`) and the probe joins the stored
-  *    signature parts ([[Dedup.incrementalNearDupIndexedManaged]]); the
-  *    corpus TEXT parts are touched only by the candidate verify join —
-  *    signatures are never recomputed from accumulated text.
+  *    batch (`corpusDir/sigs=<i>`, or pre-banded `bands=<i>` under the
+  *    bucketed layout) and the probe joins the stored signature parts
+  *    ([[Dedup.incrementalNearDupIndexedManaged]] /
+  *    [[Dedup.incrementalNearDupBanded]]); the corpus TEXT parts
+  *    (`part=<i>`) are touched only by the candidate verify join —
+  *    signatures are never recomputed from accumulated text. BOTH families
+  *    are log-structured like the gram index: at the same compaction
+  *    trigger, parts strictly below the horizon fold into `partbase=<h>` /
+  *    `bandsbase=<h>` / `sigsbase=<h>` and retire, so every probe plans an
+  *    O(compactEvery)-way part union instead of one part per batch forever
+  *    (an O(batches) listing/planning term at a standing service's
+  *    thousands of micro-batches, even when pruning keeps the bytes flat).
   *  - Drift state: domain-scale (value, count) tables per statistic, one
   *    fold per batch; the KS/TV compare runs on the counts
   *    ([[Drift.ecdfDriftFromCounts]]/[[Drift.categoricalDriftFromCounts]])
   *    and never re-scans the corpus.
   *  - With `stateBuckets` > 0 the probes are additionally PRUNED, not just
-  *    scan-shaped: gram-index and band-index parts are written partitioned
-  *    by a key bucket, each batch reads only the buckets its own keys
-  *    touch, and nothing ever exchanges the standing index (the novelty
-  *    probe's inner-join shape keeps the index on the streamed side).
+  *    scan-shaped: every compacted BASE part is written partitioned by a
+  *    key bucket, each batch reads only the buckets its own keys touch
+  *    from the corpus-scale base (plus the few pending batch-scale deltas
+  *    in full), and nothing ever exchanges the standing index (the novelty
+  *    probe's inner-join shape keeps the index on the streamed side). The
+  *    signature WIDTH is pinned per corpus dir (`_num_hashes` marker), so
+  *    the probe's width guard is metadata — no per-batch aggregate over
+  *    the accumulated band index.
   *
   * Besides the assignments, every batch writes its DROP LEDGER
   * (`outDir/rejects/batch=<i>`: (doc_id, stage, reason) for each document
@@ -70,10 +82,15 @@ import graft.llm.{Dedup, Drift, Novelty, Selection, UrlFilter}
   * own state parts — so a replayed batch reads the same state, recomputes
   * byte-identical assignments, and re-overwrites the same paths.
   * Compaction only ever folds parts strictly below the current batch, so
-  * a replay sees identical CONTENT whether or not the compaction landed;
-  * and because gram-index merging is an idempotent min, even overlapping
-  * leftover parts from a mid-compaction crash are harmless by
-  * construction. The novelty probe itself is also replay-idempotent even
+  * a replay of the CURRENT batch sees identical content whether or not
+  * the compaction landed; and because gram-index merging is an idempotent
+  * min, even overlapping leftover parts from a mid-compaction crash are
+  * harmless by construction. The replay horizon is the NEWEST batch —
+  * exactly what `foreachBatch` can ever replay (offsets commit per
+  * batch, so only the in-flight batch re-fires after a crash); once a
+  * LATER batch has run, its compaction may have folded state past an
+  * older batch's strictly-below horizon, and replaying that older batch
+  * is out of contract. The novelty probe itself is also replay-idempotent even
   * if the batch's own delta already landed (a doc's own id in the owner
   * min changes nothing — see [[Novelty.ngramNoveltyAgainst]]).
   *
@@ -116,8 +133,11 @@ object Intake {
         * novelty stage's job (exact dups score 0) or `inBatchNearDup`'s
         * pass; the accumulated corpus grows by each batch's near-dup
         * SURVIVORS: text at `corpusDir/part=<batch>` (verify joins only)
-        * and their MinHash signatures at `corpusDir/sigs=<batch>` (the
-        * probe's index — append-only, replay overwrites its own parts). */
+        * and their MinHash signatures at `corpusDir/sigs=<batch>` (flat
+        * layout) or pre-banded `bands=<batch>` (bucketed layout) — the
+        * probe's index. Append-only (replay overwrites its own parts),
+        * with parts below the compaction horizon folded into
+        * `partbase=` / `sigsbase=` / `bandsbase=` base parts. */
       nearDupThreshold: Option[Double] = None,
       corpusDir: Option[String] = None,
       /** Also dedup WITHIN each batch (requires `nearDupThreshold`): after
@@ -157,11 +177,16 @@ object Intake {
         * accumulate (amortized O(vocab/K) index write per batch). */
       compactEvery: Int = 8,
       /** BUCKET-PARTITIONED state layout (> 0 = bucket count, 0 = the flat
-        * legacy layout): gram-index parts are written partitioned by
-        * `bkt = pmod(gram, stateBuckets)` ([[Novelty.gramBucket]]) and the
-        * near-dup state as pre-banded parts partitioned by a hash of the
-        * band key ([[Dedup.bandIndexFrame]]), so each batch's probes READ
-        * ONLY the buckets the batch touches (partition-directory pruning)
+        * legacy layout): compacted BASE parts are written partitioned by
+        * `bkt = pmod(gram, stateBuckets)` ([[Novelty.gramBucket]]) for the
+        * gram index and by a hash of the band key / the doc id for the
+        * near-dup state ([[Dedup.bandIndexFrame]]/[[Dedup.docBucket]]) —
+        * per-batch DELTA parts stay plain batch-scale writes carrying
+        * `bkt` as a data column (a per-batch dynamic-partition write fans
+        * one small batch across every bucket directory; measured
+        * ~+10 s/batch at 64 buckets) — so each batch's probes READ ONLY
+        * the buckets the batch touches from the corpus-scale base
+        * (partition-directory pruning) plus the pending deltas in full,
         * and nothing ever exchanges or scans the full standing index —
         * the difference between per-batch cost proportional to the BATCH
         * and proportional to everything ever ingested, which is the whole
@@ -175,10 +200,12 @@ object Intake {
         * tail batches. SIZING: pick the bucket count so bucket FILES stay
         * chunk-sized — B ≈ expected state bytes / 128–512 MB (a 100 TB
         * corpus's few-TB gram index wants thousands of buckets; a local
-        * run wants 64) — an oversized B turns every part into thousands
-        * of sub-KB files and file overhead dominates (measured ~5× the
-        * per-batch cost at B=4096 over a 3 MB index). Scores are
-        * layout-invariant (spec-asserted
+        * run wants 64) — an oversized B turns the compacted base into
+        * thousands of sub-KB files and file overhead dominates (measured
+        * ~5× the per-batch cost at B=4096 over a 3 MB index under the r16
+        * per-batch-bucketed-write layout; deltas no longer fan out, but
+        * the base read and compaction write still pay B-proportional file
+        * overhead). Scores are layout-invariant (spec-asserted
         * against the flat layout): a pruned-away row's bucket is a pure
         * function of its key, so it provably cannot match any batch key.
         * The bucket count is pinned per state directory (a `_state_buckets`
@@ -215,37 +242,155 @@ object Intake {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  private def readIntMarker(spark: SparkSession, dir: String,
+                            name: String): Option[Int] = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writeIntMarker(spark: SparkSession, dir: String, name: String,
+                             value: Int): Unit = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Every state-part prefix a directory may hold (the gram-index and
+    * corpus families, delta and base forms) — the marker guards scan these
+    * to tell a fresh directory from pre-marker legacy state. */
+  private val StatePrefixes =
+    Seq("base=", "delta=", "part=", "partbase=", "sigs=", "sigsbase=",
+      "bands=", "bandsbase=")
+
+  private def hasStateParts(spark: SparkSession, dir: String): Boolean =
+    StatePrefixes.exists(pfx => versionsOf(spark, dir, pfx).nonEmpty)
+
   /** Pin a state directory's bucket layout: the first writer records
     * `stateBuckets` in a `_state_buckets` marker; every later run must
     * match it exactly — bucket ids from two layouts do not line up, so a
-    * silent mix would prune away genuine matches. */
-  private def layoutGuard(spark: SparkSession, dir: String, buckets: Int): Unit = {
-    val p = new Path(dir, "_state_buckets")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val found =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
-        finally in.close()
-      require(found == buckets,
-        s"Intake: state at $dir was written with stateBuckets=$found but " +
-          s"this run is configured with stateBuckets=$buckets — bucket ids " +
-          "from the two layouts do not line up, so pruned probes would " +
-          "silently drop matches; keep the recorded layout or rebuild the state")
-    } else {
-      val out = fs.create(p, true)
-      try out.write(buckets.toString.getBytes("UTF-8")) finally out.close()
+    * silent mix would prune away genuine matches. A marker-less directory
+    * that ALREADY holds state parts is refused, never adopted: its layout
+    * is unknowable (a pre-marker flat index read as bucketed would come
+    * back with null `bkt` everywhere and the pruned probes would silently
+    * drop every genuine match — the exact failure the marker exists to
+    * make loud). */
+  private def layoutGuard(spark: SparkSession, dir: String, buckets: Int): Unit =
+    readIntMarker(spark, dir, "_state_buckets") match {
+      case Some(found) =>
+        require(found == buckets,
+          s"Intake: state at $dir was written with stateBuckets=$found but " +
+            s"this run is configured with stateBuckets=$buckets — bucket ids " +
+            "from the two layouts do not line up, so pruned probes would " +
+            "silently drop matches; keep the recorded layout or rebuild the state")
+      case None =>
+        require(!hasStateParts(spark, dir),
+          s"Intake: state at $dir holds parts but no _state_buckets marker — " +
+            "its layout (flat vs bucketed, and which bucket count) is " +
+            "unknowable, and adopting stateBuckets=" + buckets + " blindly " +
+            "would silently prune away genuine matches; rebuild the state, " +
+            "or restore the marker if you know the layout it was written with")
+        writeIntMarker(spark, dir, "_state_buckets", buckets)
     }
+
+  /** Pin the corpus signature WIDTH (`numHashes`) in a `_num_hashes`
+    * marker, so the banded probe's width guard is METADATA — the aggregate
+    * form scanned the full accumulated band index every batch (the last
+    * O(standing state) per-batch term in the pruned probe). Marker-less
+    * directories with existing band parts (pre-r17 state) are verified
+    * ONCE by that same aggregate and then pinned; mismatch refuses with
+    * the probe's own message either way. */
+  private def widthGuard(spark: SparkSession, dir: String, numHashes: Int,
+                         legacyBands: () => Option[DataFrame]): Unit =
+    readIntMarker(spark, dir, "_num_hashes") match {
+      case Some(found) =>
+        require(found == numHashes,
+          s"Intake: corpus state at $dir was signed with numHashes=$found " +
+            s"but this run is configured with numHashes=$numHashes — a " +
+            "mismatched signature width bands differently and silently " +
+            "loses recall; keep the recorded width or re-sign the corpus")
+      case None =>
+        legacyBands().foreach { banded =>
+          val wides = banded
+            .agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+          if (!wides.isNullAt(0))
+            require(wides.getInt(0) == numHashes && wides.getInt(1) == numHashes,
+              s"Intake: legacy band parts at $dir carry signature widths " +
+                s"[${wides.getInt(0)}, ${wides.getInt(1)}] but this run is " +
+                s"configured with numHashes=$numHashes — re-sign the corpus " +
+                "or match the parameters")
+        }
+        writeIntMarker(spark, dir, "_num_hashes", numHashes)
+    }
+
+  /** The part ids a log-structured family probe reads for batch `id`: the
+    * newest compacted base strictly below `id` plus every delta part in
+    * (base, id). Returns (base, deltas). */
+  private def familyParts(spark: SparkSession, dir: String, basePrefix: String,
+                          deltaPrefix: String, id: Long): (Option[Long], Seq[Long]) = {
+    val base = versionsOf(spark, dir, basePrefix).filter(_ < id).sorted.lastOption
+    val deltas = versionsOf(spark, dir, deltaPrefix)
+      .filter(d => d < id && base.forall(d > _)).sorted
+    (base, deltas)
   }
 
   /** Write a bkt-carrying frame as a bucket-partitioned part: repartition
     * by the bucket FIRST, so each bucket directory holds one file per
     * owning task instead of one per upstream partition (a direct
     * `partitionBy` from a B-spanning shuffle writes tasks × buckets small
-    * files — the classic dynamic-partition file explosion). */
+    * files — the classic dynamic-partition file explosion). Used only for
+    * COMPACTED BASE parts — per-batch deltas are plain batch-scale writes
+    * (see [[Config.stateBuckets]]). */
   private def writeBucketed(df: DataFrame, path: String): Unit =
     df.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(path)
+
+  /** Fold a corpus state family's pending parts at or below horizon `h`
+    * (the prior base plus every per-batch part above it) into one new
+    * `<basePrefix><h>` part, then retire the inputs — so the probe's plan
+    * stays an O(compactEvery)-way union instead of one part per batch
+    * forever (N file listings + N scan nodes per batch, an O(batches)
+    * planning term even when bucket pruning keeps the BYTES flat). A pure
+    * concatenation: batches hold disjoint doc ids, so no merge fold is
+    * needed. Crash-safe like the gram compaction: the read protocol takes
+    * the NEWEST base plus parts strictly above it, so a crash between the
+    * base write and the retire never double-reads an input; the sweep here
+    * deletes any such leftovers on the next trigger. When pending parts is
+    * empty (a replay of the batch that already compacted), nothing is
+    * rewritten — the base is never read-and-overwritten in place. */
+  private def compactFamily(spark: SparkSession, cfg: Config, dir: String,
+                            basePrefix: String, deltaPrefix: String,
+                            schema: String, h: Long, bucketed: Boolean): Unit = {
+    val lastBase = versionsOf(spark, dir, basePrefix).filter(_ <= h)
+      .sorted.lastOption
+    val pending = versionsOf(spark, dir, deltaPrefix)
+      .filter(d => d <= h && lastBase.forall(d > _)).sorted
+    if (pending.nonEmpty) {
+      // lastBase < h strictly here (a part at h would leave no pending
+      // deltas ≤ h above it), so the write target is never an input
+      val paths = lastBase.map(v => s"$dir/$basePrefix$v").toSeq ++
+        pending.map(v => s"$dir/$deltaPrefix$v")
+      val folded = paths.map(p => spark.read.schema(schema).parquet(p))
+        .reduce(_.unionByName(_))
+      if (bucketed) writeBucketed(folded, s"$dir/$basePrefix$h")
+      else folded.write.mode("overwrite").parquet(s"$dir/$basePrefix$h")
+    }
+    // retire everything the LIVE base (just written, or the prior one when
+    // nothing was pending) supersedes — never the live base itself
+    val live = if (pending.nonEmpty) Some(h) else lastBase
+    if (!cfg.keepAllIndexVersions) live.foreach { lv =>
+      versionsOf(spark, dir, deltaPrefix).filter(_ <= lv)
+        .foreach(v => delete(spark, s"$dir/$deltaPrefix$v"))
+      versionsOf(spark, dir, basePrefix).filter(_ < lv)
+        .foreach(v => delete(spark, s"$dir/$basePrefix$v"))
+    }
+  }
 
   /** (total, probed) byte size of one state part — ONE recursive listing
     * per part (directory-listing scale, used only by the per-batch
@@ -305,6 +450,21 @@ object Intake {
     layoutGuard(spark, cfg.indexDir, cfg.stateBuckets)
     cfg.corpusDir.foreach(cd => layoutGuard(spark, cd, cfg.stateBuckets))
     val bucketed = cfg.stateBuckets > 0
+    // pin the signature width as corpus-dir metadata so the banded probe
+    // skips its per-batch full-index width aggregate; marker-less legacy
+    // dirs are aggregate-verified once here, then pinned
+    if (bucketed && cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+      widthGuard(spark, cd, cfg.numHashes, () => {
+        val paths =
+          versionsOf(spark, cd, "bandsbase=").sorted.map(v => s"$cd/bandsbase=$v") ++
+            versionsOf(spark, cd, "bands=").sorted.map(v => s"$cd/bands=$v")
+        if (paths.isEmpty) None
+        else Some(paths.map(pp => spark.read
+            .schema("doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT")
+            .parquet(pp).select("w"))
+          .reduce(_.unionByName(_)))
+      })
+    }
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     val b = batch.persist()
     cleanups += (() => { b.unpersist(); () })
@@ -322,57 +482,82 @@ object Intake {
       // < id (part=id / sigs=id / bands=id excluded — a crashed run may
       // have written them; replay must not compare the batch against
       // itself). Corpus text parts feed ONLY the candidate verify join.
-      // Bucketed layout: the stored state is PRE-BANDED and partitioned by
-      // the band-key bucket, so the probe reads only matching buckets.
+      // Each family is LOG-STRUCTURED like the gram index: the probe reads
+      // the newest compacted base strictly below id plus the per-batch
+      // delta parts above it — O(compactEvery) parts, never one per batch
+      // forever. Bucketed layout: the BASE parts are partitioned by the
+      // band-key / doc bucket (pruned reads); delta parts are plain writes
+      // carrying `bkt` as a data column — batch-scale, read in full, and
+      // folded into the bucketed base at compaction (a per-batch 64-dir
+      // dynamic-partition write cost ~3× the batch itself; bucketing only
+      // the base buys the same pruned standing state without it).
       var sigParts = 0
       var probedSigBkts: Option[Seq[Int]] = None // None = unpruned probe
       var probedTextBkts: Option[Seq[Int]] = None
+      // (path, isPrunedBase) per family part the probe reads — base parts
+      // are partition-pruned, delta parts are read in full (telemetry)
+      var sigPartInfo: Seq[(String, Boolean)] = Nil
+      var textPartInfo: Seq[(String, Boolean)] = Nil
       val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
-          val parts = versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
-          sigParts = parts.size
-          if (parts.isEmpty)
+          val (textBase, textDeltas) = familyParts(spark, cd, "partbase=", "part=", id)
+          textPartInfo = textBase.map(v => (s"$cd/partbase=$v", bucketed)).toSeq ++
+            textDeltas.map(v => (s"$cd/part=$v", false))
+          val sigFam =
+            if (bucketed) familyParts(spark, cd, "bandsbase=", "bands=", id)
+            else familyParts(spark, cd, "sigsbase=", "sigs=", id)
+          sigPartInfo = sigFam._1.map(v => (s"$cd/${if (bucketed) "bandsbase" else "sigsbase"}=$v", bucketed)).toSeq ++
+            sigFam._2.map(v => (s"$cd/${if (bucketed) "bands" else "sigs"}=$v", false))
+          sigParts = sigPartInfo.size
+          if (sigPartInfo.isEmpty)
             (blocklisted, spark.emptyDataset[(Long, String, String)]
               .toDF("doc_id", "stage", "reason"))
           else {
             // bucketed layout: text parts carry the doc bucket, so the
             // candidate verify read prunes to matched buckets (the text
-            // scan was the last per-batch read linear in corpus size)
+            // scan was the last per-batch read linear in corpus size).
+            // Per-part reads unioned (NOT one multi-root read): the part
+            // dirs are themselves name=value shaped, so Spark's partition
+            // discovery over several roots would try to treat them as a
+            // partition column and refuse — and the base is
+            // dir-partitioned by bkt while deltas carry it as data.
             val corpusText =
               if (bucketed)
-                parts.map(p => spark.read
+                textPartInfo.map { case (p, _) => spark.read
                     .schema("doc_id BIGINT, text STRING, bkt INT")
-                    .parquet(s"$cd/part=$p")
-                    .select("doc_id", "text", "bkt"))
+                    .parquet(p)
+                    .select("doc_id", "text", "bkt") }
                   .reduce(_.unionByName(_))
-              else spark.read
-                .schema("doc_id BIGINT, text STRING")
-                .parquet(parts.map(p => s"$cd/part=$p"): _*)
-                .select(col("doc_id"), col("text"))
+              else textPartInfo.map { case (p, _) => spark.read
+                  .schema("doc_id BIGINT, text STRING")
+                  .parquet(p)
+                  .select("doc_id", "text") }
+                .reduce(_.unionByName(_))
             val dups =
               if (bucketed) {
-                // per-part reads unioned (NOT one multi-root read): the
-                // part dirs are themselves name=value shaped, so Spark's
-                // partition discovery over several roots would try to
-                // treat them as a partition column and refuse
-                val banded = parts.map(p => spark.read
+                val banded = sigPartInfo.map { case (p, _) => spark.read
                     .schema("doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT")
-                    .parquet(s"$cd/bands=$p")
-                    .select("doc_id", "b", "bkey", "w", "bkt"))
+                    .parquet(p)
+                    .select("doc_id", "b", "bkey", "w", "bkt") }
                   .reduce(_.unionByName(_))
                 val probe = Dedup.incrementalNearDupBanded(
                   banded, corpusText, blocklisted.select("doc_id", "text"),
                   "doc_id", "text", cfg.numHashes, cfg.bands,
-                  cfg.stateBuckets, t, cfg.maxBroadcastKeys)
+                  cfg.stateBuckets, t, cfg.maxBroadcastKeys,
+                  // the width is pinned in the corpus dir's _num_hashes
+                  // marker (validated above) — no per-batch full-index
+                  // aggregate guard
+                  widthVerified = true)
                 cleanups += probe.cleanup
                 probedSigBkts = Some(probe.probedBuckets)
                 probedTextBkts = probe.probedTextBuckets
                 probe.pairs
               } else {
-                val corpusSigs = spark.read
-                  .schema("doc_id BIGINT, mh ARRAY<BIGINT>")
-                  .parquet(parts.map(p => s"$cd/sigs=$p"): _*)
-                  .select(col("doc_id"), col("mh"))
+                val corpusSigs = sigPartInfo.map { case (p, _) => spark.read
+                    .schema("doc_id BIGINT, mh ARRAY<BIGINT>")
+                    .parquet(p)
+                    .select("doc_id", "mh") }
+                  .reduce(_.unionByName(_))
                 val (pairs, release) = Dedup.incrementalNearDupIndexedManaged(
                   corpusSigs, corpusText, blocklisted.select("doc_id", "text"),
                   "doc_id", "text", cfg.numHashes, cfg.bands, t)
@@ -432,12 +617,12 @@ object Intake {
       // grams touch (partition-directory pruning — non-matching buckets'
       // files are never opened; exact, because a pruned gram's bucket is a
       // pure function of the gram, so it cannot match any batch gram).
-      val baseV = versionsOf(spark, cfg.indexDir, prefix = "base=")
-        .filter(_ < id).sorted.lastOption
-      val deltaVs = versionsOf(spark, cfg.indexDir, prefix = "delta=")
-        .filter(d => d < id && baseV.forall(d > _)).sorted
-      val partPaths = baseV.map(v => s"${cfg.indexDir}/base=$v").toSeq ++
-        deltaVs.map(v => s"${cfg.indexDir}/delta=$v")
+      val (baseV, deltaVs) = familyParts(spark, cfg.indexDir, "base=", "delta=", id)
+      // (path, isPrunedBase): the base is dir-partitioned by bkt (pruned
+      // read); delta parts are plain batch-scale writes read in full
+      val idxPartInfo = baseV.map(v => (s"${cfg.indexDir}/base=$v", bucketed)).toSeq ++
+        deltaVs.map(v => (s"${cfg.indexDir}/delta=$v", false))
+      val partPaths = idxPartInfo.map(_._1)
       var probedGramBkts: Option[Seq[Int]] = None // None = unpruned probe
       var batchGrams = -1L // measured distinct grams (bucketed path only)
       def readIndexParts(): DataFrame =
@@ -493,24 +678,20 @@ object Intake {
       // probe-I/O telemetry, measured NOW — after the probes, before this
       // batch's state writes land and before compaction retires the very
       // parts the probes read (listing them later would read 0)
-      val idxSizes = partPaths.map(pp =>
-        partBytes(spark, pp, probedGramBkts.map(_.toSet)))
+      // per-part: the bucketed BASE is partition-pruned to the probed
+      // buckets; delta parts (and every flat-layout part) are read in full
+      def familyBytes(info: Seq[(String, Boolean)],
+                      probed: Option[Set[Int]]): (Long, Long) = {
+        val sizes = info.map { case (pp, isBase) =>
+          partBytes(spark, pp, if (isBase) probed else None) }
+        (sizes.map(_._1).sum, sizes.map(_._2).sum)
+      }
       val (idxBytes, idxBytesProbed) =
-        (idxSizes.map(_._1).sum, idxSizes.map(_._2).sum)
-      val sigPartDirs = cfg.corpusDir.toSeq.flatMap { cd =>
-        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
-          .map(p => if (bucketed) s"$cd/bands=$p" else s"$cd/sigs=$p")
-      }
-      val sigSizes = sigPartDirs.map(pd =>
-        partBytes(spark, pd, probedSigBkts.map(_.toSet)))
+        familyBytes(idxPartInfo, probedGramBkts.map(_.toSet))
       val (sigBytes, sigBytesProbed) =
-        (sigSizes.map(_._1).sum, sigSizes.map(_._2).sum)
-      val textSizes = cfg.corpusDir.toSeq.flatMap { cd =>
-        versionsOf(spark, cd, prefix = "part=").filter(_ < id).sorted
-          .map(p => partBytes(spark, s"$cd/part=$p", probedTextBkts.map(_.toSet)))
-      }
+        familyBytes(sigPartInfo, probedSigBkts.map(_.toSet))
       val (textBytes, textBytesProbed) =
-        (textSizes.map(_._1).sum, textSizes.map(_._2).sum)
+        familyBytes(textPartInfo, probedTextBkts.map(_.toSet))
 
       val priorCounters = cfg.countersDir.map { cd =>
         versionsOf(spark, cd).filter(_ < id).sorted.lastOption
@@ -539,11 +720,13 @@ object Intake {
       // stages are sequential, so each doc appears at most once, and
       // (survivors ∪ rejects) partition the batch exactly (spec-asserted).
       // Written with the same overwrite-replay contract as the assignments.
-      rejBlocklist
+      val rejAll = rejBlocklist
         .unionByName(rejNearDup)
         .unionByName(rejInBatch)
         .unionByName(rejNovelty)
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+        .persist() // feeds the write AND the telemetry stage counts
+      cleanups += (() => { rejAll.unpersist(); () })
+      rejAll.write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
 
       // counters fold from the WRITTEN assignments (the persisted truth),
       // versioned and retired exactly like the drift state
@@ -564,19 +747,24 @@ object Intake {
       // near-dup SURVIVORS — text part (verify joins) AND signature part
       // (the probe's stored index) — each appended as its own part
       // (replay overwrites both)
+      // Delta parts are PLAIN batch-scale writes even under the bucketed
+      // layout (bkt rides as a data column): a per-batch dynamic-partition
+      // write fans one small batch across stateBuckets directories —
+      // measured ~+10 s/batch at 64 buckets over the 10× set, 3 writes ×
+      // 64 dirs of sub-MB files. The probes read the few pending deltas in
+      // full (batch-scale, flat in corpus size) and the standing BASE
+      // pruned; compaction below folds the deltas into the bucketed base,
+      // so the corpus-scale state is always the pruned side.
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-        if (bucketed)
-          writeBucketed(kept1p.select("doc_id", "text")
-              .withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets)),
-            s"$cd/part=$id")
-        else kept1p.select("doc_id", "text")
+        val text = kept1p.select("doc_id", "text")
+        (if (bucketed)
+          text.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
+         else text)
           .write.mode("overwrite").parquet(s"$cd/part=$id")
-        val sigs = Dedup.minhashSigFrame(kept1p.select("doc_id", "text"),
-          "doc_id", "text", cfg.numHashes)
+        val sigs = Dedup.minhashSigFrame(text, "doc_id", "text", cfg.numHashes)
         if (bucketed)
-          writeBucketed(
-            Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets),
-            s"$cd/bands=$id")
+          Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
+            .write.mode("overwrite").parquet(s"$cd/bands=$id")
         else
           sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
       }
@@ -588,17 +776,19 @@ object Intake {
       // never the merged index
       val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
         "doc_id", "text", cfg.n)
-      if (bucketed)
-        writeBucketed(Novelty.withGramBucket(delta, cfg.stateBuckets),
-          s"${cfg.indexDir}/delta=$id")
-      else delta.write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
+      (if (bucketed) Novelty.withGramBucket(delta, cfg.stateBuckets) else delta)
+        .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
 
       // compaction: once enough deltas pend STRICTLY BELOW this batch,
       // fold (base, pending deltas) into base=<newest pending part> and
-      // retire the inputs. The horizon stays below id, so a replay of
-      // THIS batch reads identical content whether or not the compaction
-      // landed; a crash mid-compaction leaves overlapping parts that the
-      // min-merge renders harmless and the next compaction sweeps.
+      // retire the inputs — for EVERY state family: the gram index
+      // (min-merged) and, when the gate is on, the corpus text and
+      // signature parts (pure concatenation — batches hold disjoint doc
+      // ids). The horizon stays below id, so a replay of THIS batch reads
+      // identical content whether or not the compaction landed; a crash
+      // mid-compaction leaves overlapping parts that the read protocol
+      // (newest base + parts strictly above it) never double-reads and the
+      // next compaction sweeps.
       if (deltaVs.size >= cfg.compactEvery) {
         val h = deltaVs.max
         val compacted = Novelty.compactGramIndex(
@@ -612,15 +802,26 @@ object Intake {
           versionsOf(spark, cfg.indexDir, prefix = "base=").filter(_ < h)
             .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
         }
+        if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+          compactFamily(spark, cfg, cd, "partbase=", "part=",
+            if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
+            else "doc_id BIGINT, text STRING", h, bucketed)
+          if (bucketed)
+            compactFamily(spark, cfg, cd, "bandsbase=", "bands=",
+              "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT", h,
+              bucketed = true)
+          else
+            compactFamily(spark, cfg, cd, "sigsbase=", "sigs=",
+              "doc_id BIGINT, mh ARRAY<BIGINT>", h, bucketed = false)
+        }
       }
 
       // per-batch telemetry (LAST — it describes what the batch just did):
-      // stage counts from the WRITTEN outputs (the persisted truth, read
-      // back at parquet-footer cost) and state sizes from directory
-      // listings. `*_buckets_probed` is -1 when the probe was unpruned
-      // (flat layout, or no parts yet).
-      val stageCounts = spark.read
-        .parquet(s"${cfg.outDir}/rejects/batch=$id")
+      // stage counts from the CACHED reject union (the exact rows the
+      // ledger write persisted — no read-back of the parquet just written)
+      // and state sizes from directory listings. `*_buckets_probed` is -1
+      // when the probe was unpruned (flat layout, or no parts yet).
+      val stageCounts = rejAll
         .groupBy("stage").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
         .withDefaultValue(0L)

@@ -581,10 +581,16 @@ object Dedup {
     * streamable (AQE broadcasts the batch bands; nothing exchanges the
     * index). Candidates verify against corpus TEXT per matched pair only.
     *
-    * The width guard aggregates min/max over the UNPRUNED index's `w`
-    * column (a single small column scan): a part written under a different
+    * The width guard (`widthVerified = false`) aggregates min/max over the
+    * UNPRUNED index's `w` column: a part written under a different
     * numHashes must refuse loudly even when this batch never probes its
-    * buckets. */
+    * buckets. That aggregate is O(standing state) PER BATCH — the one
+    * remaining full-index term in a pruned probe — so a standing caller
+    * that pins the width in state-dir METADATA (graft.app.Intake's
+    * `_num_hashes` marker: validated against the config before any part is
+    * written or probed) passes `widthVerified = true` and the guard is
+    * skipped entirely; the aggregate form remains the fallback for
+    * marker-less legacy state. Same refusal semantics, metadata cost. */
   /** `maxBroadcastRows`: the batch band side is pinned as the broadcast
     * build only while its (cached, counted — measured, not assumed) row
     * count stays under this bound; a larger batch degrades to the plain
@@ -595,19 +601,22 @@ object Dedup {
                                numHashes: Int = 12, bands: Int = 4,
                                numBuckets: Int = 64,
                                threshold: Double = 0.5,
-                               maxBroadcastRows: Long = 4L << 20): BandedProbe = {
+                               maxBroadcastRows: Long = 4L << 20,
+                               widthVerified: Boolean = false): BandedProbe = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     require(banded.columns.toSet == Set("doc_id", "b", "bkey", "w", "bkt"),
       s"incrementalNearDupBanded: banded index must be (doc_id, b, bkey, w, " +
         s"bkt) — bandIndexFrame output — got ${banded.columns.toSeq}")
-    val wides = banded.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
-    if (!wides.isNullAt(0))
-      require(wides.getInt(0) == numHashes && wides.getInt(1) == numHashes,
-        s"incrementalNearDupBanded: stored band-index widths span " +
-          s"[${wides.getInt(0)}, ${wides.getInt(1)}] but numHashes=$numHashes " +
-          "— a mismatched part bands differently and silently loses recall; " +
-          "re-sign the corpus or match the parameters")
+    if (!widthVerified) {
+      val wides = banded.agg(min(col("w")).as("lo"), max(col("w")).as("hi")).head()
+      if (!wides.isNullAt(0))
+        require(wides.getInt(0) == numHashes && wides.getInt(1) == numHashes,
+          s"incrementalNearDupBanded: stored band-index widths span " +
+            s"[${wides.getInt(0)}, ${wides.getInt(1)}] but numHashes=$numHashes " +
+            "— a mismatched part bands differently and silently loses recall; " +
+            "re-sign the corpus or match the parameters")
+    }
     val sigB = minhashSigFrame(batch, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bb = bandFrame(sigB, bands, numHashes / bands)

@@ -91,7 +91,14 @@ object KMeans {
     require(centroidCount > 0 && centroidCount <= Similarity.MaxCentroids,
       s"kmeans: centroidCount must be in (0, ${Similarity.MaxCentroids}], " +
         s"got $centroidCount")
-    val maxId = vectors.agg(max(col("id"))).head().getLong(0)
+    val maxRow = vectors.agg(max(col("id"))).head()
+    require(!maxRow.isNullAt(0),
+      "kmeans: empty vectors frame — no id domain to derive a stride from")
+    val maxId = maxRow.getLong(0)
+    require(maxId >= 0,
+      s"kmeans: max id is $maxId — the count contract derives the stride " +
+        "from a non-negative id domain (id % stride == 0 seeds a cell); " +
+        "remap ids or pass an explicit stride via assignClusters")
     assignClustersManaged(vectors,
       math.max(1L, (maxId + 1) / centroidCount), iters)._1
   }

@@ -437,7 +437,14 @@ object Selection {
     * Kept = `score <= threshold` (ties at the threshold all kept — ≥ k rows,
     * deterministic). Integer scores only (the repo's micros contract):
     * equality and bucket arithmetic must be exact for the oracle to agree.
-    * Output: (id, score, thr) for kept documents. */
+    * Output: (id, score, thr) for kept documents.
+    *
+    * CACHE LIFETIME: this convenience form discards the managed cleanup, so
+    * the (id, score) MEMORY_AND_DISK cache it builds lives until the
+    * session evicts it (the returned frame reads through the cache, so it
+    * cannot be unpersisted here). One-shot jobs don't care; a LONG-LIVED
+    * caller invoking this repeatedly should use [[quantileCutManaged]] and
+    * release the handle after its consuming action. */
   def quantileCut(scored: DataFrame, idCol: String, scoreCol: String,
                   pct: Int, maxBuckets: Int = 4096): DataFrame =
     quantileCutManaged(scored, idCol, scoreCol, pct, maxBuckets)._1

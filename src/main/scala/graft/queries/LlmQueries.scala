@@ -3177,6 +3177,122 @@ object LlmQueries {
       |  (SELECT * FROM rej_bl UNION ALL SELECT * FROM rej_nov)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q99 intake near-dup rejects
+  /** The intake drop ledger's NEAR-DUP stages as a first-class query —
+    * q98's companion for the two stages it does not replay
+    * ([[graft.app.Intake]]'s `near_dup` and `in_batch_near_dup` ledger
+    * rows): a new-crawl batch (doc_id ≡ 0 mod 10, widened with derived
+    * exact copies so both stages provably fire — +10M copies of batch
+    * docs ≡ 0 mod 40 plant IN-batch duplicates, +20M copies of corpus
+    * docs ≡ 1 mod 50 plant CROSS-corpus duplicates) probed against the
+    * standing corpus. Cross matches log stage `near_dup`, reason
+    * `near_dup_of:<min matching corpus id>` (the q59 probe + the intake's
+    * min fold); the cross-gate survivors then dedup WITHIN the batch —
+    * near-dup pairs collapse to connected components
+    * ([[graft.llm.Clusters.assign]]) and each non-canonical doc logs
+    * stage `in_batch_near_dup`, reason `canonical:<cluster min id>`.
+    * The oracle replays the identical MinHash banding (q59's machinery)
+    * and walks the pair graph with a recursive CTE (q38's). */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 50 === 1)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val dupAgg = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
+      .groupBy(col("batch_id").as("doc_id"))
+      .agg(min(col("corpus_id")).as("__dup_of"))
+    val rejCross = dupAgg.select(col("doc_id"), lit("near_dup").as("stage"),
+      concat(lit("near_dup_of:"), col("__dup_of")).as("reason"))
+    val kept = batch.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti")
+    val pairs = Dedup.nearDupPairs(kept, "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val rejIn = Clusters.assign(kept.select("doc_id"), pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"), lit("in_batch_near_dup").as("stage"),
+        concat(lit("canonical:"), col("cluster_id")).as("reason"))
+    rejCross.unionByName(rejIn).orderBy("doc_id")
+  }
+
+  private val q99Sql =
+    """WITH RECURSIVE base AS (
+      |  SELECT doc_id, text, (doc_id % 10 = 0) AS is_batch FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, text, true FROM documents WHERE doc_id % 40 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 20000000, text, true FROM documents WHERE doc_id % 50 = 1),
+      |words AS (
+      |  SELECT doc_id, is_batch, string_split(lower(text), ' ') AS w FROM base),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |wh AS (
+      |  SELECT doc_id, is_batch,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in w] AS whs
+      |  FROM words),
+      |xs AS (
+      |  SELECT doc_id, is_batch,
+      |    CASE WHEN len(whs) >= 3
+      |      THEN [((whs[i]*31 + whs[i+1])*31 + whs[i+2]) % 2147483647 for i in range(1, len(whs)-1)]
+      |      ELSE [] END AS xsv
+      |  FROM wh),
+      |sig AS (
+      |  SELECT x.doc_id, x.is_batch, s.shingles,
+      |    [list_min([((h*1000003 + 12345) * v + (h*999983 + 7)) % 2147483647
+      |               for v in xsv]) for h in range(0, 12)] AS mh
+      |  FROM xs x JOIN sh s ON s.doc_id = x.doc_id WHERE len(xsv) > 0),
+      |bands AS (
+      |  SELECT doc_id, is_batch, b,
+      |    mh[3*b+1] || '|' || mh[3*b+2] || '|' || mh[3*b+3] AS bkey
+      |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
+      |ccand AS (
+      |  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      |  FROM bands a JOIN bands b ON a.b = b.b AND a.bkey = b.bkey
+      |  WHERE a.is_batch AND NOT b.is_batch),
+      |cver AS (
+      |  SELECT c.batch_id, c.corpus_id FROM ccand c
+      |  JOIN sig sa ON sa.doc_id = c.batch_id
+      |  JOIN sig sb ON sb.doc_id = c.corpus_id
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |rej_cross AS (
+      |  SELECT batch_id AS doc_id, 'near_dup' AS stage,
+      |    'near_dup_of:' || min(corpus_id)::VARCHAR AS reason
+      |  FROM cver GROUP BY batch_id),
+      |kept AS (
+      |  SELECT b.doc_id FROM base b
+      |  WHERE b.is_batch AND b.doc_id NOT IN (SELECT doc_id FROM rej_cross)),
+      |icand AS (
+      |  SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+      |  FROM bands a
+      |  JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |  JOIN kept ka ON ka.doc_id = a.doc_id
+      |  JOIN kept kb ON kb.doc_id = b2.doc_id),
+      |iver AS (
+      |  SELECT c.u, c.v FROM icand c
+      |  JOIN sig sa ON sa.doc_id = c.u
+      |  JOIN sig sb ON sb.doc_id = c.v
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |edges AS (SELECT u, v FROM iver UNION ALL SELECT v AS u, u AS v FROM iver),
+      |reach(node, root) AS (
+      |  SELECT doc_id, doc_id FROM kept
+      |  UNION
+      |  SELECT e.v, r.root FROM reach r JOIN edges e ON e.u = r.node),
+      |lab AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node),
+      |rej_in AS (
+      |  SELECT doc_id, 'in_batch_near_dup' AS stage,
+      |    'canonical:' || cluster_id::VARCHAR AS reason
+      |  FROM lab WHERE cluster_id <> doc_id)
+      |SELECT doc_id, stage, reason FROM
+      |  (SELECT * FROM rej_cross UNION ALL SELECT * FROM rej_in)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -3248,5 +3364,6 @@ object LlmQueries {
     QueryDef("q96_length_profile", q96, Some(q96Sql)),
     QueryDef("q97_snapshot_diff_keyed", q97, Some(q97Sql)),
     QueryDef("q98_intake_rejects", q98, Some(q98Sql)),
+    QueryDef("q99_intake_neardup_rejects", q99, Some(q99Sql)),
   )
 }

@@ -15,6 +15,12 @@
 //
 // Usage: sbt "runMain graft.tools.IntakeScale /tmp/graft_sf1.0 /tmp/graft_intake_scale 10"
 // (first generate the 10× set: sbt "runMain graft.tools.Scale10Gen")
+// Optional args 4-6: stateBuckets (64), tailBatches (1), tailDocs (200) —
+// tailBatches=50 turns the run into the STEADY-STATE shape (bulk corpus
+// ingested first, then many narrow micro-batches): the regime where
+// per-batch part growth would bite first, and the acceptance series for
+// the state-family compaction (part counts must stay O(compactEvery) and
+// the tail per-batch seconds flat).
 package graft.tools
 
 import java.nio.file.{Files, Paths}
@@ -47,18 +53,25 @@ object IntakeScale {
         concat(col("source"), lit(".example.org")).as("host"))
       .persist()
     val total = docs.count()
-    // `batches` bulk slices plus one NARROW tail micro-batch (the steady-
-    // state streaming shape): the tail's probe fractions show how hard
-    // the bucket layout prunes when the batch's key coverage is small
-    val tailDocs = 200L
-    val bulk = math.max(1L, total - tailDocs)
-    val step = math.max(1L, bulk / batches)
-    val marks = docs.select(col("doc_id")).orderBy("doc_id")
+    // `batches` bulk slices plus `tailBatches` NARROW tail micro-batches
+    // (the steady-state streaming shape): the tail's probe fractions show
+    // how hard the bucket layout prunes when the batch's key coverage is
+    // small, and a long tail (tailBatches=50) certifies per-batch flatness
+    // against part growth across many compaction cycles
+    val tailBatches = args.lift(4).map(_.toInt).getOrElse(1)
+    val tailDocs = args.lift(5).map(_.toLong).getOrElse(200L)
+    val bulk = math.max(1L, total - tailBatches * tailDocs)
+    // exactly batches-1 interior cut positions at i·bulk/batches plus the
+    // bulk end — every bulk slice is within one doc of bulk/batches (a
+    // modulus-derived mark list truncated to batches-1 folds the rounding
+    // surplus into the last slice and skews the flatness series)
+    val targets = (((1 until batches).map(i => i.toLong * bulk / batches)
+      :+ bulk) ++ (1 to tailBatches).map(j => bulk + j * tailDocs))
+      .filter(_ <= total).distinct.toSet
+    val bounds = docs.select(col("doc_id")).orderBy("doc_id")
       .rdd.zipWithIndex()
-      .filter { case (_, i) =>
-        ((i + 1) % step == 0 && (i + 1) < bulk) || (i + 1) == bulk }
+      .filter { case (_, i) => targets(i + 1) }
       .map(_._1.getLong(0)).collect().toSeq.sorted
-    val bounds = marks.dropRight(1).take(batches - 1) :+ marks.last
     val cuts = (Seq(Long.MinValue) ++ bounds :+ Long.MaxValue).sliding(2).toSeq
     cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
       docs.filter(col("doc_id") > lo && col("doc_id") <= hi)

@@ -375,10 +375,12 @@ class IntakeSpec extends SparkSpec {
   }
 
   test("bucketed state layout: assignments and rejects are IDENTICAL to " +
-    "the flat layout across batches and a compaction; probes prune " +
-    "(buckets probed < bucket count, probed bytes < total bytes); the " +
-    "drop ledger partitions every batch; replay byte-identical; a " +
-    "stateBuckets mismatch against recorded state refuses loudly") {
+    "the flat layout AND to an uncompacted control across batches and a " +
+    "compaction of every state family; post-compaction probes prune the " +
+    "bucketed bases; part counts stay O(compactEvery); the drop ledger " +
+    "partitions every batch; newest-batch replay byte-identical; " +
+    "stateBuckets / numHashes mismatches against recorded state refuse " +
+    "loudly") {
     val in = tmp()
     // ~12-word docs (stable MinHash); ids %5==0 land on the blocked domain
     val baseText = (i: Long) =>
@@ -392,33 +394,55 @@ class IntakeSpec extends SparkSpec {
       docJson(22L, "en", "completely different tokens that nothing else shares ever"),
       docJson(25L, "en", "on the blocked domain so never scored")).asJava)
     Thread.sleep(20)
-    // batch 2 trips compactEvery=2 in both layouts
+    // batch 2 trips compactEvery=2: deltas {0,1} of EVERY family fold
     Files.write(in.resolve("c.json"), Seq(
-      docJson(31L, "de", "post compaction fresh words never seen before")).asJava)
+      docJson(31L, "de",
+        "solitary vocabulary appearing nowhere else in the corpus stream")).asJava)
+    Thread.sleep(20)
+    // batch 3 probes the COMPACTED bucketed bases plus the pending batch-2
+    // deltas: 41 duplicates a batch-1 doc (found through bandsbase=1 /
+    // partbase=1), 43 duplicates the batch-2 doc (found through the plain
+    // bands=2 delta). Exact copies on purpose — every band collides, so
+    // the candidate is GUARANTEED and each matches exactly one corpus doc
+    // (unique vocab); the near-not-exact case is batch 1's doc 21.
+    Files.write(in.resolve("d.json"), Seq(
+      docJson(41L, "en", "completely different tokens that nothing else shares ever"),
+      docJson(43L, "en",
+        "solitary vocabulary appearing nowhere else in the corpus stream"),
+      docJson(42L, "en", "wholly original final batch content nothing shares"),
+      docJson(45L, "en", "on the blocked domain so never scored")).asJava)
 
-    def run(buckets: Int): Intake.Config = {
+    def run(buckets: Int, compact: Int): Intake.Config = {
       val (cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp())
       val cfg = cfgFor(in, cp, idx, out).copy(
         nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
-        stateBuckets = buckets,
-        // one file per trigger so the three files land as batches 0/1/2
+        stateBuckets = buckets, compactEvery = compact,
+        // one file per trigger so the four files land as batches 0..3
         maxFilesPerTrigger = Some(1))
       val q = Intake.start(spark, cfg)
       try assert(q.awaitTermination(240000)) finally q.stop()
       cfg
     }
-    val cfgFlat = run(0)
-    val cfgBkt = run(32)
+    val cfgFlat = run(0, 2)
+    val cfgBkt = run(32, 2)
+    val cfgNoC = run(32, 1000) // uncompacted control: one part per batch
     val outFlat = java.nio.file.Paths.get(cfgFlat.outDir)
     val outBkt = java.nio.file.Paths.get(cfgBkt.outDir)
+    val outNoC = java.nio.file.Paths.get(cfgNoC.outDir)
     val idxBkt = java.nio.file.Paths.get(cfgBkt.indexDir)
+    val corpBkt = java.nio.file.Paths.get(cfgBkt.corpusDir.get)
 
-    // score/ledger equivalence: the layout must be invisible in every output
-    for (b <- 0L to 2L) {
+    // score/ledger equivalence: neither the bucket layout nor the
+    // compaction state is visible in any output
+    for (b <- 0L to 3L) {
       assert(readBatch(outBkt, b) === readBatch(outFlat, b),
         s"batch $b assignments diverged between layouts")
       assert(readRejects(outBkt, b) === readRejects(outFlat, b),
         s"batch $b rejects diverged between layouts")
+      assert(readBatch(outBkt, b) === readBatch(outNoC, b),
+        s"batch $b assignments diverged vs the uncompacted control")
+      assert(readRejects(outBkt, b) === readRejects(outNoC, b),
+        s"batch $b rejects diverged vs the uncompacted control")
     }
     // the ledger partitions the batch: survivors ∪ rejects = batch ids,
     // disjoint, with the engineered docs in their stages
@@ -430,65 +454,178 @@ class IntakeSpec extends SparkSpec {
       r._3.startsWith("blocked_by:")), s"$rej1")
     assert(rej1.exists(r => r._1 == 21L && r._2 == "near_dup" &&
       r._3 == "near_dup_of:1"), s"$rej1")
+    // batch 3: both near-dups drop — one through the compacted base, one
+    // through the pending delta — and the fresh doc survives
+    val rej3 = readRejects(outBkt, 3L)
+    assert(rej3.exists(r => r._1 == 41L && r._2 == "near_dup" &&
+      r._3 == "near_dup_of:22"), s"base-probed near-dup must drop: $rej3")
+    assert(rej3.exists(r => r._1 == 43L && r._2 == "near_dup" &&
+      r._3 == "near_dup_of:31"), s"delta-probed near-dup must drop: $rej3")
+    assert(readBatch(outBkt, 3L).map(_._1).toSet === Set(42L), s"$rej3")
 
-    // the bucketed layout actually landed: every surviving index part
-    // (batch 2 compacted deltas 0-1 into base=1) is partitioned by bkt
-    assert(idxParts(idxBkt) === Seq("base=1", "delta=2"), s"${idxParts(idxBkt)}")
-    Seq("base=1", "delta=2").foreach { part =>
-      assert(Files.list(idxBkt.resolve(part)).iterator().asScala
-        .exists(_.getFileName.toString.startsWith("bkt=")),
-        s"bucketed part $part must be partitioned by bkt")
-    }
+    // the layout actually landed: compacted BASES are partitioned by bkt;
+    // per-batch DELTAS are plain (bkt rides as a data column)
+    assert(idxParts(idxBkt) === Seq("base=1", "delta=2", "delta=3"),
+      s"${idxParts(idxBkt)}")
+    def bktDirs(p: Path): Boolean = Files.list(p).iterator().asScala
+      .exists(_.getFileName.toString.startsWith("bkt="))
+    assert(bktDirs(idxBkt.resolve("base=1")), "base must be bucket-partitioned")
+    assert(!bktDirs(idxBkt.resolve("delta=3")), "deltas must be plain writes")
+    assert(spark.read.parquet(s"$idxBkt/delta=3").columns.contains("bkt"),
+      "plain deltas must still carry the bkt data column")
+    // every corpus family compacted at the same horizon, so the probe
+    // plans an O(compactEvery) part union: {family base=1, deltas 2..3}
+    def corpParts(prefix: String): Seq[String] =
+      Files.list(corpBkt).iterator().asScala.map(_.getFileName.toString)
+        .filter(s => s.startsWith(prefix) &&
+          s.stripPrefix(prefix).forall(_.isDigit)).toSeq.sorted
+    assert(corpParts("partbase=") === Seq("partbase=1"), s"${corpParts("partbase=")}")
+    assert(corpParts("part=") === Seq("part=2", "part=3"), s"${corpParts("part=")}")
+    assert(corpParts("bandsbase=") === Seq("bandsbase=1"))
+    assert(corpParts("bands=") === Seq("bands=2", "bands=3"))
+    assert(bktDirs(corpBkt.resolve("partbase=1")) && bktDirs(corpBkt.resolve("bandsbase=1")))
+    assert(!bktDirs(corpBkt.resolve("bands=3")))
+    // the uncompacted control kept one part per batch (what compaction
+    // is FOR); the flat run compacts too (sigsbase family)
+    val corpNoC = java.nio.file.Paths.get(cfgNoC.corpusDir.get)
+    def partsOf(root: Path, prefix: String): Seq[String] =
+      Files.list(root).iterator().asScala.map(_.getFileName.toString)
+        .filter(s => s.startsWith(prefix) &&
+          s.stripPrefix(prefix).forall(_.isDigit)).toSeq.sorted
+    assert(partsOf(corpNoC, "part=") ===
+      Seq("part=0", "part=1", "part=2", "part=3"))
+    val corpFlat = java.nio.file.Paths.get(cfgFlat.corpusDir.get)
+    assert(partsOf(corpFlat, "sigsbase=") === Seq("sigsbase=1"))
+    assert(partsOf(corpFlat, "sigs=") === Seq("sigs=2", "sigs=3"))
 
-    // probes PRUNE: batch 1 has ~30 grams and 12 band keys, so it can
-    // touch at most that many of the 32 buckets — strictly fewer than the
-    // bucket count, and fewer probed bytes than the standing state holds
-    val m1 = spark.read.parquet(s"$outBkt/metrics/batch=1").collect().head
-    def L(n: String) = m1.getLong(m1.fieldIndex(n))
+    // post-compaction probes PRUNE the corpus-scale bases: batch 3's keys
+    // touch strictly fewer than 32 buckets, and the probed bytes are
+    // strictly below the standing totals (the base dominates the bytes;
+    // the pending deltas are read in full by design)
+    val m3 = spark.read.parquet(s"$outBkt/metrics/batch=3").collect().head
+    def L(n: String) = m3.getLong(m3.fieldIndex(n))
     assert(L("state_buckets") === 32L)
-    assert(L("index_buckets_probed") > 0L && L("index_buckets_probed") < 32L, s"$m1")
+    assert(L("index_buckets_probed") > 0L && L("index_buckets_probed") < 32L, s"$m3")
     assert(L("index_bytes_probed") < L("index_bytes"),
-      s"pruned probe must read fewer bytes than the full index: $m1")
-    assert(L("sig_buckets_probed") > 0L && L("sig_buckets_probed") < 32L, s"$m1")
-    assert(L("sig_bytes_probed") < L("sig_bytes"), s"$m1")
-    // the candidate VERIFY read prunes too: batch 1's few band-collision
-    // candidates (pre-verify, so possibly more than the one true
-    // near-dup) live in a handful of the 32 text buckets
-    assert(L("text_buckets_probed") >= 1L && L("text_buckets_probed") < 32L, s"$m1")
-    assert(L("text_bytes_probed") < L("text_bytes"), s"$m1")
-    assert(L("rej_near_dup") === 1L && L("rej_blocklist") === 1L &&
-      L("survivors") === 1L && L("batch_docs") === 3L, s"$m1")
+      s"pruned probe must read fewer bytes than the full index: $m3")
+    assert(L("sig_buckets_probed") > 0L && L("sig_buckets_probed") < 32L, s"$m3")
+    assert(L("sig_bytes_probed") < L("sig_bytes"), s"$m3")
+    assert(L("text_buckets_probed") >= 1L && L("text_buckets_probed") < 32L, s"$m3")
+    assert(L("text_bytes_probed") < L("text_bytes"), s"$m3")
+    assert(L("rej_near_dup") === 2L && L("rej_blocklist") === 1L &&
+      L("survivors") === 1L && L("batch_docs") === 4L, s"$m3")
+    assert(L("index_parts") === 2L && L("sig_parts") === 2L,
+      s"base + one pending delta: $m3")
     // the flat layout reports unpruned probes (-1 bucket counts, probed =
     // total)
-    val m1f = spark.read.parquet(s"$outFlat/metrics/batch=1").collect().head
-    def Lf(n: String) = m1f.getLong(m1f.fieldIndex(n))
+    val m3f = spark.read.parquet(s"$outFlat/metrics/batch=3").collect().head
+    def Lf(n: String) = m3f.getLong(m3f.fieldIndex(n))
     assert(Lf("index_buckets_probed") === -1L &&
-      Lf("index_bytes_probed") === Lf("index_bytes"), s"$m1f")
+      Lf("index_bytes_probed") === Lf("index_bytes"), s"$m3f")
 
-    // replay of batch 1 in the bucketed layout: byte-identical outputs
-    // (reads bands/delta parts < 1 through the same pruned probes)
-    val batchB = spark.read.schema(Intake.docSchema).json(s"$in/b.json")
-    val before = (readBatch(outBkt, 1L), readRejects(outBkt, 1L))
-    Intake.processBatch(spark, cfgBkt, batchB, 1L)
-    assert((readBatch(outBkt, 1L), readRejects(outBkt, 1L)) === before,
+    // replay of the NEWEST batch (3) in the bucketed layout:
+    // byte-identical outputs through the same pruned probes. (Only the
+    // in-flight batch ever replays — foreachBatch commits offsets per
+    // batch — and a LATER batch's compaction may fold state past an older
+    // batch's strictly-below horizon, so newest-batch replay is exactly
+    // the contract.)
+    val batchD = spark.read.schema(Intake.docSchema).json(s"$in/d.json")
+    val before = (readBatch(outBkt, 3L), readRejects(outBkt, 3L))
+    Intake.processBatch(spark, cfgBkt, batchD, 3L)
+    assert((readBatch(outBkt, 3L), readRejects(outBkt, 3L)) === before,
       "replayed bucketed batch diverged")
     // the broadcast-size fallback (maxBroadcastKeys = 0 forces BOTH probes
     // onto the shuffled-join path over the pruned index): byte-identical —
     // the probe shape is a plan choice, never a semantics choice
-    Intake.processBatch(spark, cfgBkt.copy(maxBroadcastKeys = 0L), batchB, 1L)
-    assert((readBatch(outBkt, 1L), readRejects(outBkt, 1L)) === before,
+    Intake.processBatch(spark, cfgBkt.copy(maxBroadcastKeys = 0L), batchD, 3L)
+    assert((readBatch(outBkt, 3L), readRejects(outBkt, 3L)) === before,
       "fallback-probe replay diverged")
 
     // the recorded layout is pinned: a run with a different stateBuckets
     // against the same state refuses loudly before touching anything
     val ex = intercept[IllegalArgumentException] {
-      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 8), batchB, 3L)
+      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 8), batchD, 4L)
     }
     assert(ex.getMessage.contains("stateBuckets=32"), s"$ex")
     val ex2 = intercept[IllegalArgumentException] {
-      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 0), batchB, 3L)
+      Intake.processBatch(spark, cfgBkt.copy(stateBuckets = 0), batchD, 4L)
     }
     assert(ex2.getMessage.contains("stateBuckets"), s"$ex2")
+    // the recorded signature WIDTH is pinned the same way (metadata, not a
+    // per-batch full-index aggregate): a mismatched numHashes refuses
+    val ex3 = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfgBkt.copy(numHashes = 16), batchD, 4L)
+    }
+    assert(ex3.getMessage.contains("numHashes=16") &&
+      ex3.getMessage.contains("numHashes=12"), s"$ex3")
+  }
+
+  test("marker hygiene: a marker-less directory that already holds state " +
+    "parts is refused, never silently adopted (a pre-marker flat index " +
+    "read as bucketed would null out bkt and prune away every match); a " +
+    "missing width marker over legacy band parts is aggregate-verified " +
+    "once and re-minted; the banded probe skips its width aggregate only " +
+    "when the caller vouches (widthVerified)") {
+    import org.apache.spark.sql.functions.lit
+    val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+    val cfg = cfgFor(in, cp, idx, out).copy(
+      nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+      stateBuckets = 16)
+    val baseText = (i: Long) =>
+      (0 to 11).map(j => s"m${(i * 19 + j * 7) % 43}").mkString(" ")
+    val batch0 = (1L to 6L).map(i => (i, "en", baseText(i),
+      s"x$i.ok.org")).toDF("doc_id", "lang", "text", "host")
+    Intake.processBatch(spark, cfg, batch0, 0L)
+    assert(Files.exists(idx.resolve("_state_buckets")))
+    assert(Files.exists(corp.resolve("_num_hashes")))
+
+    // deleting the layout marker turns the state dir into pre-marker
+    // legacy state: the next batch must refuse, not re-mint
+    Files.delete(idx.resolve("_state_buckets"))
+    val batch1 = Seq((11L, "en", baseText(11L), "x11.ok.org"))
+      .toDF("doc_id", "lang", "text", "host")
+    val ex = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfg, batch1, 1L)
+    }
+    assert(ex.getMessage.contains("_state_buckets") &&
+      ex.getMessage.contains(idx.toString), s"$ex")
+    // restore it: processing resumes
+    Files.write(idx.resolve("_state_buckets"), "16".getBytes("UTF-8"))
+
+    // a missing WIDTH marker over existing band parts (pre-r17 state) is
+    // verified once by the aggregate and re-minted — matching widths pass
+    Files.delete(corp.resolve("_num_hashes"))
+    Intake.processBatch(spark, cfg, batch1, 1L)
+    assert(Files.exists(corp.resolve("_num_hashes")))
+    assert(new String(Files.readAllBytes(corp.resolve("_num_hashes")),
+      "UTF-8").trim === "12")
+    // ...and a mismatched width is caught by that same one-time aggregate
+    Files.delete(corp.resolve("_num_hashes"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfg.copy(numHashes = 24, bands = 4),
+        batch1, 2L)
+    }
+    assert(ex2.getMessage.contains("legacy band parts"), s"$ex2")
+    Files.write(corp.resolve("_num_hashes"), "12".getBytes("UTF-8"))
+
+    // the probe-level contract behind the marker: widthVerified=false
+    // aggregates the stored w column and refuses a mismatch; =true skips
+    // the aggregate entirely (the caller's metadata vouches)
+    val banded = Seq((1L, 0, "k|1|2", 99, 3))
+      .toDF("doc_id", "b", "bkey", "w", "bkt")
+    val text = Seq((1L, "some corpus text here")).toDF("doc_id", "text")
+      .withColumn("bkt", lit(1))
+    val probeBatch = Seq((5L, baseText(5L))).toDF("doc_id", "text")
+    val ex3 = intercept[IllegalArgumentException] {
+      graft.llm.Dedup.incrementalNearDupBanded(
+        banded, text, probeBatch, "doc_id", "text", 12, 4, 16, 0.5)
+    }
+    assert(ex3.getMessage.contains("widths"), s"$ex3")
+    val probe = graft.llm.Dedup.incrementalNearDupBanded(
+      banded, text, probeBatch, "doc_id", "text", 12, 4, 16, 0.5,
+      widthVerified = true)
+    try assert(probe.pairs.collect().isEmpty) // no refusal; no collisions
+    finally probe.cleanup()
   }
 
   test("probe plan posture: the bucketed novelty probe PRUNES the index " +

@@ -121,5 +121,19 @@ class KMeansSpec extends SparkSpec {
       KMeans.assignClustersByCount(vecs, (4L << 20) + 1, iters = 1)
     }
     assert(exHi.getMessage.contains("centroidCount"), s"$exHi")
+    // degenerate id domains refuse with the repo's curated-message
+    // convention, not a raw NPE from a null max(id)
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    val exEmpty = intercept[IllegalArgumentException] {
+      KMeans.assignClustersByCount(empty, 4L, iters = 1)
+    }
+    assert(exEmpty.getMessage.contains("empty vectors"), s"$exEmpty")
+    val negative = Seq((-7L, Array(0.1, 0.2)), (-3L, Array(0.3, 0.4)))
+      .toDF("id", "vec")
+    val exNeg = intercept[IllegalArgumentException] {
+      KMeans.assignClustersByCount(negative, 2L, iters = 1)
+    }
+    assert(exNeg.getMessage.contains("non-negative id domain"), s"$exNeg")
   }
 }
