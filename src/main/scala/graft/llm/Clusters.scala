@@ -76,11 +76,23 @@ object Clusters {
     // With an integral id type the union–find seed runs FIRST (it tolerates
     // duplicates/orientation and emits min-rooted local stars, already
     // oriented), so only one distinct shuffle runs either way.
-    var cur = localStarSeed(loopless)
+    val seeded = localStarSeed(loopless)
       .getOrElse(loopless.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // ENTRY barrier, same idiom as the round loop below: the caller's edge
+    // frame is often a DEEP composition (jaccardJoin / nearDupPairs /
+    // semanticPairs pipelines), and every driver action here — the
+    // certificate's two, plus the first round's — would re-run Catalyst
+    // ANALYSIS of that whole plan even with the persist hot (persist
+    // truncates execution, not analysis): measured seconds of pure driver
+    // CPU per action at sf0.1 on the q99 composition. The flat LogicalRDD
+    // makes each action analyze a one-node plan backed by the same
+    // persisted RDD. `backed` tracks the frame that actually holds the
+    // cache (cur is its flat view until the first round replaces both).
+    var backed = seeded
+    var cur = edges.sparkSession.createDataFrame(seeded.rdd, seeded.schema)
     var it = 0
     var star = isStarForest(cur)
     while (!star && it < maxIter) {
@@ -96,18 +108,20 @@ object Clusters {
       val next = edges.sparkSession.createDataFrame(round.rdd, round.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       star = isStarForest(next)
-      cur.unpersist()
+      backed.unpersist()
+      backed = next
       cur = next
       it += 1
     }
     if (!star) {
-      cur.unpersist() // don't leak the round frame on the failure path
+      backed.unpersist() // don't leak the round frame on the failure path
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(graph needs O(log n) — raise maxIter for adversarially deep graphs)")
     }
     // At the star-forest fixed point every edge is (node, componentMin).
-    (cur.select(col("u").as("node"), col("v").as("root")), () => { cur.unpersist(); () })
+    (cur.select(col("u").as("node"), col("v").as("root")),
+      () => { backed.unpersist(); () })
   }
 
   /** Structural convergence certificate: the edge set is a min-rooted star

@@ -3201,14 +3201,26 @@ object LlmQueries {
       .unionByName(docs.filter(col("doc_id") % 50 === 1)
         .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
-    val dupAgg = Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
+    // Persist + FLAT LINEAGE BARRIER per stage (the [[Clusters]] idiom,
+    // one-shot catalog path — process exit / bench clearCache reclaims the
+    // caches): the probe aggregate feeds BOTH the reject rows and the
+    // survivor anti-join, and the CC stage runs several driver actions —
+    // without the persist the banded probe would replay per action (the
+    // q63 replay class), and without the barrier every action would
+    // RE-ANALYZE the stacked logical plan (probe → anti-join → band
+    // self-join → verify), pure driver CPU that measured 16-35 s vs ~4 s
+    // at sf0.1 even with the caches hot: persist truncates execution, not
+    // analysis.
+    def flat(df: DataFrame): DataFrame =
+      s.createDataFrame(df.persist().rdd, df.schema)
+    val dupAgg = flat(Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
       .groupBy(col("batch_id").as("doc_id"))
-      .agg(min(col("corpus_id")).as("__dup_of"))
+      .agg(min(col("corpus_id")).as("__dup_of")))
     val rejCross = dupAgg.select(col("doc_id"), lit("near_dup").as("stage"),
       concat(lit("near_dup_of:"), col("__dup_of")).as("reason"))
-    val kept = batch.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti")
-    val pairs = Dedup.nearDupPairs(kept, "doc_id", "text")
-      .select("doc_a", "doc_b")
+    val kept = flat(batch.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val pairs = flat(Dedup.nearDupPairs(kept, "doc_id", "text")
+      .select("doc_a", "doc_b"))
     val rejIn = Clusters.assign(kept.select("doc_id"), pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"), lit("in_batch_near_dup").as("stage"),

@@ -570,6 +570,25 @@ class PlanAuditSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"q98:\n$plan")
   }
 
+  test("q99 intake near-dup rejects: every heavy stage (probe, pair join, " +
+    "CC) runs behind a flat-lineage barrier — the final plan reads " +
+    "LogicalRDD stage outputs (no re-analysis of the stacked plan per CC " +
+    "action), the unused cluster_size count is PRUNED to a keys-only " +
+    "aggregate (column pruning through the sizes join), no window, no " +
+    "nested-loop join; the probe stage's own keyed-join/partial-min " +
+    "shape is audited through q59 (same operator)") {
+    val plan = planOf("q99_intake_neardup_rejects")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"q99's stage outputs must be flat LogicalRDD scans (the barrier):\n$plan")
+    assert(!plan.contains("Window"),
+      s"q99's final plan must not window (sizes are groupBy+join):\n$plan")
+    assert(plan.split("\n").exists(l => l.contains("HashAggregate") &&
+        l.contains("keys=[cluster_id") && l.contains("functions=[]")),
+      s"q99 must prune the unused cluster_size count to keys-only:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"q99:\n$plan")
+  }
+
   test("q94 length outliers: the only windows run inside single target " +
     "buckets (the groupedQuantile slice, ~1/maxBuckets of each group); " +
     "threshold joins back are broadcast; no corpus Sort outside windows") {
