@@ -363,7 +363,20 @@ object Intake {
     * base write and the retire never double-reads an input; the sweep here
     * deletes any such leftovers on the next trigger. When pending parts is
     * empty (a replay of the batch that already compacted), nothing is
-    * rewritten — the base is never read-and-overwritten in place. */
+    * rewritten — the base is never read-and-overwritten in place.
+    *
+    * WRITE AMPLIFICATION, stated honestly: each fold rewrites the FULL
+    * family base, so the amortized extra write per batch is
+    * O(family size / compactEvery) — the single-level LSM trade. For the
+    * gram index (vocabulary-scale, Heaps-law sublinear) and the signature
+    * family (a few longs per doc) that is cheap at any corpus size; for
+    * the TEXT family it is corpus-scale ÷ K, so a long-lived 100 TB intake
+    * sizes `compactEvery` by its corpus/batch ratio (the probes only need
+    * the part COUNT bounded — K=64 keeps plans 65-way and cuts the rewrite
+    * 64×). The next rung, if a deployment ever needs it, is a second tier
+    * (deltas → mid parts → base), O(size/K²) amortized at O(2K) parts —
+    * the read protocol here (newest base + everything above it) already
+    * admits that extension without changing replay semantics. */
   private def compactFamily(spark: SparkSession, cfg: Config, dir: String,
                             basePrefix: String, deltaPrefix: String,
                             schema: String, h: Long, bucketed: Boolean): Unit = {

@@ -459,8 +459,15 @@ object Selection {
   def quantileCutManaged(scored: DataFrame, idCol: String, scoreCol: String,
                          pct: Int, maxBuckets: Int = 4096): (DataFrame, () => Unit) = {
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
-    val base = scored.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
+    val backing = scored.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Flat lineage barrier over the cache (the Clusters entry-barrier
+    // idiom): the operator runs FOUR actions, and each would re-run
+    // Catalyst ANALYSIS of the caller's full scoring plan (q63 composes
+    // the q55 bigram-LM pipeline) even with the persist hot — persist
+    // truncates execution, not analysis. Each action now analyzes a
+    // one-node plan backed by the same persisted RDD.
+    val base = scored.sparkSession.createDataFrame(backing.rdd, backing.schema)
     val stats = base.agg(count(lit(1)).as("n"), min("score").as("lo"),
       max("score").as("hi")).head()
     val n = stats.getLong(0)
@@ -486,7 +493,7 @@ object Selection {
       .orderBy("score").limit(kInBucket)
       .agg(max("score")).head().getLong(0)
     (base.filter(col("score") <= thr).withColumn("thr", lit(thr)),
-      () => { base.unpersist(); () })
+      () => { backing.unpersist(); () })
   }
 
   /** EXACT PER-GROUP score quantile — the grouped form of [[quantileCut]],
