@@ -479,6 +479,20 @@ object Intake {
       })
     }
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
+    // Persist + FLAT LINEAGE BARRIER for every stage frame that feeds
+    // multiple downstream actions (the Clusters entry-barrier idiom): a
+    // batch runs ~10 driver actions (probe stats, novelty scoring, split
+    // writes, state writes, telemetry counts), and each would re-run
+    // Catalyst ANALYSIS of the stage's full stacked plan (blocklist →
+    // near-dup probe → in-batch CC → novelty) even with the persist hot —
+    // persist truncates execution, not analysis. That analysis is fixed
+    // driver CPU per action, so it dominates exactly the narrow
+    // steady-state micro-batches a standing service tails into.
+    def flatPersist(df: DataFrame): DataFrame = {
+      val backing = df.persist()
+      cleanups += (() => { backing.unpersist(); () })
+      spark.createDataFrame(backing.rdd, backing.schema)
+    }
     val b = batch.persist()
     cleanups += (() => { b.unpersist(); () })
     try {
@@ -578,12 +592,11 @@ object Intake {
                 pairs
               }
             // one row per dropped doc (used by both the anti-join and the
-            // ledger) — persisted so the probe runs once
-            val dupAgg = dups
+            // ledger) — persisted so the probe runs once, flat so the
+            // probe's plan is never re-analyzed downstream
+            val dupAgg = flatPersist(dups
               .groupBy(col("batch_id").as("doc_id"))
-              .agg(min(col("corpus_id")).as("__dup_of"))
-              .persist()
-            cleanups += (() => { dupAgg.unpersist(); () })
+              .agg(min(col("corpus_id")).as("__dup_of")))
             (blocklisted.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti"),
               dupAgg.select(col("doc_id"), lit("near_dup").as("stage"),
                 concat(lit("near_dup_of:"), col("__dup_of")).as("reason")))
@@ -607,8 +620,7 @@ object Intake {
           val (assigned0, relA) = graft.llm.Clusters.assignManaged(
             kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
           cleanups += relA
-          val assigned = assigned0.persist()
-          cleanups += (() => { assigned.unpersist(); () })
+          val assigned = flatPersist(assigned0)
           (kept1.join(
             assigned.filter(col("doc_id") === col("cluster_id"))
               .select("doc_id"), "doc_id"),
@@ -619,8 +631,10 @@ object Intake {
           (kept1, spark.emptyDataset[(Long, String, String)]
             .toDF("doc_id", "stage", "reason"))
       }
-      val kept1p = kept1x.persist()
-      cleanups += (() => { kept1p.unpersist(); () })
+      // kept1p feeds the most downstream actions of any stage frame (gram
+      // stats, novelty, drift, splits, three state writes) — the barrier
+      // matters most here
+      val kept1p = flatPersist(kept1x)
 
       // the index this batch scores against: the part union STRICTLY
       // below id — latest base plus the deltas above it (a crashed run
@@ -674,9 +688,10 @@ object Intake {
         case None =>
           Novelty.ngramNovelty(kept1p.select("doc_id", "text"),
             "doc_id", "text", cfg.n)
-      }).persist() // feeds both the gate and the reject ledger
-      cleanups += (() => { scored.unpersist(); () })
-      val rejNovelty = scored
+      })
+      // feeds both the gate and the reject ledger
+      val scoredP = flatPersist(scored)
+      val rejNovelty = scoredP
         .filter(col("novelty_micros").isNull ||
           col("novelty_micros") < cfg.noveltyMinMicros)
         .select(col("doc_id"), lit("novelty").as("stage"),
@@ -684,7 +699,7 @@ object Intake {
             coalesce(col("novelty_micros").cast("string"), lit("null")))
             .as("reason"))
       val kept2 = kept1p
-        .join(scored.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
+        .join(scoredP.filter(col("novelty_micros") >= cfg.noveltyMinMicros)
           .select("doc_id"), "doc_id")
         .select("doc_id", "lang")
 
