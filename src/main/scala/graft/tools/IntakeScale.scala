@@ -158,6 +158,12 @@ object IntakeScale {
       }.mkString(",")
     val idxTotals = metricRows
       .map(r => r.getLong(r.fieldIndex("index_bytes"))).mkString(",")
+    // state-part counts per batch: with every family compacting, these
+    // must stay bounded at base + <= compactEvery pending deltas instead
+    // of growing one per batch — the O(batches) listing/planning term the
+    // log-structured fold removes, made visible in the evidence line
+    def partSeries(colName: String): String =
+      metricRows.map(r => r.getLong(r.fieldIndex(colName))).mkString(",")
     val firstHalf = perBatch.take(perBatch.size / 2).map(_._2)
     val lastHalf = perBatch.drop(perBatch.size / 2).map(_._2)
     val line =
@@ -171,6 +177,8 @@ object IntakeScale {
         s""""state_buckets":${cfg.stateBuckets},""" +
         s""""tail_docs":$tailDocs,""" +
         s""""index_bytes_per_batch":[$idxTotals],""" +
+        s""""index_parts_per_batch":[${partSeries("index_parts")}],""" +
+        s""""sig_parts_per_batch":[${partSeries("sig_parts")}],""" +
         s""""index_probe_frac":[${probeLine("index_bytes", "index_bytes_probed")}],""" +
         s""""sig_probe_frac":[${probeLine("sig_bytes", "sig_bytes_probed")}],""" +
         s""""text_probe_frac":[${probeLine("text_bytes", "text_bytes_probed")}],""" +
