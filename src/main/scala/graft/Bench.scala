@@ -50,18 +50,25 @@ object Bench {
       }
       q.name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // The driver captures stdout's tail, which has truncated mid-number two
-    // rounds running (losing q1–q9's readings) — so ALSO write the line to a
-    // file the driver/judge can read whole. Path overridable for local runs.
+    def jsonLine(rows: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rows.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}"""
+    }
+    // The FULL per-query map goes to a file the driver/judge can read whole
+    // (path overridable for local runs). Stdout gets a COMPACT line — same
+    // schema, but only the worst-8 rows plus the file pointer: the driver
+    // captures stdout's TAIL, and the full ~4 KB line has outgrown that
+    // window three rounds running ("parsed": null in BENCH_r17), truncating
+    // mid-number. Total/sf/unit are identical between the two lines.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"bench: could not write $outPath: $e") }
-    println(line)
+    val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
+    println(jsonLine(worst,
+      s""","n_queries":${results.size},"full":"$outPath""""))
     spark.stop()
   }
 }

@@ -249,17 +249,36 @@ object Intake {
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      // A corrupt marker must refuse with a message naming the file, not
+      // leak a NumberFormatException — the layout/width guards treat the
+      // marker as the single source of truth, so an unreadable one means
+      // the state dir needs repair (restore the marker or rebuild).
+      val parsed = scala.util.Try(text.toInt).toOption
+      require(parsed.isDefined,
+        s"Intake: marker $p is corrupt (contents ${if (text.isEmpty) "empty"
+          else s"'${text.take(32)}'"}, expected a single integer) — restore " +
+          "the marker to the value the state was written with, or rebuild " +
+          "the state directory")
+      parsed
     }
   }
 
+  /** Markers gate every later run, so their write is temp-and-rename
+    * atomic: a crash mid-write leaves only an orphan temp file (ignored by
+    * the guards), never a truncated marker that would refuse forever. */
   private def writeIntMarker(spark: SparkSession, dir: String, name: String,
                              value: Int): Unit = {
     val p = new Path(dir, name)
+    val tmp = new Path(dir, s"_tmp_$name")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val out = fs.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"Intake: could not publish marker $p (rename from $tmp failed)")
   }
 
   /** Every state-part prefix a directory may hold (the gram-index and
@@ -489,9 +508,9 @@ object Intake {
     // driver CPU per action, so it dominates exactly the narrow
     // steady-state micro-batches a standing service tails into.
     def flatPersist(df: DataFrame): DataFrame = {
-      val backing = df.persist()
+      val (flat, backing) = graft.plans.Barrier.flatPersist(df)
       cleanups += (() => { backing.unpersist(); () })
-      spark.createDataFrame(backing.rdd, backing.schema)
+      flat
     }
     val b = batch.persist()
     cleanups += (() => { b.unpersist(); () })
@@ -830,18 +849,33 @@ object Intake {
           versionsOf(spark, cfg.indexDir, prefix = "base=").filter(_ < h)
             .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
         }
-        if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-          compactFamily(spark, cfg, cd, "partbase=", "part=",
-            if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
-            else "doc_id BIGINT, text STRING", h, bucketed)
-          if (bucketed)
-            compactFamily(spark, cfg, cd, "bandsbase=", "bands=",
-              "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT", h,
-              bucketed = true)
-          else
-            compactFamily(spark, cfg, cd, "sigsbase=", "sigs=",
-              "doc_id BIGINT, mh ARRAY<BIGINT>", h, bucketed = false)
+      }
+
+      // corpus families fold on their OWN pending-delta counts (in normal
+      // operation these track the gram family batch-for-batch, so the
+      // triggers coincide; after a crash between the gram retire and a
+      // family fold, the family self-heals on the very next batch instead
+      // of accumulating up to ~2× compactEvery parts while it waits out
+      // another gram window). Horizon = the family's own newest pending
+      // delta — still strictly below id, so the replay contract holds.
+      if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+        def maybeCompact(basePrefix: String, deltaPrefix: String,
+                         schema: String, bucketedFamily: Boolean): Unit = {
+          val (_, pend) = familyParts(spark, cd, basePrefix, deltaPrefix, id)
+          if (pend.size >= cfg.compactEvery)
+            compactFamily(spark, cfg, cd, basePrefix, deltaPrefix, schema,
+              pend.max, bucketedFamily)
         }
+        maybeCompact("partbase=", "part=",
+          if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
+          else "doc_id BIGINT, text STRING", bucketed)
+        if (bucketed)
+          maybeCompact("bandsbase=", "bands=",
+            "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
+            bucketedFamily = true)
+        else
+          maybeCompact("sigsbase=", "sigs=",
+            "doc_id BIGINT, mh ARRAY<BIGINT>", bucketedFamily = false)
       }
 
       // per-batch telemetry (LAST — it describes what the batch just did):
@@ -853,8 +887,10 @@ object Intake {
         .groupBy("stage").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
         .withDefaultValue(0L)
-      val survivors =
-        spark.read.parquet(s"${cfg.outDir}/batch=$id").count()
+      // survivors = the split frame's row count, counted from the frame in
+      // hand (splitAssign is row-preserving over kept2, whose inputs are
+      // both cached) — not a read-back of the parquet just written
+      val survivors = kept2.count()
       Seq((id, b.count(), stageCounts("blocklist"), stageCounts("near_dup"),
           stageCounts("in_batch_near_dup"), stageCounts("novelty"), survivors,
           partPaths.size.toLong, idxBytes, idxBytesProbed,

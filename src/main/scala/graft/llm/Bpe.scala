@@ -77,9 +77,9 @@ object Bpe {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += ((a, b))
         val round = vocab.withColumn("sym", mergeOnce(col("sym"), a, b))
-        // flat-LogicalRDD lineage barrier (see Clusters): constant per-round
-        // plan size; the persisted RDD backs execution either way
-        val next = spark.createDataFrame(round.rdd, round.schema)
+        // flat-LogicalRDD lineage barrier (graft.plans.Barrier): constant
+        // per-round plan size; the persisted RDD backs execution either way
+        val next = graft.plans.Barrier.flatten(round)
           .persist(StorageLevel.MEMORY_AND_DISK)
         next.count() // materialize before dropping the previous round
         vocab.unpersist()

@@ -81,31 +81,25 @@ object Clusters {
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // ENTRY barrier, same idiom as the round loop below: the caller's edge
-    // frame is often a DEEP composition (jaccardJoin / nearDupPairs /
+    // ENTRY barrier (graft.plans.Barrier contract): the caller's edge frame
+    // is often a DEEP composition (jaccardJoin / nearDupPairs /
     // semanticPairs pipelines), and every driver action here — the
     // certificate's two, plus the first round's — would re-run Catalyst
-    // ANALYSIS of that whole plan even with the persist hot (persist
-    // truncates execution, not analysis): measured seconds of pure driver
-    // CPU per action at sf0.1 on the q99 composition. The flat LogicalRDD
-    // makes each action analyze a one-node plan backed by the same
-    // persisted RDD. `backed` tracks the frame that actually holds the
-    // cache (cur is its flat view until the first round replaces both).
+    // ANALYSIS of that whole plan even with the persist hot. `backed`
+    // tracks the frame that actually holds the cache (cur is its flat view
+    // until the first round replaces both).
     var backed = seeded
-    var cur = edges.sparkSession.createDataFrame(seeded.rdd, seeded.schema)
+    var cur = graft.plans.Barrier.flatten(seeded)
     var it = 0
     var star = isStarForest(cur)
     while (!star && it < maxIter) {
-      // Lineage barrier: largeStar/smallStar reference their input 2× each,
-      // so composing rounds grows the LOGICAL plan ~4× per iteration —
-      // persist truncates execution but not analysis, and Catalyst goes
-      // exponential by round ~8 (measured: minutes of driver CPU on a
-      // 300-node chain). Re-wrapping the round's RDD in a flat LogicalRDD
-      // keeps per-round plan size constant; execution cost is unchanged
-      // (the persisted RDD backs both), which is the DataFrame analogue of
-      // GraphX's periodic checkpoint in iterative algorithms.
+      // Round barrier (graft.plans.Barrier): largeStar/smallStar reference
+      // their input 2× each, so composing rounds grows the LOGICAL plan ~4×
+      // per iteration and Catalyst goes exponential by round ~8 (measured:
+      // minutes of driver CPU on a 300-node chain). Flattening each round
+      // keeps per-round plan size constant.
       val round = smallStar(largeStar(cur))
-      val next = edges.sparkSession.createDataFrame(round.rdd, round.schema)
+      val next = graft.plans.Barrier.flatten(round)
         .persist(StorageLevel.MEMORY_AND_DISK)
       star = isStarForest(next)
       backed.unpersist()

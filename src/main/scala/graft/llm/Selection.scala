@@ -461,13 +461,11 @@ object Selection {
     require(pct >= 1 && pct <= 100, s"pct must be in [1,100], got $pct")
     val backing = scored.select(col(idCol).as("id"), col(scoreCol).cast("long").as("score"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Flat lineage barrier over the cache (the Clusters entry-barrier
-    // idiom): the operator runs FOUR actions, and each would re-run
-    // Catalyst ANALYSIS of the caller's full scoring plan (q63 composes
-    // the q55 bigram-LM pipeline) even with the persist hot — persist
-    // truncates execution, not analysis. Each action now analyzes a
-    // one-node plan backed by the same persisted RDD.
-    val base = scored.sparkSession.createDataFrame(backing.rdd, backing.schema)
+    // Flat lineage barrier over the cache (graft.plans.Barrier contract):
+    // the operator runs FOUR actions, and each would re-run Catalyst
+    // ANALYSIS of the caller's full scoring plan (q63 composes the q55
+    // bigram-LM pipeline) even with the persist hot.
+    val base = graft.plans.Barrier.flatten(backing)
     val stats = base.agg(count(lit(1)).as("n"), min("score").as("lo"),
       max("score").as("hi")).head()
     val n = stats.getLong(0)

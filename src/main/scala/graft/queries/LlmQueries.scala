@@ -3195,11 +3195,23 @@ object LlmQueries {
     * and walks the pair graph with a recursive CTE (q38's). */
   private def q99(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    // The planted-copy id offset is DERIVED from the data — the smallest
+    // power of 10 above max(doc_id) — not a fixed constant: a fixed +10M
+    // would collide derived ids with genuine ones at any SF holding >=10M
+    // documents, silently degrading the planted near-dup semantics while
+    // the oracle (sharing the arithmetic) still matched. One metadata-scale
+    // max() action; the oracle derives the identical value from the same
+    // decimal-digit-count formula.
+    val off = {
+      val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+      require(mx >= 0, s"q99 expects non-negative doc ids, got max=$mx")
+      math.pow(10, mx.toString.length.toDouble).toLong
+    }
     val batch = docs.filter(col("doc_id") % 10 === 0)
       .unionByName(docs.filter(col("doc_id") % 40 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + off).as("doc_id"), col("text")))
       .unionByName(docs.filter(col("doc_id") % 50 === 1)
-        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+        .select((col("doc_id") + 2L * off).as("doc_id"), col("text")))
     val corpus = docs.filter(col("doc_id") % 10 =!= 0)
     // Persist + FLAT LINEAGE BARRIER per stage (the [[Clusters]] idiom,
     // one-shot catalog path — process exit / bench clearCache reclaims the
@@ -3211,8 +3223,7 @@ object LlmQueries {
     // self-join → verify), pure driver CPU that measured 16-35 s vs ~4 s
     // at sf0.1 even with the caches hot: persist truncates execution, not
     // analysis.
-    def flat(df: DataFrame): DataFrame =
-      s.createDataFrame(df.persist().rdd, df.schema)
+    def flat(df: DataFrame): DataFrame = graft.plans.Barrier.flatPersist(df)._1
     val dupAgg = flat(Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
       .groupBy(col("batch_id").as("doc_id"))
       .agg(min(col("corpus_id")).as("__dup_of")))
@@ -3229,12 +3240,17 @@ object LlmQueries {
   }
 
   private val q99Sql =
-    """WITH RECURSIVE base AS (
+    """WITH RECURSIVE off AS (
+      |  SELECT CAST(10 ** length(CAST(max(doc_id) AS VARCHAR)) AS BIGINT) AS o
+      |  FROM documents),
+      |base AS (
       |  SELECT doc_id, text, (doc_id % 10 = 0) AS is_batch FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 10000000, text, true FROM documents WHERE doc_id % 40 = 0
+      |  SELECT doc_id + (SELECT o FROM off), text, true FROM documents
+      |  WHERE doc_id % 40 = 0
       |  UNION ALL
-      |  SELECT doc_id + 20000000, text, true FROM documents WHERE doc_id % 50 = 1),
+      |  SELECT doc_id + 2 * (SELECT o FROM off), text, true FROM documents
+      |  WHERE doc_id % 50 = 1),
       |words AS (
       |  SELECT doc_id, is_batch, string_split(lower(text), ' ') AS w FROM base),
       |sh AS (
