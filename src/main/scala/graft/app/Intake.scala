@@ -960,6 +960,39 @@ object Intake {
     fold("lang", langPrior, langBatch)
   }
 
+  /** BATCH-MODE REPLAY seam: drive pre-partitioned batches through the
+    * standing per-batch pipeline IN ORDER against `cfg`'s state
+    * directories, then return the combined outcome — exactly one row per
+    * ingested document: survivors as (batch_id, doc_id, stage='survived',
+    * reason='<stratum>:<split>:<rank_in_stratum>') plus the full drop
+    * ledger rows as written (`blocklist` / `near_dup` /
+    * `in_batch_near_dup` / `novelty`). The same per-batch function the
+    * streaming entry runs ([[processBatch]]) — same state layout, same
+    * compaction, same replay contract — so a backfill through this seam
+    * is bit-identical to having streamed the batches, and the whole
+    * pipeline (including state evolution ACROSS compaction folds) can be
+    * oracle-checked end-to-end against a batch-mode replay (q100). Batch
+    * ids must be strictly increasing: every state family reads parts
+    * strictly below the current id. */
+  def replay(spark: SparkSession, cfg: Config,
+             batches: Seq[(Long, DataFrame)]): DataFrame = {
+    require(batches.nonEmpty, "Intake.replay: no batches")
+    val ids = batches.map(_._1)
+    require(ids == ids.sorted && ids.distinct.size == ids.size,
+      s"Intake.replay: batch ids must be strictly increasing, got $ids")
+    batches.foreach { case (id, df) => processBatch(spark, cfg, df, id) }
+    ids.map { id =>
+      spark.read.parquet(s"${cfg.outDir}/batch=$id")
+        .select(lit(id).as("batch_id"), col("doc_id"),
+          lit("survived").as("stage"),
+          concat(col("stratum"), lit(":"), col("split"), lit(":"),
+            col("rank_in_stratum")).as("reason"))
+        .unionByName(spark.read.parquet(s"${cfg.outDir}/rejects/batch=$id")
+          .select(lit(id).as("batch_id"), col("doc_id"), col("stage"),
+            col("reason")))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Retire `v=` versions below the replay horizon: a restart replays at
     * most batch id+1, which reads v≤id — every version below the PREVIOUS
     * one is dead. */

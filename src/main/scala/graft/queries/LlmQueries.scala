@@ -3321,6 +3321,339 @@ object LlmQueries {
       |  (SELECT * FROM rej_cross UNION ALL SELECT * FROM rej_in)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q100 intake replay capstone
+  /** END-TO-END oracle gate for the standing intake: THREE id-ordered
+    * batches driven through the REAL per-batch pipeline
+    * ([[graft.app.Intake.replay]] → `processBatch`, the same seam the
+    * streaming entry runs) against fresh state directories with
+    * `compactEvery = 1`, so a compaction fold lands strictly INSIDE the
+    * sequence — batch 2's probes read batch 1's un-folded delta parts,
+    * the fold retires them into the bucketed bases during batch 2, and
+    * batch 3's probes read the FOLDED bases pruned (the strongest state
+    * path: match detection through a compaction). The corpus is widened
+    * with derived plants so every stage provably fires across the state
+    * boundary: copies of batch-1 docs planted in batch 2 (cross-match via
+    * deltas) and batch 3 (cross-match via the folded base), plus same-
+    * batch copies for the in-batch CC stage. Output = one row per
+    * ingested document: the full drop ledger plus survivors with their
+    * split assignment. The oracle replays the ENTIRE pipeline batch-mode
+    * in DuckDB — blocklist (q98's), per-batch MinHash cross-probe with
+    * batch-order semantics + in-batch connected components (q99's,
+    * unrolled per batch), incremental novelty as the global batch
+    * statistic (q89's incremental ≡ batch contract), and per-batch
+    * Hamilton splits (q88's) — so incremental-with-state ≡ batch-mode is
+    * checked at the PIPELINE level, across a compaction fold. */
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    // Data-derived id spacing (the q99 rule): off = smallest power of 10
+    // above max(doc_id); batch k owns ids [k*10*off, (k+1)*10*off) with
+    // originals at +e, cross plants at +3*off+e, in-batch plants at
+    // +5*off+e — disjoint slots, no collision at any SF.
+    val off = {
+      val mx = docs0.agg(max(col("doc_id"))).head().getLong(0)
+      require(mx >= 0, s"q100 expects non-negative doc ids, got max=$mx")
+      math.pow(10, mx.toString.length.toDouble).toLong
+    }
+    val bSize = 10L * off
+    val bcol = (col("doc_id") % 3 + 1).cast("long")
+    val orig = docs0.select((bcol * bSize + col("doc_id")).as("doc_id"),
+      bcol.as("batch"), col("lang"), col("text"))
+    val crossEarly = docs0.filter(col("doc_id") % 15 === 0)
+      .select((lit(2L * bSize + 3L * off) + col("doc_id")).as("doc_id"),
+        lit(2L).as("batch"), col("lang"), col("text"))
+    val crossLate = docs0.filter(col("doc_id") % 15 === 3)
+      .select((lit(3L * bSize + 3L * off) + col("doc_id")).as("doc_id"),
+        lit(3L).as("batch"), col("lang"), col("text"))
+    val inBatch = docs0.filter(col("doc_id") % 7 === 3)
+      .select((bcol * bSize + lit(5L * off) + col("doc_id")).as("doc_id"),
+        bcol.as("batch"), col("lang"), col("text"))
+    // 10-word prefix plants fire the NOVELTY reject path through the state
+    // machinery: a strict word-prefix shares every 8-gram with its original
+    // (novelty 0 → reject) but sits far below the 0.5 shingle-Jaccard bar,
+    // so the near-dup stages pass it through; originals with <8 words yield
+    // gramless plants, firing the 'novelty_micros:null' branch too.
+    val prefixPlant = docs0.filter(col("doc_id") % 11 === 5)
+      .select((bcol * bSize + lit(7L * off) + col("doc_id")).as("doc_id"),
+        bcol.as("batch"), col("lang"),
+        array_join(slice(split(col("text"), " "), 1, 10), " ").as("text"))
+    val tld = when(col("doc_id") % 3 === 0, lit("com"))
+      .when(col("doc_id") % 3 === 1, lit("org")).otherwise(lit("net"))
+    val host = concat(
+      when(col("doc_id") % 4 === 1, lit("www."))
+        .when(col("doc_id") % 4 === 2, lit("a.b."))
+        .when(col("doc_id") % 4 === 3,
+          concat(lit("m"), (col("doc_id") % 7).cast("string"), lit(".cdn.")))
+        .otherwise(lit("")),
+      lit("s"), (col("doc_id") % 23).cast("string"), lit("."), tld)
+    val wide = orig.unionByName(crossEarly).unionByName(crossLate)
+      .unionByName(inBatch).unionByName(prefixPlant).withColumn("host", host)
+      .persist()
+    val root = java.nio.file.Files.createTempDirectory("graft_q100_").toFile
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
+      f.delete(); ()
+    }
+    try {
+      val cfg = graft.app.Intake.Config(
+        inputDir = s"$root/in", checkpointDir = s"$root/ckpt",
+        indexDir = s"$root/idx", outDir = s"$root/out",
+        blocklist = Seq("s1.com", "s2.org", "cdn.s3.net", "www.s5.org",
+          "s7.com", "net"),
+        nearDupThreshold = Some(0.5), corpusDir = Some(s"$root/corpus"),
+        inBatchNearDup = true, seed = "q100", compactEvery = 1,
+        stateBuckets = 8)
+      val out = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
+        k -> wide.filter(col("batch") === k)
+          .select("doc_id", "lang", "text", "host")))
+      // The replay output reads the temp state dirs lazily; the state is
+      // deleted below, so pin the (ledger-scale) result rows first.
+      val rows = out.orderBy("doc_id").collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally {
+      wide.unpersist()
+      rmrf(root)
+    }
+  }
+
+  private val q100Sql =
+    """WITH RECURSIVE off AS MATERIALIZED (
+      |  SELECT CAST(10 ** length(CAST(max(doc_id) AS VARCHAR)) AS BIGINT) AS o
+      |  FROM documents),
+      |wide AS MATERIALIZED (
+      |  SELECT (doc_id % 3 + 1) * 10 * (SELECT o FROM off) + doc_id AS doc_id,
+      |    CAST(doc_id % 3 + 1 AS BIGINT) AS batch, lang, text FROM documents
+      |  UNION ALL
+      |  SELECT 2 * 10 * (SELECT o FROM off) + 3 * (SELECT o FROM off) + doc_id,
+      |    CAST(2 AS BIGINT), lang, text FROM documents WHERE doc_id % 15 = 0
+      |  UNION ALL
+      |  SELECT 3 * 10 * (SELECT o FROM off) + 3 * (SELECT o FROM off) + doc_id,
+      |    CAST(3 AS BIGINT), lang, text FROM documents WHERE doc_id % 15 = 3
+      |  UNION ALL
+      |  SELECT (doc_id % 3 + 1) * 10 * (SELECT o FROM off)
+      |      + 5 * (SELECT o FROM off) + doc_id,
+      |    CAST(doc_id % 3 + 1 AS BIGINT), lang, text FROM documents
+      |  WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT (doc_id % 3 + 1) * 10 * (SELECT o FROM off)
+      |      + 7 * (SELECT o FROM off) + doc_id,
+      |    CAST(doc_id % 3 + 1 AS BIGINT), lang,
+      |    array_to_string(string_split(text, ' ')[1:10], ' ')
+      |  FROM documents WHERE doc_id % 11 = 5),
+      |h AS MATERIALIZED (
+      |  SELECT w.doc_id, w.batch, w.lang, w.text,
+      |    (CASE w.doc_id % 4 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.b.'
+      |      WHEN 3 THEN 'm' || (w.doc_id % 7) || '.cdn.' ELSE '' END)
+      |    || 's' || (w.doc_id % 23) || '.'
+      |    || (CASE w.doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+      |    AS host
+      |  FROM wide w),
+      |blent AS MATERIALIZED (SELECT unnest(['s1.com', 's2.org', 'cdn.s3.net', 'www.s5.org',
+      |                         's7.com', 'net']) AS entry),
+      |hits AS MATERIALIZED (
+      |  SELECT h.doc_id, b.entry FROM h
+      |  JOIN blent b ON h.host = b.entry OR h.host LIKE '%.' || b.entry),
+      |best AS MATERIALIZED (
+      |  SELECT doc_id, entry FROM (
+      |    SELECT doc_id, entry,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY len(entry) DESC) AS rn
+      |    FROM hits) WHERE rn = 1),
+      |rej_bl AS MATERIALIZED (
+      |  SELECT h.batch AS batch_id, h.doc_id, 'blocklist' AS stage,
+      |    'blocked_by:' || best.entry AS reason
+      |  FROM h JOIN best ON h.doc_id = best.doc_id),
+      |k1 AS MATERIALIZED (
+      |  SELECT h.doc_id, h.batch, h.lang, h.text FROM h
+      |  LEFT JOIN best bk ON h.doc_id = bk.doc_id WHERE bk.doc_id IS NULL),
+      |words AS MATERIALIZED (SELECT doc_id, batch, string_split(lower(text), ' ') AS w FROM k1),
+      |sh AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(w) >= 3
+      |      THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)]
+      |      ELSE [] END) AS shingles
+      |  FROM words),
+      |wh AS MATERIALIZED (
+      |  SELECT doc_id, batch,
+      |    [('0x' || substr(md5(x), 1, 15))::BIGINT % 2147483647 for x in w] AS whs
+      |  FROM words),
+      |xs AS MATERIALIZED (
+      |  SELECT doc_id, batch,
+      |    CASE WHEN len(whs) >= 3
+      |      THEN [((whs[i]*31 + whs[i+1])*31 + whs[i+2]) % 2147483647 for i in range(1, len(whs)-1)]
+      |      ELSE [] END AS xsv
+      |  FROM wh),
+      |sig AS MATERIALIZED (
+      |  SELECT x.doc_id, x.batch, s.shingles,
+      |    [list_min([((hh*1000003 + 12345) * v + (hh*999983 + 7)) % 2147483647
+      |               for v in xsv]) for hh in range(0, 12)] AS mh
+      |  FROM xs x JOIN sh s ON s.doc_id = x.doc_id WHERE len(xsv) > 0),
+      |bands AS MATERIALIZED (
+      |  SELECT doc_id, batch, b,
+      |    mh[3*b+1] || '|' || mh[3*b+2] || '|' || mh[3*b+3] AS bkey
+      |  FROM sig, LATERAL unnest(range(0, 4)) t(b)),
+      |kb1 AS MATERIALIZED (SELECT doc_id FROM k1 WHERE batch = 1),
+      |ip1 AS MATERIALIZED (
+      |  SELECT c.u, c.v FROM (
+      |    SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+      |    FROM bands a JOIN bands b2
+      |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |    JOIN kb1 ka ON ka.doc_id = a.doc_id
+      |    JOIN kb1 kb ON kb.doc_id = b2.doc_id) c
+      |  JOIN sig sa ON sa.doc_id = c.u JOIN sig sb ON sb.doc_id = c.v
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |ed1 AS MATERIALIZED (SELECT u, v FROM ip1 UNION ALL SELECT v AS u, u AS v FROM ip1),
+      |re1(node, root) AS (
+      |  SELECT doc_id, doc_id FROM kb1
+      |  UNION
+      |  SELECT e.v, r.root FROM re1 r JOIN ed1 e ON e.u = r.node),
+      |lb1 AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM re1 GROUP BY node),
+      |corp1 AS MATERIALIZED (SELECT doc_id FROM lb1 WHERE cluster_id = doc_id),
+      |cv2 AS MATERIALIZED (
+      |  SELECT c.bid, c.cid FROM (
+      |    SELECT DISTINCT a.doc_id AS bid, b2.doc_id AS cid
+      |    FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+      |    JOIN corp1 cc ON cc.doc_id = b2.doc_id
+      |    WHERE a.batch = 2) c
+      |  JOIN sig sa ON sa.doc_id = c.bid JOIN sig sb ON sb.doc_id = c.cid
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |rj2 AS MATERIALIZED (SELECT bid AS doc_id, min(cid) AS dup_of FROM cv2 GROUP BY bid),
+      |kb2 AS MATERIALIZED (
+      |  SELECT k.doc_id FROM k1 k LEFT JOIN rj2 ON rj2.doc_id = k.doc_id
+      |  WHERE k.batch = 2 AND rj2.doc_id IS NULL),
+      |ip2 AS MATERIALIZED (
+      |  SELECT c.u, c.v FROM (
+      |    SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+      |    FROM bands a JOIN bands b2
+      |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |    JOIN kb2 ka ON ka.doc_id = a.doc_id
+      |    JOIN kb2 kb ON kb.doc_id = b2.doc_id) c
+      |  JOIN sig sa ON sa.doc_id = c.u JOIN sig sb ON sb.doc_id = c.v
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |ed2 AS MATERIALIZED (SELECT u, v FROM ip2 UNION ALL SELECT v AS u, u AS v FROM ip2),
+      |re2(node, root) AS (
+      |  SELECT doc_id, doc_id FROM kb2
+      |  UNION
+      |  SELECT e.v, r.root FROM re2 r JOIN ed2 e ON e.u = r.node),
+      |lb2 AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM re2 GROUP BY node),
+      |corp2 AS MATERIALIZED (
+      |  SELECT doc_id FROM corp1
+      |  UNION ALL SELECT doc_id FROM lb2 WHERE cluster_id = doc_id),
+      |cv3 AS MATERIALIZED (
+      |  SELECT c.bid, c.cid FROM (
+      |    SELECT DISTINCT a.doc_id AS bid, b2.doc_id AS cid
+      |    FROM bands a JOIN bands b2 ON a.b = b2.b AND a.bkey = b2.bkey
+      |    JOIN corp2 cc ON cc.doc_id = b2.doc_id
+      |    WHERE a.batch = 3) c
+      |  JOIN sig sa ON sa.doc_id = c.bid JOIN sig sb ON sb.doc_id = c.cid
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |rj3 AS MATERIALIZED (SELECT bid AS doc_id, min(cid) AS dup_of FROM cv3 GROUP BY bid),
+      |kb3 AS MATERIALIZED (
+      |  SELECT k.doc_id FROM k1 k LEFT JOIN rj3 ON rj3.doc_id = k.doc_id
+      |  WHERE k.batch = 3 AND rj3.doc_id IS NULL),
+      |ip3 AS MATERIALIZED (
+      |  SELECT c.u, c.v FROM (
+      |    SELECT DISTINCT a.doc_id AS u, b2.doc_id AS v
+      |    FROM bands a JOIN bands b2
+      |      ON a.b = b2.b AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id
+      |    JOIN kb3 ka ON ka.doc_id = a.doc_id
+      |    JOIN kb3 kb ON kb.doc_id = b2.doc_id) c
+      |  JOIN sig sa ON sa.doc_id = c.u JOIN sig sb ON sb.doc_id = c.v
+      |  WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+      |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5),
+      |ed3 AS MATERIALIZED (SELECT u, v FROM ip3 UNION ALL SELECT v AS u, u AS v FROM ip3),
+      |re3(node, root) AS (
+      |  SELECT doc_id, doc_id FROM kb3
+      |  UNION
+      |  SELECT e.v, r.root FROM re3 r JOIN ed3 e ON e.u = r.node),
+      |lb3 AS MATERIALIZED (SELECT node AS doc_id, min(root) AS cluster_id FROM re3 GROUP BY node),
+      |corpall AS MATERIALIZED (
+      |  SELECT doc_id FROM corp2
+      |  UNION ALL SELECT doc_id FROM lb3 WHERE cluster_id = doc_id),
+      |gg0 AS MATERIALIZED (
+      |  SELECT w.doc_id,
+      |    list_distinct(CASE WHEN len(w.w) >= 8 THEN
+      |      [array_to_string(w.w[i:i+7], ' ') for i in range(1, len(w.w) - 6)]
+      |      ELSE [] END) AS grams
+      |  FROM words w JOIN corpall c ON c.doc_id = w.doc_id),
+      |gg AS MATERIALIZED (SELECT doc_id, unnest(grams) AS gram FROM gg0),
+      |own AS MATERIALIZED (SELECT gram, min(doc_id) AS owner FROM gg GROUP BY gram),
+      |per AS MATERIALIZED (
+      |  SELECT gg.doc_id, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN own.owner = gg.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+      |  FROM gg JOIN own USING (gram) GROUP BY gg.doc_id),
+      |nv AS MATERIALIZED (
+      |  SELECT c.doc_id, per.n_grams, per.n_novel FROM corpall c
+      |  LEFT JOIN per ON per.doc_id = c.doc_id),
+      |rej_nv AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    'novelty_micros:' || (CASE WHEN n_grams IS NULL OR n_grams = 0
+      |      THEN 'null'
+      |      ELSE ((n_novel * 1000000) // n_grams)::VARCHAR END) AS reason
+      |  FROM nv
+      |  WHERE n_grams IS NULL OR n_grams = 0
+      |     OR n_novel * 1000000 < 200000 * n_grams),
+      |k2 AS MATERIALIZED (
+      |  SELECT k1.doc_id, k1.batch, k1.lang FROM k1
+      |  JOIN corpall c ON c.doc_id = k1.doc_id
+      |  LEFT JOIN rej_nv rn ON rn.doc_id = k1.doc_id WHERE rn.doc_id IS NULL),
+      |hh AS MATERIALIZED (
+      |  SELECT doc_id AS id, batch, lang AS stratum,
+      |    ('0x' || substr(md5('q100:' || batch || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS hv
+      |  FROM k2),
+      |r AS MATERIALIZED (
+      |  SELECT id, batch, stratum,
+      |    row_number() OVER (PARTITION BY batch, stratum
+      |      ORDER BY (hv % 4096), hv, id) AS rk
+      |  FROM hh),
+      |n AS MATERIALIZED (SELECT batch, stratum, count(*)::BIGINT AS nt FROM hh GROUP BY 1, 2),
+      |sp AS MATERIALIZED (SELECT unnest(['train', 'val', 'test']) AS split,
+      |              unnest([8, 1, 1]) AS w, unnest([0, 1, 2]) AS i),
+      |q0 AS MATERIALIZED (
+      |  SELECT n.batch, n.stratum, sp.split, sp.i, n.nt,
+      |    (n.nt * sp.w) // 10 AS basq, (n.nt * sp.w) % 10 AS rem
+      |  FROM n CROSS JOIN sp),
+      |q1 AS MATERIALIZED (
+      |  SELECT *, nt - sum(basq) OVER (PARTITION BY batch, stratum) AS lft,
+      |    row_number() OVER (PARTITION BY batch, stratum ORDER BY rem DESC, i) AS rr
+      |  FROM q0),
+      |q2 AS MATERIALIZED (SELECT *, basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM q1),
+      |q3 AS MATERIALIZED (
+      |  SELECT batch, stratum, split,
+      |    sum(quota) OVER wc AS hi, sum(quota) OVER wc - quota AS lo
+      |  FROM q2 WINDOW wc AS (PARTITION BY batch, stratum ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING)),
+      |surv AS MATERIALIZED (
+      |  SELECT r.batch AS batch_id, r.id AS doc_id, 'survived' AS stage,
+      |    r.stratum || ':' || q3.split || ':' || r.rk AS reason
+      |  FROM r JOIN q3 ON r.batch = q3.batch AND r.stratum = q3.stratum
+      |    AND r.rk > q3.lo AND r.rk <= q3.hi),
+      |rej AS MATERIALIZED (
+      |  SELECT batch_id, doc_id, stage, reason FROM rej_bl
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, 'near_dup',
+      |    'near_dup_of:' || dup_of FROM rj2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), doc_id, 'near_dup',
+      |    'near_dup_of:' || dup_of FROM rj3
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT), doc_id, 'in_batch_near_dup',
+      |    'canonical:' || cluster_id FROM lb1 WHERE cluster_id <> doc_id
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), doc_id, 'in_batch_near_dup',
+      |    'canonical:' || cluster_id FROM lb2 WHERE cluster_id <> doc_id
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), doc_id, 'in_batch_near_dup',
+      |    'canonical:' || cluster_id FROM lb3 WHERE cluster_id <> doc_id
+      |  UNION ALL
+      |  SELECT k1.batch, rn.doc_id, 'novelty', rn.reason
+      |  FROM rej_nv rn JOIN k1 ON k1.doc_id = rn.doc_id)
+      |SELECT batch_id, doc_id, stage, reason FROM
+      |  (SELECT * FROM surv UNION ALL SELECT * FROM rej)
+      |ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
     QueryDef("q22_neardup_minhash", q22, Some(q22Sql)),
@@ -3393,5 +3726,6 @@ object LlmQueries {
     QueryDef("q97_snapshot_diff_keyed", q97, Some(q97Sql)),
     QueryDef("q98_intake_rejects", q98, Some(q98Sql)),
     QueryDef("q99_intake_neardup_rejects", q99, Some(q99Sql)),
+    QueryDef("q100_intake_replay", q100, Some(q100Sql)),
   )
 }

@@ -39,8 +39,15 @@ class PlanAuditSpec extends SparkSpec {
     "q92_continuing_split", // two apportionment stages, each the q84 ≤64-row broadcast split frame
     "q96_length_profile") // per-group stats × the ≤64-row broadcast percentile frame (groupedQuantiles rank fan-out)
 
+  /** Queries whose fn() EXECUTES the pipeline eagerly and returns a pinned
+    * local result frame (q100 drives the real multi-batch intake against
+    * temp state dirs) — auditing that trivial LocalRelation would only
+    * re-run the whole replay for nothing; the intake's own plan posture is
+    * audited through its component operators and IntakeSpec. */
+  private val executesEagerly = Set("q100_intake_replay")
+
   test("no catalog query plans a CartesianProduct") {
-    SparkEntry.catalog.foreach { q =>
+    SparkEntry.catalog.filterNot(q => executesEagerly(q.name)).foreach { q =>
       val plan = q.fn(spark, d).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product:\n$plan")
@@ -48,7 +55,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("BroadcastNestedLoopJoin appears only where it is the design") {
-    SparkEntry.catalog.foreach { q =>
+    SparkEntry.catalog.filterNot(q => executesEagerly(q.name)).foreach { q =>
       val plan = q.fn(spark, d).queryExecution.executedPlan.toString
       if (!bnljByDesign(q.name))
         assert(!plan.contains("BroadcastNestedLoopJoin"),

@@ -804,4 +804,84 @@ class IntakeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(wcState === Map(4L -> 6L, 6L -> 2L, 9L -> 5L), s"$wcState")
   }
+
+  test("replay seam: batch ids must be strictly increasing; the combined " +
+    "output partitions each batch exactly into survivors + ledger rows, " +
+    "with survivor reasons encoding the written split assignment") {
+    val (in, cp, idx, out) = (tmp(), tmp(), tmp(), tmp())
+    val cfg = cfgFor(in, cp, idx, out)
+    val b1 = spark.createDataFrame(
+      fileA.map(j => spark.read.schema(Intake.docSchema).json(
+        Seq(j).toDS()).head()).asJava, Intake.docSchema)
+    val b2 = spark.createDataFrame(
+      fileB.map(j => spark.read.schema(Intake.docSchema).json(
+        Seq(j).toDS()).head()).asJava, Intake.docSchema)
+
+    val exOrder = intercept[IllegalArgumentException] {
+      Intake.replay(spark, cfg, Seq(2L -> b1, 1L -> b2))
+    }
+    assert(exOrder.getMessage.contains("strictly increasing"), s"$exOrder")
+
+    val res = Intake.replay(spark, cfg, Seq(1L -> b1, 2L -> b2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3)))
+    // exactly one outcome row per ingested doc
+    val inIds = (b1.collect().map(r => 1L -> r.getLong(0)) ++
+      b2.collect().map(r => 2L -> r.getLong(0))).toSet
+    assert(res.map(t => (t._1, t._2)).toSet === inIds &&
+      res.length === inIds.size, s"${res.toSeq.sortBy(_._2)}")
+    // survivor reasons are exactly the written assignments
+    val wantSurv = (Seq(1L, 2L).flatMap(id => readBatch(out, id)
+      .map(t => (id, t._1, "survived", s"${t._2}:${t._3}:${t._4}")))).toSet
+    assert(res.filter(_._3 == "survived").toSet === wantSurv)
+    // ledger rows carry the four stage names only
+    assert(res.map(_._3).toSet.subsetOf(
+      Set("survived", "blocklist", "novelty", "near_dup", "in_batch_near_dup")))
+  }
+
+  test("per-family compaction triggers self-heal: after a crash between " +
+    "the gram retire and the corpus-family folds, the families fold on " +
+    "the NEXT batch (their own pending counts trigger), and outputs match " +
+    "an uncrashed control run exactly") {
+    val mk = () => (tmp(), tmp(), tmp(), tmp(), tmp())
+    def run(crash: Boolean): (Seq[Seq[(Long, String, String, Long)]], Path, Path) = {
+      val (in, cp, idx, out, corp) = mk()
+      val cfg = cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        compactEvery = 1) // every batch folds whatever pends below it
+      val text = (i: Long) =>
+        (0 to 11).map(j => s"c${(i * 19 + j * 7) % 43}").mkString(" ")
+      def batch(ids: Seq[Long]) = ids.map(i =>
+        (i, "en", text(i), s"x$i.ok.org")).toDF("doc_id", "lang", "text", "host")
+      Intake.processBatch(spark, cfg, batch(1L to 4L), 1L)
+      if (crash) {
+        // simulate the crash: the gram fold landed (base written, deltas
+        // retired) but the corpus families did not — exactly the state a
+        // kill between the two leaves behind
+        graft.llm.Novelty.compactGramIndex(
+            spark.read.parquet(s"$idx/delta=1").select("gram", "owner"))
+          .write.mode("overwrite").parquet(s"$idx/base=1")
+        val fs = new org.apache.hadoop.fs.Path(idx.toString).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$idx/delta=1"), true)
+      }
+      Intake.processBatch(spark, cfg, batch(5L to 8L), 2L)
+      Intake.processBatch(spark, cfg, batch(Seq(9L, 1L + 16L)), 3L)
+      (Seq(1L, 2L, 3L).map(readBatch(out, _)), idx, corp)
+    }
+    val (control, _, _) = run(crash = false)
+    val (healed, idx, corp) = run(crash = true)
+    assert(healed === control,
+      "outputs diverged after the simulated crash between gram retire and family folds")
+    // the families folded despite the gram family having nothing pending
+    // at batch 2 (its fold already landed before the crash)
+    val parts = Files.list(corp).iterator().asScala
+      .map(_.getFileName.toString).toSeq.sorted
+    assert(parts.exists(_.startsWith("partbase=")) &&
+      parts.exists(_.startsWith("sigsbase=")), s"$parts")
+    // the gram family kept folding on its own schedule after the crash
+    // (batch 3 folded delta=2 onto the crash-written base=1 → base=2)
+    val idxParts2 = idxParts(idx)
+    assert(idxParts2 === Seq("base=2", "delta=3"), s"$idxParts2")
+  }
 }
