@@ -494,9 +494,35 @@ object Dedup {
       () => { sigB.unpersist(); () })
   }
 
+  /** Band-join candidate (batch_id, corpus_id) pairs WITHOUT the verify
+    * tail — the measurement seam for the verify-tail experiment
+    * (`graft.tools.VerifyPairsProbe`): both verify variants run over the
+    * same materialized candidate frame, so the comparison isolates the
+    * tail. */
+  private[graft] def crossCandidates(corpus: DataFrame, batch: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numHashes: Int = 12, bands: Int = 4)
+      : (DataFrame, () => Unit) = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rows = numHashes / bands
+    val sigB = minhashSigFrame(batch, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandFrame(sigB, bands, rows).as("x")
+      .join(bandFrame(minhashSigFrame(corpus, idCol, textCol, numHashes),
+        bands, rows).as("y"),
+        col("x.b") === col("y.b") && col("x.bkey") === col("y.bkey"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+    (cand, () => { sigB.unpersist(); () })
+  }
+
   /** The exact-Jaccard verify tail shared by the cross-side probes: texts
-    * joined per CANDIDATE pair only, shingle sets built after the join. */
-  private def verifyCrossPairs(cand: DataFrame, corpusText: DataFrame,
+    * joined per CANDIDATE pair only, shingle sets built after the join.
+    * Kept over the precompute-per-doc alternative
+    * ([[verifyCrossPairsPre]]) on measurement — see BASELINE.md's r18
+    * verify-tail experiment. */
+  private[graft] def verifyCrossPairs(cand: DataFrame, corpusText: DataFrame,
                                batch: DataFrame, idCol: String, textCol: String,
                                threshold: Double): DataFrame = {
     val bText = batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"))
@@ -506,6 +532,32 @@ object Dedup {
       .join(cText, "corpus_id")
       .withColumn("sh_b", shingles(col("__tb")))
       .withColumn("sh_c", shingles(col("__tc")))
+      .withColumn("jac",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jac") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jac"))
+  }
+
+  /** EXPERIMENTAL alternative verify tail (r18): shingle sets computed
+    * ONCE per distinct candidate doc per side and joined to the pairs —
+    * trades [[verifyCrossPairs]]'s per-pair shingle recompute (a doc in
+    * 45 pairs splits/dedups its text 45×) for shipping shingle ARRAYS
+    * through the pair joins. Semantically identical (same shingles, same
+    * Jaccard); kept for the measurement record only — see BASELINE.md. */
+  private[graft] def verifyCrossPairsPre(cand: DataFrame, corpusText: DataFrame,
+                                         batch: DataFrame, idCol: String,
+                                         textCol: String,
+                                         threshold: Double): DataFrame = {
+    val bSh = batch.select(col(idCol).as("batch_id"), col(textCol).as("__tb"))
+      .join(cand.select("batch_id").distinct(), "batch_id")
+      .select(col("batch_id"), shingles(col("__tb")).as("sh_b"))
+    val cSh = corpusText.select(col(idCol).as("corpus_id"), col(textCol).as("__tc"))
+      .join(cand.select("corpus_id").distinct(), "corpus_id")
+      .select(col("corpus_id"), shingles(col("__tc")).as("sh_c"))
+    cand
+      .join(bSh, "batch_id")
+      .join(cSh, "corpus_id")
       .withColumn("jac",
         size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
           size(array_union(col("sh_b"), col("sh_c"))))

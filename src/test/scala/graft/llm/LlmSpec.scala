@@ -376,6 +376,25 @@ class LlmSpec extends SparkSpec {
     assert(inc.nonEmpty, "sf0.001's planted pairs should straddle the split")
   }
 
+  test("verify-tail variants agree: the precompute-per-doc alternative " +
+    "(r18 experiment, kept as the documented loser) returns exactly the " +
+    "production recompute tail's verified pairs") {
+    val docs = Tables.documents(spark, d)
+    val isBatch = col("doc_id") % 10 === 0
+    val (corpus, batch) = (docs.filter(!isBatch), docs.filter(isBatch))
+    val (cand, release) = Dedup.crossCandidates(corpus, batch, "doc_id", "text")
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val rec = rows(Dedup.verifyCrossPairs(
+        cand, corpus, batch, "doc_id", "text", 0.5))
+      val pre = rows(Dedup.verifyCrossPairsPre(
+        cand, corpus, batch, "doc_id", "text", 0.5))
+      assert(rec === pre)
+      assert(rec.nonEmpty, "planted pairs should verify")
+    } finally release()
+  }
+
   test("crossNll(docs, docs) is value-identical to bigramNll(docs)") {
     val docs = Tables.documents(spark, d)
     val self = LanguageModel.crossNll(docs, docs, "doc_id", "text")
