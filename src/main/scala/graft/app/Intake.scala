@@ -176,6 +176,21 @@ object Intake {
       /** Fold pending gram-index deltas into a new base once this many
         * accumulate (amortized O(vocab/K) index write per batch). */
       compactEvery: Int = 8,
+      /** TWO-TIER compaction for the corpus TEXT family (the one family
+        * whose single-level fold rewrites corpus-scale bytes every
+        * `compactEvery` batches): per-batch `part=` deltas fold into a
+        * `partmid=` part every K pending deltas (a K-batch-scale write),
+        * and the mids fold with the base into a new `partbase=` every K
+        * pending mids — so the full-corpus rewrite happens every K²
+        * batches instead of every K, O(size/K²) amortized write per batch
+        * at O(2K) standing parts. Off by default: the single level is
+        * simpler and fine until the corpus/batch ratio makes the text
+        * rewrite dominate (size it by that ratio — see
+        * [[compactFamily]]'s write-amplification note). A state directory
+        * that holds `partmid=` parts REFUSES to run with this off: the
+        * single-tier fold would re-fold deltas already inside the mids
+        * and silently duplicate documents. */
+      twoTierText: Boolean = false,
       /** BUCKET-PARTITIONED state layout (> 0 = bucket count, 0 = the flat
         * legacy layout): compacted BASE parts are written partitioned by
         * `bkt = pmod(gram, stateBuckets)` ([[Novelty.gramBucket]]) for the
@@ -285,8 +300,8 @@ object Intake {
     * corpus families, delta and base forms) — the marker guards scan these
     * to tell a fresh directory from pre-marker legacy state. */
   private val StatePrefixes =
-    Seq("base=", "delta=", "part=", "partbase=", "sigs=", "sigsbase=",
-      "bands=", "bandsbase=")
+    Seq("base=", "delta=", "part=", "partmid=", "partbase=", "sigs=",
+      "sigsbase=", "bands=", "bandsbase=")
 
   private def hasStateParts(spark: SparkSession, dir: String): Boolean =
     StatePrefixes.exists(pfx => versionsOf(spark, dir, pfx).nonEmpty)
@@ -359,6 +374,25 @@ object Intake {
     (base, deltas)
   }
 
+  /** [[familyParts]] with the two-tier MID level in between: the newest
+    * base strictly below `id`, the mid parts strictly between it and
+    * `id`, and the deltas strictly above the newest mid (or base). The
+    * same never-double-read contract per tier: a crash between a fold's
+    * write and its retire leaves inputs the protocol skips and the next
+    * fold sweeps. Returns (base, mids, deltas). */
+  private def familyPartsTiered(spark: SparkSession, dir: String,
+                                basePrefix: String, midPrefix: String,
+                                deltaPrefix: String, id: Long)
+      : (Option[Long], Seq[Long], Seq[Long]) = {
+    val base = versionsOf(spark, dir, basePrefix).filter(_ < id).sorted.lastOption
+    val mids = versionsOf(spark, dir, midPrefix)
+      .filter(v => v < id && base.forall(v > _)).sorted
+    val floor = base.toSeq ++ mids
+    val deltas = versionsOf(spark, dir, deltaPrefix)
+      .filter(d => d < id && floor.forall(d > _)).sorted
+    (base, mids, deltas)
+  }
+
   /** Write a bkt-carrying frame as a bucket-partitioned part: repartition
     * by the bucket FIRST, so each bucket directory holds one file per
     * owning task instead of one per upstream partition (a direct
@@ -421,6 +455,58 @@ object Intake {
         .foreach(v => delete(spark, s"$dir/$deltaPrefix$v"))
       versionsOf(spark, dir, basePrefix).filter(_ < lv)
         .foreach(v => delete(spark, s"$dir/$basePrefix$v"))
+    }
+  }
+
+  /** The SECOND LSM rung [[compactFamily]]'s write-amplification note
+    * admits, for the corpus TEXT family ([[Config.twoTierText]]): tier 1
+    * folds the pending deltas (strictly above the newest mid/base, never
+    * the base) into one `<midPrefix><h>` part — a K-batch-scale write;
+    * tier 2 folds the base plus the pending mids into a new
+    * `<basePrefix><H>` once K mids accumulate — the only corpus-scale
+    * rewrite, now every K² batches. Both horizons are the family's own
+    * newest pending part, strictly below the running batch, so the replay
+    * contract is unchanged; each tier's retire sweeps any leftovers a
+    * crash between write and retire left behind, and the tiered read
+    * protocol ([[familyPartsTiered]]) never double-reads them. Mids are
+    * written bucketed under the bucketed layout — the fold is K batches
+    * of data, so the dynamic-partition cost that made per-batch bucketed
+    * deltas a bad trade amortizes to O(1/K) per batch while the probes
+    * get pruned mid reads. */
+  private def compactFamilyTwoTier(spark: SparkSession, cfg: Config,
+                                   dir: String, basePrefix: String,
+                                   midPrefix: String, deltaPrefix: String,
+                                   schema: String, id: Long,
+                                   bucketed: Boolean): Unit = {
+    def write(df: DataFrame, path: String): Unit =
+      if (bucketed) writeBucketed(df, path)
+      else df.write.mode("overwrite").parquet(path)
+    val (base, _, pendD) =
+      familyPartsTiered(spark, dir, basePrefix, midPrefix, deltaPrefix, id)
+    if (pendD.size >= cfg.compactEvery) {
+      val h = pendD.max
+      write(pendD.map(v => spark.read.schema(schema)
+          .parquet(s"$dir/$deltaPrefix$v"))
+        .reduce(_.unionByName(_)), s"$dir/$midPrefix$h")
+      if (!cfg.keepAllIndexVersions)
+        versionsOf(spark, dir, deltaPrefix).filter(_ <= h)
+          .foreach(v => delete(spark, s"$dir/$deltaPrefix$v"))
+    }
+    // re-list: tier 1 may just have minted the K-th mid
+    val mids = versionsOf(spark, dir, midPrefix)
+      .filter(v => v < id && base.forall(v > _)).sorted
+    if (mids.size >= cfg.compactEvery) {
+      val hh = mids.max
+      write((base.map(v => s"$dir/$basePrefix$v").toSeq ++
+          mids.map(v => s"$dir/$midPrefix$v"))
+        .map(p => spark.read.schema(schema).parquet(p))
+        .reduce(_.unionByName(_)), s"$dir/$basePrefix$hh")
+      if (!cfg.keepAllIndexVersions) {
+        versionsOf(spark, dir, midPrefix).filter(_ <= hh)
+          .foreach(v => delete(spark, s"$dir/$midPrefix$v"))
+        versionsOf(spark, dir, basePrefix).filter(_ < hh)
+          .foreach(v => delete(spark, s"$dir/$basePrefix$v"))
+      }
     }
   }
 
@@ -546,8 +632,16 @@ object Intake {
       var textPartInfo: Seq[(String, Boolean)] = Nil
       val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
-          val (textBase, textDeltas) = familyParts(spark, cd, "partbase=", "part=", id)
+          val (textBase, textMids, textDeltas) =
+            familyPartsTiered(spark, cd, "partbase=", "partmid=", "part=", id)
+          require(cfg.twoTierText || textMids.isEmpty,
+            s"Intake: corpus text state at $cd holds partmid= parts (written " +
+              "under twoTierText) but this run disables it — the single-tier " +
+              "fold would re-fold deltas already inside the mids and silently " +
+              "duplicate documents; re-enable twoTierText or rebuild the state")
+          // mids are bucketed compacted parts like the base → pruned reads
           textPartInfo = textBase.map(v => (s"$cd/partbase=$v", bucketed)).toSeq ++
+            textMids.map(v => (s"$cd/partmid=$v", bucketed)) ++
             textDeltas.map(v => (s"$cd/part=$v", false))
           val sigFam =
             if (bucketed) familyParts(spark, cd, "bandsbase=", "bands=", id)
@@ -866,9 +960,13 @@ object Intake {
             compactFamily(spark, cfg, cd, basePrefix, deltaPrefix, schema,
               pend.max, bucketedFamily)
         }
-        maybeCompact("partbase=", "part=",
+        val textSchema =
           if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
-          else "doc_id BIGINT, text STRING", bucketed)
+          else "doc_id BIGINT, text STRING"
+        if (cfg.twoTierText)
+          compactFamilyTwoTier(spark, cfg, cd, "partbase=", "partmid=",
+            "part=", textSchema, id, bucketed)
+        else maybeCompact("partbase=", "part=", textSchema, bucketed)
         if (bucketed)
           maybeCompact("bandsbase=", "bands=",
             "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
@@ -897,7 +995,7 @@ object Intake {
           probedGramBkts.fold(-1L)(_.size.toLong),
           sigParts.toLong, sigBytes, sigBytesProbed,
           probedSigBkts.fold(-1L)(_.size.toLong),
-          textBytes, textBytesProbed,
+          textPartInfo.size.toLong, textBytes, textBytesProbed,
           probedTextBkts.fold(-1L)(_.size.toLong),
           cfg.stateBuckets.toLong))
         .toDF("batch_id", "batch_docs", "rej_blocklist", "rej_near_dup",
@@ -905,8 +1003,8 @@ object Intake {
           "index_parts", "index_bytes", "index_bytes_probed",
           "index_buckets_probed",
           "sig_parts", "sig_bytes", "sig_bytes_probed", "sig_buckets_probed",
-          "text_bytes", "text_bytes_probed", "text_buckets_probed",
-          "state_buckets")
+          "text_parts", "text_bytes", "text_bytes_probed",
+          "text_buckets_probed", "state_buckets")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }

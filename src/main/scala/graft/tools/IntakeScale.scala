@@ -95,7 +95,11 @@ object IntakeScale {
       noveltyMinMicros = 0L,
       countersDir = Some(s"$work/ctr"),
       driftDir = Some(s"$work/drift"),
-      compactEvery = 4,
+      // args 6/7: compactEvery (default 4) and twoTierText (default off) —
+      // the long-horizon acceptance shape for the two-tier text fold is
+      // many tail batches at a small compactEvery (>= 3 base folds)
+      compactEvery = args.lift(6).map(_.toInt).getOrElse(4),
+      twoTierText = args.lift(7).exists(_.toBoolean),
       // bucket-partitioned state: probes read only the buckets the batch
       // touches; the metrics tail below prints probed vs total bytes
       stateBuckets = args.lift(3).map(_.toInt).getOrElse(64),
@@ -179,6 +183,7 @@ object IntakeScale {
         s""""index_bytes_per_batch":[$idxTotals],""" +
         s""""index_parts_per_batch":[${partSeries("index_parts")}],""" +
         s""""sig_parts_per_batch":[${partSeries("sig_parts")}],""" +
+        s""""text_parts_per_batch":[${partSeries("text_parts")}],""" +
         s""""index_probe_frac":[${probeLine("index_bytes", "index_bytes_probed")}],""" +
         s""""sig_probe_frac":[${probeLine("sig_bytes", "sig_bytes_probed")}],""" +
         s""""text_probe_frac":[${probeLine("text_bytes", "text_bytes_probed")}],""" +

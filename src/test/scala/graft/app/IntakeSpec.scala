@@ -884,4 +884,85 @@ class IntakeSpec extends SparkSpec {
     val idxParts2 = idxParts(idx)
     assert(idxParts2 === Seq("base=2", "delta=3"), s"$idxParts2")
   }
+
+  test("two-tier text compaction: outputs identical to the single-tier " +
+    "control across multiple mid and base folds; text part counts stay " +
+    "bounded by O(2K); a crash between the mid fold and the base fold " +
+    "heals on the next batch; a dir holding mids refuses twoTierText=false") {
+    val text = (i: Long) =>
+      (0 to 11).map(j => s"t${(i * 23 + j * 5) % 97}").mkString(" ")
+    // ten 4-doc id-ordered batches; batches 6 and 9 plant exact copies of
+    // batch-1 texts, so the cross probe must find them through the folded
+    // mid/base text parts (the verify join reads them)
+    val batches: Seq[(Long, DataFrame)] = (1L to 10L).map { b =>
+      val ids = (1L to 4L).map(k => (b - 1) * 4 + k)
+      val src: Long => Long =
+        if (b == 6) i => if (i == ids.last) 1L else i
+        else if (b == 9) i => if (i == ids.last) 2L else i
+        else identity
+      b -> ids.map(i => (i, "en", text(src(i)), s"x$i.ok.org"))
+        .toDF("doc_id", "lang", "text", "host")
+    }
+    def textParts(corp: Path): Seq[String] =
+      Files.list(corp).iterator().asScala.map(_.getFileName.toString)
+        .filter(s => s.startsWith("part=") || s.startsWith("partmid=") ||
+          s.startsWith("partbase=")).toSeq.sorted
+    def outputs(out: Path): Seq[(Long, Seq[(Long, String, String, Long)], Set[(Long, String, String)])] =
+      (1L to 10L).map { id =>
+        val rej = spark.read.parquet(s"$out/rejects/batch=$id").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+        (id, readBatch(out, id), rej)
+      }
+    def run(twoTier: Boolean, crashAt5: Boolean): (Seq[_], Seq[Int], Path, Path) = {
+      val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+      val cfg = cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        compactEvery = 2, stateBuckets = 16, twoTierText = twoTier)
+      val counts = scala.collection.mutable.ArrayBuffer[Int]()
+      batches.foreach { case (id, df) =>
+        if (crashAt5 && id == 5L) {
+          // simulate the crash INSIDE batch 5's compaction: tier 1 landed
+          // (deltas 3,4 folded into partmid=4 and retired) but tier 2 (the
+          // base fold over mids 2,4) did not — exactly the state a kill
+          // between the two writes leaves
+          spark.read.schema("doc_id BIGINT, text STRING, bkt INT")
+            .parquet(s"$corp/part=3", s"$corp/part=4")
+            .repartition(col("bkt"))
+            .write.partitionBy("bkt").mode("overwrite")
+            .parquet(s"$corp/partmid=4")
+          val fs = new org.apache.hadoop.fs.Path(corp.toString).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          Seq(3L, 4L).foreach(v => fs.delete(
+            new org.apache.hadoop.fs.Path(s"$corp/part=$v"), true))
+          // a dir holding mids refuses a run with the tier off — the
+          // single-tier fold would re-fold deltas already inside the mids
+          val ex = intercept[IllegalArgumentException] {
+            Intake.processBatch(spark, cfg.copy(twoTierText = false), df, id)
+          }
+          assert(ex.getMessage.contains("partmid=") &&
+            ex.getMessage.contains("twoTierText"), s"$ex")
+        }
+        Intake.processBatch(spark, cfg, df, id)
+        counts += textParts(corp).size
+      }
+      (outputs(out), counts.toSeq, corp, idx)
+    }
+    val (control, _, _, _) = run(twoTier = false, crashAt5 = false)
+    val (tiered, counts, corp, _) = run(twoTier = true, crashAt5 = false)
+    val (healed, _, _, _) = run(twoTier = true, crashAt5 = true)
+    assert(tiered === control,
+      "two-tier outputs diverged from the single-tier control")
+    assert(healed === control,
+      "outputs diverged after the simulated crash between mid and base folds")
+    // the planted copies fired THROUGH folded text state
+    assert(tiered.asInstanceOf[Seq[(Long, Seq[_], Set[(Long, String, String)])]]
+      .filter(t => t._1 == 6L || t._1 == 9L)
+      .forall(_._3.exists(_._2 == "near_dup")))
+    // O(2K) bound: never more than base + K mids + K deltas (K = 2)
+    assert(counts.max <= 5, s"text part counts $counts")
+    // >=2 base folds: batch 9's tier 2 folded mids 6,8 onto base=4 → base=8
+    val parts = textParts(corp)
+    assert(parts.contains("partbase=8") && !parts.exists(_.startsWith("partmid=")),
+      s"$parts")
+  }
 }
