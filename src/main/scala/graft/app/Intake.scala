@@ -176,21 +176,24 @@ object Intake {
       /** Fold pending gram-index deltas into a new base once this many
         * accumulate (amortized O(vocab/K) index write per batch). */
       compactEvery: Int = 8,
-      /** TWO-TIER compaction for the corpus TEXT family (the one family
-        * whose single-level fold rewrites corpus-scale bytes every
-        * `compactEvery` batches): per-batch `part=` deltas fold into a
-        * `partmid=` part every K pending deltas (a K-batch-scale write),
-        * and the mids fold with the base into a new `partbase=` every K
-        * pending mids — so the full-corpus rewrite happens every K²
-        * batches instead of every K, O(size/K²) amortized write per batch
-        * at O(2K) standing parts. Off by default: the single level is
-        * simpler and fine until the corpus/batch ratio makes the text
-        * rewrite dominate (size it by that ratio — see
-        * [[compactFamily]]'s write-amplification note). A state directory
-        * that holds `partmid=` parts REFUSES to run with this off: the
-        * single-tier fold would re-fold deltas already inside the mids
-        * and silently duplicate documents. */
-      twoTierText: Boolean = false,
+      /** TWO-TIER compaction for the CORPUS-SCALE state families — text
+        * (`part=`) and signatures (`bands=`/`sigs=`), the ones whose
+        * single-level fold rewrites corpus-scale bytes every
+        * `compactEvery` batches (the gram index is vocabulary-scale and
+        * stays single-tier): per-batch deltas fold into a `*mid=` part
+        * every K pending deltas (a K-batch-scale write), and the mids
+        * fold with the base into a new `*base=` every K pending mids —
+        * so the full-corpus rewrite happens every K² batches instead of
+        * every K, O(size/K²) amortized write per batch at O(2K) standing
+        * parts per family. Off by default: the single level is simpler
+        * and fine until the corpus/batch ratio makes the rewrite dominate
+        * (size it by that ratio — see [[compactFamily]]'s
+        * write-amplification note; at a 100 TB corpus the text family is
+        * TB-scale and even the thin band index is ~100 B/doc ≈ TB-scale).
+        * A state directory that holds `*mid=` parts REFUSES to run with
+        * this off: the single-tier fold would re-fold deltas already
+        * inside the mids and silently duplicate documents. */
+      twoTierCorpus: Boolean = false,
       /** BUCKET-PARTITIONED state layout (> 0 = bucket count, 0 = the flat
         * legacy layout): compacted BASE parts are written partitioned by
         * `bkt = pmod(gram, stateBuckets)` ([[Novelty.gramBucket]]) for the
@@ -301,7 +304,7 @@ object Intake {
     * to tell a fresh directory from pre-marker legacy state. */
   private val StatePrefixes =
     Seq("base=", "delta=", "part=", "partmid=", "partbase=", "sigs=",
-      "sigsbase=", "bands=", "bandsbase=")
+      "sigsmid=", "sigsbase=", "bands=", "bandsmid=", "bandsbase=")
 
   private def hasStateParts(spark: SparkSession, dir: String): Boolean =
     StatePrefixes.exists(pfx => versionsOf(spark, dir, pfx).nonEmpty)
@@ -459,7 +462,7 @@ object Intake {
   }
 
   /** The SECOND LSM rung [[compactFamily]]'s write-amplification note
-    * admits, for the corpus TEXT family ([[Config.twoTierText]]): tier 1
+    * admits, for the corpus-scale families ([[Config.twoTierCorpus]]): tier 1
     * folds the pending deltas (strictly above the newest mid/base, never
     * the base) into one `<midPrefix><h>` part — a K-batch-scale write;
     * tier 2 folds the base plus the pending mids into a new
@@ -632,22 +635,28 @@ object Intake {
       var textPartInfo: Seq[(String, Boolean)] = Nil
       val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
-          val (textBase, textMids, textDeltas) =
-            familyPartsTiered(spark, cd, "partbase=", "partmid=", "part=", id)
-          require(cfg.twoTierText || textMids.isEmpty,
-            s"Intake: corpus text state at $cd holds partmid= parts (written " +
-              "under twoTierText) but this run disables it — the single-tier " +
-              "fold would re-fold deltas already inside the mids and silently " +
-              "duplicate documents; re-enable twoTierText or rebuild the state")
-          // mids are bucketed compacted parts like the base → pruned reads
-          textPartInfo = textBase.map(v => (s"$cd/partbase=$v", bucketed)).toSeq ++
-            textMids.map(v => (s"$cd/partmid=$v", bucketed)) ++
-            textDeltas.map(v => (s"$cd/part=$v", false))
-          val sigFam =
-            if (bucketed) familyParts(spark, cd, "bandsbase=", "bands=", id)
-            else familyParts(spark, cd, "sigsbase=", "sigs=", id)
-          sigPartInfo = sigFam._1.map(v => (s"$cd/${if (bucketed) "bandsbase" else "sigsbase"}=$v", bucketed)).toSeq ++
-            sigFam._2.map(v => (s"$cd/${if (bucketed) "bands" else "sigs"}=$v", false))
+          // tiered family listing + the mids-need-the-flag refusal: a dir
+          // holding *mid= parts under twoTierCorpus=false would re-fold
+          // deltas already inside the mids and silently duplicate docs
+          def tieredInfo(basePfx: String, midPfx: String, deltaPfx: String)
+              : Seq[(String, Boolean)] = {
+            val (b, m, ds) =
+              familyPartsTiered(spark, cd, basePfx, midPfx, deltaPfx, id)
+            require(cfg.twoTierCorpus || m.isEmpty,
+              s"Intake: corpus state at $cd holds $midPfx parts (written " +
+                "under twoTierCorpus) but this run disables it — the " +
+                "single-tier fold would re-fold deltas already inside the " +
+                "mids and silently duplicate documents; re-enable " +
+                "twoTierCorpus or rebuild the state")
+            // mids are bucketed compacted parts like the base → pruned reads
+            b.map(v => (s"$cd/$basePfx$v", bucketed)).toSeq ++
+              m.map(v => (s"$cd/$midPfx$v", bucketed)) ++
+              ds.map(v => (s"$cd/$deltaPfx$v", false))
+          }
+          textPartInfo = tieredInfo("partbase=", "partmid=", "part=")
+          sigPartInfo =
+            if (bucketed) tieredInfo("bandsbase=", "bandsmid=", "bands=")
+            else tieredInfo("sigsbase=", "sigsmid=", "sigs=")
           sigParts = sigPartInfo.size
           if (sigPartInfo.isEmpty)
             (blocklisted, spark.emptyDataset[(Long, String, String)]
@@ -960,19 +969,21 @@ object Intake {
             compactFamily(spark, cfg, cd, basePrefix, deltaPrefix, schema,
               pend.max, bucketedFamily)
         }
-        val textSchema =
+        def fold(basePrefix: String, midPrefix: String, deltaPrefix: String,
+                 schema: String, bucketedFamily: Boolean): Unit =
+          if (cfg.twoTierCorpus)
+            compactFamilyTwoTier(spark, cfg, cd, basePrefix, midPrefix,
+              deltaPrefix, schema, id, bucketedFamily)
+          else maybeCompact(basePrefix, deltaPrefix, schema, bucketedFamily)
+        fold("partbase=", "partmid=", "part=",
           if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
-          else "doc_id BIGINT, text STRING"
-        if (cfg.twoTierText)
-          compactFamilyTwoTier(spark, cfg, cd, "partbase=", "partmid=",
-            "part=", textSchema, id, bucketed)
-        else maybeCompact("partbase=", "part=", textSchema, bucketed)
+          else "doc_id BIGINT, text STRING", bucketed)
         if (bucketed)
-          maybeCompact("bandsbase=", "bands=",
+          fold("bandsbase=", "bandsmid=", "bands=",
             "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
             bucketedFamily = true)
         else
-          maybeCompact("sigsbase=", "sigs=",
+          fold("sigsbase=", "sigsmid=", "sigs=",
             "doc_id BIGINT, mh ARRAY<BIGINT>", bucketedFamily = false)
       }
 

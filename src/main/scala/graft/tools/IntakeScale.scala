@@ -95,11 +95,11 @@ object IntakeScale {
       noveltyMinMicros = 0L,
       countersDir = Some(s"$work/ctr"),
       driftDir = Some(s"$work/drift"),
-      // args 6/7: compactEvery (default 4) and twoTierText (default off) —
+      // args 6/7: compactEvery (default 4) and twoTierCorpus (default off) —
       // the long-horizon acceptance shape for the two-tier text fold is
       // many tail batches at a small compactEvery (>= 3 base folds)
       compactEvery = args.lift(6).map(_.toInt).getOrElse(4),
-      twoTierText = args.lift(7).exists(_.toBoolean),
+      twoTierCorpus = args.lift(7).exists(_.toBoolean),
       // bucket-partitioned state: probes read only the buckets the batch
       // touches; the metrics tail below prints probed vs total bytes
       stateBuckets = args.lift(3).map(_.toInt).getOrElse(64),

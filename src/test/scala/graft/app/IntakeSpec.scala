@@ -888,7 +888,7 @@ class IntakeSpec extends SparkSpec {
   test("two-tier text compaction: outputs identical to the single-tier " +
     "control across multiple mid and base folds; text part counts stay " +
     "bounded by O(2K); a crash between the mid fold and the base fold " +
-    "heals on the next batch; a dir holding mids refuses twoTierText=false") {
+    "heals on the next batch; a dir holding mids refuses twoTierCorpus=false") {
     val text = (i: Long) =>
       (0 to 11).map(j => s"t${(i * 23 + j * 5) % 97}").mkString(" ")
     // ten 4-doc id-ordered batches; batches 6 and 9 plant exact copies of
@@ -917,7 +917,7 @@ class IntakeSpec extends SparkSpec {
       val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
       val cfg = cfgFor(in, cp, idx, out).copy(
         nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
-        compactEvery = 2, stateBuckets = 16, twoTierText = twoTier)
+        compactEvery = 2, stateBuckets = 16, twoTierCorpus = twoTier)
       val counts = scala.collection.mutable.ArrayBuffer[Int]()
       batches.foreach { case (id, df) =>
         if (crashAt5 && id == 5L) {
@@ -937,10 +937,10 @@ class IntakeSpec extends SparkSpec {
           // a dir holding mids refuses a run with the tier off — the
           // single-tier fold would re-fold deltas already inside the mids
           val ex = intercept[IllegalArgumentException] {
-            Intake.processBatch(spark, cfg.copy(twoTierText = false), df, id)
+            Intake.processBatch(spark, cfg.copy(twoTierCorpus = false), df, id)
           }
           assert(ex.getMessage.contains("partmid=") &&
-            ex.getMessage.contains("twoTierText"), s"$ex")
+            ex.getMessage.contains("twoTierCorpus"), s"$ex")
         }
         Intake.processBatch(spark, cfg, df, id)
         counts += textParts(corp).size
@@ -964,5 +964,11 @@ class IntakeSpec extends SparkSpec {
     val parts = textParts(corp)
     assert(parts.contains("partbase=8") && !parts.exists(_.startsWith("partmid=")),
       s"$parts")
+    // the SIGNATURE family runs the same two tiers (bands under the
+    // bucketed layout): same fold horizon, mids retired by the base fold
+    val bandParts = Files.list(corp).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bands")).toSeq.sorted
+    assert(bandParts.contains("bandsbase=8") &&
+      !bandParts.exists(_.startsWith("bandsmid=")), s"$bandParts")
   }
 }
