@@ -3343,7 +3343,16 @@ object LlmQueries {
     * statistic (q89's incremental ≡ batch contract), and per-batch
     * Hamilton splits (q88's) — so incremental-with-state ≡ batch-mode is
     * checked at the PIPELINE level, across a compaction fold. */
-  private def q100(s: SparkSession, d: String): DataFrame = {
+  private def q100(s: SparkSession, d: String): DataFrame =
+    intakeReplay(s, d, seed = "q100", continuing = false)
+
+  /** Shared replay harness for q100/q101 — same widened corpus, same
+    * three-batch drive through [[graft.app.Intake.replay]]; q101 turns on
+    * `countersDir`, so splits are cut against CUMULATIVE Hamilton quotas
+    * (the q92 semantics) with the counter state versioning/retiring
+    * between batches. */
+  private def intakeReplay(s: SparkSession, d: String, seed: String,
+                           continuing: Boolean): DataFrame = {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     // Data-derived id spacing (the q99 rule): off = smallest power of 10
     // above max(doc_id); batch k owns ids [k*10*off, (k+1)*10*off) with
@@ -3351,7 +3360,7 @@ object LlmQueries {
     // +5*off+e — disjoint slots, no collision at any SF.
     val off = {
       val mx = docs0.agg(max(col("doc_id"))).head().getLong(0)
-      require(mx >= 0, s"q100 expects non-negative doc ids, got max=$mx")
+      require(mx >= 0, s"$seed expects non-negative doc ids, got max=$mx")
       math.pow(10, mx.toString.length.toDouble).toLong
     }
     val bSize = 10L * off
@@ -3400,8 +3409,9 @@ object LlmQueries {
         blocklist = Seq("s1.com", "s2.org", "cdn.s3.net", "www.s5.org",
           "s7.com", "net"),
         nearDupThreshold = Some(0.5), corpusDir = Some(s"$root/corpus"),
-        inBatchNearDup = true, seed = "q100", compactEvery = 1,
-        stateBuckets = 8)
+        inBatchNearDup = true, seed = seed, compactEvery = 1,
+        stateBuckets = 8,
+        countersDir = if (continuing) Some(s"$root/ctr") else None)
       val out = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
         k -> wide.filter(col("batch") === k)
           .select("doc_id", "lang", "text", "host")))
@@ -3415,7 +3425,12 @@ object LlmQueries {
     }
   }
 
-  private val q100Sql =
+  /** The pipeline prologue both replay oracles share — widened corpus →
+    * blocklist → MinHash machinery → per-batch cross probe + in-batch CC
+    * (unrolled) → novelty — ending at `k2` (the split-stage input:
+    * doc_id, batch, lang). q100 appends the PER-BATCH Hamilton tail,
+    * q101 the CONTINUING (cumulative-quota) tail. */
+  private def intakeReplaySqlPrefix: String =
     """WITH RECURSIVE off AS MATERIALIZED (
       |  SELECT CAST(10 ** length(CAST(max(doc_id) AS VARCHAR)) AS BIGINT) AS o
       |  FROM documents),
@@ -3599,7 +3614,10 @@ object LlmQueries {
       |  SELECT k1.doc_id, k1.batch, k1.lang FROM k1
       |  JOIN corpall c ON c.doc_id = k1.doc_id
       |  LEFT JOIN rej_nv rn ON rn.doc_id = k1.doc_id WHERE rn.doc_id IS NULL),
-      |hh AS MATERIALIZED (
+      |""".stripMargin
+
+  private val q100Sql = intakeReplaySqlPrefix +
+    """hh AS MATERIALIZED (
       |  SELECT doc_id AS id, batch, lang AS stratum,
       |    ('0x' || substr(md5('q100:' || batch || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS hv
       |  FROM k2),
@@ -3630,7 +3648,12 @@ object LlmQueries {
       |    r.stratum || ':' || q3.split || ':' || r.rk AS reason
       |  FROM r JOIN q3 ON r.batch = q3.batch AND r.stratum = q3.stratum
       |    AND r.rk > q3.lo AND r.rk <= q3.hi),
-      |rej AS MATERIALIZED (
+      |""".stripMargin + intakeReplaySqlSuffix
+
+  /** The drop-ledger assembly + final select both replay oracles share —
+    * the reject stages are split-mode-independent. */
+  private def intakeReplaySqlSuffix: String =
+    """rej AS MATERIALIZED (
       |  SELECT batch_id, doc_id, stage, reason FROM rej_bl
       |  UNION ALL
       |  SELECT CAST(2 AS BIGINT), doc_id, 'near_dup',
@@ -3653,6 +3676,108 @@ object LlmQueries {
       |SELECT batch_id, doc_id, stage, reason FROM
       |  (SELECT * FROM surv UNION ALL SELECT * FROM rej)
       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q101 intake replay, continuing splits
+  /** q100's replay with `countersDir` set: splits cut against CUMULATIVE
+    * Hamilton quotas (q92 semantics — per-(stratum, split) counters
+    * persist between batches on the versioned strictly-below protocol),
+    * so the counter state machinery is oracle-gated through the full
+    * pipeline too. The oracle's split tail unrolls the three continuing
+    * apportionments sequentially: batch k ranks with seed `q101:k`,
+    * quotas are Hamilton over the CUMULATIVE stratum totals of batches
+    * ≤ k, needs are `greatest(0, quota − assigned_{<k})` cut in declared
+    * split order — q92Sql's machinery over q100's pipeline prologue. */
+  private def q101(s: SparkSession, d: String): DataFrame =
+    intakeReplay(s, d, seed = "q101", continuing = true)
+
+  private val q101Sql = intakeReplaySqlPrefix +
+    """hh AS MATERIALIZED (
+      |  SELECT doc_id AS id, batch, lang AS stratum,
+      |    ('0x' || substr(md5('q101:' || batch || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS hv
+      |  FROM k2),
+      |r AS MATERIALIZED (
+      |  SELECT id, batch, stratum,
+      |    row_number() OVER (PARTITION BY batch, stratum
+      |      ORDER BY (hv % 4096), hv, id) AS rk
+      |  FROM hh),
+      |n AS MATERIALIZED (SELECT batch, stratum, count(*)::BIGINT AS nt FROM hh GROUP BY 1, 2),
+      |sp AS MATERIALIZED (SELECT unnest(['train', 'val', 'test']) AS split,
+      |              unnest([8, 1, 1]) AS w, unnest([0, 1, 2]) AS i),
+      |nc AS MATERIALIZED (
+      |  SELECT b.batch, n.stratum, sum(n.nt)::BIGINT AS ntc
+      |  FROM (SELECT DISTINCT batch FROM n) b
+      |  JOIN n ON n.batch <= b.batch
+      |  GROUP BY 1, 2),
+      |cq0 AS MATERIALIZED (
+      |  SELECT nc.batch, nc.stratum, sp.split, sp.i, nc.ntc,
+      |    (nc.ntc * sp.w) // 10 AS basq, (nc.ntc * sp.w) % 10 AS rem
+      |  FROM nc CROSS JOIN sp),
+      |cq1 AS MATERIALIZED (
+      |  SELECT *, ntc - sum(basq) OVER (PARTITION BY batch, stratum) AS lft,
+      |    row_number() OVER (PARTITION BY batch, stratum ORDER BY rem DESC, i) AS rr
+      |  FROM cq0),
+      |cq2 AS MATERIALIZED (SELECT batch, stratum, split, i,
+      |    basq + CASE WHEN rr <= lft THEN 1 ELSE 0 END AS quota FROM cq1),
+      |nd1 AS MATERIALIZED (
+      |  SELECT stratum, split, i, quota AS need FROM cq2 WHERE batch = 1),
+      |bb1 AS MATERIALIZED (
+      |  SELECT stratum, split,
+      |    sum(need) OVER wc1 AS hi, sum(need) OVER wc1 - need AS lo
+      |  FROM nd1 WINDOW wc1 AS (PARTITION BY stratum ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING)),
+      |a1 AS MATERIALIZED (
+      |  SELECT r.id, r.stratum, bb1.split, r.rk FROM r
+      |  JOIN bb1 ON r.stratum = bb1.stratum
+      |    AND r.rk > bb1.lo AND r.rk <= bb1.hi
+      |  WHERE r.batch = 1),
+      |asg1 AS MATERIALIZED (
+      |  SELECT stratum, split, count(*)::BIGINT AS c FROM a1 GROUP BY 1, 2),
+      |nd2 AS MATERIALIZED (
+      |  SELECT cq2.stratum, cq2.split, cq2.i,
+      |    greatest(0, cq2.quota - coalesce(asg1.c, 0)) AS need
+      |  FROM cq2 LEFT JOIN asg1
+      |    ON asg1.stratum = cq2.stratum AND asg1.split = cq2.split
+      |  WHERE cq2.batch = 2),
+      |bb2 AS MATERIALIZED (
+      |  SELECT stratum, split,
+      |    sum(need) OVER wc2 AS hi, sum(need) OVER wc2 - need AS lo
+      |  FROM nd2 WINDOW wc2 AS (PARTITION BY stratum ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING)),
+      |a2 AS MATERIALIZED (
+      |  SELECT r.id, r.stratum, bb2.split, r.rk FROM r
+      |  JOIN bb2 ON r.stratum = bb2.stratum
+      |    AND r.rk > bb2.lo AND r.rk <= bb2.hi
+      |  WHERE r.batch = 2),
+      |asg12 AS MATERIALIZED (
+      |  SELECT stratum, split, count(*)::BIGINT AS c FROM
+      |    (SELECT * FROM a1 UNION ALL SELECT * FROM a2) GROUP BY 1, 2),
+      |nd3 AS MATERIALIZED (
+      |  SELECT cq2.stratum, cq2.split, cq2.i,
+      |    greatest(0, cq2.quota - coalesce(asg12.c, 0)) AS need
+      |  FROM cq2 LEFT JOIN asg12
+      |    ON asg12.stratum = cq2.stratum AND asg12.split = cq2.split
+      |  WHERE cq2.batch = 3),
+      |bb3 AS MATERIALIZED (
+      |  SELECT stratum, split,
+      |    sum(need) OVER wc3 AS hi, sum(need) OVER wc3 - need AS lo
+      |  FROM nd3 WINDOW wc3 AS (PARTITION BY stratum ORDER BY i
+      |    ROWS UNBOUNDED PRECEDING)),
+      |a3 AS MATERIALIZED (
+      |  SELECT r.id, r.stratum, bb3.split, r.rk FROM r
+      |  JOIN bb3 ON r.stratum = bb3.stratum
+      |    AND r.rk > bb3.lo AND r.rk <= bb3.hi
+      |  WHERE r.batch = 3),
+      |surv AS MATERIALIZED (
+      |  SELECT CAST(1 AS BIGINT) AS batch_id, id AS doc_id,
+      |    'survived' AS stage, stratum || ':' || split || ':' || rk AS reason
+      |  FROM a1
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), id, 'survived',
+      |    stratum || ':' || split || ':' || rk FROM a2
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), id, 'survived',
+      |    stratum || ':' || split || ':' || rk FROM a3),
+      |""".stripMargin + intakeReplaySqlSuffix
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
@@ -3727,5 +3852,10 @@ object LlmQueries {
     QueryDef("q98_intake_rejects", q98, Some(q98Sql)),
     QueryDef("q99_intake_neardup_rejects", q99, Some(q99Sql)),
     QueryDef("q100_intake_replay", q100, Some(q100Sql)),
+    // bench=false by documented design (the q14 precedent): q101 is the
+    // SAME replay harness as q100 with only the split mode changed — its
+    // ~40 s structural cost is q100's, and q100 is the benched
+    // representative; correctness still gates q101 every round.
+    QueryDef("q101_intake_replay_continuing", q101, Some(q101Sql), bench = false),
   )
 }
