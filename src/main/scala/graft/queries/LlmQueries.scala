@@ -3352,7 +3352,8 @@ object LlmQueries {
     * (the q92 semantics) with the counter state versioning/retiring
     * between batches. */
   private def intakeReplay(s: SparkSession, d: String, seed: String,
-                           continuing: Boolean): DataFrame = {
+                           continuing: Boolean,
+                           twoTier: Boolean = false): DataFrame = {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     // Data-derived id spacing (the q99 rule): off = smallest power of 10
     // above max(doc_id); batch k owns ids [k*10*off, (k+1)*10*off) with
@@ -3410,7 +3411,7 @@ object LlmQueries {
           "s7.com", "net"),
         nearDupThreshold = Some(0.5), corpusDir = Some(s"$root/corpus"),
         inBatchNearDup = true, seed = seed, compactEvery = 1,
-        stateBuckets = 8,
+        stateBuckets = 8, twoTierCorpus = twoTier,
         countersDir = if (continuing) Some(s"$root/ctr") else None)
       val out = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
         k -> wide.filter(col("batch") === k)
@@ -3616,10 +3617,20 @@ object LlmQueries {
       |  LEFT JOIN rej_nv rn ON rn.doc_id = k1.doc_id WHERE rn.doc_id IS NULL),
       |""".stripMargin
 
-  private val q100Sql = intakeReplaySqlPrefix +
-    """hh AS MATERIALIZED (
+  private val q100Sql = intakeReplayPerBatchSql("q100")
+
+  private val q102Sql = intakeReplayPerBatchSql("q102")
+
+  /** q100's full oracle, parameterized only by the split-rank seed: the
+    * replay SEMANTICS are state-layout-independent, so q102 (the same
+    * replay under `twoTierCorpus` — mid folds landing inside the
+    * sequence, batch 3 probing through base+mid tiers) checks against
+    * the IDENTICAL batch-mode replay, just with its own seed. */
+  private def intakeReplayPerBatchSql(seed: String): String =
+    intakeReplaySqlPrefix +
+    s"""hh AS MATERIALIZED (
       |  SELECT doc_id AS id, batch, lang AS stratum,
-      |    ('0x' || substr(md5('q100:' || batch || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS hv
+      |    ('0x' || substr(md5('$seed:' || batch || ':' || lang || ':' || doc_id), 1, 15))::BIGINT AS hv
       |  FROM k2),
       |r AS MATERIALIZED (
       |  SELECT id, batch, stratum,
@@ -3689,6 +3700,14 @@ object LlmQueries {
     * split order — q92Sql's machinery over q100's pipeline prologue. */
   private def q101(s: SparkSession, d: String): DataFrame =
     intakeReplay(s, d, seed = "q101", continuing = true)
+
+  /** q100's replay under `twoTierCorpus`: with compactEvery = 1 both
+    * tiers fold every batch, so batch 2 probes a mid part and batch 3
+    * probes through base+mid tiers — the two-tier read/fold path
+    * oracle-gated END-TO-END (the oracle itself is layout-independent:
+    * same batch-mode replay, own seed). */
+  private def q102(s: SparkSession, d: String): DataFrame =
+    intakeReplay(s, d, seed = "q102", continuing = false, twoTier = true)
 
   private val q101Sql = intakeReplaySqlPrefix +
     """hh AS MATERIALIZED (
@@ -3857,5 +3876,6 @@ object LlmQueries {
     // ~40 s structural cost is q100's, and q100 is the benched
     // representative; correctness still gates q101 every round.
     QueryDef("q101_intake_replay_continuing", q101, Some(q101Sql), bench = false),
+    QueryDef("q102_intake_replay_twotier", q102, Some(q102Sql), bench = false),
   )
 }

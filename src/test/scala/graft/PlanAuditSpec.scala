@@ -44,8 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     * temp state dirs) — auditing that trivial LocalRelation would only
     * re-run the whole replay for nothing; the intake's own plan posture is
     * audited through its component operators and IntakeSpec. */
-  private val executesEagerly =
-    Set("q100_intake_replay", "q101_intake_replay_continuing")
+  private val executesEagerly = Set("q100_intake_replay",
+    "q101_intake_replay_continuing", "q102_intake_replay_twotier")
 
   test("no catalog query plans a CartesianProduct") {
     SparkEntry.catalog.filterNot(q => executesEagerly(q.name)).foreach { q =>
