@@ -4,7 +4,14 @@
 // breakdown of the FIXED per-batch cost that bounds steady-state intake
 // latency (IntakeScale measures the total; this names the parts).
 //
-// Usage: sbt "runMain graft.tools.BatchProfile [src] [buckets] [twoTier]"
+// Usage: sbt "runMain graft.tools.BatchProfile [src] [buckets] [twoTier] [aqe]"
+//
+// The 4th arg (default true) toggles spark.sql.adaptive.enabled for the
+// PROFILED tail batch only (state build always runs with the session
+// default): the r18 profile attributed ~80% of the fixed per-batch floor
+// to AQE stage-materialization sub-jobs (~65 ms of scheduling each), so
+// the off-reading bounds how much of the floor is AQE scheduling rather
+// than work.
 package graft.tools
 
 import scala.collection.mutable
@@ -20,6 +27,7 @@ object BatchProfile {
     val src = args.headOption.getOrElse("/tmp/graft_sf1.0")
     val buckets = args.lift(1).map(_.toInt).getOrElse(64)
     val twoTier = args.lift(2).exists(_.toBoolean)
+    val aqe = args.lift(3).forall(_.toBoolean)
     val spark = GraftSession.get()
 
     val root = java.nio.file.Files.createTempDirectory("graft_profile_")
@@ -66,14 +74,16 @@ object BatchProfile {
         }
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
     val t0 = System.nanoTime()
     Intake.replay(spark, cfg, Seq(7L -> slice(5 * step + 200, 5 * step + 400)))
     val wall = (System.nanoTime() - t0) / 1e9
+    spark.conf.set("spark.sql.adaptive.enabled", true)
     spark.sparkContext.removeSparkListener(listener)
     Thread.sleep(1000)
 
     val jobs = rows.toSeq
-    println(f"[profile] tail batch wall=$wall%.2f s, jobs=${jobs.size}, " +
+    println(f"[profile] aqe=$aqe tail batch wall=$wall%.2f s, jobs=${jobs.size}, " +
       f"job-sum=${jobs.map(_._1).sum}%.2f s (gap=driver-only time)")
     jobs.sortBy(-_._1).take(25).foreach { case (s, site) =>
       println(f"[profile]  $s%6.3f s  $site")
