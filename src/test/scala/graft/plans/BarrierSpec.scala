@@ -34,6 +34,17 @@ class BarrierSpec extends SparkSpec {
     assert(plan.nodeName.contains("LogicalRDD"), plan.nodeName)
   }
 
+  test("flatten handles an empty frame (schema kept, zero rows, still flat)") {
+    // Several call sites (CC round loops, intake stage frames) legitimately
+    // hit empty frames — e.g. a batch with no near-dup pairs. A barrier
+    // reimplementation (say, checkpoint-based) must not choke on them.
+    val empty = deepFrame().filter(lit(false))
+    val flat = Barrier.flatten(empty)
+    assert(flat.schema === empty.schema)
+    assert(flat.count() === 0L)
+    assert(flat.queryExecution.analyzed.children.isEmpty)
+  }
+
   test("flatPersist caches the backing and the view reads it back") {
     val df = deepFrame()
     val (flat, backing) = Barrier.flatPersist(df)
