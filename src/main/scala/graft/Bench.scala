@@ -62,13 +62,27 @@ object Bench {
     // window three rounds running ("parsed": null in BENCH_r17), truncating
     // mid-number. Total/sf/unit are identical between the two lines.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (jsonLine(results) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable =>
-      System.err.println(s"bench: could not write $outPath: $e") }
+    def writeFile(path: String, line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"bench: could not write $path: $e") }
+    writeFile(outPath, jsonLine(results))
+    // Compact line: worst-8 rows + the file pointer + the FAILED names —
+    // the full map carries failures as -1 entries, but a consumer that only
+    // sees this tail line needs them spelled out (they are filtered from
+    // the worst-8 map, whose ordering is by time).
+    val failed = results.filter(_._2 < 0).map(_._1)
     val worst = results.filter(_._2 >= 0).sortBy(-_._2).take(8)
-    println(jsonLine(worst,
-      s""","n_queries":${results.size},"full":"$outPath""""))
+    val compact = jsonLine(worst,
+      s""","n_queries":${results.size},"failed":${
+        failed.map("\"" + _ + "\"").mkString("[", ",", "]")},"full":"$outPath"""")
+    // The same compact line also lands in a FIXED artifact, so machine
+    // consumers never depend on how much of stdout survives capture (sbt's
+    // "[info] " prefix + tail truncation have eaten it before).
+    writeFile(sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "BENCH_SUMMARY.json"),
+      compact)
+    println(compact)
     spark.stop()
   }
 }

@@ -286,17 +286,22 @@ object Intake {
 
   /** Markers gate every later run, so their write is temp-and-rename
     * atomic: a crash mid-write leaves only an orphan temp file (ignored by
-    * the guards), never a truncated marker that would refuse forever. */
+    * the guards), never a truncated marker that would refuse forever. The
+    * publish is an OVERWRITE rename (`FileContext` with `Rename.OVERWRITE`,
+    * one atomic step on HDFS/local), so even a re-publish over an existing
+    * marker (the rebucket path) has no window where no marker exists — a
+    * delete-then-rename gap would read back as pre-marker legacy state. */
   private def writeIntMarker(spark: SparkSession, dir: String, name: String,
                              value: Int): Unit = {
     val p = new Path(dir, name)
     val tmp = new Path(dir, s"_tmp_$name")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    require(fs.rename(tmp, p),
-      s"Intake: could not publish marker $p (rename from $tmp failed)")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Every state-part prefix a directory may hold (the gram-index and
@@ -484,9 +489,9 @@ object Intake {
     def write(df: DataFrame, path: String): Unit =
       if (bucketed) writeBucketed(df, path)
       else df.write.mode("overwrite").parquet(path)
-    val (base, _, pendD) =
+    val (base, mids0, pendD) =
       familyPartsTiered(spark, dir, basePrefix, midPrefix, deltaPrefix, id)
-    if (pendD.size >= cfg.compactEvery) {
+    val minted = if (pendD.size >= cfg.compactEvery) {
       val h = pendD.max
       write(pendD.map(v => spark.read.schema(schema)
           .parquet(s"$dir/$deltaPrefix$v"))
@@ -494,10 +499,11 @@ object Intake {
       if (!cfg.keepAllIndexVersions)
         versionsOf(spark, dir, deltaPrefix).filter(_ <= h)
           .foreach(v => delete(spark, s"$dir/$deltaPrefix$v"))
-    }
-    // re-list: tier 1 may just have minted the K-th mid
-    val mids = versionsOf(spark, dir, midPrefix)
-      .filter(v => v < id && base.forall(v > _)).sorted
+      Some(h)
+    } else None
+    // tier 1 may just have minted the K-th mid — the pre-fold listing plus
+    // the minted part IS the post-fold mid set (no second directory list)
+    val mids = (mids0 ++ minted).sorted
     if (mids.size >= cfg.compactEvery) {
       val hh = mids.max
       write((base.map(v => s"$dir/$basePrefix$v").toSeq ++
@@ -589,8 +595,8 @@ object Intake {
     val cleanups = scala.collection.mutable.ArrayBuffer[() => Unit]()
     // Persist + FLAT LINEAGE BARRIER for every stage frame that feeds
     // multiple downstream actions (the Clusters entry-barrier idiom): a
-    // batch runs ~10 driver actions (probe stats, novelty scoring, split
-    // writes, state writes, telemetry counts), and each would re-run
+    // batch runs several driver actions (probe stats, novelty scoring,
+    // split/ledger writes, state writes), and each would re-run
     // Catalyst ANALYSIS of the stage's full stacked plan (blocklist →
     // near-dup probe → in-batch CC → novelty) even with the persist hot —
     // persist truncates execution, not analysis. That analysis is fixed
@@ -861,22 +867,43 @@ object Intake {
         case None => Selection.splitAssign(
           kept2, "lang", "doc_id", cfg.splits, seed = s"${cfg.seed}:$id")
       }
+      // The telemetry counts ride the two output writes as OBSERVED metrics
+      // (`CollectMetrics` over the exact rows the writes persist) instead
+      // of separate count actions: each dropped action saves its whole
+      // Catalyst-analysis + AQE-scheduling envelope — the profiled ~65 ms
+      // sub-job floor × stages, the dominant term of steady-state per-batch
+      // latency. Counting DURING the write also pins the values to the
+      // persisted truth before compaction retires any input part a
+      // recompute would need (a cached-partition loss after compaction
+      // otherwise re-reads deleted paths).
+      val survObs = org.apache.spark.sql.Observation(s"intake_surv_$id")
       assignments
         .select(col("id").as("doc_id"), col("stratum"), col("split"),
           col("rank_in_stratum"))
+        .observe(survObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
 
       // the DROP LEDGER: every rejected doc with its stage and reason —
       // stages are sequential, so each doc appears at most once, and
       // (survivors ∪ rejects) partition the batch exactly (spec-asserted).
       // Written with the same overwrite-replay contract as the assignments.
-      val rejAll = rejBlocklist
+      // One action: the write is the union's only consumer (the telemetry
+      // stage counts are observed on it), so no persist either.
+      val rejObs = org.apache.spark.sql.Observation(s"intake_rej_$id")
+      rejBlocklist
         .unionByName(rejNearDup)
         .unionByName(rejInBatch)
         .unionByName(rejNovelty)
-        .persist() // feeds the write AND the telemetry stage counts
-      cleanups += (() => { rejAll.unpersist(); () })
-      rejAll.write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+        .observe(rejObs,
+          count(when(col("stage") === "blocklist", 1)).as("blocklist"),
+          count(when(col("stage") === "near_dup", 1)).as("near_dup"),
+          count(when(col("stage") === "in_batch_near_dup", 1)).as("in_batch_near_dup"),
+          count(when(col("stage") === "novelty", 1)).as("novelty"))
+        .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+      // both writes are complete here, so the observed metrics are final
+      val stageCounts = rejObs.get.view.mapValues(_.asInstanceOf[Long])
+        .toMap.withDefaultValue(0L)
+      val survivors = survObs.get("n").asInstanceOf[Long]
 
       // counters fold from the WRITTEN assignments (the persisted truth),
       // versioned and retired exactly like the drift state
@@ -988,19 +1015,18 @@ object Intake {
       }
 
       // per-batch telemetry (LAST — it describes what the batch just did):
-      // stage counts from the CACHED reject union (the exact rows the
-      // ledger write persisted — no read-back of the parquet just written)
-      // and state sizes from directory listings. `*_buckets_probed` is -1
-      // when the probe was unpruned (flat layout, or no parts yet).
-      val stageCounts = rejAll
-        .groupBy("stage").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-        .withDefaultValue(0L)
-      // survivors = the split frame's row count, counted from the frame in
-      // hand (splitAssign is row-preserving over kept2, whose inputs are
-      // both cached) — not a read-back of the parquet just written
-      val survivors = kept2.count()
-      Seq((id, b.count(), stageCounts("blocklist"), stageCounts("near_dup"),
+      // stage counts and survivors were OBSERVED on the two output writes
+      // above (the exact rows those writes persisted — no extra action, no
+      // read-back); state sizes come from directory listings. batch_docs is
+      // DERIVED: the stages are sequential and (survivors ∪ rejects)
+      // partition the batch exactly (spec-asserted), so the sum IS the
+      // batch row count — the last separate count action removed.
+      // `*_buckets_probed` is -1 when the probe was unpruned (flat layout,
+      // or no parts yet).
+      val batchDocs = survivors + stageCounts("blocklist") +
+        stageCounts("near_dup") + stageCounts("in_batch_near_dup") +
+        stageCounts("novelty")
+      Seq((id, batchDocs, stageCounts("blocklist"), stageCounts("near_dup"),
           stageCounts("in_batch_near_dup"), stageCounts("novelty"), survivors,
           partPaths.size.toLong, idxBytes, idxBytesProbed,
           probedGramBkts.fold(-1L)(_.size.toLong),

@@ -3353,7 +3353,8 @@ object LlmQueries {
     * between batches. */
   private def intakeReplay(s: SparkSession, d: String, seed: String,
                            continuing: Boolean,
-                           twoTier: Boolean = false): DataFrame = {
+                           twoTier: Boolean = false,
+                           drift: Boolean = false): DataFrame = {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     // Data-derived id spacing (the q99 rule): off = smallest power of 10
     // above max(doc_id); batch k owns ids [k*10*off, (k+1)*10*off) with
@@ -3412,10 +3413,28 @@ object LlmQueries {
         nearDupThreshold = Some(0.5), corpusDir = Some(s"$root/corpus"),
         inBatchNearDup = true, seed = seed, compactEvery = 1,
         stateBuckets = 8, twoTierCorpus = twoTier,
-        countersDir = if (continuing) Some(s"$root/ctr") else None)
-      val out = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
+        countersDir = if (continuing) Some(s"$root/ctr") else None,
+        driftDir = if (drift) Some(s"$root/driftstate") else None)
+      val ledger = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
         k -> wide.filter(col("batch") === k)
           .select("doc_id", "lang", "text", "host")))
+      // drift mode (q103): the ACCUMULATED drift reports — batch k's
+      // survivors vs the folded reference state of every prior batch,
+      // written by the pipeline at outDir/drift/batch=k for k ≥ 2 —
+      // rendered into the ledger's (batch_id, doc_id, stage, reason)
+      // shape on sentinel doc ids (negative, so disjoint from every real
+      // id and deterministic: -(10·batch + 1) for the KS row, -(10·batch
+      // + 2) for the TV row).
+      val out = if (!drift) ledger else
+        ledger.unionByName((2L to 3L).map { k =>
+          s.read.parquet(s"$root/out/drift/batch=$k")
+            .select(lit(k).as("batch_id"),
+              (lit(-10L * k) - when(col("stat") === "wordcount_ks", lit(1L))
+                .otherwise(lit(2L))).as("doc_id"),
+              lit("drift").as("stage"),
+              concat_ws(":", col("stat"), col("grp_a"), col("grp_b"),
+                col("n_a"), col("n_b"), col("d_micros")).as("reason"))
+        }.reduce(_.unionByName(_)))
       // The replay output reads the temp state dirs lazily; the state is
       // deleted below, so pin the (ledger-scale) result rows first.
       val rows = out.orderBy("doc_id").collect()
@@ -3621,12 +3640,93 @@ object LlmQueries {
 
   private val q102Sql = intakeReplayPerBatchSql("q102")
 
+  /** The q103 drift-report CTEs: per-batch (value, count) states of the
+    * near-dup survivors (`kd` = the per-batch canonical sets the intake's
+    * drift stage measures), then for each batch k ≥ 2 the q87 KS grid
+    * (word counts, text non-null) and the q90 TV grid (language mix)
+    * between the batch side and the `batch < k` cumulative reference —
+    * exactly the fold-then-compare the intake's versioned count state
+    * performs. Sentinel doc ids -(10k+1)/-(10k+2) keep the rows disjoint
+    * from every real ledger id. */
+  private def intakeReplayDriftCtes: String = {
+    def ks(k: Int) =
+      s"""wg$k AS MATERIALIZED (
+        |  SELECT 'batch' AS g, v, sum(c)::BIGINT AS c FROM wcc WHERE batch = $k GROUP BY v
+        |  UNION ALL
+        |  SELECT 'ref' AS g, v, sum(c)::BIGINT AS c FROM wcc WHERE batch < $k GROUP BY v),
+        |wf$k AS MATERIALIZED (
+        |  SELECT gs.g, vals.v, coalesce(w.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT v FROM wg$k) vals
+        |  CROSS JOIN (SELECT DISTINCT g FROM wg$k) gs
+        |  LEFT JOIN wg$k w ON w.g = gs.g AND w.v = vals.v),
+        |wt$k AS MATERIALIZED (SELECT g, sum(c)::BIGINT AS n FROM wg$k GROUP BY g),
+        |wr$k AS MATERIALIZED (
+        |  SELECT f.g, f.v, t.n,
+        |    ((sum(f.c) OVER (PARTITION BY f.g ORDER BY f.v
+        |        ROWS UNBOUNDED PRECEDING))::BIGINT * 1000000) // t.n AS e
+        |  FROM wf$k f JOIN wt$k t USING (g)),
+        |wd$k AS MATERIALIZED (
+        |  SELECT a.n AS n_a, b.n AS n_b, max(abs(a.e - b.e))::BIGINT AS d_micros
+        |  FROM wr$k a JOIN wr$k b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |""".stripMargin
+    def tv(k: Int) =
+      s"""lg$k AS MATERIALIZED (
+        |  SELECT 'batch' AS g, v, sum(c)::BIGINT AS c FROM lgc WHERE batch = $k GROUP BY v
+        |  UNION ALL
+        |  SELECT 'ref' AS g, v, sum(c)::BIGINT AS c FROM lgc WHERE batch < $k GROUP BY v),
+        |lf$k AS MATERIALIZED (
+        |  SELECT gs.g, vals.v, coalesce(l.c, 0)::BIGINT AS c
+        |  FROM (SELECT DISTINCT v FROM lg$k) vals
+        |  CROSS JOIN (SELECT DISTINCT g FROM lg$k) gs
+        |  LEFT JOIN lg$k l ON l.g = gs.g AND l.v = vals.v),
+        |lt$k AS MATERIALIZED (SELECT g, sum(c)::BIGINT AS n FROM lg$k GROUP BY g),
+        |ls$k AS MATERIALIZED (
+        |  SELECT f.g, f.v, t.n, (f.c * 1000000) // t.n AS s
+        |  FROM lf$k f JOIN lt$k t USING (g)),
+        |ld$k AS MATERIALIZED (
+        |  SELECT a.n AS n_a, b.n AS n_b, (sum(abs(a.s - b.s))::BIGINT // 2) AS d_micros
+        |  FROM ls$k a JOIN ls$k b ON a.v = b.v AND a.g < b.g
+        |  GROUP BY 1, 2),
+        |""".stripMargin
+    """kd AS MATERIALIZED (
+      |  SELECT k1.batch, k1.lang, k1.text FROM k1
+      |  JOIN corpall c ON c.doc_id = k1.doc_id),
+      |wcc AS MATERIALIZED (
+      |  SELECT batch, len(string_split(lower(text), ' '))::BIGINT AS v,
+      |    count(*)::BIGINT AS c
+      |  FROM kd WHERE text IS NOT NULL GROUP BY 1, 2),
+      |lgc AS MATERIALIZED (
+      |  SELECT batch, lang AS v, count(*)::BIGINT AS c FROM kd GROUP BY 1, 2),
+      |""".stripMargin +
+      ks(2) + tv(2) + ks(3) + tv(3) +
+      """driftrows AS MATERIALIZED (
+      |  SELECT CAST(2 AS BIGINT) AS batch_id, CAST(-21 AS BIGINT) AS doc_id,
+      |    'drift' AS stage,
+      |    'wordcount_ks:batch:ref:' || n_a || ':' || n_b || ':' || d_micros AS reason
+      |  FROM wd2
+      |  UNION ALL SELECT CAST(2 AS BIGINT), CAST(-22 AS BIGINT), 'drift',
+      |    'lang_tv:batch:ref:' || n_a || ':' || n_b || ':' || d_micros FROM ld2
+      |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(-31 AS BIGINT), 'drift',
+      |    'wordcount_ks:batch:ref:' || n_a || ':' || n_b || ':' || d_micros FROM wd3
+      |  UNION ALL SELECT CAST(3 AS BIGINT), CAST(-32 AS BIGINT), 'drift',
+      |    'lang_tv:batch:ref:' || n_a || ':' || n_b || ':' || d_micros FROM ld3),
+      |""".stripMargin
+  }
+
+  private val q103Sql = intakeReplayPerBatchSql("q103",
+    extraCtes = intakeReplayDriftCtes,
+    extraUnion = " UNION ALL SELECT * FROM driftrows")
+
   /** q100's full oracle, parameterized only by the split-rank seed: the
     * replay SEMANTICS are state-layout-independent, so q102 (the same
     * replay under `twoTierCorpus` — mid folds landing inside the
     * sequence, batch 3 probing through base+mid tiers) checks against
-    * the IDENTICAL batch-mode replay, just with its own seed. */
-  private def intakeReplayPerBatchSql(seed: String): String =
+    * the IDENTICAL batch-mode replay, just with its own seed. q103 adds
+    * `extraCtes`/`extraUnion` — the drift-report CTEs and their row
+    * source in the final union. */
+  private def intakeReplayPerBatchSql(seed: String, extraCtes: String = "",
+                                      extraUnion: String = ""): String =
     intakeReplaySqlPrefix +
     s"""hh AS MATERIALIZED (
       |  SELECT doc_id AS id, batch, lang AS stratum,
@@ -3659,11 +3759,11 @@ object LlmQueries {
       |    r.stratum || ':' || q3.split || ':' || r.rk AS reason
       |  FROM r JOIN q3 ON r.batch = q3.batch AND r.stratum = q3.stratum
       |    AND r.rk > q3.lo AND r.rk <= q3.hi),
-      |""".stripMargin + intakeReplaySqlSuffix
+      |""".stripMargin + extraCtes + intakeReplaySqlSuffix(extraUnion)
 
   /** The drop-ledger assembly + final select both replay oracles share —
     * the reject stages are split-mode-independent. */
-  private def intakeReplaySqlSuffix: String =
+  private def intakeReplaySqlSuffix(extraUnion: String = ""): String =
     """rej AS MATERIALIZED (
       |  SELECT batch_id, doc_id, stage, reason FROM rej_bl
       |  UNION ALL
@@ -3685,8 +3785,8 @@ object LlmQueries {
       |  SELECT k1.batch, rn.doc_id, 'novelty', rn.reason
       |  FROM rej_nv rn JOIN k1 ON k1.doc_id = rn.doc_id)
       |SELECT batch_id, doc_id, stage, reason FROM
-      |  (SELECT * FROM surv UNION ALL SELECT * FROM rej)
-      |ORDER BY doc_id""".stripMargin
+      |  (SELECT * FROM surv UNION ALL SELECT * FROM rej""".stripMargin +
+      extraUnion + ")\nORDER BY doc_id"
 
   // ---------------------------------------------------------------- q101 intake replay, continuing splits
   /** q100's replay with `countersDir` set: splits cut against CUMULATIVE
@@ -3708,6 +3808,20 @@ object LlmQueries {
     * same batch-mode replay, own seed). */
   private def q102(s: SparkSession, d: String): DataFrame =
     intakeReplay(s, d, seed = "q102", continuing = false, twoTier = true)
+
+  /** q100's replay with `driftDir` set — the LAST intake stage family
+    * whose cross-batch state evolution gains an oracle row: per-batch
+    * drift reports (word-count KS + language-mix TV, the statistics the
+    * intake's monitor computes) of batch k's near-dup-surviving docs
+    * against the ACCUMULATED reference state folded from every prior
+    * batch's survivors, across the same compaction-straddling 3-batch
+    * replay. Reports ride the ledger as sentinel rows (negative doc ids);
+    * the oracle recomputes each report batch-mode from cumulative count
+    * prefixes (q87/q90's grid arithmetic over `batch < k` sums). The
+    * intake monitors wc + lang only — centroid drift (q91) is an
+    * embedding-side statistic with no embedding in the intake stream. */
+  private def q103(s: SparkSession, d: String): DataFrame =
+    intakeReplay(s, d, seed = "q103", continuing = false, drift = true)
 
   private val q101Sql = intakeReplaySqlPrefix +
     """hh AS MATERIALIZED (
@@ -3796,7 +3910,7 @@ object LlmQueries {
       |  UNION ALL
       |  SELECT CAST(3 AS BIGINT), id, 'survived',
       |    stratum || ':' || split || ':' || rk FROM a3),
-      |""".stripMargin + intakeReplaySqlSuffix
+      |""".stripMargin + intakeReplaySqlSuffix()
 
   val all: Seq[QueryDef] = Seq(
     QueryDef("q21_dedup_exact", q21, Some(q21Sql)),
@@ -3877,5 +3991,6 @@ object LlmQueries {
     // representative; correctness still gates q101 every round.
     QueryDef("q101_intake_replay_continuing", q101, Some(q101Sql), bench = false),
     QueryDef("q102_intake_replay_twotier", q102, Some(q102Sql), bench = false),
+    QueryDef("q103_intake_replay_drift", q103, Some(q103Sql), bench = false),
   )
 }
