@@ -311,6 +311,12 @@ object Intake {
     Seq("base=", "delta=", "part=", "partmid=", "partbase=", "sigs=",
       "sigsmid=", "sigsbase=", "bands=", "bandsmid=", "bandsbase=")
 
+  /** Present in a state directory while [[rebucket]] is migrating it —
+    * ingest refuses until the migration finishes (re-running rebucket is
+    * the repair; the migration is idempotent, every bucket id being a
+    * pure function of its key). */
+  private[app] val RebucketSentinel = "_rebucket_in_progress"
+
   private def hasStateParts(spark: SparkSession, dir: String): Boolean =
     StatePrefixes.exists(pfx => versionsOf(spark, dir, pfx).nonEmpty)
 
@@ -323,7 +329,14 @@ object Intake {
     * back with null `bkt` everywhere and the pruned probes would silently
     * drop every genuine match — the exact failure the marker exists to
     * make loud). */
-  private def layoutGuard(spark: SparkSession, dir: String, buckets: Int): Unit =
+  private def layoutGuard(spark: SparkSession, dir: String, buckets: Int): Unit = {
+    val prog = new Path(dir, RebucketSentinel)
+    require(!prog.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(prog),
+      s"Intake: state at $dir has an unfinished re-bucket ($RebucketSentinel " +
+        "present) — its families may be split across two bucket layouts; " +
+        "re-run Intake.rebucket with the same target to finish the " +
+        "migration before ingesting")
     readIntMarker(spark, dir, "_state_buckets") match {
       case Some(found) =>
         require(found == buckets,
@@ -340,6 +353,7 @@ object Intake {
             "or restore the marker if you know the layout it was written with")
         writeIntMarker(spark, dir, "_state_buckets", buckets)
     }
+  }
 
   /** Pin the corpus signature WIDTH (`numHashes`) in a `_num_hashes`
     * marker, so the banded probe's width guard is METADATA — the aggregate
@@ -1137,6 +1151,140 @@ object Intake {
       val pv = versionsOf(spark, dir).filter(_ < id).sorted
       pv.dropRight(1).foreach(v => delete(spark, s"$dir/v=$v"))
     }
+
+  /** OFFLINE bucket-count migration for a stopped intake's state
+    * directories — the escape hatch when a corpus outgrows the bucket
+    * count its state was first written with (the [[Config.stateBuckets]]
+    * sizing law: bucket FILES should stay chunk-sized, so a corpus that
+    * grew 100× wants more buckets; without this tool the only remedy is a
+    * full rebuild). For `cfg.indexDir` and `cfg.corpusDir` (if set): each
+    * bucketed family's live parts are read, re-bucketed at `newBuckets`
+    * (every bucket id is a PURE FUNCTION of its key — gram, doc id, band
+    * key — so the rewrite is a per-row recompute, no probe semantics
+    * change), folded into ONE new base at the family's newest part
+    * version, and published; the `_state_buckets` marker then flips
+    * atomically. Probe results are identical before and after
+    * (spec-asserted): pruning only ever skips buckets no batch key maps
+    * to, under whichever count the marker records.
+    *
+    * Pending (un-compacted) delta/mid parts REFUSE by default — the
+    * normal posture for an offline tool pointed at a directory someone
+    * forgot to drain; `foldPending = true` folds them into the new base
+    * instead (the same merge each family's compaction performs: min-fold
+    * for the gram index, disjoint concatenation for the corpus families),
+    * which is the practical path since a standing intake always leaves
+    * its newest delta pending.
+    *
+    * Crash contract: a `_rebucket_in_progress` sentinel lands in each
+    * directory before any rewrite and ingest REFUSES while it exists, so
+    * a mid-migration crash can never feed a half-migrated layout to the
+    * probes. Re-running rebucket with the same target finishes the job:
+    * the recovery sweep restores any family whose publish was cut between
+    * renames (`_rebucket_old_` backup present, live base missing), drops
+    * orphan temp writes, and every re-fold recomputes the same bucket ids
+    * (idempotent). The marker flip is last, after every family of that
+    * directory has published. */
+  def rebucket(spark: SparkSession, cfg: Config, newBuckets: Int,
+               foldPending: Boolean = false): Unit = {
+    import graft.llm.{Dedup, Novelty}
+    require(newBuckets >= 1 && newBuckets <= Novelty.MaxBuckets,
+      s"Intake.rebucket: newBuckets must be in [1, ${Novelty.MaxBuckets}], " +
+        s"got $newBuckets (the flat layout is not a migration target — " +
+        "rebuild instead)")
+    // (base, mid, delta, schema, keep-columns, fold, re-bucket) per family;
+    // the gram family is single-tier (mid prefix never exists on disk) and
+    // min-folds, the corpus families concatenate (disjoint doc ids)
+    final case class Fam(basePfx: String, midPfx: String, deltaPfx: String,
+                         schema: String, keep: Seq[String],
+                         fold: DataFrame => DataFrame,
+                         bucket: DataFrame => DataFrame)
+    val gram = Fam("base=", "basemid_unused=", "delta=",
+      "gram BIGINT, owner BIGINT, bkt INT", Seq("gram", "owner"),
+      Novelty.compactGramIndex, df => Novelty.withGramBucket(df, newBuckets))
+    val text = Fam("partbase=", "partmid=", "part=",
+      "doc_id BIGINT, text STRING, bkt INT", Seq("doc_id", "text"),
+      identity, df => df.withColumn("bkt",
+        Dedup.docBucket(col("doc_id"), newBuckets)))
+    val bands = Fam("bandsbase=", "bandsmid=", "bands=",
+      "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
+      Seq("doc_id", "b", "bkey", "w"),
+      identity, df => df.withColumn("bkt",
+        Dedup.bandBucket(col("b"), col("bkey"), newBuckets)))
+    val dirs = Seq(cfg.indexDir -> Seq(gram)) ++
+      cfg.corpusDir.map(cd => cd -> Seq(text, bands))
+
+    // a crashed migration can leave SOME directories finished (marker
+    // flipped, sentinel cleared) and others mid-flight — finished ones
+    // skip, so the re-run repairs the rest; a call where EVERY dir is
+    // already at the target and none is mid-flight is a mistake, refused
+    var touched = false
+    dirs.foreach { case (dir, fams) =>
+      val dp = new Path(dir)
+      val fs = dp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(dp)) fs.mkdirs(dp)
+      val sentinel = new Path(dir, RebucketSentinel)
+      val resuming = fs.exists(sentinel)
+      // recovery sweep: orphan temp writes die, a family whose publish was
+      // cut between the two renames gets its backup restored
+      fs.listStatus(dp).map(_.getPath.getName).foreach { n =>
+        if (n.startsWith("_rebucket_tmp_")) delete(spark, s"$dir/$n")
+        else if (n.startsWith("_rebucket_old_")) {
+          val live = new Path(dir, n.stripPrefix("_rebucket_old_"))
+          if (!fs.exists(live)) fs.rename(new Path(dir, n), live)
+          else delete(spark, s"$dir/$n")
+        }
+      }
+      val old = readIntMarker(spark, dir, "_state_buckets")
+      require(old.isDefined || !hasStateParts(spark, dir),
+        s"Intake.rebucket: state at $dir holds parts but no _state_buckets " +
+          "marker — its layout is unknowable; restore the marker first")
+      require(old.forall(_ > 0),
+        s"Intake.rebucket: state at $dir is FLAT (stateBuckets=0) — there " +
+          "are no bucket ids to migrate; rebuild under a bucketed layout")
+      if (!resuming && old.contains(newBuckets)) () // this dir already done
+      else {
+      touched = true
+      writeIntMarker(spark, dir, RebucketSentinel, newBuckets)
+
+      fams.foreach { f =>
+        val (baseV, midVs, deltaVs) = familyPartsTiered(
+          spark, dir, f.basePfx, f.midPfx, f.deltaPfx, Long.MaxValue)
+        require(foldPending || (midVs.isEmpty && deltaVs.isEmpty),
+          s"Intake.rebucket: family ${f.basePfx} at $dir holds pending " +
+            s"parts (${(midVs.map(v => s"${f.midPfx}$v") ++
+              deltaVs.map(v => s"${f.deltaPfx}$v")).mkString(", ")}) — " +
+            "pass foldPending = true to fold them into the migrated base")
+        val paths = baseV.map(v => s"$dir/${f.basePfx}$v").toSeq ++
+          midVs.map(v => s"$dir/${f.midPfx}$v") ++
+          deltaVs.map(v => s"$dir/${f.deltaPfx}$v")
+        if (paths.nonEmpty) {
+          val v = (baseV.toSeq ++ midVs ++ deltaVs).max
+          val folded = f.fold(paths.map(p =>
+              spark.read.schema(f.schema).parquet(p).select(f.keep.map(col): _*))
+            .reduce(_.unionByName(_)))
+          val liveName = s"${f.basePfx}$v"
+          writeBucketed(f.bucket(folded), s"$dir/_rebucket_tmp_$liveName")
+          val live = new Path(dir, liveName)
+          if (fs.exists(live))
+            fs.rename(live, new Path(dir, s"_rebucket_old_$liveName"))
+          require(fs.rename(new Path(dir, s"_rebucket_tmp_$liveName"), live),
+            s"Intake.rebucket: could not publish $dir/$liveName")
+          delete(spark, s"$dir/_rebucket_old_$liveName")
+          versionsOf(spark, dir, f.basePfx).filter(_ != v)
+            .foreach(w => delete(spark, s"$dir/${f.basePfx}$w"))
+          Seq(f.midPfx, f.deltaPfx).foreach(pfx =>
+            versionsOf(spark, dir, pfx)
+              .foreach(w => delete(spark, s"$dir/$pfx$w")))
+        }
+      }
+      writeIntMarker(spark, dir, "_state_buckets", newBuckets)
+      fs.delete(sentinel, false)
+      }
+    }
+    require(touched,
+      s"Intake.rebucket: every state directory is already at " +
+        s"stateBuckets=$newBuckets and no migration is in progress")
+  }
 
   /** Start the standing intake: JSON-lines document stream → per-batch
     * blocklist/near-dup/novelty/drift/split with the replay-deterministic

@@ -971,4 +971,126 @@ class IntakeSpec extends SparkSpec {
     assert(bandParts.contains("bandsbase=8") &&
       !bandParts.exists(_.startsWith("bandsmid=")), s"$bandParts")
   }
+
+  test("offline re-bucket: probe outputs identical across a bucket-count " +
+    "migration (near-dups found through the migrated base); pending parts " +
+    "refuse without foldPending; the in-progress sentinel refuses ingest; " +
+    "flat and already-migrated dirs refuse") {
+    // disjoint per-doc vocabulary: only EXACT plants near-match, so each
+    // planted copy provably matches its one source through the state path
+    // it targets (base vs pending delta)
+    val text = (i: Long) => (0 to 11).map(j => s"r${i}x$j").mkString(" ")
+    def batch(ids: Seq[Long], dup: Map[Long, Long] = Map.empty) = ids.map(i =>
+        (i, if (i % 2 == 0) "en" else "de", text(dup.getOrElse(i, i)),
+          s"x$i.ok.org"))
+      .toDF("doc_id", "lang", "text", "host")
+    def mkCfg(b: Int) = {
+      val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+      cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        stateBuckets = b, compactEvery = 2)
+    }
+    def copyDir(src: String, dst: String): Unit = {
+      val s = java.nio.file.Paths.get(src)
+      Files.walk(s).iterator().asScala.foreach { p =>
+        val t = java.nio.file.Paths.get(dst).resolve(s.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    // build state at B=8 — after batch 3: base=2 (folded) + delta=3
+    // (pending) in every family, so the migration exercises both paths
+    val cfgA = mkCfg(8)
+    Intake.processBatch(spark, cfgA, batch(1L to 6L), 1L)
+    Intake.processBatch(spark, cfgA, batch(7L to 10L), 2L)
+    Intake.processBatch(spark, cfgA, batch(11L to 12L), 3L)
+    assert(idxParts(java.nio.file.Paths.get(cfgA.indexDir)) ===
+      Seq("base=2", "delta=3"))
+
+    // control: clone the B=8 state, run batch 4 un-migrated. The batch
+    // plants a copy of doc 2 (matched through the compacted BASE) and of
+    // doc 11 (matched through the PENDING delta the migration must fold).
+    val cfgB = mkCfg(8)
+    copyDir(cfgA.indexDir, cfgB.indexDir)
+    copyDir(cfgA.corpusDir.get, cfgB.corpusDir.get)
+    val b4 = batch(Seq(21L, 22L, 23L), dup = Map(21L -> 2L, 22L -> 11L))
+    Intake.processBatch(spark, cfgB, b4, 4L)
+    val wantA = readBatch(java.nio.file.Paths.get(cfgB.outDir), 4L)
+    val wantR = readRejects(java.nio.file.Paths.get(cfgB.outDir), 4L)
+    assert(wantR.exists(r => r._1 == 21L && r._2 == "near_dup" &&
+      r._3 == "near_dup_of:2"), s"$wantR")
+    assert(wantR.exists(r => r._1 == 22L && r._2 == "near_dup" &&
+      r._3 == "near_dup_of:11"), s"$wantR")
+
+    // pending parts refuse by default
+    val exPend = intercept[IllegalArgumentException] {
+      Intake.rebucket(spark, cfgA, 16)
+    }
+    assert(exPend.getMessage.contains("pending"), s"$exPend")
+
+    // migrate 8 → 16: every family folds to ONE bucketed base at the
+    // newest part version, markers flip, the sentinel clears
+    Intake.rebucket(spark, cfgA, 16, foldPending = true)
+    for (dir <- Seq(cfgA.indexDir, cfgA.corpusDir.get)) {
+      val names = Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .map(_.getFileName.toString).toSeq.sorted
+      assert(!names.exists(n => n.startsWith("delta=") || n.startsWith("part=") ||
+        n.startsWith("bands=") || n.contains("mid=") ||
+        n.startsWith("_rebucket")), s"$dir: $names")
+    }
+    assert(idxParts(java.nio.file.Paths.get(cfgA.indexDir)) === Seq("base=3"))
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      cfgA.indexDir, "_state_buckets")).get(0) === "16")
+    assert(Files.readAllLines(java.nio.file.Paths.get(
+      cfgA.corpusDir.get, "_state_buckets")).get(0) === "16")
+
+    // the OLD bucket count now refuses; the new one reproduces the control
+    // exactly — both planted near-dups found through the migrated state
+    val exOld = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfgA, b4, 4L)
+    }
+    assert(exOld.getMessage.contains("stateBuckets=16"), s"$exOld")
+    val cfgA16 = cfgA.copy(stateBuckets = 16)
+    Intake.processBatch(spark, cfgA16, b4, 4L)
+    assert(readBatch(java.nio.file.Paths.get(cfgA.outDir), 4L) === wantA,
+      "assignments diverged across the migration")
+    assert(readRejects(java.nio.file.Paths.get(cfgA.outDir), 4L) === wantR,
+      "rejects diverged across the migration")
+    // and the migrated base is really 16-way bucketed on disk
+    val bkts = Files.list(java.nio.file.Paths.get(cfgA.indexDir, "base=3"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("bkt=")).toSeq
+    assert(bkts.size > 8, s"$bkts")
+
+    // already at the target (and no migration in progress) refuses
+    val exSame = intercept[IllegalArgumentException] {
+      Intake.rebucket(spark, cfgA16, 16)
+    }
+    assert(exSame.getMessage.contains("already at"), s"$exSame")
+
+    // a FLAT-layout dir has no bucket ids to migrate
+    val cfgF = mkCfg(0)
+    Intake.processBatch(spark, cfgF, batch(Seq(31L, 32L)), 1L)
+    val exFlat = intercept[IllegalArgumentException] {
+      Intake.rebucket(spark, cfgF, 16)
+    }
+    assert(exFlat.getMessage.contains("FLAT"), s"$exFlat")
+
+    // a mid-migration sentinel refuses ingest loudly
+    Files.write(java.nio.file.Paths.get(cfgA.indexDir,
+      "_rebucket_in_progress"), Seq("16").asJava)
+    val exProg = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, cfgA16, batch(Seq(41L)), 5L)
+    }
+    assert(exProg.getMessage.contains("unfinished re-bucket"), s"$exProg")
+    // re-running rebucket with the same target FINISHES the migration
+    // (idempotent repair) and ingest resumes
+    Intake.rebucket(spark, cfgA16, 16, foldPending = true)
+    assert(!Files.exists(java.nio.file.Paths.get(cfgA.indexDir,
+      "_rebucket_in_progress")))
+    Intake.processBatch(spark, cfgA16, batch(Seq(41L)), 5L)
+    assert(readBatch(java.nio.file.Paths.get(cfgA.outDir), 5L).nonEmpty ||
+      readRejects(java.nio.file.Paths.get(cfgA.outDir), 5L).nonEmpty)
+  }
 }
