@@ -469,6 +469,7 @@ object Intake {
       if (bucketed) writeBucketed(folded, s"$dir/$basePrefix$h")
       else folded.write.mode("overwrite").parquet(s"$dir/$basePrefix$h")
     }
+    CrashHooks.seam(s"family_fold:$basePrefix")
     // retire everything the LIVE base (just written, or the prior one when
     // nothing was pending) supersedes — never the live base itself
     val live = if (pending.nonEmpty) Some(h) else lastBase
@@ -478,6 +479,7 @@ object Intake {
       versionsOf(spark, dir, basePrefix).filter(_ < lv)
         .foreach(v => delete(spark, s"$dir/$basePrefix$v"))
     }
+    CrashHooks.seam(s"family_retire:$basePrefix")
   }
 
   /** The SECOND LSM rung [[compactFamily]]'s write-amplification note
@@ -510,9 +512,11 @@ object Intake {
       write(pendD.map(v => spark.read.schema(schema)
           .parquet(s"$dir/$deltaPrefix$v"))
         .reduce(_.unionByName(_)), s"$dir/$midPrefix$h")
+      CrashHooks.seam(s"mid_fold:$midPrefix")
       if (!cfg.keepAllIndexVersions)
         versionsOf(spark, dir, deltaPrefix).filter(_ <= h)
           .foreach(v => delete(spark, s"$dir/$deltaPrefix$v"))
+      CrashHooks.seam(s"mid_retire:$midPrefix")
       Some(h)
     } else None
     // tier 1 may just have minted the K-th mid — the pre-fold listing plus
@@ -524,12 +528,14 @@ object Intake {
           mids.map(v => s"$dir/$midPrefix$v"))
         .map(p => spark.read.schema(schema).parquet(p))
         .reduce(_.unionByName(_)), s"$dir/$basePrefix$hh")
+      CrashHooks.seam(s"tier2_fold:$basePrefix")
       if (!cfg.keepAllIndexVersions) {
         versionsOf(spark, dir, midPrefix).filter(_ <= hh)
           .foreach(v => delete(spark, s"$dir/$midPrefix$v"))
         versionsOf(spark, dir, basePrefix).filter(_ < hh)
           .foreach(v => delete(spark, s"$dir/$basePrefix$v"))
       }
+      CrashHooks.seam(s"tier2_retire:$basePrefix")
     }
   }
 
@@ -574,10 +580,10 @@ object Intake {
     * (batch contents, id, on-disk state parts < id) — the replay contract
     * above; the telemetry row alone may differ across a replay that
     * straddles a compaction (it reports the bytes of whatever pre-batch
-    * parts exist). Package-visible so the spec can drive a replayed batch
-    * directly. */
-  private[app] def processBatch(spark: SparkSession, cfg: Config,
-                                batch: DataFrame, id: Long): Unit = {
+    * parts exist). Repo-visible so the specs and the crash-soak harness
+    * ([[graft.tools.CrashSoak]]) can drive a replayed batch directly. */
+  private[graft] def processBatch(spark: SparkSession, cfg: Config,
+                                  batch: DataFrame, id: Long): Unit = {
     import spark.implicits._
     require(cfg.nearDupThreshold.isEmpty || cfg.corpusDir.nonEmpty,
       "Intake: nearDupThreshold requires corpusDir (the accumulated corpus " +
@@ -896,6 +902,7 @@ object Intake {
           col("rank_in_stratum"))
         .observe(survObs, count(lit(1)).as("n"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
+      CrashHooks.seam("assignments")
 
       // the DROP LEDGER: every rejected doc with its stage and reason —
       // stages are sequential, so each doc appears at most once, and
@@ -914,6 +921,7 @@ object Intake {
           count(when(col("stage") === "in_batch_near_dup", 1)).as("in_batch_near_dup"),
           count(when(col("stage") === "novelty", 1)).as("novelty"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+      CrashHooks.seam("rejects")
       // both writes are complete here, so the observed metrics are final
       val stageCounts = rejObs.get.view.mapValues(_.asInstanceOf[Long])
         .toMap.withDefaultValue(0L)
@@ -927,6 +935,7 @@ object Intake {
               spark.read.parquet(s"${cfg.outDir}/batch=$id"), prior)
             .write.mode("overwrite").parquet(s"$cd/v=$id")
           retireVersions(spark, cfg, cd, id)
+          CrashHooks.seam("counters")
         case _ => ()
       }
 
@@ -952,12 +961,14 @@ object Intake {
           text.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
          else text)
           .write.mode("overwrite").parquet(s"$cd/part=$id")
+        CrashHooks.seam("corpus_text")
         val sigs = Dedup.minhashSigFrame(text, "doc_id", "text", cfg.numHashes)
         if (bucketed)
           Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
             .write.mode("overwrite").parquet(s"$cd/bands=$id")
         else
           sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
+        CrashHooks.seam("corpus_sigs")
       }
 
       // append the batch's surviving grams as a DELTA part (q88 semantics:
@@ -969,6 +980,7 @@ object Intake {
         "doc_id", "text", cfg.n)
       (if (bucketed) Novelty.withGramBucket(delta, cfg.stateBuckets) else delta)
         .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
+      CrashHooks.seam("gram_delta")
 
       // compaction: once enough deltas pend STRICTLY BELOW this batch,
       // fold (base, pending deltas) into base=<newest pending part> and
@@ -988,11 +1000,13 @@ object Intake {
           writeBucketed(Novelty.withGramBucket(compacted, cfg.stateBuckets),
             s"${cfg.indexDir}/base=$h")
         else compacted.write.mode("overwrite").parquet(s"${cfg.indexDir}/base=$h")
+        CrashHooks.seam("gram_fold")
         if (!cfg.keepAllIndexVersions) {
           deltaVs.foreach(v => delete(spark, s"${cfg.indexDir}/delta=$v"))
           versionsOf(spark, cfg.indexDir, prefix = "base=").filter(_ < h)
             .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
         }
+        CrashHooks.seam("gram_retire")
       }
 
       // corpus families fold on their OWN pending-delta counts (in normal
@@ -1057,6 +1071,7 @@ object Intake {
           "text_parts", "text_bytes", "text_bytes_probed",
           "text_buckets_probed", "state_buckets")
         .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
+      CrashHooks.seam("telemetry")
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }
 
@@ -1094,6 +1109,7 @@ object Intake {
             col("n_a"), col("n_b"), col("tv_micros").as("d_micros"))
         ks.unionByName(tv)
           .write.mode("overwrite").parquet(s"${cfg.outDir}/drift/batch=$id")
+        CrashHooks.seam("drift_report")
       case _ => () // first batch: no reference yet, state only
     }
 
@@ -1104,6 +1120,7 @@ object Intake {
           .groupBy("v").agg(sum(col("c")).as("c")))
         .write.mode("overwrite").parquet(s"$dd/$sub/v=$id")
       retireVersions(spark, cfg, s"$dd/$sub", id)
+      CrashHooks.seam(s"drift_state:$sub")
     }
     fold("wc", wcPrior, wcBatch)
     fold("lang", langPrior, langBatch)

@@ -674,14 +674,17 @@ object Dedup {
     val bb = bandFrame(sigB, bands, numHashes / bands)
       .withColumn("bkt", bandBucket(col("b"), col("bkey"), numBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bkts = bb.select("bkt").distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // the batch band side carries an explicit broadcast while it is
-    // MEASURED small (the count reads the cache the candidate join reuses):
-    // the hint makes "index streamed, zero index exchange" the STATIC plan
-    // — AQE's runtime conversion would still submit (and pay for) the
-    // index-side shuffle write before converting. Over the bound, degrade
-    // to the plain join over the pruned index instead of a broadcast OOM.
-    val bbRows = bb.count()
+    // ONE action derives both probe inputs — the touched buckets AND the
+    // band-row count (per-bucket counts are ≤ numBuckets rows): the batch
+    // band side carries an explicit broadcast while it is MEASURED small
+    // (the count reads the cache the candidate join reuses): the hint
+    // makes "index streamed, zero index exchange" the STATIC plan — AQE's
+    // runtime conversion would still submit (and pay for) the index-side
+    // shuffle write before converting. Over the bound, degrade to the
+    // plain join over the pruned index instead of a broadcast OOM.
+    val bktCounts = bb.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
+    val bkts = bktCounts.map(_.getInt(0)).toSeq.sorted
+    val bbRows = bktCounts.map(_.getLong(1)).sum
     val build = if (bbRows <= maxBroadcastRows) broadcast(bb.as("x")) else bb.as("x")
     val cand = banded.where(col("bkt").isin(bkts: _*)).as("y")
       .join(build,

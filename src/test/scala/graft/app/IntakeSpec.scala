@@ -1093,4 +1093,13 @@ class IntakeSpec extends SparkSpec {
     assert(readBatch(java.nio.file.Paths.get(cfgA.outDir), 5L).nonEmpty ||
       readRejects(java.nio.file.Paths.get(cfgA.outDir), 5L).nonEmpty)
   }
+
+  test("randomized crash soak (seeded, compact): batches killed at random " +
+    "state-mutation seams and replayed produce outputs identical to an " +
+    "uncrashed control — the whole-surface form of the per-seam crash " +
+    "contracts (graft.tools.CrashSoak is the long-horizon variant)") {
+    val (crashed, seams) = graft.tools.CrashSoak.run(
+      spark, nBatches = 8, seed = 19L, twoTier = false)
+    assert(crashed >= 4, s"soak too tame: $crashed crashes, seams $seams")
+  }
 }
