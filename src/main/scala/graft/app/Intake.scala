@@ -761,20 +761,34 @@ object Intake {
           "calibration the cross-batch gate uses)")
       val (kept1x, rejInBatch) = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
         case (true, Some(t)) =>
-          val (pairs, relP) = Dedup.nearDupPairsManaged(
+          val (pairs0, relP) = Dedup.nearDupPairsManaged(
             kept1.select("doc_id", "text"), "doc_id", "text",
             cfg.numHashes, cfg.bands, t)
           cleanups += relP
-          val (assigned0, relA) = graft.llm.Clusters.assignManaged(
-            kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
-          cleanups += relA
-          val assigned = flatPersist(assigned0)
-          (kept1.join(
-            assigned.filter(col("doc_id") === col("cluster_id"))
-              .select("doc_id"), "doc_id"),
-            assigned.filter(col("doc_id") =!= col("cluster_id"))
-              .select(col("doc_id"), lit("in_batch_near_dup").as("stage"),
-                concat(lit("canonical:"), col("cluster_id")).as("reason")))
+          val pairs = pairs0.persist()
+          cleanups += (() => { pairs.unpersist(); () })
+          // common case first: a batch with NO internal near-dup pairs
+          // skips the whole CC machinery (label rounds + convergence
+          // counts, several driver actions) — with zero pairs every doc is
+          // its own canonical, so the outputs are definitionally identical
+          // (spec-asserted against the CC path). One limit-1 action over
+          // the persisted pair frame decides; when pairs exist, the CC
+          // seeds from that same cache, so nothing is computed twice.
+          if (pairs.isEmpty)
+            (kept1, spark.emptyDataset[(Long, String, String)]
+              .toDF("doc_id", "stage", "reason"))
+          else {
+            val (assigned0, relA) = graft.llm.Clusters.assignManaged(
+              kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
+            cleanups += relA
+            val assigned = flatPersist(assigned0)
+            (kept1.join(
+              assigned.filter(col("doc_id") === col("cluster_id"))
+                .select("doc_id"), "doc_id"),
+              assigned.filter(col("doc_id") =!= col("cluster_id"))
+                .select(col("doc_id"), lit("in_batch_near_dup").as("stage"),
+                  concat(lit("canonical:"), col("cluster_id")).as("reason")))
+          }
         case _ =>
           (kept1, spark.emptyDataset[(Long, String, String)]
             .toDF("doc_id", "stage", "reason"))

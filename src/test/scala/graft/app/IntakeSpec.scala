@@ -1094,6 +1094,37 @@ class IntakeSpec extends SparkSpec {
       readRejects(java.nio.file.Paths.get(cfgA.outDir), 5L).nonEmpty)
   }
 
+  test("in-batch dedup empty-pair shortcut: a batch with no internal " +
+    "near-dup pairs produces outputs identical to the flag-off run (every " +
+    "doc its own canonical, no in_batch rejects), and a batch WITH pairs " +
+    "still routes through the CC path") {
+    // disjoint vocab: no internal near-dups unless planted
+    val text = (i: Long) => (0 to 9).map(j => s"e${i}y$j").mkString(" ")
+    def mk(inBatch: Boolean) = {
+      val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+      cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        inBatchNearDup = inBatch, noveltyMinMicros = 0L)
+    }
+    val clean = (1L to 5L).map(i => (i, "en", text(i), s"x$i.ok.org"))
+      .toDF("doc_id", "lang", "text", "host")
+    val (cfgOn, cfgOff) = (mk(true), mk(false))
+    Intake.processBatch(spark, cfgOn, clean, 1L)
+    Intake.processBatch(spark, cfgOff, clean, 1L)
+    assert(readBatch(java.nio.file.Paths.get(cfgOn.outDir), 1L) ===
+      readBatch(java.nio.file.Paths.get(cfgOff.outDir), 1L))
+    assert(readRejects(java.nio.file.Paths.get(cfgOn.outDir), 1L) ===
+      readRejects(java.nio.file.Paths.get(cfgOff.outDir), 1L))
+    // a batch WITH an internal pair still collapses it to the canonical
+    val dup = Seq((11L, "en", text(11), "a.ok.org"),
+        (12L, "en", text(11), "b.ok.org"), (13L, "en", text(13), "c.ok.org"))
+      .toDF("doc_id", "lang", "text", "host")
+    Intake.processBatch(spark, cfgOn, dup, 2L)
+    val rej2 = readRejects(java.nio.file.Paths.get(cfgOn.outDir), 2L)
+    assert(rej2.exists(r => r._1 == 12L && r._2 == "in_batch_near_dup" &&
+      r._3 == "canonical:11"), s"$rej2")
+  }
+
   test("randomized crash soak (seeded, compact): batches killed at random " +
     "state-mutation seams and replayed produce outputs identical to an " +
     "uncrashed control — the whole-surface form of the per-seam crash " +
