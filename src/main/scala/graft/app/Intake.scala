@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 
-import graft.llm.{Dedup, Drift, Novelty, Selection, UrlFilter}
+import graft.llm.{Dedup, Drift, Novelty, Selection, Similarity, UrlFilter}
 
 /** Standing corpus-intake pipeline — the q88 capstone (domain blocklist →
   * n-gram novelty → exact stratified split) driven CONTINUOUSLY from a
@@ -149,6 +149,30 @@ object Intake {
         * when batches are large enough to carry internal NEAR-duplicates
         * past the noveltyMinMicros gate. */
       inBatchNearDup: Boolean = false,
+      /** Optional SEMANTIC (embedding) near-dup gate between the lexical
+        * cross-batch gate and the in-batch pass — the q56/q31 semantics in
+        * STANDING form: batch docs whose exact cosine against any
+        * accumulated corpus doc reaches this threshold are dropped as
+        * `semantic_dup`. Requires `corpusDir` and an `emb`
+        * (`ARRAY<FLOAT>`) column on the input batch; docs with a null
+        * `emb` pass the gate (nothing to compare) and contribute no
+        * embedding state. Candidates come from a stored sign-LSH
+        * signature index ([[Similarity.esigIndexFrame]]: `esig=<batch>`
+        * parts under `corpusDir`, `esigbase=`/`esigmid=` when compacted),
+        * verified by exact cosine against the doc-keyed embedding family
+        * (`emb=<batch>`/`embbase=`/`embmid=`) — both log-structured,
+        * bucketed, compacted and replayed EXACTLY like the lexical
+        * text/signature families. Recall is sign-LSH any-of-N-tables
+        * recall ([[semanticTables]] × [[semanticPlanes]] deterministic
+        * planes), the same explicit trade the banded MinHash gate makes. */
+      semanticThreshold: Option[Double] = None,
+      /** Sign-LSH planes per table for the semantic gate's stored index —
+        * pinned per corpus dir (`_sem_planes` marker): a mismatched width
+        * signs differently and silently loses recall. */
+      semanticPlanes: Int = 6,
+      /** Sign-LSH table count for the semantic gate (`_sem_tables`
+        * marker, same pinning contract). */
+      semanticTables: Int = 3,
       numHashes: Int = 12,
       bands: Int = 4,
       noveltyMinMicros: Long = 200000L,
@@ -290,7 +314,12 @@ object Intake {
     * publish is an OVERWRITE rename (`FileContext` with `Rename.OVERWRITE`,
     * one atomic step on HDFS/local), so even a re-publish over an existing
     * marker (the rebucket path) has no window where no marker exists — a
-    * delete-then-rename gap would read back as pre-marker legacy state. */
+    * delete-then-rename gap would read back as pre-marker legacy state.
+    * Schemes that ship a `FileSystem` but no `AbstractFileSystem` binding
+    * (object stores like s3a/gs) fall back to delete-then-rename: rename
+    * is not atomic there ANYWAY (it is a copy under the covers), so the
+    * fallback gives up only the no-marker-window guarantee the store
+    * itself cannot provide — bucketed state wants HDFS/local regardless. */
   private def writeIntMarker(spark: SparkSession, dir: String, name: String,
                              value: Int): Unit = {
     val p = new Path(dir, name)
@@ -299,9 +328,16 @@ object Intake {
     val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(value.toString.getBytes("UTF-8")) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-    fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      fc.rename(fc.makeQualified(tmp), fc.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(p)) fs.delete(p, false)
+        require(fs.rename(tmp, p),
+          s"Intake: could not publish marker $p")
+    }
   }
 
   /** Every state-part prefix a directory may hold (the gram-index and
@@ -309,7 +345,8 @@ object Intake {
     * to tell a fresh directory from pre-marker legacy state. */
   private val StatePrefixes =
     Seq("base=", "delta=", "part=", "partmid=", "partbase=", "sigs=",
-      "sigsmid=", "sigsbase=", "bands=", "bandsmid=", "bandsbase=")
+      "sigsmid=", "sigsbase=", "bands=", "bandsmid=", "bandsbase=",
+      "esig=", "esigmid=", "esigbase=", "emb=", "embmid=", "embbase=")
 
   /** Present in a state directory while [[rebucket]] is migrating it —
     * ingest refuses until the migration finishes (re-running rebucket is
@@ -384,6 +421,34 @@ object Intake {
         }
         writeIntMarker(spark, dir, "_num_hashes", numHashes)
     }
+
+  /** Pin the semantic gate's sign-LSH geometry (`semanticPlanes` /
+    * `semanticTables`) in corpus-dir markers — the [[widthGuard]] contract
+    * for the embedding index: a mismatched geometry signs differently and
+    * silently loses recall, so a later run must match or rebuild. The
+    * families are new with the markers (no pre-marker legacy form), so a
+    * marker-less dir that already holds `esig` parts refuses outright. */
+  private def semGuard(spark: SparkSession, dir: String, planes: Int,
+                       tables: Int): Unit = {
+    def pin(name: String, v: Int, what: String): Unit =
+      readIntMarker(spark, dir, name) match {
+        case Some(found) =>
+          require(found == v,
+            s"Intake: semantic index at $dir was signed with $what=$found " +
+              s"but this run is configured with $what=$v — a mismatched " +
+              "sign-LSH geometry buckets differently and silently loses " +
+              "recall; keep the recorded geometry or re-sign the corpus")
+        case None =>
+          require(!Seq("esig=", "esigmid=", "esigbase=")
+              .exists(p => versionsOf(spark, dir, p).nonEmpty),
+            s"Intake: corpus state at $dir holds esig parts but no $name " +
+              "marker — its sign-LSH geometry is unknowable; restore the " +
+              "marker or rebuild the semantic index")
+          writeIntMarker(spark, dir, name, v)
+      }
+    pin("_sem_planes", planes, "semanticPlanes")
+    pin("_sem_tables", tables, "semanticTables")
+  }
 
   /** The part ids a log-structured family probe reads for batch `id`: the
     * newest compacted base strictly below `id` plus every delta part in
@@ -588,6 +653,12 @@ object Intake {
     require(cfg.nearDupThreshold.isEmpty || cfg.corpusDir.nonEmpty,
       "Intake: nearDupThreshold requires corpusDir (the accumulated corpus " +
         "the near-dup probe compares against)")
+    require(cfg.semanticThreshold.isEmpty || cfg.corpusDir.nonEmpty,
+      "Intake: semanticThreshold requires corpusDir (the accumulated " +
+        "embedding state the semantic probe compares against)")
+    require(cfg.semanticThreshold.isEmpty || batch.columns.contains("emb"),
+      "Intake: semanticThreshold requires an `emb` (ARRAY<FLOAT>) column " +
+        "on the input batch — the embedding the gate compares")
     require(cfg.compactEvery >= 1,
       s"Intake: compactEvery must be >= 1, got ${cfg.compactEvery}")
     require(cfg.stateBuckets == 0 ||
@@ -600,6 +671,8 @@ object Intake {
     // pin the signature width as corpus-dir metadata so the banded probe
     // skips its per-batch full-index width aggregate; marker-less legacy
     // dirs are aggregate-verified once here, then pinned
+    if (cfg.semanticThreshold.isDefined) cfg.corpusDir.foreach(cd =>
+      semGuard(spark, cd, cfg.semanticPlanes, cfg.semanticTables))
     if (bucketed && cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
       widthGuard(spark, cd, cfg.numHashes, () => {
         val paths =
@@ -632,12 +705,37 @@ object Intake {
     try {
       val bl = cfg.blocklist.toDF("entry")
       val flagged = UrlFilter.domainBlocklist(b, "host", Seq("doc_id"), bl)
+      // the embedding rides the kept frames only while the semantic gate
+      // needs it — the state writes and the gate itself read it there
+      val keptCols = Seq("doc_id", "lang", "text") ++
+        (if (cfg.semanticThreshold.isDefined) Seq("emb") else Nil)
       val blocklisted = flagged
         .filter(!col("blocked"))
-        .select("doc_id", "lang", "text")
+        .select(keptCols.map(col): _*)
       val rejBlocklist = flagged.filter(col("blocked"))
         .select(col("doc_id"), lit("blocklist").as("stage"),
           concat(lit("blocked_by:"), col("blocked_by")).as("reason"))
+
+      // tiered family listing + the mids-need-the-flag refusal: a dir
+      // holding *mid= parts under twoTierCorpus=false would re-fold
+      // deltas already inside the mids and silently duplicate docs.
+      // (path, isPrunedBase) per part: compacted base/mid parts are
+      // dir-partitioned by bkt under the bucketed layout (pruned reads),
+      // per-batch deltas are plain writes read in full.
+      def tieredInfo(cd: String, basePfx: String, midPfx: String,
+                     deltaPfx: String): Seq[(String, Boolean)] = {
+        val (bv, m, ds) =
+          familyPartsTiered(spark, cd, basePfx, midPfx, deltaPfx, id)
+        require(cfg.twoTierCorpus || m.isEmpty,
+          s"Intake: corpus state at $cd holds $midPfx parts (written " +
+            "under twoTierCorpus) but this run disables it — the " +
+            "single-tier fold would re-fold deltas already inside the " +
+            "mids and silently duplicate documents; re-enable " +
+            "twoTierCorpus or rebuild the state")
+        bv.map(v => (s"$cd/$basePfx$v", bucketed)).toSeq ++
+          m.map(v => (s"$cd/$midPfx$v", bucketed)) ++
+          ds.map(v => (s"$cd/$deltaPfx$v", false))
+      }
 
       // optional q59-shape near-dup gate: probe the STORED signature parts
       // < id (part=id / sigs=id / bands=id excluded — a crashed run may
@@ -661,28 +759,10 @@ object Intake {
       var textPartInfo: Seq[(String, Boolean)] = Nil
       val (kept1, rejNearDup) = (cfg.nearDupThreshold, cfg.corpusDir) match {
         case (Some(t), Some(cd)) =>
-          // tiered family listing + the mids-need-the-flag refusal: a dir
-          // holding *mid= parts under twoTierCorpus=false would re-fold
-          // deltas already inside the mids and silently duplicate docs
-          def tieredInfo(basePfx: String, midPfx: String, deltaPfx: String)
-              : Seq[(String, Boolean)] = {
-            val (b, m, ds) =
-              familyPartsTiered(spark, cd, basePfx, midPfx, deltaPfx, id)
-            require(cfg.twoTierCorpus || m.isEmpty,
-              s"Intake: corpus state at $cd holds $midPfx parts (written " +
-                "under twoTierCorpus) but this run disables it — the " +
-                "single-tier fold would re-fold deltas already inside the " +
-                "mids and silently duplicate documents; re-enable " +
-                "twoTierCorpus or rebuild the state")
-            // mids are bucketed compacted parts like the base → pruned reads
-            b.map(v => (s"$cd/$basePfx$v", bucketed)).toSeq ++
-              m.map(v => (s"$cd/$midPfx$v", bucketed)) ++
-              ds.map(v => (s"$cd/$deltaPfx$v", false))
-          }
-          textPartInfo = tieredInfo("partbase=", "partmid=", "part=")
+          textPartInfo = tieredInfo(cd, "partbase=", "partmid=", "part=")
           sigPartInfo =
-            if (bucketed) tieredInfo("bandsbase=", "bandsmid=", "bands=")
-            else tieredInfo("sigsbase=", "sigsmid=", "sigs=")
+            if (bucketed) tieredInfo(cd, "bandsbase=", "bandsmid=", "bands=")
+            else tieredInfo(cd, "sigsbase=", "sigsmid=", "sigs=")
           sigParts = sigPartInfo.size
           if (sigPartInfo.isEmpty)
             (blocklisted, spark.emptyDataset[(Long, String, String)]
@@ -753,6 +833,68 @@ object Intake {
           (blocklisted, spark.emptyDataset[(Long, String, String)]
             .toDF("doc_id", "stage", "reason"))
       }
+
+      // optional SEMANTIC gate (q56/q31 in standing form): the lexical
+      // survivors' embeddings probe the stored sign-LSH index parts < id
+      // (same strictly-below replay horizon as every family), candidates
+      // verify by exact cosine against the doc-keyed embedding family —
+      // fetched per matched candidate, pruned to their doc buckets, never
+      // scanned. Runs AFTER the lexical gate (a doc rejected there never
+      // reaches here — stages stay sequential, one ledger row per doc)
+      // and BEFORE the in-batch pass (cross-batch gates together).
+      var esigParts = 0
+      var probedESigBkts: Option[Seq[Int]] = None // None = unpruned probe
+      var probedEmbBkts: Option[Seq[Int]] = None
+      var esigPartInfo: Seq[(String, Boolean)] = Nil
+      var embPartInfo: Seq[(String, Boolean)] = Nil
+      val (kept1s, rejSemantic) = (cfg.semanticThreshold, cfg.corpusDir) match {
+        case (Some(tau), Some(cd)) =>
+          esigPartInfo = tieredInfo(cd, "esigbase=", "esigmid=", "esig=")
+          embPartInfo = tieredInfo(cd, "embbase=", "embmid=", "emb=")
+          esigParts = esigPartInfo.size
+          if (esigPartInfo.isEmpty)
+            (kept1, spark.emptyDataset[(Long, String, String)]
+              .toDF("doc_id", "stage", "reason"))
+          else {
+            // per-part reads unioned — the same partition-discovery
+            // refusal the bands read documents; base/mid parts are
+            // dir-partitioned by bkt, deltas carry it as data
+            val esigSchema =
+              if (bucketed) "doc_id BIGINT, t INT, sig BIGINT, bkt INT"
+              else "doc_id BIGINT, t INT, sig BIGINT"
+            val embSchema =
+              if (bucketed) "doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT"
+              else "doc_id BIGINT, emb ARRAY<FLOAT>"
+            val esigCols = Seq("doc_id", "t", "sig") ++
+              (if (bucketed) Seq("bkt") else Nil)
+            val embCols = Seq("doc_id", "emb") ++
+              (if (bucketed) Seq("bkt") else Nil)
+            val storedSigs = esigPartInfo.map { case (p, _) =>
+                spark.read.schema(esigSchema).parquet(p)
+                  .select(esigCols.map(col): _*) }
+              .reduce(_.unionByName(_))
+            val storedEmbs = embPartInfo.map { case (p, _) =>
+                spark.read.schema(embSchema).parquet(p)
+                  .select(embCols.map(col): _*) }
+              .reduce(_.unionByName(_))
+            val probe = Similarity.incrementalSemanticDup(
+              storedSigs, storedEmbs, kept1.filter(col("emb").isNotNull),
+              "doc_id", "emb", tau, cfg.semanticPlanes, cfg.semanticTables,
+              cfg.stateBuckets, cfg.maxBroadcastKeys)
+            cleanups += probe.cleanup
+            if (bucketed) probedESigBkts = Some(probe.probedBuckets)
+            probedEmbBkts = probe.probedEmbBuckets
+            val dupAgg = flatPersist(probe.pairs
+              .groupBy(col("batch_id").as("doc_id"))
+              .agg(min(col("corpus_id")).as("__dup_of")))
+            (kept1.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti"),
+              dupAgg.select(col("doc_id"), lit("semantic_dup").as("stage"),
+                concat(lit("semantic_dup_of:"), col("__dup_of")).as("reason")))
+          }
+        case _ =>
+          (kept1, spark.emptyDataset[(Long, String, String)]
+            .toDF("doc_id", "stage", "reason"))
+      }
       // optional WITHIN-batch dedup: the batch's own near-dup pairs
       // collapse to clusters, the minimum id per cluster survives —
       // deterministic, so replay-safe like every other stage
@@ -762,7 +904,7 @@ object Intake {
       val (kept1x, rejInBatch) = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
         case (true, Some(t)) =>
           val (pairs0, relP) = Dedup.nearDupPairsManaged(
-            kept1.select("doc_id", "text"), "doc_id", "text",
+            kept1s.select("doc_id", "text"), "doc_id", "text",
             cfg.numHashes, cfg.bands, t)
           cleanups += relP
           val pairs = pairs0.persist()
@@ -775,14 +917,14 @@ object Intake {
           // the persisted pair frame decides; when pairs exist, the CC
           // seeds from that same cache, so nothing is computed twice.
           if (pairs.isEmpty)
-            (kept1, spark.emptyDataset[(Long, String, String)]
+            (kept1s, spark.emptyDataset[(Long, String, String)]
               .toDF("doc_id", "stage", "reason"))
           else {
             val (assigned0, relA) = graft.llm.Clusters.assignManaged(
-              kept1.select("doc_id"), pairs.select("doc_a", "doc_b"))
+              kept1s.select("doc_id"), pairs.select("doc_a", "doc_b"))
             cleanups += relA
             val assigned = flatPersist(assigned0)
-            (kept1.join(
+            (kept1s.join(
               assigned.filter(col("doc_id") === col("cluster_id"))
                 .select("doc_id"), "doc_id"),
               assigned.filter(col("doc_id") =!= col("cluster_id"))
@@ -790,7 +932,7 @@ object Intake {
                   concat(lit("canonical:"), col("cluster_id")).as("reason")))
           }
         case _ =>
-          (kept1, spark.emptyDataset[(Long, String, String)]
+          (kept1s, spark.emptyDataset[(Long, String, String)]
             .toDF("doc_id", "stage", "reason"))
       }
       // kept1p feeds the most downstream actions of any stage frame (gram
@@ -882,6 +1024,10 @@ object Intake {
         familyBytes(sigPartInfo, probedSigBkts.map(_.toSet))
       val (textBytes, textBytesProbed) =
         familyBytes(textPartInfo, probedTextBkts.map(_.toSet))
+      val (esigBytes, esigBytesProbed) =
+        familyBytes(esigPartInfo, probedESigBkts.map(_.toSet))
+      val (embBytes, embBytesProbed) =
+        familyBytes(embPartInfo, probedEmbBkts.map(_.toSet))
 
       val priorCounters = cfg.countersDir.map { cd =>
         versionsOf(spark, cd).filter(_ < id).sorted.lastOption
@@ -927,11 +1073,13 @@ object Intake {
       val rejObs = org.apache.spark.sql.Observation(s"intake_rej_$id")
       rejBlocklist
         .unionByName(rejNearDup)
+        .unionByName(rejSemantic)
         .unionByName(rejInBatch)
         .unionByName(rejNovelty)
         .observe(rejObs,
           count(when(col("stage") === "blocklist", 1)).as("blocklist"),
           count(when(col("stage") === "near_dup", 1)).as("near_dup"),
+          count(when(col("stage") === "semantic_dup", 1)).as("semantic_dup"),
           count(when(col("stage") === "in_batch_near_dup", 1)).as("in_batch_near_dup"),
           count(when(col("stage") === "novelty", 1)).as("novelty"))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
@@ -985,6 +1133,24 @@ object Intake {
         CrashHooks.seam("corpus_sigs")
       }
 
+      // the semantic gate's state: this batch's surviving docs' embeddings
+      // (doc-keyed, the candidate verify side) and their sign-LSH index
+      // rows (the probe side) — same per-batch-part, strictly-below-replay,
+      // delta-then-fold protocol as every other corpus family; null-emb
+      // docs contribute nothing (they can never be a semantic candidate)
+      if (cfg.semanticThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+        val embF = kept1p.filter(col("emb").isNotNull).select("doc_id", "emb")
+        (if (bucketed)
+           embF.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
+         else embF)
+          .write.mode("overwrite").parquet(s"$cd/emb=$id")
+        CrashHooks.seam("corpus_emb")
+        Similarity.esigIndexFrame(embF, cfg.semanticPlanes, cfg.semanticTables,
+            if (bucketed) cfg.stateBuckets else 0)
+          .write.mode("overwrite").parquet(s"$cd/esig=$id")
+        CrashHooks.seam("corpus_esig")
+      }
+
       // append the batch's surviving grams as a DELTA part (q88 semantics:
       // ownership within the surviving corpus — post-blocklist and, when
       // the gate is on, post-near-dup) — written AFTER the assignments so
@@ -1030,30 +1196,37 @@ object Intake {
       // of accumulating up to ~2× compactEvery parts while it waits out
       // another gram window). Horizon = the family's own newest pending
       // delta — still strictly below id, so the replay contract holds.
-      if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-        def maybeCompact(basePrefix: String, deltaPrefix: String,
-                         schema: String, bucketedFamily: Boolean): Unit = {
+      def foldCorpusFamily(cd: String, basePrefix: String, midPrefix: String,
+                           deltaPrefix: String, schema: String,
+                           bucketedFamily: Boolean): Unit =
+        if (cfg.twoTierCorpus)
+          compactFamilyTwoTier(spark, cfg, cd, basePrefix, midPrefix,
+            deltaPrefix, schema, id, bucketedFamily)
+        else {
           val (_, pend) = familyParts(spark, cd, basePrefix, deltaPrefix, id)
           if (pend.size >= cfg.compactEvery)
             compactFamily(spark, cfg, cd, basePrefix, deltaPrefix, schema,
               pend.max, bucketedFamily)
         }
-        def fold(basePrefix: String, midPrefix: String, deltaPrefix: String,
-                 schema: String, bucketedFamily: Boolean): Unit =
-          if (cfg.twoTierCorpus)
-            compactFamilyTwoTier(spark, cfg, cd, basePrefix, midPrefix,
-              deltaPrefix, schema, id, bucketedFamily)
-          else maybeCompact(basePrefix, deltaPrefix, schema, bucketedFamily)
-        fold("partbase=", "partmid=", "part=",
+      if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+        foldCorpusFamily(cd, "partbase=", "partmid=", "part=",
           if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
           else "doc_id BIGINT, text STRING", bucketed)
         if (bucketed)
-          fold("bandsbase=", "bandsmid=", "bands=",
+          foldCorpusFamily(cd, "bandsbase=", "bandsmid=", "bands=",
             "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
             bucketedFamily = true)
         else
-          fold("sigsbase=", "sigsmid=", "sigs=",
+          foldCorpusFamily(cd, "sigsbase=", "sigsmid=", "sigs=",
             "doc_id BIGINT, mh ARRAY<BIGINT>", bucketedFamily = false)
+      }
+      if (cfg.semanticThreshold.isDefined) cfg.corpusDir.foreach { cd =>
+        foldCorpusFamily(cd, "embbase=", "embmid=", "emb=",
+          if (bucketed) "doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT"
+          else "doc_id BIGINT, emb ARRAY<FLOAT>", bucketed)
+        foldCorpusFamily(cd, "esigbase=", "esigmid=", "esig=",
+          if (bucketed) "doc_id BIGINT, t INT, sig BIGINT, bkt INT"
+          else "doc_id BIGINT, t INT, sig BIGINT", bucketed)
       }
 
       // per-batch telemetry (LAST — it describes what the batch just did):
@@ -1066,24 +1239,36 @@ object Intake {
       // `*_buckets_probed` is -1 when the probe was unpruned (flat layout,
       // or no parts yet).
       val batchDocs = survivors + stageCounts("blocklist") +
-        stageCounts("near_dup") + stageCounts("in_batch_near_dup") +
-        stageCounts("novelty")
-      Seq((id, batchDocs, stageCounts("blocklist"), stageCounts("near_dup"),
-          stageCounts("in_batch_near_dup"), stageCounts("novelty"), survivors,
-          partPaths.size.toLong, idxBytes, idxBytesProbed,
-          probedGramBkts.fold(-1L)(_.size.toLong),
-          sigParts.toLong, sigBytes, sigBytesProbed,
-          probedSigBkts.fold(-1L)(_.size.toLong),
-          textPartInfo.size.toLong, textBytes, textBytesProbed,
-          probedTextBkts.fold(-1L)(_.size.toLong),
-          cfg.stateBuckets.toLong))
-        .toDF("batch_id", "batch_docs", "rej_blocklist", "rej_near_dup",
-          "rej_in_batch", "rej_novelty", "survivors",
-          "index_parts", "index_bytes", "index_bytes_probed",
-          "index_buckets_probed",
-          "sig_parts", "sig_bytes", "sig_bytes_probed", "sig_buckets_probed",
-          "text_parts", "text_bytes", "text_bytes_probed",
-          "text_buckets_probed", "state_buckets")
+        stageCounts("near_dup") + stageCounts("semantic_dup") +
+        stageCounts("in_batch_near_dup") + stageCounts("novelty")
+      val telem: Seq[(String, Long)] = Seq(
+        "batch_id" -> id, "batch_docs" -> batchDocs,
+        "rej_blocklist" -> stageCounts("blocklist"),
+        "rej_near_dup" -> stageCounts("near_dup"),
+        "rej_semantic" -> stageCounts("semantic_dup"),
+        "rej_in_batch" -> stageCounts("in_batch_near_dup"),
+        "rej_novelty" -> stageCounts("novelty"),
+        "survivors" -> survivors,
+        "index_parts" -> partPaths.size.toLong,
+        "index_bytes" -> idxBytes, "index_bytes_probed" -> idxBytesProbed,
+        "index_buckets_probed" -> probedGramBkts.fold(-1L)(_.size.toLong),
+        "sig_parts" -> sigParts.toLong,
+        "sig_bytes" -> sigBytes, "sig_bytes_probed" -> sigBytesProbed,
+        "sig_buckets_probed" -> probedSigBkts.fold(-1L)(_.size.toLong),
+        "text_parts" -> textPartInfo.size.toLong,
+        "text_bytes" -> textBytes, "text_bytes_probed" -> textBytesProbed,
+        "text_buckets_probed" -> probedTextBkts.fold(-1L)(_.size.toLong),
+        "esig_parts" -> esigParts.toLong,
+        "esig_bytes" -> esigBytes, "esig_bytes_probed" -> esigBytesProbed,
+        "esig_buckets_probed" -> probedESigBkts.fold(-1L)(_.size.toLong),
+        "emb_parts" -> embPartInfo.size.toLong,
+        "emb_bytes" -> embBytes, "emb_bytes_probed" -> embBytesProbed,
+        "emb_buckets_probed" -> probedEmbBkts.fold(-1L)(_.size.toLong),
+        "state_buckets" -> cfg.stateBuckets.toLong)
+      spark.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(telem.map(_._2): _*)),
+          StructType(telem.map(t => StructField(t._1, LongType))))
         .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
       CrashHooks.seam("telemetry")
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
@@ -1241,8 +1426,16 @@ object Intake {
       Seq("doc_id", "b", "bkey", "w"),
       identity, df => df.withColumn("bkt",
         Dedup.bandBucket(col("b"), col("bkey"), newBuckets)))
+    val esig = Fam("esigbase=", "esigmid=", "esig=",
+      "doc_id BIGINT, t INT, sig BIGINT, bkt INT", Seq("doc_id", "t", "sig"),
+      identity, df => df.withColumn("bkt",
+        graft.llm.Similarity.esigBucket(col("t"), col("sig"), newBuckets)))
+    val emb = Fam("embbase=", "embmid=", "emb=",
+      "doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT", Seq("doc_id", "emb"),
+      identity, df => df.withColumn("bkt",
+        Dedup.docBucket(col("doc_id"), newBuckets)))
     val dirs = Seq(cfg.indexDir -> Seq(gram)) ++
-      cfg.corpusDir.map(cd => cd -> Seq(text, bands))
+      cfg.corpusDir.map(cd => cd -> Seq(text, bands, esig, emb))
 
     // a crashed migration can leave SOME directories finished (marker
     // flipped, sentinel cleared) and others mid-flight — finished ones
@@ -1265,6 +1458,16 @@ object Intake {
           else delete(spark, s"$dir/$n")
         }
       }
+      if (resuming)
+        readIntMarker(spark, dir, RebucketSentinel).foreach(rec =>
+          require(rec == newBuckets,
+            s"Intake.rebucket: the in-progress migration at $dir targets " +
+              s"stateBuckets=$rec but this run asks for $newBuckets — every " +
+              "fold recomputes bucket ids from the keep columns, so finishing " +
+              "at a different target WOULD be safe, but a mismatched re-run " +
+              "is far more likely a wrong-config mistake than an intentional " +
+              "re-target; re-run with $rec (or delete the sentinel to " +
+              "restart the migration at the new target)"))
       val old = readIntMarker(spark, dir, "_state_buckets")
       require(old.isDefined || !hasStateParts(spark, dir),
         s"Intake.rebucket: state at $dir holds parts but no _state_buckets " +
@@ -1276,6 +1479,7 @@ object Intake {
       else {
       touched = true
       writeIntMarker(spark, dir, RebucketSentinel, newBuckets)
+      CrashHooks.seam("rebucket_sentinel")
 
       fams.foreach { f =>
         val (baseV, midVs, deltaVs) = familyPartsTiered(
@@ -1295,20 +1499,34 @@ object Intake {
             .reduce(_.unionByName(_)))
           val liveName = s"${f.basePfx}$v"
           writeBucketed(f.bucket(folded), s"$dir/_rebucket_tmp_$liveName")
+          CrashHooks.seam(s"rebucket_tmp:${f.basePfx}")
           val live = new Path(dir, liveName)
-          if (fs.exists(live))
+          if (fs.exists(live)) {
             fs.rename(live, new Path(dir, s"_rebucket_old_$liveName"))
+            CrashHooks.seam(s"rebucket_backup:${f.basePfx}")
+          }
           require(fs.rename(new Path(dir, s"_rebucket_tmp_$liveName"), live),
             s"Intake.rebucket: could not publish $dir/$liveName")
+          CrashHooks.seam(s"rebucket_publish:${f.basePfx}")
+          // the backup of the pre-migration live base is ALWAYS consumed —
+          // a lingering _rebucket_old_ means "publish was cut" to the
+          // recovery sweep, so it cannot double as keepAllIndexVersions
+          // history; superseded versions below are kept under that flag
+          // (harmless: every probe reads only the newest base, and the old
+          // layout's bucket dirs are never selected)
           delete(spark, s"$dir/_rebucket_old_$liveName")
-          versionsOf(spark, dir, f.basePfx).filter(_ != v)
-            .foreach(w => delete(spark, s"$dir/${f.basePfx}$w"))
-          Seq(f.midPfx, f.deltaPfx).foreach(pfx =>
-            versionsOf(spark, dir, pfx)
-              .foreach(w => delete(spark, s"$dir/$pfx$w")))
+          if (!cfg.keepAllIndexVersions) {
+            versionsOf(spark, dir, f.basePfx).filter(_ != v)
+              .foreach(w => delete(spark, s"$dir/${f.basePfx}$w"))
+            Seq(f.midPfx, f.deltaPfx).foreach(pfx =>
+              versionsOf(spark, dir, pfx)
+                .foreach(w => delete(spark, s"$dir/$pfx$w")))
+          }
+          CrashHooks.seam(s"rebucket_retire:${f.basePfx}")
         }
       }
       writeIntMarker(spark, dir, "_state_buckets", newBuckets)
+      CrashHooks.seam("rebucket_marker")
       fs.delete(sentinel, false)
       }
     }
@@ -1322,7 +1540,12 @@ object Intake {
     * state protocol above. `AvailableNow` by default (drain-what-exists,
     * then stop) — use a processing-time trigger for a long-lived tail. */
   def start(spark: SparkSession, cfg: Config): StreamingQuery = {
-    var reader = spark.readStream.schema(docSchema)
+    val schema =
+      if (cfg.semanticThreshold.isDefined)
+        StructType(docSchema.fields :+
+          StructField("emb", ArrayType(FloatType)))
+      else docSchema
+    var reader = spark.readStream.schema(schema)
     cfg.maxFilesPerTrigger.foreach(k =>
       reader = reader.option("maxFilesPerTrigger", k))
     reader.json(cfg.inputDir)

@@ -461,4 +461,112 @@ object Similarity {
       .select(col("id_a"), col("id_b"))
     (out, () => { bucketed.unpersist(); () })
   }
+
+  /** The state bucket of a sign-LSH (table, signature) key under a
+    * `numBuckets`-way layout — the embedding-index companion of
+    * [[Dedup.bandBucket]] (same uniform-hash discipline; writer and probe
+    * must derive buckets through this one function). The bucket is a pure
+    * function of the key, so partition pruning to a batch's key buckets
+    * provably cannot drop a candidate. */
+  def esigBucket(t: Column, sig: Column, numBuckets: Int): Column = {
+    require(numBuckets >= 1 && numBuckets <= Novelty.MaxBuckets,
+      s"esigBucket: numBuckets must be in [1, ${Novelty.MaxBuckets}], got $numBuckets")
+    pmod(xxhash64(t, sig), lit(numBuckets.toLong)).cast("int")
+  }
+
+  /** The PERSISTED sign-LSH index frame a standing intake appends per
+    * batch for its SEMANTIC near-dup gate: one row per (doc, table) with
+    * the table's [[signBucket]] signature — the thin probe index (a few
+    * longs per doc; the embedding itself lives in its own doc-keyed
+    * family, fetched only for matched candidates' exact re-rank). With
+    * `numBuckets` > 0 rows carry the [[esigBucket]] state bucket (write
+    * compacted bases with `partitionBy("bkt")`); 0 = the flat layout. */
+  def esigIndexFrame(embs: DataFrame, planes: Int, tables: Int,
+                     numBuckets: Int): DataFrame = {
+    require(embs.columns.toSeq == Seq("doc_id", "emb"),
+      s"esigIndexFrame: expected (doc_id, emb), got ${embs.columns.toSeq}")
+    val exploded = embs
+      .withColumn("sigs", explode(array((0 until tables).map(t =>
+        struct(lit(t).as("t"), signBucket(col("emb"), planes, t).as("sig"))): _*)))
+      .select(col("doc_id"), col("sigs.t").as("t"), col("sigs.sig").as("sig"))
+    if (numBuckets > 0)
+      exploded.withColumn("bkt", esigBucket(col("t"), col("sig"), numBuckets))
+    else exploded
+  }
+
+  /** A bucket-pruned incremental SEMANTIC near-dup probe result: the pair
+    * frame, the signature/embedding buckets it actually read (telemetry —
+    * the no-silent-caps rule; None = the read was unpruned), and the
+    * managed-persist cleanup. */
+  final case class SemanticProbe(pairs: DataFrame, probedBuckets: Seq[Int],
+                                 probedEmbBuckets: Option[Seq[Int]],
+                                 cleanup: () => Unit)
+
+  /** The embedding-space flavor of
+    * [[Dedup.incrementalNearDupBanded]] — the standing intake's
+    * cross-batch SEMANTIC gate: the batch's vectors are sign-LSH-signed
+    * ([[signBucket]], the same deterministic ±1 planes as [[lshTopK]] /
+    * [[cosinePairs]]), candidates are corpus docs sharing ANY table's
+    * signature, and matched pairs verify by EXACT cosine ≥ `tau` against
+    * the stored embeddings — fetched per candidate only, never scanned.
+    *
+    * Scale shape, mirroring the lexical gate exactly: with `numBuckets` >
+    * 0 the stored signature index is read PRUNED to the buckets the
+    * batch's own (t, sig) keys hash to (partition-directory pruning —
+    * exact, the bucket being a pure key function), the batch side rides a
+    * measured broadcast (shuffled-join degrade over the bound — never a
+    * forced broadcast OOM), and the embedding fetch prunes to the matched
+    * candidates' [[Dedup.docBucket]] buckets — so per-batch cost tracks
+    * the BATCH and its candidates, not the accumulated corpus. Recall is
+    * the sign-LSH any-of-N-tables recall by design (same trade the
+    * banded MinHash gate makes with its band count).
+    *
+    * `storedSigs`: [[esigIndexFrame]] parts, (doc_id, t, sig[, bkt]).
+    * `storedEmbs`: (doc_id, emb[, bkt]) parts. `batch`: one row per doc,
+    * non-null `embCol`. Output pairs: (batch_id, corpus_id). */
+  def incrementalSemanticDup(storedSigs: DataFrame, storedEmbs: DataFrame,
+                             batch: DataFrame, idCol: String, embCol: String,
+                             tau: Double, planes: Int = 6, tables: Int = 3,
+                             numBuckets: Int = 0,
+                             maxBroadcastRows: Long = 4L << 20): SemanticProbe = {
+    val bucketed = numBuckets > 0
+    val batchE = batch.select(col(idCol).as("doc_id"), col(embCol).as("emb"))
+    val bSigs = esigIndexFrame(batchE, planes, tables, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one action derives the touched buckets AND the row count (≤ numBuckets
+    // rows), the same measured-broadcast discipline as the lexical probe
+    val (bkts, build) =
+      if (bucketed) {
+        val cnts = bSigs.groupBy("bkt").agg(count(lit(1)).as("c")).collect()
+        val ks = cnts.map(_.getInt(0)).toSeq.sorted
+        val n = cnts.map(_.getLong(1)).sum
+        (ks, if (n <= maxBroadcastRows) broadcast(bSigs.as("x")) else bSigs.as("x"))
+      } else (Nil, bSigs.as("x"))
+    val idx =
+      (if (bucketed) storedSigs.where(col("bkt").isin(bkts: _*)) else storedSigs)
+        .as("y")
+    val cand = idx
+      .join(build, col("x.t") === col("y.t") && col("x.sig") === col("y.sig"))
+      .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // candidate verify: embeddings fetched for matched corpus ids only,
+    // pruned to their doc buckets when the stored side carries them
+    val (embBkts, corpusEmb) =
+      if (storedEmbs.columns.contains("bkt")) {
+        val tb = cand.select(Dedup.docBucket(col("corpus_id"), numBuckets).as("tb"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        (Some(tb), storedEmbs.where(col("bkt").isin(tb: _*)).drop("bkt"))
+      } else (None, storedEmbs)
+    val pairs = cand
+      .join(corpusEmb.select(col("doc_id").as("corpus_id"), col("emb").as("cemb")),
+        "corpus_id")
+      .join(batchE.select(col("doc_id").as("batch_id"), col("emb").as("bemb")),
+        "batch_id")
+      .filter(cosine(col("bemb"), col("cemb"),
+        l2norm(col("bemb")), l2norm(col("cemb"))) >= tau)
+      .select("batch_id", "corpus_id")
+    SemanticProbe(pairs, bkts, embBkts,
+      () => { cand.unpersist(); bSigs.unpersist(); () })
+  }
 }

@@ -3354,7 +3354,8 @@ object LlmQueries {
   private def intakeReplay(s: SparkSession, d: String, seed: String,
                            continuing: Boolean,
                            twoTier: Boolean = false,
-                           drift: Boolean = false): DataFrame = {
+                           drift: Boolean = false,
+                           semantic: Boolean = false): DataFrame = {
     val docs0 = Tables.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
     // Data-derived id spacing (the q99 rule): off = smallest power of 10
     // above max(doc_id); batch k owns ids [k*10*off, (k+1)*10*off) with
@@ -3396,9 +3397,46 @@ object LlmQueries {
           concat(lit("m"), (col("doc_id") % 7).cast("string"), lit(".cdn.")))
         .otherwise(lit("")),
       lit("s"), (col("doc_id") % 23).cast("string"), lit("."), tld)
-    val wide = orig.unionByName(crossEarly).unionByName(crossLate)
-      .unionByName(inBatch).unionByName(prefixPlant).withColumn("host", host)
-      .persist()
+    // Semantic mode (q104): two extra plant arms with FRESH text (unique
+    // per-plant words — no lexical stage can touch them) carrying an
+    // EARLIER batch's original's embedding (attached below by orig id):
+    // batch-2 plants of batch-1 originals fire the gate through the raw
+    // emb/esig deltas, batch-3 plants (originals from batches 1-3; the
+    // batch-3-original ones probe an emb corpus that does not hold their
+    // original yet, so they SURVIVE — the negative case) through the
+    // folded bases.
+    // slot 8 for the batch-2 arm, 9 for batch-3: the derived HOST takes
+    // the blocklisted '.net' TLD from plant_id % 3, and slot 9's batch-2
+    // ids land ≡ 2 (mod 3) — every plant would die at the blocklist
+    // before the gate it exists to exercise (slot 8 lands on '.org')
+    val semPlants = if (!semantic) Nil else {
+      def semArm(batchK: Long, slot: Long, modV: Long,
+                 extra: org.apache.spark.sql.Column) = {
+        val pid = lit(batchK * bSize + slot * off) + col("doc_id")
+        docs0.filter(col("doc_id") % 13 === modV && extra)
+          .select(pid.as("doc_id"), lit(batchK).as("batch"), col("lang"),
+            array_join(transform(sequence(lit(0), lit(9)),
+              j => concat(lit("uq"), pid.cast("string"), lit("w"),
+                j.cast("string"))), " ").as("text"))
+      }
+      Seq(semArm(2L, 8L, 2L, col("doc_id") % 3 === 0),
+        semArm(3L, 9L, 1L, lit(true)))
+    }
+    val wide0 = (Seq(orig, crossEarly, crossLate, inBatch, prefixPlant) ++
+      semPlants).reduce(_.unionByName(_)).withColumn("host", host)
+    // emb = the ORIGINAL's embedding (vec_id = orig id mod the embedding
+    // count — every derived replica shares its original's vector, which is
+    // exactly what makes a fresh-text plant a SEMANTIC dup); every 17th
+    // original carries a null emb (the pass-through path)
+    val wide = (if (!semantic) wide0 else {
+      val embT = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val eCnt = embT.count()
+      wide0.join(embT, col("doc_id") % off % eCnt === col("vec_id"), "left")
+        .withColumn("emb",
+          when(col("doc_id") % off % 17 === 4, lit(null).cast("array<float>"))
+            .otherwise(col("embedding")))
+        .drop("vec_id", "embedding")
+    }).persist()
     val root = java.nio.file.Files.createTempDirectory("graft_q100_").toFile
     def rmrf(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmrf)
@@ -3413,11 +3451,14 @@ object LlmQueries {
         nearDupThreshold = Some(0.5), corpusDir = Some(s"$root/corpus"),
         inBatchNearDup = true, seed = seed, compactEvery = 1,
         stateBuckets = 8, twoTierCorpus = twoTier,
+        semanticThreshold = if (semantic) Some(0.9) else None,
         countersDir = if (continuing) Some(s"$root/ctr") else None,
         driftDir = if (drift) Some(s"$root/driftstate") else None)
+      val batchCols = Seq("doc_id", "lang", "text", "host") ++
+        (if (semantic) Seq("emb") else Nil)
       val ledger = graft.app.Intake.replay(s, cfg, (1L to 3L).map(k =>
         k -> wide.filter(col("batch") === k)
-          .select("doc_id", "lang", "text", "host")))
+          .select(batchCols.map(col): _*)))
       // drift mode (q103): the ACCUMULATED drift reports — batch k's
       // survivors vs the folded reference state of every prior batch,
       // written by the pipeline at outDir/drift/batch=k for k ≥ 2 —
@@ -3718,6 +3759,103 @@ object LlmQueries {
     extraCtes = intakeReplayDriftCtes,
     extraUnion = " UNION ALL SELECT * FROM driftrows")
 
+  /** q104's oracle = q100's per-batch oracle with the SEMANTIC gate
+    * spliced in at five anchored points (the widened corpus gains the
+    * fresh-text/copied-vector plant arms; `k1e`/`semsig` attach each
+    * doc's original's embedding and its 3×6-plane sign-LSH buckets —
+    * q23b's exact arithmetic; each batch k ≥ 2 gains the
+    * candidates-share-any-table-bucket → exact-cosine ≥ 0.9 → min-id
+    * `srj$k` stage between the lexical cross gate and the in-batch CC,
+    * with `kb$k` excluding its rejects; the ledger union gains the
+    * `semantic_dup` rows). Anchored string surgery — each anchor must
+    * match EXACTLY once — so the q100/q101/q102/q103 oracle text stays
+    * byte-identical to what those green rows gate. */
+  private def semSplice(base: String): String = {
+    def splice(s: String, anchor: String, replacement: String): String = {
+      val i = s.indexOf(anchor)
+      require(i >= 0 && s.indexOf(anchor, i + 1) < 0,
+        s"q104 splice anchor not unique in the base oracle: <$anchor>")
+      s.replace(anchor, replacement)
+    }
+    val wideAnchor = "  FROM documents WHERE doc_id % 11 = 5),\n"
+    val semArms =
+      """  FROM documents WHERE doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT 2 * 10 * o.o + 8 * o.o + doc_id, CAST(2 AS BIGINT), lang,
+        |    array_to_string(['uq' || (2 * 10 * o.o + 8 * o.o + doc_id)
+        |      || 'w' || j for j in range(0, 10)], ' ')
+        |  FROM documents, off o WHERE doc_id % 13 = 2 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 3 * 10 * o.o + 9 * o.o + doc_id, CAST(3 AS BIGINT), lang,
+        |    array_to_string(['uq' || (3 * 10 * o.o + 9 * o.o + doc_id)
+        |      || 'w' || j for j in range(0, 10)], ' ')
+        |  FROM documents, off o WHERE doc_id % 13 = 1),
+        |""".stripMargin
+    val k1Anchor =
+      "  LEFT JOIN best bk ON h.doc_id = bk.doc_id WHERE bk.doc_id IS NULL),\n"
+    val semDefs = k1Anchor +
+      """emc AS MATERIALIZED (SELECT count(*) AS c FROM embeddings),
+        |k1e AS MATERIALIZED (
+        |  SELECT k1.doc_id, k1.batch, e.embedding AS emb
+        |  FROM k1 JOIN embeddings e
+        |    ON e.vec_id = (k1.doc_id % (SELECT o FROM off)) % (SELECT c FROM emc)
+        |  WHERE (k1.doc_id % (SELECT o FROM off)) % 17 <> 4),
+        |semsig AS MATERIALIZED (
+        |  SELECT doc_id, batch, emb,
+        |    sqrt(list_sum([emb[i]::DOUBLE * emb[i]::DOUBLE for i in range(1, len(emb)+1)])) AS nrm,
+        |    [list_sum([CASE WHEN list_sum([emb[i]::DOUBLE *
+        |        (CASE WHEN (((t*6+p)*31 + (i-1)*17) % 101) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+        |        for i in range(1, len(emb)+1)]) >= 0 THEN 1 << p ELSE 0 END
+        |      for p in range(0, 6)])::BIGINT for t in range(0, 3)] AS bucks
+        |  FROM k1e),
+        |""".stripMargin
+    def kbAnchor(k: Int) =
+      s"""kb$k AS MATERIALIZED (
+        |  SELECT k.doc_id FROM k1 k LEFT JOIN rj$k ON rj$k.doc_id = k.doc_id
+        |  WHERE k.batch = $k AND rj$k.doc_id IS NULL),
+        |""".stripMargin
+    def semGate(k: Int, corp: String) =
+      s"""sq$k AS MATERIALIZED (
+        |  SELECT s.doc_id, s.nrm, s.emb, s.bucks FROM semsig s
+        |  LEFT JOIN rj$k ON rj$k.doc_id = s.doc_id
+        |  WHERE s.batch = $k AND rj$k.doc_id IS NULL),
+        |scand$k AS MATERIALIZED (
+        |  SELECT DISTINCT q.doc_id AS bid, c.doc_id AS cid
+        |  FROM sq$k q, semsig c, LATERAL unnest(range(0, 3)) tt(t), $corp cc
+        |  WHERE cc.doc_id = c.doc_id AND q.bucks[t+1] = c.bucks[t+1]),
+        |srj$k AS MATERIALIZED (
+        |  SELECT bid AS doc_id, min(cid) AS dup_of FROM (
+        |    SELECT s.bid, s.cid FROM scand$k s
+        |    JOIN semsig a ON a.doc_id = s.bid
+        |    JOIN semsig b ON b.doc_id = s.cid
+        |    WHERE list_sum([a.emb[i]::DOUBLE * b.emb[i]::DOUBLE for i in range(1, len(a.emb)+1)])
+        |        / (a.nrm * b.nrm) >= 0.9)
+        |  GROUP BY bid),
+        |kb$k AS MATERIALIZED (
+        |  SELECT k.doc_id FROM k1 k
+        |  LEFT JOIN rj$k ON rj$k.doc_id = k.doc_id
+        |  LEFT JOIN srj$k ON srj$k.doc_id = k.doc_id
+        |  WHERE k.batch = $k AND rj$k.doc_id IS NULL AND srj$k.doc_id IS NULL),
+        |""".stripMargin
+    val rejAnchor = "  UNION ALL\n  SELECT CAST(1 AS BIGINT), doc_id, 'in_batch_near_dup',\n"
+    val semRejArms =
+      """  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), doc_id, 'semantic_dup',
+        |    'semantic_dup_of:' || dup_of FROM srj2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), doc_id, 'semantic_dup',
+        |    'semantic_dup_of:' || dup_of FROM srj3
+        |""".stripMargin + rejAnchor
+    splice(splice(splice(splice(splice(base,
+      wideAnchor, semArms),
+      k1Anchor, semDefs),
+      kbAnchor(2), semGate(2, "corp1")),
+      kbAnchor(3), semGate(3, "corp2")),
+      rejAnchor, semRejArms)
+  }
+
+  private val q104Sql = semSplice(intakeReplayPerBatchSql("q104"))
+
   /** q100's full oracle, parameterized only by the split-rank seed: the
     * replay SEMANTICS are state-layout-independent, so q102 (the same
     * replay under `twoTierCorpus` — mid folds landing inside the
@@ -3822,6 +3960,24 @@ object LlmQueries {
     * embedding-side statistic with no embedding in the intake stream. */
   private def q103(s: SparkSession, d: String): DataFrame =
     intakeReplay(s, d, seed = "q103", continuing = false, drift = true)
+
+  /** q100's replay with the SEMANTIC gate on (`semanticThreshold = 0.9`)
+    * — the one first-class LLM-pipeline operator that was batch-only now
+    * oracle-gated in STANDING form: the widened corpus gains fresh-text
+    * plants carrying an earlier original's embedding (no lexical stage
+    * can touch them — only the embedding gate fires), batch 2 catching
+    * its plants through the raw emb/esig delta parts and batch 3 through
+    * the FOLDED embbase/esigbase (compactEvery = 1), with
+    * batch-3-original plants passing (their original is not in the
+    * probed corpus yet) and every-17th originals carrying null
+    * embeddings (the pass-through path). The oracle recomputes the gate
+    * batch-mode: sign-LSH buckets with q23b's exact plane arithmetic,
+    * candidates = share any table bucket with the accumulated canonical
+    * corpus, exact cosine ≥ 0.9, min-id dup_of — between the lexical
+    * cross stage and the in-batch CC, exactly where the pipeline runs
+    * it. */
+  private def q104(s: SparkSession, d: String): DataFrame =
+    intakeReplay(s, d, seed = "q104", continuing = false, semantic = true)
 
   private val q101Sql = intakeReplaySqlPrefix +
     """hh AS MATERIALIZED (
@@ -3992,5 +4148,6 @@ object LlmQueries {
     QueryDef("q101_intake_replay_continuing", q101, Some(q101Sql), bench = false),
     QueryDef("q102_intake_replay_twotier", q102, Some(q102Sql), bench = false),
     QueryDef("q103_intake_replay_drift", q103, Some(q103Sql), bench = false),
+    QueryDef("q104_intake_replay_semantic", q104, Some(q104Sql), bench = false),
   )
 }

@@ -45,12 +45,33 @@ object IntakeScale {
     fs.delete(new Path(work), true)
     Files.createDirectories(Paths.get(s"$work/in"))
 
+    // arg 8: rebucketTo (0 = off) — when set, the run becomes the
+    // MID-HORIZON MIGRATION series: bulk batches ingest at `stateBuckets`,
+    // the stream stops, `Intake.rebucket` migrates every bucketed family
+    // to `rebucketTo`, and the tail batches resume (same checkpoint)
+    // under the migrated layout — per-batch cost before/after shows the
+    // pruning math tracking the bucket count live.
+    // arg 9: semantic (boolean) — attach each doc's embedding (vec_id =
+    // doc_id; the derived sets carry matching offset replicas for the
+    // first 2000 base ids, the rest ride null) and turn the semantic gate
+    // on, so its probe/state cost is measured at scale. The derived
+    // replicas' vectors are mutually sub-tau by construction, so the gate
+    // rejects nothing — the series measures the gate's COST posture
+    // without perturbing the corpus the other probes accumulate.
+    val rebucketTo = args.lift(8).map(_.toInt).getOrElse(0)
+    val semantic = args.lift(9).exists(_.toBoolean)
+
     // K id-ordered slices (the intake's append-only contract), one JSON
     // file per batch written SEQUENTIALLY so the file stream's
     // timestamp-ordered listing replays them in id order
-    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docs0 = spark.read.parquet(s"$src/documents.parquet")
       .select(col("doc_id"), col("lang"), col("text"),
         concat(col("source"), lit(".example.org")).as("host"))
+    val docs = (if (!semantic) docs0
+      else docs0.join(
+        spark.read.parquet(s"$src/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").as("emb")),
+        col("doc_id") === col("vec_id"), "left").drop("vec_id"))
       .persist()
     val total = docs.count()
     // `batches` bulk slices plus `tailBatches` NARROW tail micro-batches
@@ -73,16 +94,26 @@ object IntakeScale {
       .filter { case (_, i) => targets(i + 1) }
       .map(_._1.getLong(0)).collect().toSeq.sorted
     val cuts = (Seq(Long.MinValue) ++ bounds :+ Long.MaxValue).sliding(2).toSeq
-    cuts.zipWithIndex.foreach { case (Seq(lo, hi), i) =>
-      docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
-        .select(to_json(struct(col("doc_id"), col("lang"), col("text"), col("host"))))
-        .coalesce(1).write.mode("overwrite").text(s"$work/stage/b$i")
-      // one flat file per batch, strictly increasing mtimes
-      val part = fs.globStatus(new Path(s"$work/stage/b$i/part-*")).head.getPath
-      fs.rename(part, new Path(f"$work/in/b$i%03d.json"))
-      Thread.sleep(5)
+    val jsonCols = Seq(col("doc_id"), col("lang"), col("text"), col("host")) ++
+      (if (semantic) Seq(col("emb")) else Nil)
+    def writeSlices(slices: Seq[(Seq[Long], Int)]): Unit = {
+      slices.foreach { case (Seq(lo, hi), i) =>
+        docs.filter(col("doc_id") > lo && col("doc_id") <= hi)
+          .select(to_json(struct(jsonCols: _*)))
+          .coalesce(1).write.mode("overwrite").text(s"$work/stage/b$i")
+        // one flat file per batch, strictly increasing mtimes
+        val part = fs.globStatus(new Path(s"$work/stage/b$i/part-*")).head.getPath
+        fs.rename(part, new Path(f"$work/in/b$i%03d.json"))
+        Thread.sleep(5)
+      }
+      fs.delete(new Path(s"$work/stage"), true)
     }
-    fs.delete(new Path(s"$work/stage"), true)
+    val allSlices = cuts.zipWithIndex
+    // with a mid-horizon rebucket, only the BULK files exist when phase 1
+    // starts (AvailableNow drains what it sees); the tail files land after
+    // the migration and phase 2 resumes from the same checkpoint
+    if (rebucketTo > 0) writeSlices(allSlices.take(batches))
+    else writeSlices(allSlices)
 
     val cfg = Intake.Config(
       inputDir = s"$work/in", checkpointDir = s"$work/cp",
@@ -103,6 +134,7 @@ object IntakeScale {
       // bucket-partitioned state: probes read only the buckets the batch
       // touches; the metrics tail below prints probed vs total bytes
       stateBuckets = args.lift(3).map(_.toInt).getOrElse(64),
+      semanticThreshold = if (semantic) Some(0.9) else None,
       trigger = Trigger.AvailableNow(), maxFilesPerTrigger = Some(1))
 
     val durations = ArrayBuffer[(Long, Double)]()
@@ -119,6 +151,18 @@ object IntakeScale {
     val t0 = System.nanoTime()
     val q = Intake.start(spark, cfg)
     q.awaitTermination()
+    var rebucketSec = 0.0
+    if (rebucketTo > 0) {
+      // the mid-horizon migration: offline while the stream is stopped,
+      // then the tail resumes from the SAME checkpoint under the migrated
+      // layout — exactly the operational sequence a growing corpus runs
+      val r0 = System.nanoTime()
+      Intake.rebucket(spark, cfg, rebucketTo, foldPending = true)
+      rebucketSec = (System.nanoTime() - r0) / 1e9
+      writeSlices(allSlices.drop(batches))
+      val q2 = Intake.start(spark, cfg.copy(stateBuckets = rebucketTo))
+      q2.awaitTermination()
+    }
     val wall = (System.nanoTime() - t0) / 1e9
     Thread.sleep(2000) // listener events are async; let the bus drain
     spark.streams.removeListener(listener)
@@ -187,6 +231,13 @@ object IntakeScale {
         s""""index_probe_frac":[${probeLine("index_bytes", "index_bytes_probed")}],""" +
         s""""sig_probe_frac":[${probeLine("sig_bytes", "sig_bytes_probed")}],""" +
         s""""text_probe_frac":[${probeLine("text_bytes", "text_bytes_probed")}],""" +
+        (if (semantic)
+          s""""esig_probe_frac":[${probeLine("esig_bytes", "esig_bytes_probed")}],""" +
+            s""""esig_parts_per_batch":[${partSeries("esig_parts")}],"""
+         else "") +
+        (if (rebucketTo > 0)
+          s""""rebucket_to":$rebucketTo,""" + f""""rebucket_sec":$rebucketSec%.1f,"""
+         else "") +
         f""""wall_sec":$wall%.1f}"""
     println(line)
     spark.stop()

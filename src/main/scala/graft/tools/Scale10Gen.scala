@@ -8,6 +8,8 @@
 // correctness input — correctness stays on the driver's own parquet.
 //
 // Usage: sbt "runMain graft.tools.Scale10Gen /root/testdata/sf0.1 /tmp/graft_sf1.0"
+// Optional arg 3: replica factor (default 10) — e.g. 40 builds a 40× set
+// (the larger-step intake scale series; same mutation scheme, more reps).
 package graft.tools
 
 import org.apache.spark.sql.functions._
@@ -16,8 +18,9 @@ object Scale10Gen {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft_sf1.0")
+    val nReps = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = graft.GraftSession.get()
-    val reps = spark.range(0, 10).select(col("id").as("rep"))
+    val reps = spark.range(0, nReps.toLong).select(col("id").as("rep"))
 
     // documents 10× also scales the DERIVED-INPUT tiers: q73's fuzzy-join
     // vocabulary (every distinct text token) and q74's link graph (edges are

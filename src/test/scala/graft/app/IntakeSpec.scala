@@ -1133,4 +1133,120 @@ class IntakeSpec extends SparkSpec {
       spark, nBatches = 8, seed = 19L, twoTier = false)
     assert(crashed >= 4, s"soak too tame: $crashed crashes, seams $seams")
   }
+
+  // deterministic ±1 hypercube corners (32 dims, murmur3-fmix bits):
+  // distinct ids sit near cosine 0 — measured worst |cos| 0.75 over ids
+  // 1..299 — so at tau=0.9 only copied vectors match (the CrashSoak
+  // construction)
+  private def semEmb(i: Long): Seq[Float] = (0 until 32).map { j =>
+    var v = i * 2654435761L + j * 40503L
+    v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+    v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+    v ^= v >>> 33
+    if ((v & 1L) == 0L) 1f else -1f
+  }
+
+  test("semantic gate: an embedding near-dup (fresh text, copied vector) of " +
+    "an earlier batch's doc is dropped as semantic_dup via the stored " +
+    "sign-LSH index, including THROUGH a compaction fold; null-emb docs " +
+    "pass and contribute no state; a lexical near-dup still dies at the " +
+    "lexical stage (precedence); flat and bucketed layouts agree; replay " +
+    "byte-identical; geometry markers pin the index") {
+    // disjoint per-doc vocabulary: no lexical matches unless planted
+    val text = (i: Long) => (0 to 9).map(j => s"m${i}k$j").mkString(" ")
+    def doc(i: Long, embOf: Option[Long], textOf: Long = -1L) =
+      (i, if (i % 2 == 0) "en" else "de",
+        text(if (textOf >= 0) textOf else i), s"x$i.ok.org",
+        embOf.map(semEmb))
+    def batchDf(rows: Seq[(Long, String, String, String, Option[Seq[Float]])]) =
+      rows.toDF("doc_id", "lang", "text", "host", "emb")
+    // batch 1: docs 1-4 with embeddings, doc 5 null-emb
+    val b1 = batchDf(Seq(doc(1, Some(1)), doc(2, Some(2)), doc(3, Some(3)),
+      doc(4, Some(4)), doc(5, None)))
+    // batch 2: 11 = semantic plant of 1 (fresh text, 1's vector);
+    // 12 = LEXICAL copy of 2 carrying 2's vector (must die at near_dup,
+    // not semantic — stage precedence); 13 fresh; 14 null-emb
+    val b2 = batchDf(Seq(doc(11, Some(1)), doc(12, Some(2), textOf = 2),
+      doc(13, Some(13)), doc(14, None)))
+    // batch 3 probes THROUGH the fold (compactEvery=1 folds state at
+    // batch 2/3 starts): 21 = semantic plant of 3; 22 fresh
+    val b3 = batchDf(Seq(doc(21, Some(3)), doc(22, Some(22))))
+
+    def run(buckets: Int): Intake.Config = {
+      val (in, cp, idx, out, corp) = (tmp(), tmp(), tmp(), tmp(), tmp())
+      val cfg = cfgFor(in, cp, idx, out).copy(
+        nearDupThreshold = Some(0.5), corpusDir = Some(corp.toString),
+        semanticThreshold = Some(0.9), noveltyMinMicros = 0L,
+        compactEvery = 1, stateBuckets = buckets)
+      Seq(1L -> b1, 2L -> b2, 3L -> b3).foreach { case (id, df) =>
+        Intake.processBatch(spark, cfg, df, id) }
+      cfg
+    }
+    val bucketed = run(8)
+    val outB = java.nio.file.Paths.get(bucketed.outDir)
+    val rej2 = readRejects(outB, 2L)
+    assert(rej2.contains((11L, "semantic_dup", "semantic_dup_of:1")), s"$rej2")
+    assert(rej2.contains((12L, "near_dup", "near_dup_of:2")),
+      s"the lexical stage must win precedence: $rej2")
+    assert(readBatch(outB, 2L).map(_._1).toSet === Set(13L, 14L),
+      "fresh and null-emb docs must survive the gate")
+    val rej3 = readRejects(outB, 3L)
+    assert(rej3.contains((21L, "semantic_dup", "semantic_dup_of:3")),
+      s"the probe must match through the folded embbase/esigbase: $rej3")
+    assert(readBatch(outB, 3L).map(_._1).toSet === Set(22L))
+    // state parts: null-emb docs contribute nothing; folds landed and
+    // retired the deltas (compactEvery=1) — after batch 3 the family is
+    // embbase=2 (batch 1+2 survivors: 5 and 14 carried null embs, 11/12/21
+    // were rejected) plus the emb=3 delta ({22}; 21 was rejected)
+    val corpDir = java.nio.file.Paths.get(bucketed.corpusDir.get)
+    assert(spark.read.parquet(s"$corpDir/embbase=2")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L, 13L),
+      "null-emb and rejected docs must not enter the folded embedding family")
+    assert(spark.read.parquet(s"$corpDir/emb=3")
+      .collect().map(_.getLong(0)).toSet === Set(22L))
+    // layout invariance: flat == bucketed, batch for batch
+    val flat = run(0)
+    val outF = java.nio.file.Paths.get(flat.outDir)
+    (1L to 3L).foreach { k =>
+      assert(readBatch(outB, k) === readBatch(outF, k), s"batch $k assignments")
+      assert(readRejects(outB, k) === readRejects(outF, k), s"batch $k rejects")
+    }
+    // replay byte-identical (newest batch, the foreachBatch horizon)
+    val before = (readBatch(outB, 3L), readRejects(outB, 3L))
+    Intake.processBatch(spark, bucketed, b3, 3L)
+    assert((readBatch(outB, 3L), readRejects(outB, 3L)) === before)
+    // geometry markers: a mismatched planes/tables run refuses loudly
+    val exP = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, bucketed.copy(semanticPlanes = 8), b3, 3L)
+    }
+    assert(exP.getMessage.contains("semanticPlanes"), s"$exP")
+    val exT = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, bucketed.copy(semanticTables = 2), b3, 3L)
+    }
+    assert(exT.getMessage.contains("semanticTables"), s"$exT")
+    // a semantic config without an emb column refuses loudly
+    val exE = intercept[IllegalArgumentException] {
+      Intake.processBatch(spark, bucketed,
+        Seq((31L, "en", text(31), "x.ok.org")).toDF("doc_id", "lang", "text", "host"), 4L)
+    }
+    assert(exE.getMessage.contains("emb"), s"$exE")
+    // telemetry: the semantic families report parts/bytes and the probed
+    // buckets; the stage count rode the observation
+    val m3 = spark.read.parquet(s"${bucketed.outDir}/metrics/batch=3").head()
+    def L(n: String) = m3.getLong(m3.fieldIndex(n))
+    assert(L("rej_semantic") === 1L)
+    assert(L("esig_parts") > 0L && L("emb_parts") > 0L)
+    assert(L("esig_bytes") > 0L && L("emb_bytes") > 0L)
+    assert(L("esig_buckets_probed") > 0L,
+      "the bucketed probe must report its pruned bucket count")
+  }
+
+  test("rebucket soak: Intake.rebucket killed at EVERY migration seam in " +
+    "sequence and re-run finishes the job — post-migration batches " +
+    "identical to an unmigrated control; ingest refuses mid-migration " +
+    "(the semantic families migrate too via CrashSoak's config)") {
+    val kills = graft.tools.CrashSoak.rebucketSoak(
+      spark, seed = 19L, preBatches = 4, postBatches = 4)
+    assert(kills >= 8, s"the walk must kill at every seam at least once: $kills")
+  }
 }
