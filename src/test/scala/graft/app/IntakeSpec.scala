@@ -641,6 +641,10 @@ class IntakeSpec extends SparkSpec {
       val kids = p match {
         case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
         case q: QueryStageExec => Seq(q.plan)
+        // descend into persisted stages: a probe that materializes its
+        // candidate frame hides its scans behind the cache otherwise
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(m.relation.cachedPlan)
         case other => other.children
       }
       p +: kids.flatMap(nodes)
@@ -731,6 +735,69 @@ class IntakeSpec extends SparkSpec {
         case _ => ()
       }
     } finally probe.cleanup()
+
+    // the semantic probe: same posture over the esig/emb families — the
+    // stored signature index is pruned (partition filter, fewer rows than
+    // stored) and never sort-merged or broadcast (the BATCH side is the
+    // measured build); the embedding fetch is pruned to candidate buckets
+    val scorp = tmp()
+    def pEmb(i: Long): Seq[Float] = (0 until 32).map { j =>
+      var v = i * 2654435761L + j * 40503L
+      v ^= v >>> 33; v *= 0xff51afd7ed558ccdL
+      v ^= v >>> 33; v *= 0xc4ceb9fe1a85ec53L
+      v ^= v >>> 33
+      if ((v & 1L) == 0L) 1f else -1f
+    }
+    val corpusEmbs = (1L to 400L).map(i => (i, pEmb(i))).toDF("doc_id", "emb")
+    graft.llm.Similarity.esigIndexFrame(corpusEmbs, 6, 3, 32)
+      .write.partitionBy("bkt").parquet(s"$scorp/esigbase=0")
+    corpusEmbs
+      .withColumn("bkt", graft.llm.Dedup.docBucket(col("doc_id"), 32))
+      .write.partitionBy("bkt").parquet(s"$scorp/embbase=0")
+    val storedSigs = spark.read
+      .schema("doc_id BIGINT, t INT, sig BIGINT, bkt INT")
+      .parquet(s"$scorp/esigbase=0").select("doc_id", "t", "sig", "bkt")
+    val storedEmbs = spark.read
+      .schema("doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT")
+      .parquet(s"$scorp/embbase=0").select("doc_id", "emb", "bkt")
+    val semBatch = Seq((900L, pEmb(1L))).toDF("doc_id", "emb")
+    val sp = graft.llm.Similarity.incrementalSemanticDup(
+      storedSigs, storedEmbs, semBatch, "doc_id", "emb", 0.9, 6, 3, 32)
+    try {
+      val got = sp.pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((900L, 1L)), s"$got")
+      assert(sp.probedBuckets.nonEmpty && sp.probedBuckets.size <= 3,
+        s"1 doc × 3 tables probes ≤ 3 sig buckets: ${sp.probedBuckets}")
+      assert(sp.probedEmbBuckets.exists(b => b.nonEmpty && b.size < 32),
+        s"the emb fetch must prune to candidate buckets: ${sp.probedEmbBuckets}")
+      val p3 = sp.pairs.queryExecution.executedPlan
+      val esigScans = scansOf(p3, s"$scorp/esigbase=0")
+      assert(esigScans.nonEmpty, s"no esig scan found:\n$p3")
+      esigScans.foreach(s => assert(s.partitionFilters.nonEmpty,
+        s"the esig scan must carry the bkt partition filter:\n$p3"))
+      val esigRows = esigScans.map(_.metrics("numOutputRows").value).sum
+      assert(esigRows < 1200L,
+        s"pruning must read fewer esig rows than the 1200 stored ($esigRows)")
+      scansOf(p3, s"$scorp/embbase=0").foreach(s =>
+        assert(s.partitionFilters.nonEmpty,
+          s"the emb scan must carry the bkt partition filter:\n$p3"))
+      // the raw esig index must never move or sort-merge; an exchange
+      // whose subtree contains the scan is fine only when the candidate
+      // JOIN sits below it (it then moves post-probe matched rows — the
+      // persisted candidate frame — not the index)
+      nodes(p3).foreach {
+        case smj: SortMergeJoinExec if scansOf(smj, s"$scorp/esigbase=0").nonEmpty =>
+          assert(joinBelow(smj),
+            s"the raw esig index feeds a sort-merge join:\n$p3")
+        case b: BroadcastExchangeLike if scansOf(b, s"$scorp/esigbase=0").nonEmpty =>
+          assert(joinBelow(b),
+            s"a broadcast builds over the raw esig index (no join below):\n$p3")
+        case e: ShuffleExchangeLike if scansOf(e, s"$scorp/esigbase=0").nonEmpty =>
+          assert(joinBelow(e),
+            s"a shuffle exchanges the raw esig index (no join below):\n$p3")
+        case _ => ()
+      }
+    } finally sp.cleanup()
   }
 
   test("drift monitoring: per-batch KS/TV report vs the accumulated " +
