@@ -13,12 +13,16 @@ import graft.llm.{Dedup, Drift, Novelty, Selection, Similarity, UrlFilter}
   * document stream, instead of as a batch job over a finished corpus, with
   * an optional PAIRWISE near-dup gate (the q59 incremental-MinHash probe
   * against the accumulated corpus) between the blocklist and novelty
-  * stages, and optional per-batch DRIFT monitoring (q87/q90's statistics)
-  * against the accumulated reference — blocklist kills bad sources,
-  * near-dup kills single-document copies, novelty kills diffuse
-  * redundancy, drift watches what survives, split routes it. This closes
-  * the loop between the repo's two halves: the llm curation operators and
-  * the streaming engine tier.
+  * stages, an optional SEMANTIC near-dup gate (the q56/q31 embedding
+  * semantics in standing form — a stored sign-LSH index probed per batch,
+  * exact-cosine verify per candidate) right after the lexical one, and
+  * optional per-batch DRIFT monitoring (q87/q90's statistics) against the
+  * accumulated reference — blocklist kills bad sources, near-dup kills
+  * single-document copies (lexical), semantic kills paraphrase-level
+  * copies the shingle gate cannot see, novelty kills diffuse redundancy,
+  * drift watches what survives, split routes it. This closes the loop
+  * between the repo's two halves: the llm curation operators and the
+  * streaming engine tier.
   *
   * Spark-first shape: the novelty stage is stateful ACROSS batches (each
   * batch scores against everything already ingested), but its state is a
@@ -633,8 +637,9 @@ object Intake {
   }
 
   /** One micro-batch of the intake pipeline: blocklist → (optional)
-    * stored-signature near-dup gate → incremental novelty against the
-    * pre-batch part union → (optional) drift report → exact split →
+    * stored-signature near-dup gate → (optional) stored-sign-LSH
+    * SEMANTIC gate → (optional) in-batch CC → incremental novelty against
+    * the pre-batch part union → (optional) drift report → exact split →
     * overwrite `outDir/batch=<id>` (assignments), `outDir/rejects/batch=
     * <id>` (the per-stage DROP LEDGER: every document the batch rejected,
     * with the stage and a reason — audits and threshold tuning need the
