@@ -652,6 +652,47 @@ object Intake {
     * straddles a compaction (it reports the bytes of whatever pre-batch
     * parts exist). Repo-visible so the specs and the crash-soak harness
     * ([[graft.tools.CrashSoak]]) can drive a replayed batch directly. */
+  /** Run independent state-mutating tasks CONCURRENTLY (the guide's
+    * overlap-independent-jobs shape: Spark's scheduler happily runs several
+    * jobs at once inside one application — actions are only sequential
+    * because the driver calls them sequentially, and at micro-batch scale
+    * each action is scheduling-dominated, leaving most cores idle).
+    *
+    * Contract the callers rely on:
+    *  - tasks must be mutually independent: each writes its OWN directory
+    *    and reads only already-persisted stage frames or state parts
+    *    strictly below the running batch id (so ordering among them was
+    *    never semantic — any subset having landed is a state the replay
+    *    protocol already recovers from);
+    *  - every task is awaited before this returns, including when one
+    *    fails, so a propagated failure (or an armed [[CrashHooks]] kill)
+    *    never leaves an in-flight write racing the caller's replay;
+    *  - real failures propagate ahead of an injected crash (a soak must
+    *    not mistake a genuine bug for its own kill). */
+  private def runConcurrent(spark: SparkSession,
+                            tasks: Seq[(String, () => Unit)]): Unit =
+    tasks match {
+      case Seq() => ()
+      case Seq((_, f)) => f()
+      case _ =>
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+        try {
+          val futs = tasks.map { case (label, f) =>
+            pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+              def call(): Option[Throwable] = {
+                // job descriptions are thread-local: each concurrent write
+                // shows up labelled in the UI/profilers
+                spark.sparkContext.setJobDescription(s"intake: $label")
+                try { f(); None } catch { case t: Throwable => Some(t) }
+              }
+            })
+          }
+          val errs = futs.flatMap(_.get())
+          (errs.filterNot(_.isInstanceOf[CrashHooks.InjectedCrash]) ++ errs)
+            .headOption.foreach(e => throw e)
+        } finally pool.shutdown()
+    }
+
   private[graft] def processBatch(spark: SparkSession, cfg: Config,
                                   batch: DataFrame, id: Long): Unit = {
     import spark.implicits._
@@ -1062,12 +1103,26 @@ object Intake {
       // recompute would need (a cached-partition loss after compaction
       // otherwise re-reads deleted paths).
       val survObs = org.apache.spark.sql.Observation(s"intake_surv_$id")
-      assignments
-        .select(col("id").as("doc_id"), col("stratum"), col("split"),
-          col("rank_in_stratum"))
-        .observe(survObs, count(lit(1)).as("n"))
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
-      CrashHooks.seam("assignments")
+      val rejObs = org.apache.spark.sql.Observation(s"intake_rej_$id")
+
+      // ---- concurrent write phase: every per-batch output/state write.
+      // Each task writes its OWN part directory from already-persisted
+      // stage frames, and every family's read side takes parts STRICTLY
+      // below id — so no ordering among these writes was ever semantic (a
+      // crash after any subset is a state replay already recovers from,
+      // which is also why the soak's random-seam kills stay valid). Running
+      // them sequentially serialized ~7 scheduling-dominated actions per
+      // batch onto an idle cluster; the profiled steady-state floor is
+      // exactly that sum of per-action scheduling envelopes.
+      val writeTasks = Seq.newBuilder[(String, () => Unit)]
+      writeTasks += "assignments" -> (() => {
+        assignments
+          .select(col("id").as("doc_id"), col("stratum"), col("split"),
+            col("rank_in_stratum"))
+          .observe(survObs, count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"${cfg.outDir}/batch=$id")
+        CrashHooks.seam("assignments")
+      })
 
       // the DROP LEDGER: every rejected doc with its stage and reason —
       // stages are sequential, so each doc appears at most once, and
@@ -1075,40 +1130,27 @@ object Intake {
       // Written with the same overwrite-replay contract as the assignments.
       // One action: the write is the union's only consumer (the telemetry
       // stage counts are observed on it), so no persist either.
-      val rejObs = org.apache.spark.sql.Observation(s"intake_rej_$id")
-      rejBlocklist
-        .unionByName(rejNearDup)
-        .unionByName(rejSemantic)
-        .unionByName(rejInBatch)
-        .unionByName(rejNovelty)
-        .observe(rejObs,
-          count(when(col("stage") === "blocklist", 1)).as("blocklist"),
-          count(when(col("stage") === "near_dup", 1)).as("near_dup"),
-          count(when(col("stage") === "semantic_dup", 1)).as("semantic_dup"),
-          count(when(col("stage") === "in_batch_near_dup", 1)).as("in_batch_near_dup"),
-          count(when(col("stage") === "novelty", 1)).as("novelty"))
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
-      CrashHooks.seam("rejects")
-      // both writes are complete here, so the observed metrics are final
-      val stageCounts = rejObs.get.view.mapValues(_.asInstanceOf[Long])
-        .toMap.withDefaultValue(0L)
-      val survivors = survObs.get("n").asInstanceOf[Long]
-
-      // counters fold from the WRITTEN assignments (the persisted truth),
-      // versioned and retired exactly like the drift state
-      (cfg.countersDir, priorCounters) match {
-        case (Some(cd), Some(prior)) =>
-          Selection.splitCounters(
-              spark.read.parquet(s"${cfg.outDir}/batch=$id"), prior)
-            .write.mode("overwrite").parquet(s"$cd/v=$id")
-          retireVersions(spark, cfg, cd, id)
-          CrashHooks.seam("counters")
-        case _ => ()
-      }
+      writeTasks += "rejects" -> (() => {
+        rejBlocklist
+          .unionByName(rejNearDup)
+          .unionByName(rejSemantic)
+          .unionByName(rejInBatch)
+          .unionByName(rejNovelty)
+          .observe(rejObs,
+            count(when(col("stage") === "blocklist", 1)).as("blocklist"),
+            count(when(col("stage") === "near_dup", 1)).as("near_dup"),
+            count(when(col("stage") === "semantic_dup", 1)).as("semantic_dup"),
+            count(when(col("stage") === "in_batch_near_dup", 1)).as("in_batch_near_dup"),
+            count(when(col("stage") === "novelty", 1)).as("novelty"))
+          .write.mode("overwrite").parquet(s"${cfg.outDir}/rejects/batch=$id")
+        CrashHooks.seam("rejects")
+      })
 
       // optional drift monitoring: the batch's surviving docs vs the
       // accumulated reference counts of every PRIOR batch's survivors
-      cfg.driftDir.foreach(dd => driftStage(spark, cfg, dd, kept1p, id))
+      // (self-contained: reads kept1p + its own state dirs only)
+      cfg.driftDir.foreach(dd =>
+        writeTasks += "drift" -> (() => driftStage(spark, cfg, dd, kept1p, id)))
 
       // accumulate the corpus the near-dup gate probes: this batch's
       // near-dup SURVIVORS — text part (verify joins) AND signature part
@@ -1124,18 +1166,22 @@ object Intake {
       // so the corpus-scale state is always the pruned side.
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
         val text = kept1p.select("doc_id", "text")
-        (if (bucketed)
-          text.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
-         else text)
-          .write.mode("overwrite").parquet(s"$cd/part=$id")
-        CrashHooks.seam("corpus_text")
-        val sigs = Dedup.minhashSigFrame(text, "doc_id", "text", cfg.numHashes)
-        if (bucketed)
-          Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
-            .write.mode("overwrite").parquet(s"$cd/bands=$id")
-        else
-          sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
-        CrashHooks.seam("corpus_sigs")
+        writeTasks += "corpus_text" -> (() => {
+          (if (bucketed)
+            text.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
+           else text)
+            .write.mode("overwrite").parquet(s"$cd/part=$id")
+          CrashHooks.seam("corpus_text")
+        })
+        writeTasks += "corpus_sigs" -> (() => {
+          val sigs = Dedup.minhashSigFrame(text, "doc_id", "text", cfg.numHashes)
+          if (bucketed)
+            Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
+              .write.mode("overwrite").parquet(s"$cd/bands=$id")
+          else
+            sigs.write.mode("overwrite").parquet(s"$cd/sigs=$id")
+          CrashHooks.seam("corpus_sigs")
+        })
       }
 
       // the semantic gate's state: this batch's surviving docs' embeddings
@@ -1145,27 +1191,63 @@ object Intake {
       // docs contribute nothing (they can never be a semantic candidate)
       if (cfg.semanticThreshold.isDefined) cfg.corpusDir.foreach { cd =>
         val embF = kept1p.filter(col("emb").isNotNull).select("doc_id", "emb")
-        (if (bucketed)
-           embF.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
-         else embF)
-          .write.mode("overwrite").parquet(s"$cd/emb=$id")
-        CrashHooks.seam("corpus_emb")
-        Similarity.esigIndexFrame(embF, cfg.semanticPlanes, cfg.semanticTables,
-            if (bucketed) cfg.stateBuckets else 0)
-          .write.mode("overwrite").parquet(s"$cd/esig=$id")
-        CrashHooks.seam("corpus_esig")
+        writeTasks += "corpus_emb" -> (() => {
+          (if (bucketed)
+             embF.withColumn("bkt", Dedup.docBucket(col("doc_id"), cfg.stateBuckets))
+           else embF)
+            .write.mode("overwrite").parquet(s"$cd/emb=$id")
+          CrashHooks.seam("corpus_emb")
+        })
+        writeTasks += "corpus_esig" -> (() => {
+          Similarity.esigIndexFrame(embF, cfg.semanticPlanes, cfg.semanticTables,
+              if (bucketed) cfg.stateBuckets else 0)
+            .write.mode("overwrite").parquet(s"$cd/esig=$id")
+          CrashHooks.seam("corpus_esig")
+        })
       }
 
       // append the batch's surviving grams as a DELTA part (q88 semantics:
       // ownership within the surviving corpus — post-blocklist and, when
-      // the gate is on, post-near-dup) — written AFTER the assignments so
-      // a crash between the two replays cleanly; batch-vocabulary-scale,
-      // never the merged index
-      val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
-        "doc_id", "text", cfg.n)
-      (if (bucketed) Novelty.withGramBucket(delta, cfg.stateBuckets) else delta)
-        .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
-      CrashHooks.seam("gram_delta")
+      // the gate is on, post-near-dup) — batch-vocabulary-scale, never the
+      // merged index
+      writeTasks += "gram_delta" -> (() => {
+        val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
+          "doc_id", "text", cfg.n)
+        (if (bucketed) Novelty.withGramBucket(delta, cfg.stateBuckets) else delta)
+          .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
+        CrashHooks.seam("gram_delta")
+      })
+      runConcurrent(spark, writeTasks.result())
+
+      // both output writes are complete here, so the observed metrics are
+      // final
+      val stageCounts = rejObs.get.view.mapValues(_.asInstanceOf[Long])
+        .toMap.withDefaultValue(0L)
+      val survivors = survObs.get("n").asInstanceOf[Long]
+
+      // ---- concurrent fold phase: counters, compactions, telemetry.
+      // These run AFTER the write phase for two reasons: the counters fold
+      // reads the WRITTEN assignments back (the persisted truth), and the
+      // retires below must not race the write phase's materialization of
+      // the cached stage frames (a recompute after a retire would re-read
+      // deleted delta paths — the r19 lineage hazard). Within the phase
+      // the tasks are disjoint: each fold rewrites its OWN family from
+      // parts strictly below id, none of which any other task reads.
+      val foldTasks = Seq.newBuilder[(String, () => Unit)]
+
+      // counters fold from the WRITTEN assignments (the persisted truth),
+      // versioned and retired exactly like the drift state
+      (cfg.countersDir, priorCounters) match {
+        case (Some(cd), Some(prior)) =>
+          foldTasks += "counters" -> (() => {
+            Selection.splitCounters(
+                spark.read.parquet(s"${cfg.outDir}/batch=$id"), prior)
+              .write.mode("overwrite").parquet(s"$cd/v=$id")
+            retireVersions(spark, cfg, cd, id)
+            CrashHooks.seam("counters")
+          })
+        case _ => ()
+      }
 
       // compaction: once enough deltas pend STRICTLY BELOW this batch,
       // fold (base, pending deltas) into base=<newest pending part> and
@@ -1177,7 +1259,7 @@ object Intake {
       // mid-compaction leaves overlapping parts that the read protocol
       // (newest base + parts strictly above it) never double-reads and the
       // next compaction sweeps.
-      if (deltaVs.size >= cfg.compactEvery) {
+      if (deltaVs.size >= cfg.compactEvery) foldTasks += "gram_fold" -> (() => {
         val h = deltaVs.max
         val compacted = Novelty.compactGramIndex(
           readIndexParts().select("gram", "owner"))
@@ -1192,7 +1274,7 @@ object Intake {
             .foreach(v => delete(spark, s"${cfg.indexDir}/base=$v"))
         }
         CrashHooks.seam("gram_retire")
-      }
+      })
 
       // corpus families fold on their OWN pending-delta counts (in normal
       // operation these track the gram family batch-for-batch, so the
@@ -1214,35 +1296,41 @@ object Intake {
               pend.max, bucketedFamily)
         }
       if (cfg.nearDupThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-        foldCorpusFamily(cd, "partbase=", "partmid=", "part=",
-          if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
-          else "doc_id BIGINT, text STRING", bucketed)
+        foldTasks += "fold_text" -> (() =>
+          foldCorpusFamily(cd, "partbase=", "partmid=", "part=",
+            if (bucketed) "doc_id BIGINT, text STRING, bkt INT"
+            else "doc_id BIGINT, text STRING", bucketed))
         if (bucketed)
-          foldCorpusFamily(cd, "bandsbase=", "bandsmid=", "bands=",
-            "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
-            bucketedFamily = true)
+          foldTasks += "fold_bands" -> (() =>
+            foldCorpusFamily(cd, "bandsbase=", "bandsmid=", "bands=",
+              "doc_id BIGINT, b INT, bkey STRING, w INT, bkt INT",
+              bucketedFamily = true))
         else
-          foldCorpusFamily(cd, "sigsbase=", "sigsmid=", "sigs=",
-            "doc_id BIGINT, mh ARRAY<BIGINT>", bucketedFamily = false)
+          foldTasks += "fold_sigs" -> (() =>
+            foldCorpusFamily(cd, "sigsbase=", "sigsmid=", "sigs=",
+              "doc_id BIGINT, mh ARRAY<BIGINT>", bucketedFamily = false))
       }
       if (cfg.semanticThreshold.isDefined) cfg.corpusDir.foreach { cd =>
-        foldCorpusFamily(cd, "embbase=", "embmid=", "emb=",
-          if (bucketed) "doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT"
-          else "doc_id BIGINT, emb ARRAY<FLOAT>", bucketed)
-        foldCorpusFamily(cd, "esigbase=", "esigmid=", "esig=",
-          if (bucketed) "doc_id BIGINT, t INT, sig BIGINT, bkt INT"
-          else "doc_id BIGINT, t INT, sig BIGINT", bucketed)
+        foldTasks += "fold_emb" -> (() =>
+          foldCorpusFamily(cd, "embbase=", "embmid=", "emb=",
+            if (bucketed) "doc_id BIGINT, emb ARRAY<FLOAT>, bkt INT"
+            else "doc_id BIGINT, emb ARRAY<FLOAT>", bucketed))
+        foldTasks += "fold_esig" -> (() =>
+          foldCorpusFamily(cd, "esigbase=", "esigmid=", "esig=",
+            if (bucketed) "doc_id BIGINT, t INT, sig BIGINT, bkt INT"
+            else "doc_id BIGINT, t INT, sig BIGINT", bucketed))
       }
 
-      // per-batch telemetry (LAST — it describes what the batch just did):
-      // stage counts and survivors were OBSERVED on the two output writes
-      // above (the exact rows those writes persisted — no extra action, no
-      // read-back); state sizes come from directory listings. batch_docs is
-      // DERIVED: the stages are sequential and (survivors ∪ rejects)
-      // partition the batch exactly (spec-asserted), so the sum IS the
-      // batch row count — the last separate count action removed.
-      // `*_buckets_probed` is -1 when the probe was unpruned (flat layout,
-      // or no parts yet).
+      // per-batch telemetry: stage counts and survivors were OBSERVED on
+      // the two output writes above (the exact rows those writes persisted
+      // — no extra action, no read-back); state sizes come from directory
+      // listings. batch_docs is DERIVED: the stages are sequential and
+      // (survivors ∪ rejects) partition the batch exactly (spec-asserted),
+      // so the sum IS the batch row count — the last separate count action
+      // removed. `*_buckets_probed` is -1 when the probe was unpruned
+      // (flat layout, or no parts yet). The row is built on the driver
+      // before the fold phase launches and written concurrently with it
+      // (it reads nothing any fold touches).
       val batchDocs = survivors + stageCounts("blocklist") +
         stageCounts("near_dup") + stageCounts("semantic_dup") +
         stageCounts("in_batch_near_dup") + stageCounts("novelty")
@@ -1270,12 +1358,15 @@ object Intake {
         "emb_bytes" -> embBytes, "emb_bytes_probed" -> embBytesProbed,
         "emb_buckets_probed" -> probedEmbBkts.fold(-1L)(_.size.toLong),
         "state_buckets" -> cfg.stateBuckets.toLong)
-      spark.createDataFrame(
-          java.util.Arrays.asList(
-            org.apache.spark.sql.Row(telem.map(_._2): _*)),
-          StructType(telem.map(t => StructField(t._1, LongType))))
-        .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
-      CrashHooks.seam("telemetry")
+      foldTasks += "telemetry" -> (() => {
+        spark.createDataFrame(
+            java.util.Arrays.asList(
+              org.apache.spark.sql.Row(telem.map(_._2): _*)),
+            StructType(telem.map(t => StructField(t._1, LongType))))
+          .write.mode("overwrite").parquet(s"${cfg.outDir}/metrics/batch=$id")
+        CrashHooks.seam("telemetry")
+      })
+      runConcurrent(spark, foldTasks.result())
     } finally cleanups.reverse.foreach(f => scala.util.Try(f()))
   }
 
