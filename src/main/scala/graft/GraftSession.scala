@@ -41,7 +41,19 @@ object GraftSession {
       // under this flag (Tables.events then derives µs + TimestampType).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    ramLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+    val withDir = ramLocalDir.fold(b)(d => b.config("spark.local.dir", d))
+    // Deployment/experiment overrides WITHOUT a code edit: SPARK_GRAFT_CONF
+    // holds ;-separated key=value Spark confs applied LAST (so a cluster
+    // run can size shuffle partitions, advisory sizes, codecs for its own
+    // hardware — the local defaults above stay the bench contract).
+    sys.env.get("SPARK_GRAFT_CONF").iterator
+      .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
+      .foldLeft(withDir) { (bb, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, v) => bb.config(k.trim, v.trim)
+          case _ => bb
+        }
+      }
   }
 
   def get(cpus: String = defaultCpus): SparkSession = {

@@ -46,7 +46,12 @@ object EventIndexer {
                        outCol: String, start: Long = 0L): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df
+    // repartitionByRange executes its input TWICE — once for the range
+    // sampler, once for the shuffle map stage — so the input is persisted
+    // for the sort's duration and computed once (measured: the statement
+    // derivation was the bulk of both passes).
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -65,7 +70,7 @@ object EventIndexer {
         element_at(baseMap, col("__pid")) +
           coalesce(sum(col(weightCol)).over(w), lit(0L)) + lit(start))
       .drop("__pid")
-    (out, () => { sorted.unpersist(); () })
+    (out, () => { sorted.unpersist(); input.unpersist(); () })
   }
 
   /** Add a dense 1-based (+ `start`) index column assigned in `order` order.
@@ -77,7 +82,10 @@ object EventIndexer {
   def denseManaged(df: DataFrame, order: Seq[Column], outCol: String,
                    start: Long = 0L): (DataFrame, () => Unit) = {
     val n = df.sparkSession.sessionState.conf.numShufflePartitions
-    val sorted = df
+    // same compute-once persist as prefixSumManaged: the range sampler and
+    // the shuffle map stage would otherwise both execute the input
+    val input = df.persist(StorageLevel.MEMORY_AND_DISK)
+    val sorted = input
       .repartitionByRange(n, order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("__pid", spark_partition_id())
@@ -95,6 +103,6 @@ object EventIndexer {
         element_at(baseMap, col("__pid")) +
           (col("__mid") - shiftleft(col("__pid").cast("long"), 33)) + lit(start + 1))
       .drop("__pid", "__mid")
-    (out, () => { sorted.unpersist(); () })
+    (out, () => { sorted.unpersist(); input.unpersist(); () })
   }
 }

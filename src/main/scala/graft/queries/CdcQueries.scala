@@ -412,13 +412,23 @@ object CdcQueries {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("name", StringType), StructField("status", StringType)))
-    graft.streaming.Analytics.tableChanges(rawFromOrders(s, d), "shop", "orders_1", schema)
+    // Sort the NARROW raw statements, not the parsed change records (the
+    // q18/q19 pattern): seq = (stmt_seq << 20) + pair_pos, the explode emits
+    // pair_pos in order, and every downstream step is narrow — so range-
+    // sorting the statements on stmt_seq BEFORE the envelope render + JSON
+    // parse yields rows already in seq order. A final orderBy instead
+    // re-executed the whole render+parse subtree for the range sampler
+    // (measured: the sort ~doubled q75/q80). Pre-filtering to the spec'd
+    // table also keeps the sort to a third of the stream.
+    graft.streaming.Analytics.tableChanges(
+        rawFromOrders(s, d).filter(col("table") === "orders_1")
+          .orderBy("stmt_seq"),
+        "shop", "orders_1", schema)
       .select(col("seq"), col("deleted"),
         col("before.id").as("b_id"), col("before.name").as("b_name"),
         col("before.status").as("b_status"),
         col("after.id").as("a_id"), col("after.name").as("a_name"),
         col("after.status").as("a_status"))
-      .orderBy("seq")
   }
 
   private val q75Sql = oracleEnvs +
@@ -456,13 +466,20 @@ object CdcQueries {
         StructType(Seq(id, name)), Seq("id")),
       graft.streaming.Analytics.TableSpec("shop", "orders_2",
         StructType(Seq(id, status)), Seq("id")))
-    graft.streaming.Analytics.multiTableChanges(rawFromOrders(s, d), specs)
+    // Same narrow-sort-first shape as q75: the output order (table, seq) is
+    // (table, stmt_seq, pair_pos), so range-sorting the raw statements on
+    // (table, stmt_seq) before the one-pass render/parse leaves the parsed
+    // records already ordered — no sort of the wide parsed rows, no
+    // re-execution of the parse subtree for the range sampler.
+    graft.streaming.Analytics.multiTableChanges(
+        rawFromOrders(s, d).filter(col("table").isin("orders_0", "orders_2"))
+          .orderBy("table", "stmt_seq"),
+        specs)
       .select(col("table"), col("seq"), col("deleted"),
         col("before.id").as("b_id"), col("before.name").as("b_name"),
         col("before.status").as("b_status"),
         col("after.id").as("a_id"), col("after.name").as("a_name"),
         col("after.status").as("a_status"))
-      .orderBy("table", "seq")
   }
 
   private val q80Sql = oracleEnvs +
