@@ -147,7 +147,12 @@ object LlmQueries {
 
   private def q25(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    // Sort-first (the q18/q19 narrow-sort pattern, applied to every pure
+    // per-row scorer in this file): range-sort the raw docs on the output
+    // key, THEN project — the projection is order-preserving, and a final
+    // orderBy instead re-executes the expensive per-row expressions a
+    // second time for the range sampler.
+    Tables.documents(s, d).orderBy("doc_id").select(
         col("doc_id"),
         TextAnalysis.stopwordHits(t, "en").as("s_en"),
         TextAnalysis.stopwordHits(t, "de").as("s_de"),
@@ -155,7 +160,6 @@ object LlmQueries {
         TextAnalysis.stopwordHits(t, "es").as("s_es"),
         TextAnalysis.langId(t).as("pred"),
         (TextAnalysis.langId(t) === col("lang")).as("hit"))
-      .orderBy("doc_id")
   }
 
   private val q25Sql = {
@@ -186,7 +190,7 @@ object LlmQueries {
     val digits = (length(t) - length(regexp_replace(t, "[0-9]", ""))).cast("long")
     val stopPm = TextAnalysis.permille(TextAnalysis.stopwordHits(t, "en"), nWords)
     val awlPm = TextAnalysis.permille(sumWordLen, nWords)
-    Tables.documents(s, d).select(
+    Tables.documents(s, d).orderBy("doc_id").select( // sort-first, see q25
         col("doc_id"),
         length(t).cast("long").as("n_chars_calc"),
         nWords.as("n_words"),
@@ -195,7 +199,6 @@ object LlmQueries {
         TextAnalysis.permille(digits, length(t).cast("long")).as("digit_pm"),
         awlPm.as("awl_pm"),
         (stopPm + awlPm).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   private val q26Sql =
@@ -220,13 +223,12 @@ object LlmQueries {
 
   private def q27(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).select(
+    Tables.documents(s, d).orderBy("doc_id").select( // sort-first, see q25
         col("doc_id"),
         TextAnalysis.wsTokens(t).as("ws_tokens"),
         TextAnalysis.subwordTokens(t).as("subword_tokens"),
         TextAnalysis.permille(length(t).cast("long"), TextAnalysis.subwordTokens(t))
           .as("chars_per_tok_pm"))
-      .orderBy("doc_id")
   }
 
   private val q27Sql =
@@ -239,6 +241,9 @@ object LlmQueries {
   // ---------------------------------------------------------------- q28 fingerprint
 
   private def q28(s: SparkSession, d: String): DataFrame =
+    // NOT sort-first: fingerprints aggregates + joins internally (the shared
+    // word-hash dictionary), which destroys input order — the final sort
+    // stays, and its sampler re-runs only the cheap post-join projection.
     TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
       .orderBy("doc_id")
 
@@ -486,10 +491,9 @@ object LlmQueries {
     * top-word share, duplicate-word share, top-bigram share — per-row column
     * math (sort + fold), shuffle-free. */
   private def q39(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
       .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
       .select(col("doc_id"), col("r.*"))
-      .orderBy("doc_id")
 
   private val q39Sql =
     """WITH f AS (
@@ -587,10 +591,9 @@ object LlmQueries {
   private def q42(s: SparkSession, d: String): DataFrame = {
     val dirty = concat(col("text"), lit(" visit https://ex.com/d/"), col("doc_id"),
       lit(" or mail a"), col("doc_id"), lit("@ex.com now   done"))
-    Tables.documents(s, d)
+    Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
       .select(col("doc_id"), TextAnalysis.scrub(dirty).as("clean"))
       .withColumn("clean_chars", length(col("clean")).cast("long"))
-      .orderBy("doc_id")
   }
 
   private val q42Sql =
@@ -1468,13 +1471,12 @@ object LlmQueries {
       lit(" visit https://ex.com/p/"), col("doc_id"), lit("  end"))
     def nTok(tok: String) =
       (size(split(col("clean"), tok, -1)) - 1).cast("long")
-    Tables.documents(s, d)
+    Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
       .select(col("doc_id"), TextAnalysis.piiScrub(dirty).as("clean"))
       .select(col("doc_id"), col("clean"),
         length(col("clean")).cast("long").as("clean_chars"),
         nTok("<phone>").as("n_phone"), nTok("<ip>").as("n_ip"),
         nTok("<digits>").as("n_digits"))
-      .orderBy("doc_id")
   }
 
   private val q60Sql =
@@ -1746,13 +1748,13 @@ object LlmQueries {
 
   private def q68(s: SparkSession, d: String): DataFrame = {
     import graft.llm.Bpe
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      regexp_replace(lower(col("text")), "[^a-z ]", "").as("clean"))
+    val docs = Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z ]", "").as("clean"))
     // batched imperative encode (the corpus-scale path; ≡ Bpe.encode, BpeSpec)
     Bpe.encodeBatched(docs, "clean", bpeMerges, "toks")
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("toks")).as("encoded"))
-      .orderBy("doc_id")
   }
 
   private val q68Sql =
@@ -1971,12 +1973,11 @@ object LlmQueries {
     * word's bucket, collision included. */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val weights = seededMicroWeights("w", 4096)
-    Tables.documents(s, d)
+    Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
       .select(col("doc_id"),
         TextAnalysis.hashedLinearScore(col("text"), weights).as("score_micro"),
         size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
       .withColumn("keep", col("score_micro") > 0)
-      .orderBy("doc_id")
   }
 
   /** Deterministic stand-in model: w[b] = md5_60("w:" || b) % P % 2001 − 1000
