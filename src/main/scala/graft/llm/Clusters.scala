@@ -127,9 +127,17 @@ object Clusters {
     * IS accepting the correct final state, with no hash-collision caveat.
     * Two metadata-scale actions; the first also materializes the persist. */
   private def isStarForest(e: DataFrame): Boolean = {
-    val r = e.agg(count(lit(1)), count_distinct(col("u"))).head()
-    r.getLong(0) == r.getLong(1) &&
-      e.select("v").join(e.select(col("u").as("v")), Seq("v"), "left_semi").isEmpty
+    // ONE action for both tests (each driver action costs a full analysis +
+    // scheduling envelope — at micro-graph scale that envelope IS the cost):
+    // the child-uniqueness counts and the root-is-also-a-child probe ride a
+    // single plan via a 1-row × 1-row cross join. The emptiness side keeps
+    // its limit-1 short circuit.
+    val r = e.agg(count(lit(1)).as("n"), count_distinct(col("u")).as("d"))
+      .crossJoin(
+        e.select("v").join(e.select(col("u").as("v")), Seq("v"), "left_semi")
+          .limit(1).agg(count(lit(1)).as("bad")))
+      .head()
+    r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L
   }
 
   /** Partition-local union–find seed: replace each partition's edge multiset

@@ -276,8 +276,14 @@ object CdcQueries {
       Decode.ColMeta("id", "int(11)"),
       Decode.ColMeta("qty", "smallint(5) unsigned", unsigned = true),
       Decode.ColMeta("note", "varchar(20)")))
+    // Persist the decoded projection before the final sort: the range
+    // sampler otherwise re-runs the whole per-version decode render (the
+    // narrow subtree above the registry's cached raw batch) a second time.
+    // Sort-first is NOT safe here — the decode is a union of version slices,
+    // so input order does not survive it by contract.
     reg.decodeBatch(data.unionAll(alter))
       .select(col("stmt_seq"), col("schema_version"), col("event_type"), col("event"))
+      .persist()
       .orderBy("stmt_seq")
   }
 
