@@ -120,6 +120,8 @@ object CdcQueries {
   private def q18(s: SparkSession, d: String): DataFrame =
     // Sort the narrow raw statements, not the rendered envelopes: the explode
     // preserves order and emits pairs in pair_pos order per statement.
+    // (A compute-once persist under this sort was measured flat — the raw
+    // derivation is cheap column math, so caching it buys nothing here.)
     EnvelopeBuilder.envelopes(
         rawFromOrders(s, d).filter(col("action") === "update").orderBy("stmt_seq"))
       .select(col("stmt_seq"), col("pair_pos").cast("long").as("pair_pos"), col("topic"), col("event"))
