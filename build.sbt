@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's one-line JSON from the forked JVM's stdout; sbt's
+// default LoggedOutput prefixes every line with "[info] " which has broken
+// that parse four rounds running (BENCH_r17..r20 "parsed": null). Pass the
+// forked process's output through unmodified. runMain only; Test keeps the
+// logged strategy so suite reports stay in the sbt log.
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
