@@ -10,6 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Keep the default `sbt test` inside a CI/driver capture window: the heavy
+// randomized soaks (tagged graft.SlowTest) are excluded by default and run
+// explicitly with SPARK_GRAFT_SLOW_TESTS=1 sbt test. -oD prints per-test
+// durations so the slow set stays auditable from any test log.
+Test / testOptions ++= {
+  val base = Seq(Tests.Argument(TestFrameworks.ScalaTest, "-oD"))
+  if (sys.env.contains("SPARK_GRAFT_SLOW_TESTS")) base
+  else base :+ Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")
+}
 run / fork := true
 // The driver parses Bench's one-line JSON from the forked JVM's stdout; sbt's
 // default LoggedOutput prefixes every line with "[info] " which has broken

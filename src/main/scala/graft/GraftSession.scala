@@ -46,12 +46,27 @@ object GraftSession {
     // holds ;-separated key=value Spark confs applied LAST (so a cluster
     // run can size shuffle partitions, advisory sizes, codecs for its own
     // hardware — the local defaults above stay the bench contract).
+    // Guard rails: correctness-pinned keys are refused loudly (an env var
+    // must not silently flip what the queries compute), malformed entries
+    // are refused rather than dropped, and every applied override is
+    // logged — a cluster run's effective config must be auditable.
+    val pinned = Set(
+      "spark.sql.legacy.parquet.nanosAsLong", // Tables' nanos contract
+      "spark.sql.session.timeZone",           // epoch arithmetic vs oracle
+      "spark.sql.extensions")                 // native expression registry
     sys.env.get("SPARK_GRAFT_CONF").iterator
       .flatMap(_.split(';')).map(_.trim).filter(_.nonEmpty)
       .foldLeft(withDir) { (bb, kv) =>
         kv.split("=", 2) match {
-          case Array(k, v) => bb.config(k.trim, v.trim)
-          case _ => bb
+          case Array(k, v) if pinned(k.trim) =>
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_CONF: '${k.trim}' is correctness-pinned and " +
+                "cannot be overridden via the environment")
+          case Array(k, v) =>
+            System.err.println(s"[graft] conf override: ${k.trim}=${v.trim}")
+            bb.config(k.trim, v.trim)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_CONF: malformed entry '$kv' (expected key=value)")
         }
       }
   }

@@ -17,6 +17,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries are independent; several hold internal persists that the
+      // one-shot fn() contract cannot unpersist (q32/q99-class operators'
+      // documented convention). Releasing them here bounds this long-lived
+      // 105-query session's block-manager footprint to one query's caches
+      // (guide §5 — unpersist when done).
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -688,9 +688,36 @@ object Intake {
             })
           }
           val errs = futs.flatMap(_.get())
+          // real failures outrank an injected soak kill; SIBLING failures
+          // ride the thrown error as suppressed exceptions instead of
+          // being silently dropped
           (errs.filterNot(_.isInstanceOf[CrashHooks.InjectedCrash]) ++ errs)
-            .headOption.foreach(e => throw e)
-        } finally pool.shutdown()
+            .headOption.foreach { e =>
+              errs.filter(_ ne e).foreach(e.addSuppressed)
+              throw e
+            }
+        } finally {
+          // every-task-awaited contract, even on an interrupt mid-get():
+          // nothing submitted may outlive this method (an in-flight write
+          // racing the caller's replay is the hazard the contract exists
+          // to exclude). In the normal path all futures already completed,
+          // so this returns immediately. An interrupt during the wait is
+          // remembered and re-asserted, never allowed to abandon the wait.
+          pool.shutdownNow()
+          var interrupted = false
+          var terminated = false
+          while (!terminated)
+            try {
+              terminated =
+                pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+              if (!terminated)
+                System.err.println("intake: waiting for in-flight batch " +
+                  "tasks to finish before returning")
+            } catch {
+              case _: InterruptedException => interrupted = true
+            }
+          if (interrupted) Thread.currentThread().interrupt()
+        }
     }
 
   private[graft] def processBatch(spark: SparkSession, cfg: Config,
@@ -799,6 +826,14 @@ object Intake {
       var sigParts = 0
       var probedSigBkts: Option[Seq[Int]] = None // None = unpruned probe
       var probedTextBkts: Option[Seq[Int]] = None
+      // the batch's PERSISTED MinHash signature frame, computed exactly once
+      // per batch (inside the cross-corpus probe when it runs, standalone
+      // otherwise) and reused by the in-batch pass and the corpus signature
+      // write — per-doc signatures depend only on the doc's own text, so
+      // every reuse is value-identical (guide §1.4: the batch was previously
+      // signed up to three times per batch). Set whenever the near-dup gate
+      // is configured; released via the probe cleanup / cleanups list.
+      var batchSigs: Option[DataFrame] = None
       // (path, isPrunedBase) per family part the probe reads — base parts
       // are partition-pruned, delta parts are read in full (telemetry)
       var sigPartInfo: Seq[(String, Boolean)] = Nil
@@ -810,10 +845,19 @@ object Intake {
             if (bucketed) tieredInfo(cd, "bandsbase=", "bandsmid=", "bands=")
             else tieredInfo(cd, "sigsbase=", "sigsmid=", "sigs=")
           sigParts = sigPartInfo.size
-          if (sigPartInfo.isEmpty)
+          if (sigPartInfo.isEmpty) {
+            // no stored parts to probe (first batch) — but the in-batch
+            // pass and the corpus signature write still need the batch
+            // signed; sign it once here so they share one pass
+            val s0 = Dedup.minhashSigFrame(
+                blocklisted.select("doc_id", "text"), "doc_id", "text",
+                cfg.numHashes)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cleanups += (() => { s0.unpersist(); () })
+            batchSigs = Some(s0)
             (blocklisted, spark.emptyDataset[(Long, String, String)]
               .toDF("doc_id", "stage", "reason"))
-          else {
+          } else {
             // bucketed layout: text parts carry the doc bucket, so the
             // candidate verify read prunes to matched buckets (the text
             // scan was the last per-batch read linear in corpus size).
@@ -852,6 +896,7 @@ object Intake {
                 cleanups += probe.cleanup
                 probedSigBkts = Some(probe.probedBuckets)
                 probedTextBkts = probe.probedTextBuckets
+                batchSigs = Some(probe.sigs)
                 probe.pairs
               } else {
                 val corpusSigs = sigPartInfo.map { case (p, _) => spark.read
@@ -859,11 +904,12 @@ object Intake {
                     .parquet(p)
                     .select("doc_id", "mh") }
                   .reduce(_.unionByName(_))
-                val (pairs, release) = Dedup.incrementalNearDupIndexedManaged(
+                val probe = Dedup.incrementalNearDupIndexedProbe(
                   corpusSigs, corpusText, blocklisted.select("doc_id", "text"),
                   "doc_id", "text", cfg.numHashes, cfg.bands, t)
-                cleanups += release
-                pairs
+                cleanups += probe.cleanup
+                batchSigs = Some(probe.sigs)
+                probe.pairs
               }
             // one row per dropped doc (used by both the anti-join and the
             // ledger) — persisted so the probe runs once, flat so the
@@ -941,6 +987,36 @@ object Intake {
           (kept1, spark.emptyDataset[(Long, String, String)]
             .toDF("doc_id", "stage", "reason"))
       }
+      // the index this batch scores against: the part union STRICTLY
+      // below id — latest base plus the deltas above it (a crashed run
+      // may already have written delta=id; replay must not read its own
+      // output). ngramNoveltyAgainst min-folds the duplicate gram rows.
+      // Bucketed layout: the read is PRUNED to the buckets the batch's own
+      // grams touch (partition-directory pruning — non-matching buckets'
+      // files are never opened; exact, because a pruned gram's bucket is a
+      // pure function of the gram, so it cannot match any batch gram).
+      // Listed HERE (before the in-batch stage) because the bucket-stats
+      // probe rides the in-batch CC's first convergence certificate below.
+      val (baseV, deltaVs) = familyParts(spark, cfg.indexDir, "base=", "delta=", id)
+      // (path, isPrunedBase): the base is dir-partitioned by bkt (pruned
+      // read); delta parts are plain batch-scale writes read in full
+      val idxPartInfo = baseV.map(v => (s"${cfg.indexDir}/base=$v", bucketed)).toSeq ++
+        deltaVs.map(v => (s"${cfg.indexDir}/delta=$v", false))
+      val partPaths = idxPartInfo.map(_._1)
+      var probedGramBkts: Option[Seq[Int]] = None // None = unpruned probe
+      var batchGrams = -1L // measured distinct grams (bucketed path only)
+      // whether the novelty probe needs the bucket-stats pass at all
+      val bucketedIdxProbe = bucketed && partPaths.nonEmpty
+      def readIndexParts(): DataFrame =
+        if (bucketed)
+          // per-part reads unioned — see the bands read above for why a
+          // multi-root partitioned read is refused by partition discovery
+          partPaths.map(pp =>
+            spark.read.schema("gram BIGINT, owner BIGINT, bkt INT")
+              .parquet(pp).select("gram", "owner", "bkt"))
+            .reduce(_.unionByName(_))
+        else spark.read.parquet(partPaths: _*)
+
       // optional WITHIN-batch dedup: the batch's own near-dup pairs
       // collapse to clusters, the minimum id per cluster survives —
       // deterministic, so replay-safe like every other stage
@@ -949,26 +1025,58 @@ object Intake {
           "calibration the cross-batch gate uses)")
       val (kept1x, rejInBatch) = (cfg.inBatchNearDup, cfg.nearDupThreshold) match {
         case (true, Some(t)) =>
-          val (pairs0, relP) = Dedup.nearDupPairsManaged(
-            kept1s.select("doc_id", "text"), "doc_id", "text",
-            cfg.numHashes, cfg.bands, t)
-          cleanups += relP
+          // COMPUTE-ONCE signatures (guide §1.4): the batch was already
+          // MinHash-signed once for the cross-corpus probe (batchSigs —
+          // per-doc signatures depend only on the doc's own text, so the
+          // superset-computed frame carries identical values restricted to
+          // the in-batch survivors); only a gate-less corpus (no stored
+          // parts AND no probe ran) signs here.
+          val pairs0 = batchSigs match {
+            case Some(sg) => Dedup.nearDupPairsFromSigs(
+              kept1s.select("doc_id", "text"), "doc_id", "text", sg,
+              cfg.numHashes, cfg.bands, t)
+            case None =>
+              val (p, relP) = Dedup.nearDupPairsManaged(
+                kept1s.select("doc_id", "text"), "doc_id", "text",
+                cfg.numHashes, cfg.bands, t)
+              cleanups += relP
+              p
+          }
           val pairs = pairs0.persist()
           cleanups += (() => { pairs.unpersist(); () })
-          // common case first: a batch with NO internal near-dup pairs
-          // skips the whole CC machinery (label rounds + convergence
-          // counts, several driver actions) — with zero pairs every doc is
-          // its own canonical, so the outputs are definitionally identical
-          // (spec-asserted against the CC path). One limit-1 action over
-          // the persisted pair frame decides; when pairs exist, the CC
-          // seeds from that same cache, so nothing is computed twice.
-          if (pairs.isEmpty)
+          // ONE action for three probes (guide §1.2 — at micro-batch scale
+          // each action's analysis+scheduling envelope IS the cost): the
+          // CC's first convergence certificate carries (a) the seeded edge
+          // COUNT — 0 iff the batch has no internal near-dup pairs, which
+          // replaces the previous separate `pairs.isEmpty` probe, and (b)
+          // the novelty gate's gram-bucket stats as a one-row side
+          // aggregate. The stats run over kept1s (the pre-in-batch
+          // survivors, a SUPERSET of kept1p): the pruned index read stays
+          // EXACT — a pruned-away gram's bucket is a pure function of the
+          // gram, and the probe join still matches on the gram itself, so
+          // extra buckets add only rows the join drops — and the broadcast
+          // bound sees a conservative (larger) gram count.
+          val side = if (bucketedIdxProbe) Some(Novelty.gramBucketStatsAgg(
+            Novelty.explodedGramFrame(kept1s.select("doc_id", "text"),
+              "doc_id", "text", cfg.n), cfg.stateBuckets)) else None
+          val (assigned0, relA, firstCert) =
+            graft.llm.Clusters.assignManagedProbed(
+              kept1s.select("doc_id"), pairs.select("doc_a", "doc_b"), side)
+          cleanups += relA
+          if (bucketedIdxProbe) {
+            val (bkts, nGrams) = Novelty.parseGramBucketStats(
+              firstCert.getSeq[org.apache.spark.sql.Row](3))
+            probedGramBkts = Some(bkts)
+            batchGrams = nGrams
+          }
+          // common case: NO internal near-dup pairs (certificate edge count
+          // 0) — every doc is its own canonical, so the outputs are
+          // definitionally identical to the CC path (spec-asserted) and the
+          // downstream plans skip the assignment joins entirely.
+          if (firstCert.getLong(0) == 0L)
             (kept1s, spark.emptyDataset[(Long, String, String)]
               .toDF("doc_id", "stage", "reason"))
           else {
-            val (assigned0, relA) = graft.llm.Clusters.assignManaged(
-              kept1s.select("doc_id"), pairs.select("doc_a", "doc_b"))
-            cleanups += relA
             val assigned = flatPersist(assigned0)
             (kept1s.join(
               assigned.filter(col("doc_id") === col("cluster_id"))
@@ -986,44 +1094,31 @@ object Intake {
       // matters most here
       val kept1p = flatPersist(kept1x)
 
-      // the index this batch scores against: the part union STRICTLY
-      // below id — latest base plus the deltas above it (a crashed run
-      // may already have written delta=id; replay must not read its own
-      // output). ngramNoveltyAgainst min-folds the duplicate gram rows.
-      // Bucketed layout: the read is PRUNED to the buckets the batch's own
-      // grams touch (partition-directory pruning — non-matching buckets'
-      // files are never opened; exact, because a pruned gram's bucket is a
-      // pure function of the gram, so it cannot match any batch gram).
-      val (baseV, deltaVs) = familyParts(spark, cfg.indexDir, "base=", "delta=", id)
-      // (path, isPrunedBase): the base is dir-partitioned by bkt (pruned
-      // read); delta parts are plain batch-scale writes read in full
-      val idxPartInfo = baseV.map(v => (s"${cfg.indexDir}/base=$v", bucketed)).toSeq ++
-        deltaVs.map(v => (s"${cfg.indexDir}/delta=$v", false))
-      val partPaths = idxPartInfo.map(_._1)
-      var probedGramBkts: Option[Seq[Int]] = None // None = unpruned probe
-      var batchGrams = -1L // measured distinct grams (bucketed path only)
-      def readIndexParts(): DataFrame =
-        if (bucketed)
-          // per-part reads unioned — see the bands read above for why a
-          // multi-root partitioned read is refused by partition discovery
-          partPaths.map(pp =>
-            spark.read.schema("gram BIGINT, owner BIGINT, bkt INT")
-              .parquet(pp).select("gram", "owner", "bkt"))
-            .reduce(_.unionByName(_))
-        else spark.read.parquet(partPaths: _*)
       val prevIndex =
         if (partPaths.isEmpty) None
         else if (bucketed) {
-          val (bkts, nGrams) = Novelty.gramBucketStats(
-            kept1p.select("doc_id", "text"), "doc_id", "text", cfg.n,
-            cfg.stateBuckets)
-          probedGramBkts = Some(bkts)
-          batchGrams = nGrams
+          // the bucket stats normally rode the in-batch certificate above;
+          // without an in-batch stage they are their own (kept1p-scoped)
+          // action, as before
+          if (probedGramBkts.isEmpty) {
+            val (bkts, nGrams) = Novelty.gramBucketStats(
+              kept1p.select("doc_id", "text"), "doc_id", "text", cfg.n,
+              cfg.stateBuckets)
+            probedGramBkts = Some(bkts)
+            batchGrams = nGrams
+          }
           Some(readIndexParts()
-            .where(col("bkt").isin(bkts: _*))
+            .where(col("bkt").isin(probedGramBkts.get: _*))
             .select("gram", "owner"))
         } else Some(readIndexParts().select("gram", "owner"))
 
+      // COMPUTE-ONCE exploded grams (guide §1.4): the novelty score
+      // references the batch's (doc, gram) rows three times (batch owner,
+      // probe gram set, per-doc stats) and the gram-index DELTA write below
+      // derives from the same rows — one persisted frame feeds all of them
+      // instead of re-running the explode/collect pipeline per consumer.
+      val grams1p = flatPersist(Novelty.explodedGramFrame(
+        kept1p.select("doc_id", "text"), "doc_id", "text", cfg.n))
       val scored = (prevIndex match {
         case Some(idx) =>
           // broadcastProbe while the batch-gram side is MEASURED small
@@ -1032,12 +1127,12 @@ object Intake {
           // never exchanged; an oversized batch degrades to the shuffled
           // join over the PRUNED index instead of a broadcast OOM. The
           // flat layout has no measurement pass — the planner decides.
-          Novelty.ngramNoveltyAgainst(idx, kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.n,
+          Novelty.ngramNoveltyAgainstGrams(idx, kept1p.select("doc_id", "text"),
+            grams1p, "doc_id",
             broadcastProbe = bucketed && batchGrams <= cfg.maxBroadcastKeys)
         case None =>
-          Novelty.ngramNovelty(kept1p.select("doc_id", "text"),
-            "doc_id", "text", cfg.n)
+          Novelty.ngramNoveltyFromGrams(kept1p.select("doc_id", "text"),
+            grams1p, "doc_id")
       })
       // feeds both the gate and the reject ledger
       val scoredP = flatPersist(scored)
@@ -1174,7 +1269,9 @@ object Intake {
           CrashHooks.seam("corpus_text")
         })
         writeTasks += "corpus_sigs" -> (() => {
-          val sigs = Dedup.minhashSigFrame(text, "doc_id", "text", cfg.numHashes)
+          // reuse the batch's one persisted sign pass, restricted to the
+          // surviving ids (value-identical: signatures are per-doc)
+          val sigs = batchSigs.get.join(kept1p.select("doc_id"), "doc_id")
           if (bucketed)
             Dedup.bandIndexFrame(sigs, cfg.numHashes, cfg.bands, cfg.stateBuckets)
               .write.mode("overwrite").parquet(s"$cd/bands=$id")
@@ -1211,8 +1308,7 @@ object Intake {
       // the gate is on, post-near-dup) — batch-vocabulary-scale, never the
       // merged index
       writeTasks += "gram_delta" -> (() => {
-        val delta = Novelty.gramIndex(kept1p.select("doc_id", "text"),
-          "doc_id", "text", cfg.n)
+        val delta = Novelty.gramIndexFromGrams(grams1p, "doc_id")
         (if (bucketed) Novelty.withGramBucket(delta, cfg.stateBuckets) else delta)
           .write.mode("overwrite").parquet(s"${cfg.indexDir}/delta=$id")
         CrashHooks.seam("gram_delta")

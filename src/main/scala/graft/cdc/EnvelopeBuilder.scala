@@ -52,18 +52,28 @@ object EnvelopeBuilder {
   /** The `event` JSON fragment: `{"data":{...}}` for insert/delete,
     * `{"data":{"new_data":{...},"old_data":{...}}}` for update (alphabetical,
     * as `json.Marshal` orders the `data` map), SQL NULL for alter. */
-  private def eventJson(old: Column, nw: Column): Column =
+  private def eventJson(old: Column, nw: Column, entriesSorted: Boolean): Column = {
+    def obj(e: Column): Column =
+      Json.obj(if (entriesSorted) e else Json.sortEntries(e))
     when(col("event_type") === "alter", lit(null).cast("string"))
       .when(col("event_type") === "update",
-        concat(lit("{\"data\":{\"new_data\":"), Json.obj(Json.sortEntries(nw)),
-               lit(",\"old_data\":"), Json.obj(Json.sortEntries(old)), lit("}}")))
-      .otherwise(concat(lit("{\"data\":"), Json.obj(Json.sortEntries(old)), lit("}")))
+        concat(lit("{\"data\":{\"new_data\":"), obj(nw),
+               lit(",\"old_data\":"), obj(old), lit("}}")))
+      .otherwise(concat(lit("{\"data\":"), obj(old), lit("}")))
+  }
 
   /** Explode raw statements into envelopes. Output columns:
     * `database, table, event_type, time, topic, stmt_seq, pair_pos, event`,
     * plus any additional input columns (passed through, e.g. an index base).
-    * Partition-local: one `posexplode`, no shuffle. */
-  def envelopes(raw: DataFrame): DataFrame =
+    * Partition-local: one `posexplode`, no shuffle.
+    *
+    * `entriesSorted`: set true ONLY when the producer guarantees every row
+    * image's (k, v) entries are already in UTF-8-byte key order (e.g. a
+    * fixture built with literally-sorted keys) — the per-image runtime
+    * `array_sort` (an interpreted, non-codegen comparator over every entry
+    * of every image) is then skipped with byte-identical output. The
+    * default sorts, matching `json.Marshal` for arbitrary producers. */
+  def envelopes(raw: DataFrame, entriesSorted: Boolean = false): DataFrame =
     raw
       .withColumn("event_type", col("action"))
       .withColumnRenamed("ts", "time")
@@ -72,7 +82,8 @@ object EnvelopeBuilder {
       // array<struct<array<struct>>> into UnsafeRow per statement before
       // exploding (measured 3× slower).
       .select(col("*"), posexplode(pairs).as(Seq("pair_pos", "pair")))
-      .withColumn("event", eventJson(col("pair.old"), col("pair.new")))
+      .withColumn("event",
+        eventJson(col("pair.old"), col("pair.new"), entriesSorted))
       // Routing key, `database + "." + table` (`handler.go:89`). The event topic
       // is NOT lowercased — only subscriber patterns are (`node.go:45-46`).
       .withColumn("topic", concat(col("database"), lit("."), col("table")))
@@ -92,18 +103,20 @@ object EnvelopeBuilder {
     * Index ranges are assigned to STATEMENTS via a scalable prefix sum of the
     * per-statement envelope count, then the explode adds `pair_pos` — the
     * sort/cache covers the statement set, not the 2-3× larger envelope set. */
-  def withEventIndex(raw: DataFrame, startIndex: Long = 0L): DataFrame =
-    withEventIndexManaged(raw, startIndex)._1
+  def withEventIndex(raw: DataFrame, startIndex: Long = 0L,
+                     entriesSorted: Boolean = false): DataFrame =
+    withEventIndexManaged(raw, startIndex, entriesSorted)._1
 
   /** [[withEventIndex]] plus a cleanup handle for the prefix-sum's persisted
     * intermediate. Per-micro-batch callers MUST call it after the batch's
     * consuming action (see [[EventIndexer.prefixSumManaged]]); one-shot query
     * paths may ignore it. */
-  def withEventIndexManaged(raw: DataFrame, startIndex: Long = 0L): (DataFrame, () => Unit) = {
+  def withEventIndexManaged(raw: DataFrame, startIndex: Long = 0L,
+                            entriesSorted: Boolean = false): (DataFrame, () => Unit) = {
     val (based, cleanup) = EventIndexer.prefixSumManaged(
       raw.withColumn("__n", envelopeCount),
       Seq(col("stmt_seq")), "__n", "__base", startIndex)
-    val out = envelopes(based)
+    val out = envelopes(based, entriesSorted)
       .withColumn("event_index", col("__base") + col("pair_pos") + 1)
       .drop("__n", "__base")
     (out, cleanup)

@@ -64,6 +64,26 @@ object Clusters {
     * sessions must invoke it after consuming the result; one-shot paths may
     * leave it to clearCache / process exit. */
   def connectedComponentsManaged(edges: DataFrame, maxIter: Int = 25): (DataFrame, () => Unit) = {
+    val (stars, cleanup, _) = connectedComponentsManagedProbed(edges, None, maxIter)
+    (stars, cleanup)
+  }
+
+  /** [[connectedComponentsManaged]] with an optional caller-supplied SIDE
+    * AGGREGATE riding the FIRST convergence certificate: `firstSide` must be
+    * a one-row aggregate frame (enforce with a final `.agg(...)`); it is
+    * cross-joined (1-row × 1-row) into the first certificate's plan so the
+    * caller's probe shares that action's whole scheduling envelope instead
+    * of paying its own (guide §1.2 — at micro-batch scale the envelope IS
+    * the cost; graft.app.Intake rides its novelty bucket-stats here).
+    * Returns the first certificate Row as well: columns 0..2 are the
+    * certificate's (n, d, bad) — `n` is the COUNT OF SEEDED EDGES, so n == 0
+    * iff the input had no effective edges — and columns 3+ are `firstSide`'s
+    * columns in order. Side evaluation is EXACTLY-ONCE and unconditional;
+    * it must be pure. */
+  def connectedComponentsManagedProbed(edges: DataFrame,
+                                       firstSide: Option[DataFrame],
+                                       maxIter: Int = 25)
+      : (DataFrame, () => Unit, org.apache.spark.sql.Row) = {
     // First two columns are the edge; extra columns (e.g. a pair frame's
     // `jac` score) are ignored — `toDF` alone would throw on the 3-column
     // frames ([[Dedup.nearDupPairs]], [[Dedup.jaccardJoin]]) this scaladoc
@@ -91,7 +111,8 @@ object Clusters {
     var backed = seeded
     var cur = graft.plans.Barrier.flatten(seeded)
     var it = 0
-    var star = isStarForest(cur)
+    val firstRow = starProbe(cur, firstSide)
+    var star = isStar(firstRow)
     while (!star && it < maxIter) {
       // Round barrier (graft.plans.Barrier): largeStar/smallStar reference
       // their input 2× each, so composing rounds grows the LOGICAL plan ~4×
@@ -101,7 +122,7 @@ object Clusters {
       val round = smallStar(largeStar(cur))
       val next = graft.plans.Barrier.flatten(round)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      star = isStarForest(next)
+      star = isStar(starProbe(next, None))
       backed.unpersist()
       backed = next
       cur = next
@@ -115,7 +136,7 @@ object Clusters {
     }
     // At the star-forest fixed point every edge is (node, componentMin).
     (cur.select(col("u").as("node"), col("v").as("root")),
-      () => { backed.unpersist(); () })
+      () => { backed.unpersist(); () }, firstRow)
   }
 
   /** Structural convergence certificate: the edge set is a min-rooted star
@@ -125,20 +146,23 @@ object Clusters {
     * itself), and the maintained u > v orientation forces each star's root
     * below all its children, i.e. the component minimum — so accepting here
     * IS accepting the correct final state, with no hash-collision caveat.
-    * Two metadata-scale actions; the first also materializes the persist. */
-  private def isStarForest(e: DataFrame): Boolean = {
+    * The probe is ONE action that also materializes the persist. */
+  private def starProbe(e: DataFrame, side: Option[DataFrame]): org.apache.spark.sql.Row = {
     // ONE action for both tests (each driver action costs a full analysis +
     // scheduling envelope — at micro-graph scale that envelope IS the cost):
     // the child-uniqueness counts and the root-is-also-a-child probe ride a
     // single plan via a 1-row × 1-row cross join. The emptiness side keeps
-    // its limit-1 short circuit.
-    val r = e.agg(count(lit(1)).as("n"), count_distinct(col("u")).as("d"))
+    // its limit-1 short circuit. A caller's one-row side aggregate rides
+    // the same plan the same way (columns 3+ of the returned Row).
+    val cert = e.agg(count(lit(1)).as("n"), count_distinct(col("u")).as("d"))
       .crossJoin(
         e.select("v").join(e.select(col("u").as("v")), Seq("v"), "left_semi")
           .limit(1).agg(count(lit(1)).as("bad")))
-      .head()
-    r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L
+    side.fold(cert)(cert.crossJoin(_)).head()
   }
+
+  private def isStar(r: org.apache.spark.sql.Row): Boolean =
+    r.getLong(0) == r.getLong(1) && r.getLong(2) == 0L
 
   /** Partition-local union–find seed: replace each partition's edge multiset
     * with the min-rooted star forest of its local subgraph — exact component
@@ -221,8 +245,22 @@ object Clusters {
     * here): per-batch callers MUST invoke it after consuming the result, or
     * each batch pins one more frame in the block manager forever. */
   def assignManaged(ids: DataFrame, pairs: DataFrame): (DataFrame, () => Unit) = {
+    val (out, cleanup, _) = assignManagedProbed(ids, pairs, None)
+    (out, cleanup)
+  }
+
+  /** [[assignManaged]] through [[connectedComponentsManagedProbed]]: the
+    * caller's one-row `firstSide` aggregate rides the first convergence
+    * certificate's action, and the certificate Row comes back (its column 0
+    * is the seeded edge count — 0 iff `pairs` was effectively empty, letting
+    * a caller take an output-identical no-pairs shortcut without a separate
+    * emptiness action). */
+  def assignManagedProbed(ids: DataFrame, pairs: DataFrame,
+                          firstSide: Option[DataFrame])
+      : (DataFrame, () => Unit, org.apache.spark.sql.Row) = {
     val idCol = ids.columns.head
-    val (stars, cleanup) = connectedComponentsManaged(pairs)
+    val (stars, cleanup, firstRow) =
+      connectedComponentsManagedProbed(pairs, firstSide)
     val lab = ids.select(col(idCol).as("doc_id"))
       .join(stars.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("root"), col("doc_id")).as("cluster_id"))
@@ -231,6 +269,6 @@ object Clusters {
     val sizes = lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
     val out = lab.join(sizes, "cluster_id")
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-    (out, cleanup)
+    (out, cleanup, firstRow)
   }
 }

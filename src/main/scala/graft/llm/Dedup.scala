@@ -187,14 +187,42 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes): a remainder would " +
         "compute minhashes the banding silently never reads, quietly loosening " +
         "the LSH calibration the caller asked for")
-    val rows = numHashes / bands
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
     // Persisted: the frame feeds both sides of the band self-join — without
     // the cache the whole hash pipeline runs per use (measured 124 s → 12 s
     // at sf0.1 even before word-level hashing).
     val sig = minhashSigFrame(docs, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (nearDupPairsCore(base, sig, numHashes, bands, threshold),
+      () => { sig.unpersist(); () })
+  }
 
+  /** [[nearDupPairs]] over an already-persisted signature frame covering a
+    * SUPERSET of `docs` (per-doc signatures depend only on the doc's own
+    * text, so a superset-computed frame carries identical values — the
+    * compute-once contract a standing intake uses: the batch is signed ONCE
+    * for the cross-corpus probe and the in-batch pass reuses it here
+    * restricted to the surviving ids, instead of re-running the whole
+    * sign pipeline). The caller owns `sigs`' persist/cleanup. */
+  def nearDupPairsFromSigs(docs: DataFrame, idCol: String, textCol: String,
+                           sigs: DataFrame, numHashes: Int = 12,
+                           bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    require(sigs.columns.toSeq == Seq("doc_id", "mh"),
+      s"nearDupPairsFromSigs: sigs must be (doc_id, mh) — minhashSigFrame " +
+        s"output — got ${sigs.columns.toSeq}")
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    // restrict the superset to the requested docs (batch-scale equi-join
+    // riding the caller's caches on both sides)
+    val sig = sigs.join(base.select("doc_id"), "doc_id")
+    nearDupPairsCore(base, sig, numHashes, bands, threshold)
+  }
+
+  private def nearDupPairsCore(base: DataFrame, sig: DataFrame,
+                               numHashes: Int, bands: Int,
+                               threshold: Double): DataFrame = {
+    val rows = numHashes / bands
     val bandDf = bandFrame(sig, bands, rows)
 
     val cand = bandDf.as("x").join(bandDf.as("y"),
@@ -216,7 +244,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))))
       .filter(col("jac") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jac"))
-    (out, () => { sig.unpersist(); () })
+    out
   }
 
   /** CORPUS SNAPSHOT DIFF — classify every document across two corpus
@@ -428,9 +456,25 @@ object Dedup {
   def incrementalNearDupManaged(corpus: DataFrame, batch: DataFrame,
                                 idCol: String, textCol: String,
                                 numHashes: Int = 12, bands: Int = 4,
-                                threshold: Double = 0.5): (DataFrame, () => Unit) =
-    indexedNearDupCore(minhashSigFrame(corpus, idCol, textCol, numHashes),
-      corpus, batch, idCol, textCol, numHashes, bands, threshold)
+                                threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    val p = incrementalNearDupProbe(corpus, batch, idCol, textCol, numHashes,
+      bands, threshold)
+    (p.pairs, p.cleanup)
+  }
+
+  /** [[incrementalNearDupManaged]] exposing the persisted BATCH signature
+    * frame ([[IndexedProbe.sigs]]) so a caller that also runs an in-batch
+    * near-dup pass over (a subset of) the same batch can reuse the one sign
+    * pipeline via [[nearDupPairsFromSigs]] instead of re-signing from text. */
+  def incrementalNearDupProbe(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, textCol: String,
+                              numHashes: Int = 12, bands: Int = 4,
+                              threshold: Double = 0.5): IndexedProbe = {
+    val (pairs, sigB, cleanup) =
+      indexedNearDupCore(minhashSigFrame(corpus, idCol, textCol, numHashes),
+        corpus, batch, idCol, textCol, numHashes, bands, threshold)
+    IndexedProbe(pairs, sigB, cleanup)
+  }
 
   /** The STORED-INDEX form of [[incrementalNearDup]]: probe a new batch
     * against a PERSISTED corpus signature frame (`corpusSigs` —
@@ -450,6 +494,22 @@ object Dedup {
                                        idCol: String, textCol: String,
                                        numHashes: Int = 12, bands: Int = 4,
                                        threshold: Double = 0.5): (DataFrame, () => Unit) = {
+    val p = incrementalNearDupIndexedProbe(corpusSigs, corpusText, batch,
+      idCol, textCol, numHashes, bands, threshold)
+    (p.pairs, p.cleanup)
+  }
+
+  /** The batch-signature-sharing form of [[incrementalNearDupIndexedManaged]]:
+    * also returns the persisted batch signature frame (same reuse contract
+    * as [[BandedProbe.sigs]]). */
+  final case class IndexedProbe(pairs: DataFrame, sigs: DataFrame,
+                                cleanup: () => Unit)
+
+  def incrementalNearDupIndexedProbe(corpusSigs: DataFrame, corpusText: DataFrame,
+                                     batch: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numHashes: Int = 12, bands: Int = 4,
+                                     threshold: Double = 0.5): IndexedProbe = {
     require(corpusSigs.columns.toSeq == Seq("doc_id", "mh"),
       s"incrementalNearDupIndexed: corpusSigs must be (doc_id, mh) — " +
         s"minhashSigFrame output — got ${corpusSigs.columns.toSeq}")
@@ -468,14 +528,15 @@ object Dedup {
         s"[${w.getInt(0)}, ${w.getInt(1)}] but numHashes=$numHashes — a " +
         "mismatched part bands differently and silently loses recall; " +
         "re-sign the corpus or match the parameters")
-    indexedNearDupCore(corpusSigs, corpusText, batch, idCol, textCol,
-      numHashes, bands, threshold)
+    val (pairs, sigB, cleanup) = indexedNearDupCore(corpusSigs, corpusText,
+      batch, idCol, textCol, numHashes, bands, threshold)
+    IndexedProbe(pairs, sigB, cleanup)
   }
 
   private def indexedNearDupCore(corpusSigs: DataFrame, corpusText: DataFrame,
                                  batch: DataFrame, idCol: String, textCol: String,
                                  numHashes: Int, bands: Int,
-                                 threshold: Double): (DataFrame, () => Unit) = {
+                                 threshold: Double): (DataFrame, DataFrame, () => Unit) = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rows = numHashes / bands
@@ -491,7 +552,7 @@ object Dedup {
       .select(col("x.doc_id").as("batch_id"), col("y.doc_id").as("corpus_id"))
       .distinct()
     (verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
-      () => { sigB.unpersist(); () })
+      sigB, () => { sigB.unpersist(); () })
   }
 
   /** Band-join candidate (batch_id, corpus_id) pairs WITHOUT the verify
@@ -615,8 +676,14 @@ object Dedup {
     * band/text buckets it actually read (telemetry — the no-silent-caps
     * rule for a standing service; `probedTextBuckets` is None when the
     * text side was unbucketed), and the managed-persist cleanup. */
+  /** `sigs` is the PERSISTED batch signature frame ([[minhashSigFrame]] of
+    * the probe's batch side) — exposed so a standing caller can reuse the
+    * one sign pass for its in-batch dedup and its corpus signature write
+    * (per-doc signatures depend only on the doc's own text, so the values
+    * are identical wherever they are reused). Valid until `cleanup`. */
   final case class BandedProbe(pairs: DataFrame, probedBuckets: Seq[Int],
                                probedTextBuckets: Option[Seq[Int]],
+                               sigs: DataFrame,
                                cleanup: () => Unit)
 
   /** [[incrementalNearDupIndexedManaged]] over a BUCKET-PARTITIONED band
@@ -710,7 +777,7 @@ object Dedup {
       } else
         (verifyCrossPairs(cand, corpusText, batch, idCol, textCol, threshold),
           None, () => ())
-    BandedProbe(out, bkts, textBkts,
+    BandedProbe(out, bkts, textBkts, sigB,
       () => { candCleanup(); bb.unpersist(); sigB.unpersist(); () })
   }
 

@@ -59,6 +59,17 @@ object Novelty {
       .select(col("doc_id").as(idCol), explode(col("sh")).as("gram"))
   }
 
+  /** [[explodedGrams]] exposed for COMPUTE-ONCE callers (guide §1.4): a
+    * standing intake derives three per-batch frames from the same exploded
+    * (doc, gram) rows — the bucket-stats probe, the novelty scores, and the
+    * gram-index delta — and without a shared materialized frame each one
+    * re-runs the explode/collect pipeline over the batch text. Persist the
+    * result and pass it to [[ngramNoveltyAgainstGrams]] /
+    * [[gramIndexFromGrams]] / [[gramBucketStatsAgg]]; the values are
+    * IDENTICAL to the internal form (same function). */
+  def explodedGramFrame(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = explodedGrams(docs, idCol, textCol, n)
+
   /** The per-doc novelty aggregate shared by both forms: count distinct
     * grams and owned grams per doc, then re-attach every input doc (docs
     * below `n` words have zero grams and a null ratio). */
@@ -90,8 +101,15 @@ object Novelty {
     * hash-invariance argument; the oracle computes the string form and
     * hash-matches). */
   def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 8): DataFrame = {
-    val exploded = explodedGrams(docs, idCol, textCol, n)
+                   n: Int = 8): DataFrame =
+    ngramNoveltyFromGrams(docs, explodedGrams(docs, idCol, textCol, n), idCol)
+
+  /** [[ngramNovelty]] from an already-materialized [[explodedGramFrame]]
+    * (the exploded rows are referenced twice here — owner aggregate and
+    * per-doc stats — so callers sharing them with other consumers should
+    * persist the frame). */
+  def ngramNoveltyFromGrams(docs: DataFrame, exploded: DataFrame,
+                            idCol: String): DataFrame = {
     // the gram's owner: the earliest document containing it
     val owner = exploded.groupBy("gram").agg(min(col(idCol)).as("owner"))
     perDocStats(docs, exploded, owner, idCol)
@@ -104,8 +122,13 @@ object Novelty {
     * (distinct grams), not corpus-scale. */
   def gramIndex(docs: DataFrame, idCol: String, textCol: String,
                 n: Int = 8): DataFrame =
-    explodedGrams(docs, idCol, textCol, n)
-      .groupBy("gram").agg(min(col(idCol)).as("owner"))
+    gramIndexFromGrams(explodedGrams(docs, idCol, textCol, n), idCol)
+
+  /** [[gramIndex]] from an already-materialized [[explodedGramFrame]] —
+    * the compute-once form for callers that also score/probe the same
+    * batch's grams. */
+  def gramIndexFromGrams(exploded: DataFrame, idCol: String): DataFrame =
+    exploded.groupBy("gram").agg(min(col(idCol)).as("owner"))
 
   /** Fold one gram-owner index into another: per gram, the smaller owner
     * wins (set union with min semantics). Both frames must be
@@ -189,6 +212,26 @@ object Novelty {
     (rows.map(_.getInt(0)).toSeq.sorted, rows.map(_.getLong(1)).sum)
   }
 
+  /** [[gramBucketStats]] as a ONE-ROW AGGREGATE frame instead of a collect:
+    * (`gbkts` ARRAY<STRUCT<bkt INT, c BIGINT>>) — the per-bucket distinct-gram
+    * counts packed into a single row so the probe can RIDE another action's
+    * plan (a cross join into [[Clusters.connectedComponentsManagedProbed]]'s
+    * first certificate: guide §1.2, merge driver actions). Always exactly one
+    * row (an empty batch yields an empty array, never zero rows — a zero-row
+    * side would erase the host action's row through the cross join). Decode
+    * with [[parseGramBucketStats]]. */
+  def gramBucketStatsAgg(exploded: DataFrame, numBuckets: Int): DataFrame =
+    exploded
+      .select(gramBucket(col("gram"), numBuckets).as("bkt"), col("gram"))
+      .groupBy("bkt").agg(count_distinct(col("gram")).as("c"))
+      .agg(collect_list(struct(col("bkt"), col("c"))).as("gbkts"))
+
+  /** Decode one [[gramBucketStatsAgg]] value (a `gbkts` array cell from the
+    * host action's Row) into [[gramBucketStats]]'s (buckets, distinct-gram
+    * count) shape. */
+  def parseGramBucketStats(cell: Seq[org.apache.spark.sql.Row]): (Seq[Int], Long) =
+    (cell.map(_.getInt(0)).sorted, cell.map(_.getLong(1)).sum)
+
   /** Per-document novelty of a NEW batch against the accumulated corpus —
     * the standing-intake form of [[ngramNovelty]].
     *
@@ -231,12 +274,22 @@ object Novelty {
     * than degrading). */
   def ngramNoveltyAgainst(index: DataFrame, batch: DataFrame, idCol: String,
                           textCol: String, n: Int = 8,
-                          broadcastProbe: Boolean = false): DataFrame = {
+                          broadcastProbe: Boolean = false): DataFrame =
+    ngramNoveltyAgainstGrams(index, batch,
+      explodedGrams(batch, idCol, textCol, n), idCol, broadcastProbe)
+
+  /** [[ngramNoveltyAgainst]] from an already-materialized
+    * [[explodedGramFrame]] (compute-once for callers that also build the
+    * batch's gram-index delta and bucket stats from the same rows — the
+    * exploded frame is referenced three times inside this plan alone, so
+    * callers should persist it). Values identical to the text form. */
+  def ngramNoveltyAgainstGrams(index: DataFrame, batch: DataFrame,
+                               exploded: DataFrame, idCol: String,
+                               broadcastProbe: Boolean = false): DataFrame = {
     require(index.columns.toSeq == Seq("gram", "owner"),
       s"ngramNoveltyAgainst: index must be (gram, owner) — gramIndex/" +
         s"mergeGramIndex/compactGramIndex output, or a raw PART UNION of " +
         s"them — got ${index.columns.toSeq}")
-    val exploded = explodedGrams(batch, idCol, textCol, n)
     val batchOwner = exploded.groupBy("gram").agg(min(col(idCol)).as("__bown"))
     // The index may carry DUPLICATE gram rows (the log-structured part-union
     // shape: base + deltas, each owning the gram once) — the post-join min

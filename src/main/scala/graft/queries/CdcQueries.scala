@@ -88,7 +88,12 @@ object CdcQueries {
   /** O2/O3/O5/O6/O7: full envelope pipeline — explode, alter-without-event,
     * dense event_index, one-shot JSON serialization. */
   private def q17(s: SparkSession, d: String): DataFrame = {
-    val env = EnvelopeBuilder.withEventIndex(rawFromOrders(s, d))
+    // entriesSorted: rawFromOrders builds every image's entries literally in
+    // (id, name, status) order — already UTF-8-byte key order — so the
+    // per-image runtime array_sort is skipped, byte-identically (the
+    // order-sensitive oracle hash is the regression guard).
+    val env = EnvelopeBuilder.withEventIndex(rawFromOrders(s, d),
+      entriesSorted = true)
     // No final orderBy: the index pipeline range-sorts statements BEFORE the
     // explode, so rows already flow in event_index order — re-sorting 2× the
     // rows carrying the rendered JSON would only repeat that work wider.
@@ -123,7 +128,8 @@ object CdcQueries {
     // (A compute-once persist under this sort was measured flat — the raw
     // derivation is cheap column math, so caching it buys nothing here.)
     EnvelopeBuilder.envelopes(
-        rawFromOrders(s, d).filter(col("action") === "update").orderBy("stmt_seq"))
+        rawFromOrders(s, d).filter(col("action") === "update").orderBy("stmt_seq"),
+        entriesSorted = true) // rawFromOrders entries are key-sorted (see q17)
       .select(col("stmt_seq"), col("pair_pos").cast("long").as("pair_pos"), col("topic"), col("event"))
 
   private val q18Sql = oracleEnvs +

@@ -3225,13 +3225,19 @@ object LlmQueries {
     // at sf0.1 even with the caches hot: persist truncates execution, not
     // analysis.
     def flat(df: DataFrame): DataFrame = graft.plans.Barrier.flatPersist(df)._1
-    val dupAgg = flat(Dedup.incrementalNearDup(corpus, batch, "doc_id", "text")
+    // The probe exposes the batch's persisted signature frame so the
+    // in-batch pass below reuses the ONE sign pipeline (per-doc signatures
+    // depend only on the doc's own text — value-identical restricted to
+    // the survivors) instead of re-signing `kept` from text (guide §1.4).
+    val probe = Dedup.incrementalNearDupProbe(corpus, batch, "doc_id", "text")
+    val dupAgg = flat(probe.pairs
       .groupBy(col("batch_id").as("doc_id"))
       .agg(min(col("corpus_id")).as("__dup_of")))
     val rejCross = dupAgg.select(col("doc_id"), lit("near_dup").as("stage"),
       concat(lit("near_dup_of:"), col("__dup_of")).as("reason"))
     val kept = flat(batch.join(dupAgg.select("doc_id"), Seq("doc_id"), "left_anti"))
-    val pairs = flat(Dedup.nearDupPairs(kept, "doc_id", "text")
+    val pairs = flat(Dedup.nearDupPairsFromSigs(kept, "doc_id", "text",
+        probe.sigs)
       .select("doc_a", "doc_b"))
     val rejIn = Clusters.assign(kept.select("doc_id"), pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
