@@ -84,6 +84,33 @@ object LlmQueries {
   def embeddingsForAudit(s: SparkSession, d: String): DataFrame =
     embeddingsAsIdVec(s, d)
 
+  /** Persist `df` and MATERIALIZE it on a background thread (noop sink)
+    * while the caller's main thread runs another operator's
+    * construction-time actions — guide §2.6, overlap independent jobs:
+    * Spark's scheduler happily runs both job sets at once (FIFO back-fill),
+    * so a composition of two independent sides costs max(sides) instead of
+    * their sum. Returns the persisted frame and an await handle the caller
+    * MUST invoke before composing the result (consumers then read a fully
+    * materialized cache). A background failure is swallowed here: the
+    * consuming action recomputes any missing partitions and surfaces the
+    * real error itself. Persist follows the one-shot catalog convention
+    * (bench clearCache / Verify's per-query clearCache / process exit). */
+  private def overlapMaterialize(df: DataFrame, label: String)
+      : (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val p = df.persist()
+    val t = new Thread(() => {
+      // job descriptions are thread-local — the overlapped side stays
+      // attributable in the UI/profilers
+      spark.sparkContext.setJobDescription(s"overlap: $label")
+      try p.write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }, s"graft-overlap-${label.replace(' ', '-')}")
+    t.setDaemon(true)
+    t.start()
+    (p, () => t.join())
+  }
+
   /** Exact cosine top-5 for a small broadcast query set (every 100th vector).
     * Rank-only output: both engines order by (cosine DESC, id). */
   private def q23(s: SparkSession, d: String): DataFrame = {
@@ -223,7 +250,10 @@ object LlmQueries {
 
   private def q27(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d).orderBy("doc_id").select( // sort-first, see q25
+    // sort-first, see q25; re-measured at the 10x set (r21 A/B, OptProbe
+    // q27_sort{first,last}): sort-first 0.98-1.08 vs sort-last 1.04-1.19 —
+    // still the right side of the crossover, kept (q42's went the other way).
+    Tables.documents(s, d).orderBy("doc_id").select(
         col("doc_id"),
         TextAnalysis.wsTokens(t).as("ws_tokens"),
         TextAnalysis.subwordTokens(t).as("subword_tokens"),
@@ -591,9 +621,15 @@ object LlmQueries {
   private def q42(s: SparkSession, d: String): DataFrame = {
     val dirty = concat(col("text"), lit(" visit https://ex.com/d/"), col("doc_id"),
       lit(" or mail a"), col("doc_id"), lit("@ex.com now   done"))
-    Tables.documents(s, d).orderBy("doc_id") // sort-first, see q25
+    // Sort LAST here (reverting r20's sort-first): the 10x A/B (OptProbe
+    // q42_sort{first,last} on the Scale10Gen set) read sort-first 0.72-0.89
+    // vs sort-last 0.56-0.72 — the scrub regex chain is cheap enough that
+    // paying it twice under the range sampler beats range-shuffling the
+    // full raw text column (VERDICT r20 #4's predicted crossover).
+    Tables.documents(s, d)
       .select(col("doc_id"), TextAnalysis.scrub(dirty).as("clean"))
       .withColumn("clean_chars", length(col("clean")).cast("long"))
+      .orderBy("doc_id")
   }
 
   private val q42Sql =
@@ -623,19 +659,27 @@ object LlmQueries {
     * the already-verified operators; this query pins their composition. */
   private def q43(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text").select("doc_a", "doc_b")
-    val canon = Clusters.assign(docs.select("doc_id"), pairs)
-      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
     val t = col("text")
     val nWords = size(split(lower(t), " ")).cast("long")
     val sumWordLen = length(regexp_replace(t, " ", "")).cast("long")
     val score = TextAnalysis.permille(TextAnalysis.stopwordHits(t, "en"), nWords) +
       TextAnalysis.permille(sumWordLen, nWords)
-    val base = docs
-      .filter(!TextAnalysis.repetitionSignals(t).getField("repetitive"))
-      .join(canon, "doc_id")
-    Selection.tokenBudget(base, "lang", "doc_id",
-        score, TextAnalysis.subwordTokens(t), budget = 2000L)
+    // The heavy per-row scoring side (repetition fold + stopword/subword
+    // scans — independent of the dedup graph) materializes on a background
+    // thread while the pair join + CC run their construction-time actions
+    // on this one (§2.6 overlap; the values are unchanged — scoring before
+    // or after the canon join is the same per-row function, the join only
+    // selects rows).
+    val (scoredBase, awaitScore) = overlapMaterialize(
+      docs.filter(!TextAnalysis.repetitionSignals(t).getField("repetitive"))
+        .select(col("doc_id"), col("lang"), score.as("__score"),
+          TextAnalysis.subwordTokens(t).as("__tok")), "q43 scored base")
+    val pairs = Dedup.jaccardJoin(docs, "doc_id", "text").select("doc_a", "doc_b")
+    val canon = Clusters.assign(docs.select("doc_id"), pairs)
+      .filter(col("doc_id") === col("cluster_id")).select("doc_id")
+    awaitScore()
+    Selection.tokenBudget(scoredBase.join(canon, "doc_id"), "lang", "doc_id",
+        col("__score"), col("__tok"), budget = 2000L)
       .toDF("lang", "doc_id", "score", "tok", "cum")
       .orderBy("lang", "doc_id")
   }
@@ -1261,10 +1305,17 @@ object LlmQueries {
     * score (under two words) rank last. */
   private def q57(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nll = LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
-      .select(col("doc_id"), col("avg_nll_micro"))
+    // The two sides are INDEPENDENT pipelines (LM scoring over documents;
+    // IVF/cosine/CC dedup over embeddings) that the old form ran serially:
+    // the dedup side executes its CC actions during construction, then the
+    // final action paid the whole LM pipeline. Overlap them (§2.6): the LM
+    // side materializes on a background thread while the CC rounds run.
+    val (nll, awaitNll) = overlapMaterialize(
+      LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("avg_nll_micro")), "q57 bigram nll")
     val labeled = Similarity.semanticDedup(embeddingsAsIdVec(s, d), tau = 0.3)
       .select(col("id"), col("keep_id").as("cluster_id"))
+    awaitNll()
     val scored = labeled.join(nll, labeled("id") === nll("doc_id"), "left")
       .select(col("id"), col("cluster_id"),
         coalesce(col("avg_nll_micro"), lit(Long.MaxValue)).as("avg_nll_micro"))
